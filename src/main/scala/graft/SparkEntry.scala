@@ -1,13 +1,88 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the training-data
+  * extensions) appears in [[queries]]; each SQL-expressible one has a
+  * DuckDB oracle in [[oracleSql]] with IDENTICAL output column names.
+  * Window bounds are emitted as epoch-millis longs (not timestamps) so
+  * the driver's value-hash compare is immune to parquet timestamp
+  * logical-type differences between Spark and DuckDB.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventAggregator.aggregate(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference parity: the three streaming queries, batch-mode ---
+    "q_event_agg" -> ((s, dir) =>
+      EventAggregator.aggregate(Tables.events(s, dir))),
+    "q_sessions" -> ((s, dir) =>
+      SessionTracker.sessions(Tables.events(s, dir))),
+    "q_perf" -> ((s, dir) =>
+      PerformanceTracker.metrics(Tables.events(s, dir))),
+    // --- projections / scalar expressions (SURVEY §2.2) ---
+    "q_device_cat" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        Categorizer.categorize(col("event_type")).as("category"))),
+  )
+
+  /** DuckDB-equivalent SQL per query (same parquet tables, same column
+    * names). Session-window oracle uses the lag-island trick; break on
+    * diff >= gap mirrors Spark's half-open session intervals (an event
+    * exactly `gap` later starts a new session). */
+  def oracleSql: Map[String, String] = {
+    val allowedIn = EventAggregator.defaultAllowed.map(s => s"'$s'").mkString("(", ",", ")")
+    val catSql = Categorizer.categorizeSql("event_type")
+    Map(
+      "q_event_agg" ->
+        s"""SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           |       (epoch_ms(ts) // 60000) * 60000 + 60000 AS window_end_ms,
+           |       event_type,
+           |       count(*) AS event_count,
+           |       count(DISTINCT user_id) AS user_count
+           |FROM events
+           |WHERE event_type IN $allowedIn
+           |GROUP BY 1, 2, 3""".stripMargin,
+      "q_sessions" ->
+        s"""WITH v AS (
+           |  SELECT user_id, epoch_ms(ts) AS tms FROM events WHERE event_type = 'view'
+           |), marked AS (
+           |  SELECT user_id, tms,
+           |         CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+           |                   >= 1800000 THEN 1 ELSE 0 END AS brk
+           |  FROM v
+           |), islands AS (
+           |  SELECT user_id, tms,
+           |         sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+           |                        ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM marked
+           |)
+           |SELECT user_id,
+           |       min(tms) AS start_ms,
+           |       max(tms) + 1800000 AS end_ms,
+           |       max(tms) + 1800000 - min(tms) AS duration_ms,
+           |       count(*) AS page_count,
+           |       'Browse' AS category
+           |FROM islands GROUP BY user_id, island""".stripMargin,
+      "q_perf" ->
+        s"""SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
+           |       (epoch_ms(ts) // 300000) * 300000 + 300000 AS window_end_ms,
+           |       $catSql AS category,
+           |       round(avg(value), 4) AS avg_value,
+           |       round(quantile_cont(value, 0.95), 4) AS p95_value
+           |FROM events
+           |WHERE value IS NOT NULL
+           |GROUP BY 1, 2, 3""".stripMargin,
+      "q_device_cat" ->
+        s"SELECT event_id, $catSql AS category FROM events",
+    )
+  }
 }

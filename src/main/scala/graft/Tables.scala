@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet corpus (TESTDATA.md).
+  *
+  * All operators take a scale-factor directory (e.g. /root/testdata/sf0.01)
+  * and read one parquet file per table. Reads go through the vectorized
+  * parquet reader; Catalyst pushes projections/filters into the scan, so
+  * callers should NOT pre-select columns here — declare the full plan and
+  * let pruning happen at the source.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads as a raw long (nanosAsLong). Convert to a micros
+    * TimestampType by truncating — exactly what DuckDB does when it reads
+    * the same file (its TIMESTAMP is micros) — so oracle comparisons see
+    * identical instants. Integer `div` keeps full precision (a double
+    * division would lose bits above 2^53). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+}
