@@ -32,6 +32,24 @@ object SparkEntry {
       Tables.events(s, dir).select(
         col("event_id"),
         Categorizer.categorize(col("event_type")).as("category"))),
+    "q_json_props" -> ((s, dir) =>
+      Scalars.jsonPropsAgg(Tables.events(s, dir))),
+    "q_ts_coerce" -> ((s, dir) =>
+      Scalars.tsCoercions(Tables.events(s, dir))),
+    "q_filter_proj" -> ((s, dir) =>
+      Scalars.filterProject(Tables.events(s, dir))),
+    // --- serving read models (SURVEY §2.7, A8/P13) ---
+    "q_pivot_counts" -> ((s, dir) =>
+      Serving.pivotEventCounts(
+        EventAggregator.aggregate(Tables.events(s, dir)))),
+    "q_latest_windows" -> ((s, dir) =>
+      Serving.latestWindows(
+        EventAggregator.aggregate(Tables.events(s, dir)))),
+    "q_overview" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Serving.overview(
+        EventAggregator.aggregate(ev), PerformanceTracker.metrics(ev))
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -83,6 +101,64 @@ object SparkEntry {
            |GROUP BY 1, 2, 3""".stripMargin,
       "q_device_cat" ->
         s"SELECT event_id, $catSql AS category FROM events",
+      "q_json_props" ->
+        """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+          |       count(*) AS n,
+          |       round(sum(value), 4) AS value_sum
+          |FROM events GROUP BY 1""".stripMargin,
+      "q_ts_coerce" ->
+        """SELECT event_id,
+          |       epoch_ms(ts) AS ts_ms,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_sec,
+          |       epoch_ms(date_trunc('hour', ts)) AS hour_ms
+          |FROM events""".stripMargin,
+      "q_filter_proj" ->
+        """SELECT event_id, user_id, value FROM events
+          |WHERE event_type = 'purchase' AND value IS NOT NULL AND value > 50.0""".stripMargin,
+      "q_pivot_counts" ->
+        s"""WITH ea AS (
+           |  SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms, event_type,
+           |         count(*) AS event_count, count(DISTINCT user_id) AS user_count
+           |  FROM events WHERE event_type IN $allowedIn GROUP BY 1, 2)
+           |SELECT window_start_ms,
+           |${EventAggregator.defaultAllowed.map(t =>
+               s"""  CAST(coalesce(sum(event_count) FILTER (event_type = '$t'), 0) AS BIGINT) AS "${t}_count",
+                  |  CAST(coalesce(sum(user_count) FILTER (event_type = '$t'), 0) AS BIGINT) AS "${t}_users"""".stripMargin)
+             .mkString(",\n")}
+           |FROM ea GROUP BY 1""".stripMargin,
+      "q_latest_windows" ->
+        s"""SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           |       (epoch_ms(ts) // 60000) * 60000 + 60000 AS window_end_ms,
+           |       event_type, count(*) AS event_count,
+           |       count(DISTINCT user_id) AS user_count
+           |FROM events WHERE event_type IN $allowedIn
+           |GROUP BY 1, 2, 3
+           |ORDER BY window_start_ms DESC, event_type LIMIT 20""".stripMargin,
+      "q_overview" -> {
+        val types = EventAggregator.defaultAllowed
+        val cats = Categorizer.defaultRules.map(_._2)
+        s"""WITH ea AS (
+           |  SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms, event_type,
+           |         count(*) AS event_count
+           |  FROM events WHERE event_type IN $allowedIn GROUP BY 1, 2),
+           |pm AS (
+           |  SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
+           |         $catSql AS category, round(avg(value), 4) AS avg_value
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |er AS (
+           |  SELECT max(window_start_ms) AS event_window_ms,
+           |${types.map(t =>
+               s"""    CAST(coalesce(sum(event_count) FILTER (event_type = '$t'), 0) AS BIGINT) AS "${t}_count"""")
+             .mkString(",\n")}
+           |  FROM ea WHERE window_start_ms = (SELECT max(window_start_ms) FROM ea)),
+           |pr AS (
+           |  SELECT max(window_start_ms) AS perf_window_ms,
+           |${cats.map(c =>
+               s"""    round(coalesce(sum(avg_value) FILTER (category = '$c'), 0), 4) AS "${c}_avg"""")
+             .mkString(",\n")}
+           |  FROM pm WHERE window_start_ms = (SELECT max(window_start_ms) FROM pm))
+           |SELECT * FROM er, pr""".stripMargin
+      },
     )
   }
 }
