@@ -50,6 +50,31 @@ object SparkEntry {
       Serving.overview(
         EventAggregator.aggregate(ev), PerformanceTracker.metrics(ev))
     }),
+    // --- text analysis (training-data pipeline) ---
+    "q_token_stats" -> ((s, dir) =>
+      graft.text.TextAnalysis.tokenStats(Tables.documents(s, dir))),
+    "q_quality" -> ((s, dir) =>
+      graft.text.TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) =>
+      graft.text.TextAnalysis.langId(Tables.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) =>
+      graft.text.TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    // --- deduplication (training-data pipeline) ---
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.dedup.Dedup.exactDedup(Tables.documents(s, dir))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      graft.dedup.Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "q_minhash_lsh" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashCandidates(Tables.documents(s, dir))),
+    "q_simhash" -> ((s, dir) =>
+      graft.dedup.Dedup.simhash(Tables.documents(s, dir))),
+    // --- similarity search (training-data pipeline) ---
+    "q_knn_cosine" -> ((s, dir) =>
+      graft.ann.Similarity.knnBrute(Tables.embeddings(s, dir))),
+    "q_embed_dedup" -> ((s, dir) =>
+      graft.ann.Similarity.blockedDedup(Tables.embeddings(s, dir))),
+    "q_lsh_knn" -> ((s, dir) => // approximate: rows-only driver check
+      graft.ann.Similarity.lshKnn(Tables.embeddings(s, dir))),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -159,6 +184,17 @@ object SparkEntry {
            |  FROM pm WHERE window_start_ms = (SELECT max(window_start_ms) FROM pm))
            |SELECT * FROM er, pr""".stripMargin
       },
+      "q_token_stats" -> graft.text.TextAnalysis.tokenStatsSql,
+      "q_quality" -> graft.text.TextAnalysis.qualityScoreSql,
+      "q_lang_id" -> graft.text.TextAnalysis.langIdSql,
+      "q_fingerprint" -> graft.text.TextAnalysis.fingerprintSql,
+      "q_dedup_exact" -> graft.dedup.Dedup.exactDedupSql,
+      "q_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql(),
+      "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),
+      "q_simhash" -> graft.dedup.Dedup.simhashSql,
+      "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
+      "q_embed_dedup" -> graft.ann.Similarity.blockedDedupSql(),
+      // q_lsh_knn intentionally omitted: approximate recall, rows-only check
     )
   }
 }

@@ -1,0 +1,128 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exactness baseline: queries are a
+  * small broadcast side, the corpus streams through map-side — one
+  * shuffle only for the per-query top-k (partial top-k per partition via
+  * window rank). The scale path is [[lshKnn]]: random-hyperplane bucket
+  * signatures prune the candidate set so the join touches collisions,
+  * not corpus × queries.
+  *
+  * Dot products use higher-order functions (zip_with + aggregate) on the
+  * native array column — no UDF, no per-row JVM boxing beyond the array
+  * itself; [[graft.functions]] carries a codegen Expression variant if
+  * profiling ever shows this to be the bottleneck.
+  */
+object Similarity {
+
+  /** Sum over zip_with product, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (vec_id < queryMaxId).
+    * Ranking uses the 4dp-rounded score with vec_id tiebreak so results
+    * are deterministic and engine-independent. */
+  def knnBrute(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
+    val queries = embs.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = broadcast(queries)
+      .join(embs, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def knnBruteSql(queryMaxId: Long = 10, k: Int = 5): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |         round(list_dot_product(q.embedding, c.embedding) /
+       |               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+       |                sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos_sim
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $queryMaxId),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, cos_sim,
+       |       CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Blocked embedding near-dup pairs: candidates restricted to the same
+    * block key (here `label` — at scale, an LSH bucket or IVF cell), then
+    * exact cosine filter. The block join shuffles both sides on the key
+    * once; AQE handles skewed blocks. */
+  def blockedDedup(embs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val a = embs.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = embs.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_emb"), col("b_emb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  def blockedDedupSql(threshold: Double = 0.3): String =
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |       round(list_dot_product(a.embedding, b.embedding) /
+       |             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+       |              sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.embedding, b.embedding) /
+       |            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+       |             sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= $threshold""".stripMargin
+
+  /** Random-hyperplane LSH signatures: `nPlanes` sign bits from dots with
+    * deterministic pseudo-random hyperplanes (seeded per plane/dimension,
+    * no RNG state — reproducible across engines and executors). */
+  def lshSignature(emb: Column, dim: Int = 64, nPlanes: Int = 16): Column = {
+    // hyperplane component h[p][d] in [-0.5, 0.5): derived from md5 so the
+    // plan is a pure expression (broadcastable constant folding).
+    def comp(p: Int, d: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8")).take(7)
+      val v = hex.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      (v.toDouble / (1L << 56).toDouble) - 0.5
+    }
+    val bits = (0 until nPlanes).map { p =>
+      val d = (0 until dim).map(i =>
+        element_at(emb, i + 1).cast("double") * lit(comp(p, i))).reduce(_ + _)
+      when(d > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via LSH bucketing: only pairs whose signatures collide get the
+    * exact cosine — the 100 TB path where corpus × queries is infeasible.
+    * Recall < 1.0 by construction; no DuckDB oracle (rows-only check). */
+  def lshKnn(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5,
+             dim: Int = 64, nPlanes: Int = 12): DataFrame = {
+    val sig = embs.withColumn("sig", lshSignature(col("embedding"), dim, nPlanes))
+    val queries = sig.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("sig"))
+    val scored = broadcast(queries)
+      .join(sig, Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

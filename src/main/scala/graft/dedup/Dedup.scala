@@ -1,0 +1,218 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Four families, all shuffle-conscious:
+  *  - exact:     one hash-groupBy on a content fingerprint (md5) —
+  *               single shuffle on the hash, no text comparison.
+  *  - n-gram Jaccard: character-shingle set overlap against a small
+  *               query set (broadcast — no shuffle of the corpus side).
+  *  - MinHash+LSH: shingle→minhash signature→banded bucket join; the
+  *               candidate join is on band keys, so cost scales with
+  *               collisions, not corpus².
+  *  - SimHash:   64-ish-bit sign-of-weighted-sum fingerprint; near-dup
+  *               candidates share band substrings of the fingerprint.
+  *
+  * Hash functions are md5-derived (hex→bigint) rather than murmur3 so
+  * the DuckDB oracle can reproduce signatures bit-for-bit — md5 is the
+  * one hash both engines share. At 100 TB the same pipeline holds: the
+  * shingle explode is map-side, signatures are one groupBy(doc), bucket
+  * joins shuffle only (band_key, doc_id) pairs.
+  */
+object Dedup {
+
+  /** 60-bit seeded hash both engines can compute identically:
+    * bigint(first 15 hex digits of md5(seed:input)). */
+  def seededHash(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+  def seededHashSql(seed: Int, expr: String): String =
+    s"(('0x' || substr(md5($seed || ':' || $expr), 1, 15))::BIGINT)"
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup: group by content fingerprint, keep the smallest doc_id.
+    * dup_count > 1 marks a duplicate cluster. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(TextAnalysis.normalize(col("text"))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  def exactDedupSql: String =
+    s"""SELECT md5(${TextAnalysis.normalizeSql}) AS fingerprint,
+       |       min(doc_id) AS keep_id, count(*) AS dup_count
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- shingles
+  /** Distinct character n-gram shingles per document (map-side explode —
+    * no shuffle; distinct is per-doc via groupBy downstream). */
+  def shingles(docs: DataFrame, n: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${n - 1}, 1))")).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, i, $n)").as("sh"))
+      .distinct()
+
+  def shinglesSql(n: Int = 4): String =
+    s"""SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
+       |FROM (SELECT doc_id, text,
+       |        unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
+       |      FROM documents)""".stripMargin
+
+  // ------------------------------------------------- n-gram Jaccard vs queries
+  /** Exact n-gram Jaccard similarity of a small query set (doc_id <
+    * queryMaxId, broadcast) against the whole corpus. Output: pairs with
+    * similarity >= threshold. The full-corpus all-pairs variant is what
+    * MinHash+LSH approximates — running exact Jaccard corpus×corpus at
+    * scale is exactly the trap LSH exists to avoid. */
+  def ngramJaccard(docs: DataFrame, n: Int = 4, queryMaxId: Long = 10,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val qsh = sh.filter(col("doc_id") < queryMaxId)
+      .withColumnRenamed("doc_id", "query_id")
+    val qsizes = sizes.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("query_id"), col("n_sh").as("n_q"))
+    val inter = broadcast(qsh).join(sh, "sh")
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(qsizes), "query_id")
+      .join(sizes, "doc_id")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_q") + col("n_sh") - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("query_id"), col("doc_id"), col("jaccard"))
+  }
+
+  def ngramJaccardSql(n: Int = 4, queryMaxId: Long = 10,
+                      threshold: Double = 0.5): String =
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id, count(*) AS n_inter
+       |  FROM sh q JOIN sh c ON q.sh = c.sh AND q.doc_id < $queryMaxId
+       |       AND q.doc_id <> c.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.query_id, i.doc_id,
+       |       round(CAST(i.n_inter AS DOUBLE) /
+       |             CAST(sq.n_sh + sc.n_sh - i.n_inter AS DOUBLE), 4) AS jaccard
+       |FROM inter i
+       |JOIN sizes sq ON sq.doc_id = i.query_id
+       |JOIN sizes sc ON sc.doc_id = i.doc_id
+       |WHERE round(CAST(i.n_inter AS DOUBLE) /
+       |            CAST(sq.n_sh + sc.n_sh - i.n_inter AS DOUBLE), 4) >= $threshold""".stripMargin
+
+  // ------------------------------------------------------- MinHash + LSH
+  val numHashes = 16
+  val numBands = 4
+  val rowsPerBand: Int = numHashes / numBands
+
+  /** MinHash signature per doc: numHashes min-of-seeded-hash aggregates
+    * over the shingle set — one groupBy(doc_id), partial-aggregated
+    * map-side, so the shuffle carries one row per (doc, 16 longs). */
+  def minhashSignatures(docs: DataFrame, n: Int = 4): DataFrame = {
+    val sh = shingles(docs, n)
+    val aggs = (0 until numHashes).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band key, with the signature
+    * agreement fraction (the MinHash Jaccard estimate). */
+  def minhashCandidates(docs: DataFrame, n: Int = 4,
+                        minEstJaccard: Double = 0.0): DataFrame = {
+    val sig = minhashSignatures(docs, n).cache()
+    val bandKey = (b: Int) =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*))
+    val bands = (0 until numBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("bkey"))
+    }.reduce(_ unionAll _)
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  def minhashCandidatesSql(n: Int = 4, minEstJaccard: Double = 0.0): String = {
+    val minExprs = (0 until numHashes)
+      .map(i => s"min(${seededHashSql(i, "sh")}) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matchSum = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT p.a_id, p.b_id,
+       |       round(CAST($matchSum AS DOUBLE) / $numHashes, 4) AS est_jaccard
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.a_id
+       |JOIN sig sb ON sb.doc_id = p.b_id
+       |WHERE round(CAST($matchSum AS DOUBLE) / $numHashes, 4) >= $minEstJaccard""".stripMargin
+  }
+
+  // ------------------------------------------------------------- SimHash
+  val simhashBits = 60 // 15 hex digits of md5 → stays exact in a signed long
+
+  /** SimHash fingerprint: per token-occurrence hash, each bit votes
+    * +1/-1; fingerprint bit = sign of the vote sum. Frequency-weighted
+    * (duplicate tokens vote repeatedly). One explode + one groupBy. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
+    val h = seededHash(0, col("tok"))
+    val bitVotes = (0 until simhashBits).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val fp = (0 until simhashBits).map { b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def simhashSql: String = {
+    val h = seededHashSql(0, "tok")
+    val votes = (0 until simhashBits)
+      .map(b => s"sum(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val fp = (0 until simhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+       |  FROM documents),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM votes""".stripMargin
+  }
+}

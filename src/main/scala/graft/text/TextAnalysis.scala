@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, and document fingerprinting. All pure
+  * Catalyst expressions (regexp_count / regexp_replace / md5) — codegen'd,
+  * no UDFs, embarrassingly parallel per-row at any scale.
+  *
+  * Each operator has an exactly-equivalent ANSI-SQL form (the *Sql
+  * helpers) used by the DuckDB oracle, so Spark and oracle stay in sync
+  * by construction.
+  */
+object TextAnalysis {
+
+  /** Whitespace-normalized lowercase form used for fingerprinting. */
+  def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  val normalizeSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Content fingerprint = md5 of the normalized text. The rolling-hash
+    * variant for shift-tolerant matching is the shingle pipeline in
+    * [[graft.dedup.Dedup]]. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normalize(col("text"))).as("fingerprint"))
+
+  /** Token / character / punctuation / stopword counts. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
+      regexp_count(col("text"), lit("[.,!?;:]")).as("n_punct"),
+      regexp_count(col("text"), lit("\\b(the|a)\\b")).as("n_stopwords"))
+
+  /** Composite quality score, integer per-mille in [0,1000]:
+    * 40% length adequacy + 30% punctuation sanity + 30% stopword ratio.
+    * Pure integer arithmetic (no doubles, no rounding) so the score is
+    * bit-identical across engines — FP round() at half-boundaries is
+    * engine-dependent and hash-compares can't tolerate it. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
+    val nStop = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    // integer division via floor(a/b): exact for these magnitudes (< 2^53)
+    def intDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val lengthPart = least(nTokens, lit(100L)) * 4L
+    val punctPart = (lit(100L) - intDiv(nPunct * 100L, greatest(nChars, lit(1L)))) * 3L
+    val stopPart = least(intDiv(nStop * 1000L, greatest(nTokens, lit(1L))), lit(100L)) * 3L
+    docs.select(
+      col("doc_id"),
+      (lengthPart + punctPart + stopPart).cast("long").as("quality_pm"))
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic; priority order breaks score ties. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "que"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "des"))
+
+  private def markerPattern(words: Seq[String]) = s"\\b(${words.mkString("|")})\\b"
+
+  /** Heuristic language ID: argmax of marker-word hit counts, earlier
+    * language wins ties. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = langMarkers.map { case (l, ws) =>
+      l -> regexp_count(col("text"), lit(markerPattern(ws)))
+    }
+    // lang_pred = first language whose score >= all later scores
+    val pred = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((l, s), i), acc) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        if (rest.isEmpty) acc
+        else when(rest.map(s >= _).reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), pred.as("lang_pred"))
+  }
+
+  // ---- DuckDB-equivalent SQL fragments (regexp_count is not in DuckDB;
+  // len(regexp_extract_all(...)) is the equivalent) ----
+  def countSql(pattern: String): String =
+    s"len(regexp_extract_all(text, '$pattern'))"
+
+  def tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_calc,
+       |  ${countSql("\\S+")} AS n_tokens,
+       |  ${countSql("[.,!?;:]")} AS n_punct,
+       |  ${countSql("\\b(the|a)\\b")} AS n_stopwords
+       |FROM documents""".stripMargin
+
+  def qualityScoreSql: String =
+    s"""SELECT doc_id, CAST(
+       |    least(${countSql("\\S+")}, 100) * 4 +
+       |    (100 - (${countSql("[.,!?;:]")} * 100) // greatest(length(text), 1)) * 3 +
+       |    least((${countSql("\\b(the|a)\\b")} * 1000) // greatest(${countSql("\\S+")}, 1), 100) * 3
+       |  AS BIGINT) AS quality_pm
+       |FROM documents""".stripMargin
+
+  def langIdSql: String = {
+    val scoreExprs = langMarkers.map { case (l, ws) =>
+      l -> countSql(markerPattern(ws).replace("\\", "\\"))
+    }
+    val cases = scoreExprs.zipWithIndex.init.map { case ((l, s), i) =>
+      val rest = scoreExprs.drop(i + 1).map(_._2)
+      s"WHEN ${rest.map(r => s"$s >= $r").mkString(" AND ")} THEN '$l'"
+    }
+    s"""SELECT doc_id,
+       |  CASE ${cases.mkString(" ")} ELSE '${scoreExprs.last._1}' END AS lang_pred
+       |FROM documents""".stripMargin
+  }
+
+  def fingerprintSql: String =
+    s"SELECT doc_id, md5($normalizeSql) AS fingerprint FROM documents"
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.ann.Similarity
+import graft.text.TextAnalysis
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("seededHash matches the md5-hex construction DuckDB replicates") {
+    // '0:abc' -> md5 -> first 15 hex digits -> bigint; cross-checked with
+    // DuckDB ('0x'||substr(md5('0:abc'),1,15))::BIGINT
+    val got = Seq("abc").toDF("s")
+      .select(Dedup.seededHash(0, $"s").as("h")).as[Long].head()
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("0:abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == java.lang.Long.parseLong(md5hex.take(15), 16))
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val docs = Seq(
+      (1L, "hello  world"), (2L, "Hello World"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs)
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("identical docs are minhash candidates with est_jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content here with other words entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashCandidates(docs)
+      .select("a_id", "b_id", "est_jaccard").as[(Long, Long, Double)].collect()
+    assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("simhash: identical docs get identical fingerprints") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("knnBrute returns k neighbors per query, self excluded, ranked") {
+    val embs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0.5f, 0.5f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnBrute(embs, queryMaxId = 1, k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L)) // by cosine to (1,0): 0.9970, 0.7071, 0.0
+  }
+
+  test("quality score is integer per-mille in range") {
+    val got = TextAnalysis.qualityScore(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+      .agg(min("quality_pm"), max("quality_pm")).as[(Long, Long)].head()
+    assert(got._1 >= 0L && got._2 <= 1000L)
+  }
+}
