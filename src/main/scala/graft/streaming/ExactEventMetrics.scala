@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.EventAggregator
+
+/** Exact per-window distinct-user counts on a STREAM.
+  *
+  * Spark's built-in streaming aggregation rejects `count_distinct`
+  * (UnsupportedOperationChecker: "Distinct aggregations are not
+  * supported on streaming DataFrames") — a real semantic gap vs the
+  * reference, whose Flink job computes exact distinct counts
+  * (event_aggregator.py:42). Bridged here with the custom-state
+  * operator Spark provides for exactly this: `flatMapGroupsWithState`
+  * keyed by (window_start, event_type), holding (count, user-id set),
+  * emitting once when the event-time timeout fires as the watermark
+  * passes the window end — the same emit-on-close semantics as the
+  * built-in append-mode window aggregate and as Flink.
+  *
+  * Scale note: state is one set of user ids per (window, type) — the
+  * same state Flink's exact-distinct holds. At 100 TB the set per group
+  * is the bottleneck either way; the scale path is
+  * [[Pipelines.eventMetricsApprox]] (HLL, mergeable, bounded state), or
+  * sketch columns. Batch/oracle paths keep exact `count_distinct`
+  * (supported there).
+  */
+object ExactEventMetrics {
+
+  /** `ts` is carried (unused) because the event-time-timeout checker
+    * requires the watermark-tagged column to be present in the state
+    * operator's input. */
+  case class In(window_start_ms: Long, event_type: String, user_id: Long,
+                ts: java.sql.Timestamp)
+  case class S(count: Long, users: Set[Long])
+  case class Out(window_start_ms: Long, window_end_ms: Long,
+                 event_type: String, event_count: Long, user_count: Long)
+
+  def apply(events: DataFrame,
+            watermarkDelay: String = "10 seconds",
+            windowMs: Long = 60000L,
+            allowed: Seq[String] = EventAggregator.defaultAllowed): Dataset[Out] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin(allowed: _*))
+      .select(
+        (floor(unix_millis(col("ts")) / windowMs).cast("long") * windowMs)
+          .as("window_start_ms"),
+        col("event_type"), col("user_id"), col("ts"))
+      .as[In]
+      .groupByKey(r => (r.window_start_ms, r.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        update(windowMs))
+  }
+
+  private def update(windowMs: Long)(
+      key: (Long, String), rows: Iterator[In],
+      state: GroupState[S]): Iterator[Out] = {
+    val (windowStart, eventType) = key
+    val windowEnd = windowStart + windowMs
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(Out(windowStart, windowEnd, eventType, s.count, s.users.size.toLong))
+    } else {
+      val wm = state.getCurrentWatermarkMs()
+      if (windowEnd <= wm && !state.exists) {
+        // window already closed: drop-late semantics (matches W4)
+        rows.foreach(_ => ())
+        Iterator.empty
+      } else {
+        val prev = state.getOption.getOrElse(S(0L, Set.empty))
+        var count = prev.count
+        var users = prev.users
+        rows.foreach { r => count += 1; users += r.user_id }
+        state.update(S(count, users))
+        // fire when the watermark passes the window end (emit-on-close)
+        state.setTimeoutTimestamp(math.max(windowEnd, wm + 1))
+        Iterator.empty
+      }
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{EventAggregator, PerformanceTracker, SessionTracker}
+
+/** Streaming topology: the Spark analog of the reference's
+  * JobCoordinator (services/processing/src/core/job_coordinator.py:11-86).
+  *
+  * The three aggregation pipelines reuse the SAME batch transforms
+  * (graft.operators.*) — windowed groupBy code is batch/stream agnostic
+  * in Spark; streaming adds only a watermark (W4) and an output sink.
+  * They run as three independent StreamingQueries sharing one source
+  * definition (W9 — the idiomatic-Spark replacement for Flink's
+  * StatementSet: per-query checkpoints, independent restart/backfill).
+  *
+  * Emit semantics: append mode — a window's row is emitted once, when
+  * the watermark passes its end (matches Flink append emit-on-close with
+  * upsert-materialize disabled, W10). Late rows beyond the watermark are
+  * dropped in both engines.
+  */
+object Pipelines {
+
+  /** File-based streaming source over an events parquet directory with
+    * the same column shape as [[graft.Tables.events]]. Kafka swaps in by
+    * replacing this reader; every transform downstream is unchanged. */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file stream source needs a directory: stream the sf dir, glob-match
+    // the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact distinct-user counts (custom state op — Spark's built-in
+    * streaming agg can't do exact distinct; see [[ExactEventMetrics]]). */
+  def eventMetrics(events: DataFrame,
+                   watermark: String = "10 seconds",
+                   windowMs: Long = 60000L): DataFrame =
+    ExactEventMetrics(events, watermark, windowMs).toDF()
+
+  /** Scale-path variant: HLL distinct, built-in streaming agg, bounded
+    * state per group. */
+  def eventMetricsApprox(events: DataFrame,
+                         watermark: String = "10 seconds",
+                         window: String = "60 seconds"): DataFrame =
+    EventAggregator.aggregateApprox(
+      events.withWatermark("ts", watermark), windowDuration = window)
+
+  def sessionMetrics(events: DataFrame,
+                     watermark: String = "10 seconds",
+                     gap: String = "1800 seconds"): DataFrame =
+    SessionTracker.sessions(events.withWatermark("ts", watermark), gap = gap)
+
+  def perfMetrics(events: DataFrame,
+                  watermark: String = "10 seconds",
+                  window: String = "300 seconds"): DataFrame =
+    PerformanceTracker.metrics(
+      events.withWatermark("ts", watermark), windowDuration = window)
+
+  /** Storage sink (S5 analog): append each micro-batch to a parquet
+    * table partitioned by UTC date of the window start and sorted within
+    * partitions on the MergeTree-style sort key — date partition pruning
+    * then mirrors ClickHouse range reads (SURVEY §4 storage layout). */
+  def startStorageSink(df: DataFrame, path: String, checkpoint: String,
+                       sortKey: Seq[String]): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tsCol = sortKey.head
+        batch
+          .withColumn("p_date", to_date(timestamp_millis(col(tsCol))))
+          .repartition(col("p_date"))
+          .sortWithinPartitions(sortKey.map(col): _*)
+          .write.mode("append").partitionBy("p_date").parquet(path)
+      }
+      .start()
+
+  def startMemorySink(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream.outputMode("append").format("memory").queryName(name).start()
+
+  /** The full topology: three pipelines from one source, separate
+    * checkpoints (W8/W9). Caller awaits termination. */
+  def runAll(spark: SparkSession, srcDir: String, outDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] = {
+    val src = eventsFileStream(spark, srcDir)
+    Seq(
+      ("event_metrics", eventMetrics(src), Seq("window_start_ms", "event_type")),
+      ("session_metrics", sessionMetrics(src), Seq("start_ms", "user_id")),
+      ("performance_metrics", perfMetrics(src), Seq("window_start_ms", "category")),
+    ).map { case (name, df, key) =>
+      df.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$outDir/_chk/$name")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val tsCol = key.head
+          batch
+            .withColumn("p_date", to_date(timestamp_millis(col(tsCol))))
+            .repartition(col("p_date"))
+            .sortWithinPartitions(key.map(col): _*)
+            .write.mode("append").partitionBy("p_date").parquet(s"$outDir/$name")
+        }
+        .start()
+    }
+  }
+}
