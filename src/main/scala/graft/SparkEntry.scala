@@ -75,6 +75,26 @@ object SparkEntry {
       graft.ann.Similarity.blockedDedup(Tables.embeddings(s, dir))),
     "q_lsh_knn" -> ((s, dir) => // approximate: rows-only driver check
       graft.ann.Similarity.lshKnn(Tables.embeddings(s, dir))),
+    // --- relational / joins over the star schema ---
+    "q_revenue_nation" -> ((s, dir) =>
+      Relational.revenueByNation(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q_top_customers" -> ((s, dir) =>
+      Relational.topCustomers(Tables.orders(s, dir), Tables.customer(s, dir))),
+    "q_late_orders" -> ((s, dir) =>
+      Relational.lateOrders(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // --- scale-out approximate variants (rows-only driver check) ---
+    "q_event_agg_approx" -> ((s, dir) =>
+      EventAggregator.aggregateApprox(Tables.events(s, dir))),
+    "q_perf_approx" -> ((s, dir) =>
+      PerformanceTracker.metricsApprox(Tables.events(s, dir))),
+    // --- multimodal binary columns (training-data pipeline) ---
+    "q_media_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractMeta(
+        graft.multimodal.Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF()),
+    "q_media_frames" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF()),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -195,6 +215,13 @@ object SparkEntry {
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_embed_dedup" -> graft.ann.Similarity.blockedDedupSql(),
       // q_lsh_knn intentionally omitted: approximate recall, rows-only check
+      "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
+      "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),
+      "q_revenue_nation" -> Relational.revenueByNationSql,
+      "q_top_customers" -> Relational.topCustomersSql(),
+      "q_late_orders" -> Relational.lateOrdersSql,
+      // q_event_agg_approx / q_perf_approx omitted: sketch results are
+      // engine-specific by design (rows-only check)
     )
   }
 }

@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sum over zip_with product, computed in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd float dot product ([[graft.functions.DotProductF]]):
+    * double accumulation, left-to-right — bit-identical to the
+    * higher-order-function formulation in [[dotHof]], ~an order of
+    * magnitude faster in pairwise kernels. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot_f(a, b)
+
+  /** Built-ins-only variant (zip_with + aggregate), kept as the
+    * reference semantics and for engines without the custom expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -30,15 +37,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query vector (vec_id < queryMaxId).
-    * Ranking uses the 4dp-rounded score with vec_id tiebreak so results
-    * are deterministic and engine-independent. */
+    * Norms are computed ONCE per row before the pair join (3× fewer
+    * higher-order-function evaluations than cosine-per-pair). Ranking
+    * uses the 4dp-rounded score with vec_id tiebreak so results are
+    * deterministic and engine-independent. */
   def knnBrute(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
-    val queries = embs.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val queries = corpus.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = broadcast(queries)
-      .join(embs, col("vec_id") =!= col("query_id"))
+      .join(corpus, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 4)
+          .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored
@@ -68,12 +81,17 @@ object Similarity {
     * exact cosine filter. The block join shuffles both sides on the key
     * once; AQE handles skewed blocks. */
   def blockedDedup(embs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val a = embs.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = embs.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val withNorm = embs.select(col("label"), col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = withNorm.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("a_emb"), col("b_emb")), 4).as("cos_sim"))
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -88,24 +106,38 @@ object Similarity {
        |            (sqrt(list_dot_product(a.embedding, a.embedding)) *
        |             sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= $threshold""".stripMargin
 
-  /** Random-hyperplane LSH signatures: `nPlanes` sign bits from dots with
-    * deterministic pseudo-random hyperplanes (seeded per plane/dimension,
-    * no RNG state — reproducible across engines and executors). */
-  def lshSignature(emb: Column, dim: Int = 64, nPlanes: Int = 16): Column = {
-    // hyperplane component h[p][d] in [-0.5, 0.5): derived from md5 so the
-    // plan is a pure expression (broadcastable constant folding).
-    def comp(p: Int, d: Int): Double = {
+  /** Deterministic pseudo-random hyperplanes (md5-seeded per plane/dim,
+    * no RNG state — identical on every executor without broadcast). */
+  def hyperplanes(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$p:$d".getBytes("UTF-8")).take(7)
       val v = hex.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
       (v.toDouble / (1L << 56).toDouble) - 0.5
     }
-    val bits = (0 until nPlanes).map { p =>
-      val d = (0 until dim).map(i =>
-        element_at(emb, i + 1).cast("double") * lit(comp(p, i))).reduce(_ + _)
-      when(d > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
+
+  /** Random-hyperplane signature as a typed map: a dim×nPlanes
+    * expression tree (1024 nodes) chokes codegen; a tight loop in a
+    * Dataset map is both faster and clearer. */
+  def withLshSignature(embs: DataFrame, dim: Int, nPlanes: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(dim, nPlanes)
+    embs.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, emb, label) =>
+        var sig = 0L
+        var p = 0
+        while (p < nPlanes) {
+          var s = 0.0; var i = 0
+          val plane = planes(p)
+          while (i < math.min(dim, emb.length)) { s += emb(i) * plane(i); i += 1 }
+          if (s > 0) sig |= (1L << p)
+          p += 1
+        }
+        (id, emb, label, sig)
+      }
+      .toDF("vec_id", "embedding", "label", "sig")
   }
 
   /** ANN via LSH bucketing: only pairs whose signatures collide get the
@@ -113,7 +145,7 @@ object Similarity {
     * Recall < 1.0 by construction; no DuckDB oracle (rows-only check). */
   def lshKnn(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5,
              dim: Int = 64, nPlanes: Int = 12): DataFrame = {
-    val sig = embs.withColumn("sig", lshSignature(col("embedding"), dim, nPlanes))
+    val sig = withLshSignature(embs, dim, nPlanes)
     val queries = sig.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("sig"))
     val scored = broadcast(queries)

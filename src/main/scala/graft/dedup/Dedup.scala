@@ -113,13 +113,39 @@ object Dedup {
   val numBands = 4
   val rowsPerBand: Int = numHashes / numBands
 
-  /** MinHash signature per doc: numHashes min-of-seeded-hash aggregates
-    * over the shingle set — one groupBy(doc_id), partial-aggregated
-    * map-side, so the shuffle carries one row per (doc, 16 longs). */
+  /** Universal-hash family over one md5 per shingle: two 32-bit halves
+    * (a, b) of the digest feed h_i = ((a·A_i) mod P + (b·B_i) mod P +
+    * C_i) mod P. One md5 call instead of numHashes of them (16× less
+    * hashing — this dominated the minhash profile), products stay below
+    * 2^62 so no BIGINT overflow in either engine. */
+  val hashP = 999999937L
+  def hashConsts(i: Int): (Long, Long, Long) = (
+    ((i * 2654435761L + 1013904223L) % (hashP - 1)) + 1,
+    ((i * 2246822519L + 3266489917L) % (hashP - 1)) + 1,
+    (i * 97531L + 7L) % hashP)
+
+  /** Non-distinct shingles: min() over the multiset equals min() over
+    * the set, so minhash skips the distinct's full shuffle. */
+  def shinglesAll(docs: DataFrame, n: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${n - 1}, 1))")).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, i, $n)").as("sh"))
+
+  /** MinHash signature per doc: numHashes min aggregates over shingles —
+    * one groupBy(doc_id), partial-aggregated map-side, so the shuffle
+    * carries one row per (doc, 16 longs). */
   def minhashSignatures(docs: DataFrame, n: Int = 4): DataFrame = {
-    val sh = shingles(docs, n)
-    val aggs = (0 until numHashes).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val withHalves = shinglesAll(docs, n)
+      .withColumn("m", md5(col("sh")))
+      .withColumn("ha", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("hb", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b, c) = hashConsts(i)
+      min(((col("ha") * a) % hashP + (col("hb") * b) % hashP + c) % hashP).as(s"h$i")
+    }
+    withHalves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing any band key, with the signature
@@ -149,8 +175,10 @@ object Dedup {
   }
 
   def minhashCandidatesSql(n: Int = 4, minEstJaccard: Double = 0.0): String = {
-    val minExprs = (0 until numHashes)
-      .map(i => s"min(${seededHashSql(i, "sh")}) AS h$i").mkString(",\n    ")
+    val minExprs = (0 until numHashes).map { i =>
+      val (a, b, c) = hashConsts(i)
+      s"min(((ha * $a) % $hashP + (hb * $b) % $hashP + $c) % $hashP) AS h$i"
+    }.mkString(",\n    ")
     val bandSelects = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
@@ -158,11 +186,20 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     val matchSum = (0 until numHashes)
       .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sh AS (${shinglesSql(n)}),
+    s"""WITH shs AS (
+       |  SELECT doc_id, substr(text, i, $n) AS sh
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
+       |        FROM documents)),
+       |hh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(sh), 1, 8))::BIGINT AS ha,
+       |    ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hb
+       |  FROM shs),
        |sig AS (
        |  SELECT doc_id,
        |    $minExprs
-       |  FROM sh GROUP BY doc_id),
+       |  FROM hh GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
        |pairs AS (

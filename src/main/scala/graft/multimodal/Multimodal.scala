@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for a training-data pipeline.
+  *
+  * Media travels as an opaque `binary` column plus typed metadata —
+  * the only schema that scales: decode happens late, per-partition, in
+  * the executor, never on the driver, and the binary column prunes away
+  * when a query doesn't touch it.
+  *
+  * DECODE IS A STUB: this container ships no image/audio codecs, so
+  * [[FakeCodec]] derives deterministic pseudo-metadata from the raw
+  * bytes. Every byte of the Spark-side plumbing — binary schema, typed
+  * Dataset rows, batch-shaped mapPartitions (the Scala analog of
+  * mapInPandas: one iterator per partition, amortized setup), explode of
+  * per-frame rows — is real and tested; swapping FakeCodec for a JNI/
+  * javax.imageio decoder changes one function.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+                       width: Int, height: Int, channels: Int)
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame_bytes: Long)
+
+  /** Deterministic fake decode: metadata derived from leading bytes.
+    * ??? -> replace with a real codec (imageio / ffmpeg JNI) outside
+    * this container. Kept arithmetic-simple so correctness oracles can
+    * recompute it. */
+  object FakeCodec {
+    def decode(m: MediaRow): MediaMeta = {
+      val b0 = if (m.media.length > 0) m.media(0) & 0xff else 0
+      val b1 = if (m.media.length > 1) m.media(1) & 0xff else 0
+      MediaMeta(m.doc_id, m.media_type, m.media.length.toLong,
+        320 + (b0 % 32) * 16, 240 + (b1 % 24) * 16, 3)
+    }
+
+    /** Fake frame sampling: nFrames evenly-spaced slices. */
+    def sampleFrames(m: MediaRow, nFrames: Int): Seq[Frame] = {
+      val n = m.media.length.toLong
+      val stride = math.max(n / nFrames, 1L)
+      (0 until nFrames).filter(i => i * stride < n).map { i =>
+        Frame(m.doc_id, i, i * stride, math.min(stride, n - i * stride))
+      }
+    }
+  }
+
+  /** Attach a synthetic binary media column (UTF-8 bytes of the text —
+    * the driver corpus has no real media) with a deterministic type tag.
+    * In production this column comes straight from parquet/object-store. */
+  def synthesizeMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      element_at(lit(Array("image/jpeg", "image/png", "audio/wav")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+  }
+
+  /** Decode/feature-extract: batch-shaped per-partition map — codec
+    * setup (the expensive part with a real codec) amortizes across the
+    * partition's iterator, exactly like mapInPandas batches. */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(FakeCodec.decode))
+  }
+
+  /** Frame sampling: one input row → nFrames rows. flatMap keeps it
+    * streaming-safe and whole-partition batched. */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap(FakeCodec.sampleFrames(_, nFrames))
+  }
+
+  // ---- DuckDB oracle SQL recomputing the fake decode arithmetically
+  // (documents.text is ASCII, so ascii(substr(text,i,1)) == byte i) ----
+
+  def mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+      |                  ELSE 'audio/wav' END AS media_type,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(320 + (CASE WHEN length(text) > 0 THEN ascii(substr(text,1,1)) ELSE 0 END % 32) * 16 AS INT) AS width,
+      |  CAST(240 + (CASE WHEN length(text) > 1 THEN ascii(substr(text,2,1)) ELSE 0 END % 24) * 16 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels
+      |FROM documents""".stripMargin
+
+  def framesSql(nFrames: Int = 4): String =
+    s"""WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+       |f AS (SELECT doc_id, n, greatest(n // $nFrames, 1) AS stride FROM m)
+       |SELECT doc_id, CAST(i AS INT) AS frame_idx, i * stride AS offset,
+       |       least(stride, n - i * stride) AS frame_bytes
+       |FROM (SELECT doc_id, n, stride,
+       |        unnest(generate_series(0, ${nFrames - 1})) AS i
+       |      FROM f)
+       |WHERE i * stride < n""".stripMargin
+}

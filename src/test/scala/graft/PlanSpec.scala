@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Physical-plan assertions: the scale properties the code comments
+  * promise must actually appear in the executed plans — filters reaching
+  * the parquet scan, pruned read schemas, broadcast joins for dims,
+  * partial/final aggregation, codegen'd vector kernels. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter+projection are pushed into the parquet scan") {
+    val plan = planOf(Scalars.filterProject(Tables.events(spark, sf)))
+    assert(plan.contains("PushedFilters: ["), s"no pushdown in:\n$plan")
+    assert(plan.contains("EqualTo(event_type,purchase)"), s"predicate not pushed:\n$plan")
+    // props/ts/event_type must be pruned from the read schema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && !readSchema.contains("props"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("dimension joins broadcast; fact table is not shuffled for the join") {
+    val plan = planOf(Relational.revenueByNation(
+      Tables.lineitem(spark, sf), Tables.supplier(spark, sf), Tables.nation(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("windowed aggregation is partial+final around one exchange") {
+    val plan = planOf(EventAggregator.aggregate(Tables.events(spark, sf)))
+    val nAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(nAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("semi join plans as LeftSemi without materializing probe side") {
+    val plan = planOf(Relational.lateOrders(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+  }
+
+  test("codegen dot product participates in whole-stage codegen") {
+    val df = graft.ann.Similarity.knnBrute(Tables.embeddings(spark, sf), 2, 3)
+    df.collect() // AQE: codegen spans appear once the final plan exists
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dot_product_f"), s"custom expression missing:\n$plan")
+    // formatted mode marks codegen stages with "[codegen id : N]"; the
+    // Project evaluating dot_product_f must be inside one
+    assert(plan.contains("[codegen id :"), s"no codegen spans:\n$plan")
+    assert(plan.split("\n").exists(l =>
+      l.contains("Project") && l.contains("[codegen id :")),
+      s"project not codegen'd:\n$plan")
+  }
+
+  test("relational joins match expected row counts") {
+    val rev = Relational.revenueByNation(Tables.lineitem(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf))
+    assert(rev.count() > 0 && rev.count() <= 25) // at most one row per nation
+    val top = Relational.topCustomers(Tables.orders(spark, sf), Tables.customer(spark, sf))
+    assert(top.count() == 10)
+  }
+}
