@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions for SQL use:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *   ...
+  *   spark.sql("SELECT dot_product_f(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * The same expressions remain directly usable from the DataFrame API
+  * via [[VectorFunctions]]; this makes them reachable from pure-SQL
+  * clients (thriftserver, spark-sql shell, notebook SQL cells).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Late registration for an already-built session (extensions only
+    * apply at builder time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(
+      spark, "dot_product_f", children => DotProductF(children(0), children(1)))
+}

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder on an ALREADY-RUNNING session
+    * (SparkSessionExtensions only applies at session build; sessionState
+    * is private[sql], hence this lives in the bridge). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
