@@ -19,8 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // JVM/codegen warmup outside the timed region: a tiny end-to-end plan
-    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // JVM/codegen/shuffle warmup outside the timed region: a tiny
+    // end-to-end plan including an exchange (first shuffle of a session
+    // pays subsystem init otherwise charged to the first query)
+    spark.range(10000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
+      .count().write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

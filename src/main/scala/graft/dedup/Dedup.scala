@@ -47,15 +47,19 @@ object Dedup {
        |FROM documents GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- shingles
+  /** Spread doc rows across all cores BEFORE per-doc expansion. A small
+    * parquet file is one split (often one row group), so without this
+    * every shingle/hash below runs in a single task — the cheap shuffle
+    * of (id, text) rows buys full parallelism for the 100-1000× larger
+    * exploded stage. At scale the input already has many splits and this
+    * doubles as a balance repartition. */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct character n-gram shingles per document (map-side explode —
     * no shuffle; distinct is per-doc via groupBy downstream). */
   def shingles(docs: DataFrame, n: Int = 4): DataFrame =
-    docs
-      .select(col("doc_id"),
-        explode(expr(s"sequence(1, greatest(length(text) - ${n - 1}, 1))")).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr(s"substring(text, i, $n)").as("sh"))
-      .distinct()
+    shinglesAll(docs, n).distinct()
 
   def shinglesSql(n: Int = 4): String =
     s"""SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
@@ -127,7 +131,7 @@ object Dedup {
   /** Non-distinct shingles: min() over the multiset equals min() over
     * the set, so minhash skips the distinct's full shuffle. */
   def shinglesAll(docs: DataFrame, n: Int = 4): DataFrame =
-    docs
+    spread(docs)
       .select(col("doc_id"),
         explode(expr(s"sequence(1, greatest(length(text) - ${n - 1}, 1))")).as("i"),
         col("text"))
@@ -221,7 +225,7 @@ object Dedup {
     * +1/-1; fingerprint bit = sign of the vote sum. Frequency-weighted
     * (duplicate tokens vote repeatedly). One explode + one groupBy. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = spread(docs).select(col("doc_id"),
       explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
     val h = seededHash(0, col("tok"))
     val bitVotes = (0 until simhashBits).map { b =>

@@ -47,7 +47,12 @@ object EventAggregator {
                       timeCol: String = "ts",
                       windowDuration: String = "60 seconds",
                       allowed: Seq[String] = defaultAllowed,
-                      rsd: Double = 0.01): DataFrame =
+                      rsd: Double = 0.05): DataFrame =
+    // rsd 0.05 (Spark's default): ~2 kB of HLL registers per group. At
+    // 0.01 the registers are ~16 kB/group — across thousands of windows
+    // × partial aggregates that is GBs of short-lived buffers and the GC
+    // cost dwarfs the aggregation itself. Tighten only with group counts
+    // in mind.
     events
       .filter(col("event_type").isin(allowed: _*))
       .groupBy(window(col(timeCol), windowDuration), col("event_type"))
