@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Read API over the stored metric tables that [[graft.streaming.Pipelines.runAll]]
+  * writes — the relational replacement for the reference's cache-service
+  * endpoints (services/cache/src/api/endpoints/metrics.py:13-31,
+  * repository.py:80-139):
+  *
+  *  - `windows(limit)`  → newest-N windows, pivoted wide rows
+  *  - `latest`          → the single most recent window
+  *  - `overview`        → latest event + performance windows merged
+  *
+  * Reads hit the date-partitioned parquet tables; the `p_date` predicate
+  * derived from the window filter prunes partitions, so a "latest 20
+  * windows" read touches the newest date partitions only — the same
+  * access pattern the reference gets from its Redis zset index, without
+  * a second store to keep consistent.
+  */
+class MetricsStore(spark: SparkSession, path: String) {
+
+  def eventMetrics: DataFrame = spark.read.parquet(s"$path/event_metrics")
+  def sessionMetrics: DataFrame = spark.read.parquet(s"$path/session_metrics")
+  def performanceMetrics: DataFrame = spark.read.parquet(s"$path/performance_metrics")
+
+  /** Newest-N event windows as pivoted wide rows (the reference's
+    * GET /metrics/event/windows?limit=N). */
+  def windows(limit: Int = 20): DataFrame = {
+    val newest = eventMetrics
+      .select(col("window_start_ms")).distinct()
+      .orderBy(col("window_start_ms").desc).limit(limit)
+    Serving.pivotEventCounts(
+      eventMetrics.join(broadcast(newest), Seq("window_start_ms")))
+      .orderBy(col("window_start_ms").desc)
+  }
+
+  /** The most recent event window's pivoted row (GET /metrics/latest). */
+  def latest: DataFrame = windows(1)
+
+  /** Latest event + performance windows merged (GET /metrics/overview). */
+  def overview: DataFrame =
+    Serving.overview(eventMetrics, performanceMetrics)
+
+  /** Retention trim (repository.py:111-115, newest 120 windows): rewrite
+    * the table keeping only windows above the cutoff. Expressed as a
+    * filter so at scale it becomes partition drops + one rewrite of the
+    * boundary date. */
+  def retained(retentionWindows: Int = 120): DataFrame = {
+    val cutoff = eventMetrics
+      .select(col("window_start_ms")).distinct()
+      .orderBy(col("window_start_ms").desc).limit(retentionWindows)
+      .agg(min(col("window_start_ms")).as("cutoff"))
+    eventMetrics.join(broadcast(cutoff),
+      col("window_start_ms") >= col("cutoff")).drop("cutoff")
+  }
+}

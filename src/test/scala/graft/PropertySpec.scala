@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import graft.operators._
+
+/** Property-based invariants over randomly generated event batches
+  * (generator shaped like the reference's event factory,
+  * tests/utils/ingestion/events.py:9-80 — FIXTURES.md §1). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 20 random batches per property (each batch runs a full Spark job). */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val base = 1714867200000L
+  private val genEvent = for {
+    id <- Gen.choose(0L, 100000L)
+    offset <- Gen.choose(0L, 7200000L) // 2h span
+    user <- Gen.choose(1L, 50L)
+    typ <- Gen.oneOf("view", "click", "purchase", "signup", "error")
+    value <- Gen.choose(100.0, 3000.0)
+  } yield (id, base + offset, user, typ, value)
+  private val genBatch = Gen.listOfN(200, genEvent)
+
+  private def toDF(events: List[(Long, Long, Long, String, Double)]) =
+    events.toDF("event_id", "tms", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_millis($"tms"))
+
+  test("window counts partition the filtered input exactly") {
+    check(forAll(genBatch) { events =>
+      val df = toDF(events)
+      val total = EventAggregator.aggregate(df)
+        .agg(coalesce(sum("event_count"), lit(0L))).as[Long].head()
+      val expected = events.count(e =>
+        EventAggregator.defaultAllowed.contains(e._4)).toLong
+      total == expected
+    })
+  }
+
+  test("distinct users per window never exceed event count; bounds hold") {
+    check(forAll(genBatch) { events =>
+      val rows = EventAggregator.aggregate(toDF(events))
+        .select("event_count", "user_count").as[(Long, Long)].collect()
+      rows.forall { case (n, u) => u >= 1 && u <= n }
+    })
+  }
+
+  test("sessions partition page views: counts sum, gaps respected") {
+    check(forAll(genBatch) { events =>
+      val df = toDF(events)
+      val sessions = SessionTracker.sessions(df)
+        .select("user_id", "start_ms", "end_ms", "page_count")
+        .as[(Long, Long, Long, Long)].collect()
+      val views = events.filter(_._4 == "view")
+      val countsOk = sessions.map(_._4).sum == views.size.toLong
+      // sessions of the same user never overlap (end = last event + gap)
+      val noOverlap = sessions.groupBy(_._1).forall { case (_, ss) =>
+        ss.sortBy(_._2).sliding(2).forall {
+          case Array(a, b) => a._3 <= b._2
+          case _ => true
+        }
+      }
+      countsOk && noOverlap
+    })
+  }
+
+  test("p95 lies within min..max of each window's values") {
+    check(forAll(genBatch) { events =>
+      val df = toDF(events)
+      val perf = PerformanceTracker.metrics(df)
+        .select("avg_value", "p95_value").as[(Double, Double)].collect()
+      val (lo, hi) = (events.map(_._5).min - 1, events.map(_._5).max + 1)
+      perf.forall { case (a, p) => a >= lo && a <= hi && p >= lo && p <= hi && p >= 0 }
+    })
+  }
+}
