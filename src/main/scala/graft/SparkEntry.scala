@@ -38,6 +38,8 @@ object SparkEntry {
       Scalars.tsCoercions(Tables.events(s, dir))),
     "q_filter_proj" -> ((s, dir) =>
       Scalars.filterProject(Tables.events(s, dir))),
+    "q_validate" -> ((s, dir) =>
+      Validator.validate(Tables.events(s, dir))),
     // --- serving read models (SURVEY §2.7, A8/P13) ---
     "q_pivot_counts" -> ((s, dir) =>
       Serving.pivotEventCounts(
@@ -160,6 +162,7 @@ object SparkEntry {
       "q_filter_proj" ->
         """SELECT event_id, user_id, value FROM events
           |WHERE event_type = 'purchase' AND value IS NOT NULL AND value > 50.0""".stripMargin,
+      "q_validate" -> Validator.validateSql,
       "q_pivot_counts" ->
         s"""WITH ea AS (
            |  SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms, event_type,

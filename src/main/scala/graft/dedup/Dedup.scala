@@ -75,7 +75,9 @@ object Dedup {
     * scale is exactly the trap LSH exists to avoid. */
   def ngramJaccard(docs: DataFrame, n: Int = 4, queryMaxId: Long = 10,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n)
+    // cache: the distinct shingle set feeds three consumers (query side,
+    // sizes, corpus join) and would otherwise be exploded+deduped thrice
+    val sh = shingles(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val qsh = sh.filter(col("doc_id") < queryMaxId)
       .withColumnRenamed("doc_id", "query_id")
