@@ -90,6 +90,16 @@ object SparkEntry {
       EventAggregator.aggregateApprox(Tables.events(s, dir))),
     "q_perf_approx" -> ((s, dir) =>
       PerformanceTracker.metricsApprox(Tables.events(s, dir))),
+    // sketch-column rollup: per-day user sketches re-merged per type —
+    // the "distinct across windows without raw data" pattern (rows-only)
+    "q_hll_rollup" -> ((s, dir) => {
+      import graft.functions.HllFunctions._
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(hll_sketch(col("user_id")).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(hll_estimate(hll_merge(col("sk"))).as("approx_users"))
+    }),
     // --- multimodal binary columns (training-data pipeline) ---
     "q_media_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.extractMeta(

@@ -24,6 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      (children: Seq[Expression]) => HllSketchAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "hll_merge"),
+      (children: Seq[Expression]) => HllMergeAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      (children: Seq[Expression]) => HllEstimate(children.head)))
   }
 }
 

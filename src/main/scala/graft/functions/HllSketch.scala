@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Mergeable HyperLogLog sketch column (SURVEY §7.4's "sketch column
+  * reuse" — the one custom aggregate the 100 TB design justifies).
+  *
+  * Spark's `approx_count_distinct` computes an estimate but discards its
+  * HLL state. These operators keep the sketch as a first-class BINARY
+  * column, so a metrics pipeline can store one ~2 kB sketch per
+  * (window, key) row and later answer "distinct users across ANY
+  * window/key combination" by merging sketches — no second pass over
+  * raw events, which at 100 TB is the difference between a metadata
+  * query and a full-table scan:
+  *
+  *  - [[HllSketchAgg]]  (`hll_sketch(col)`):   values → sketch bytes
+  *  - [[HllMergeAgg]]   (`hll_merge(sketch)`): sketches → merged sketch
+  *  - [[HllEstimate]]   (`hll_estimate(sketch)`): sketch → distinct count
+  *
+  * Standard HLL (Flajolet et al.): 2^p byte registers over xxhash64,
+  * harmonic-mean estimate with linear-counting small-range correction.
+  * Register updates commute, so partial aggregation and shuffle-merge
+  * order never change the result.
+  */
+object Hll {
+  val P = 11 // 2048 registers ≈ 2 kB, rsd ≈ 1.04/sqrt(2048) ≈ 2.3%
+  val M: Int = 1 << P
+  private val alpha = 0.7213 / (1.0 + 1.079 / M)
+
+  def emptySketch(): Array[Byte] = new Array[Byte](M)
+
+  def update(regs: Array[Byte], hash: Long): Unit = {
+    val idx = (hash >>> (64 - P)).toInt
+    val rest = hash << P
+    // rank = leading zeros of the remaining bits + 1, capped
+    val rank = (if (rest == 0) 64 - P else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  def estimate(regs: Array[Byte]): Long = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += 1.0 / (1L << regs(i)).toDouble
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * M.toDouble * M.toDouble / sum
+    val corrected =
+      if (e <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      else e
+    math.round(corrected)
+  }
+}
+
+case class HllSketchAgg(child: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptySketch()
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.update(buf, XxHash64Function.hash(v, child.dataType, 42L))
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    Hll.merge(buf, other)
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+case class HllMergeAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_merge"
+
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptySketch()
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.merge(buf, v.asInstanceOf[Array[Byte]])
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    Hll.merge(buf, other)
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Sketch bytes → estimated distinct count. */
+case class HllEstimate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_estimate"
+  override def nullSafeEval(v: Any): Any =
+    Hll.estimate(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HllFunctions {
+  def hll_sketch(c: Column): Column =
+    GraftColumnBridge.toColumn(
+      HllSketchAgg(GraftColumnBridge.toExpr(c)).toAggregateExpression())
+  def hll_merge(c: Column): Column =
+    GraftColumnBridge.toColumn(
+      HllMergeAgg(GraftColumnBridge.toExpr(c)).toAggregateExpression())
+  def hll_estimate(c: Column): Column =
+    GraftColumnBridge.toColumn(HllEstimate(GraftColumnBridge.toExpr(c)))
+}
