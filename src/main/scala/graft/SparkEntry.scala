@@ -107,6 +107,9 @@ object SparkEntry {
     "q_media_frames" -> ((s, dir) =>
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF()),
+    "q_media_features" -> ((s, dir) => // stubbed extractor: rows-only check
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF()),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column

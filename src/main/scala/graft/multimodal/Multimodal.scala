@@ -76,6 +76,38 @@ object Multimodal {
     media.flatMap(FakeCodec.sampleFrames(_, nFrames))
   }
 
+  case class Resized(doc_id: Long, media_type: String, width: Int,
+                     height: Int, media: Array[Byte])
+  case class Features(doc_id: Long, features: Array[Float])
+
+  /** Resize stub: target box + aspect-preserving dims from the fake
+    * decode; payload truncated proportionally (a real codec re-encodes). */
+  def resize(media: Dataset[MediaRow], maxW: Int = 256, maxH: Int = 256): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val meta = FakeCodec.decode(m)
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
+      val (w, h) = ((meta.width * scale).toInt.max(1), (meta.height * scale).toInt.max(1))
+      val keep = math.max((m.media.length * scale * scale).toInt, 1)
+      Resized(m.doc_id, m.media_type, w, h, m.media.take(keep))
+    })
+  }
+
+  /** Feature-extraction stub: a deterministic 8-dim byte-histogram
+    * embedding per media blob (a real extractor runs a vision/audio
+    * model here — batch shape and schema are what matter). */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[Features] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < m.media.length) { hist((m.media(i) & 0xff) % dim) += 1f; i += 1 }
+      val n = math.max(m.media.length, 1).toFloat
+      Features(m.doc_id, hist.map(_ / n))
+    })
+  }
+
   // ---- DuckDB oracle SQL recomputing the fake decode arithmetically
   // (documents.text is ASCII, so ascii(substr(text,i,1)) == byte i) ----
 
