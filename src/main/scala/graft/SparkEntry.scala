@@ -77,6 +77,8 @@ object SparkEntry {
       graft.ann.Similarity.blockedDedup(Tables.embeddings(s, dir))),
     "q_lsh_knn" -> ((s, dir) => // approximate: rows-only driver check
       graft.ann.Similarity.lshKnn(Tables.embeddings(s, dir))),
+    "q_ivf_knn" -> ((s, dir) => // approximate: rows-only driver check
+      graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
     // --- relational / joins over the star schema ---
     "q_revenue_nation" -> ((s, dir) =>
       Relational.revenueByNation(Tables.lineitem(s, dir),
