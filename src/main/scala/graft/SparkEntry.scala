@@ -87,6 +87,20 @@ object SparkEntry {
       Relational.topCustomers(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_late_orders" -> ((s, dir) =>
       Relational.lateOrders(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_asof_join" -> ((s, dir) => {
+      // per event: the user's latest order at-or-before the event time
+      val snap = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("last_totalprice"))
+      AsOfJoin.asOf(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        snap, keyCols = Seq("user_id"),
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("last_orderkey", "last_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("last_orderkey"), col("last_totalprice"))
+    }),
     // --- scale-out approximate variants (rows-only driver check) ---
     "q_event_agg_approx" -> ((s, dir) =>
       EventAggregator.aggregateApprox(Tables.events(s, dir))),
@@ -238,6 +252,15 @@ object SparkEntry {
       "q_revenue_nation" -> Relational.revenueByNationSql,
       "q_top_customers" -> Relational.topCustomersSql(),
       "q_late_orders" -> Relational.lateOrdersSql,
+      "q_asof_join" ->
+        """WITH snap AS (
+          |  SELECT o_custkey AS user_id, o_orderdate,
+          |         max(o_orderkey) AS last_orderkey,
+          |         max_by(o_totalprice, o_orderkey) AS last_totalprice
+          |  FROM orders GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, s.last_orderkey, s.last_totalprice
+          |FROM events e ASOF LEFT JOIN snap s
+          |  ON e.user_id = s.user_id AND e.ts >= s.o_orderdate""".stripMargin,
       // q_event_agg_approx / q_perf_approx omitted: sketch results are
       // engine-specific by design (rows-only check)
     )
