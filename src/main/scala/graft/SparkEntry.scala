@@ -61,6 +61,8 @@ object SparkEntry {
       graft.text.TextAnalysis.langId(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) =>
       graft.text.TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "q_winnow" -> ((s, dir) =>
+      graft.text.TextAnalysis.winnow(Tables.documents(s, dir))),
     // --- deduplication (training-data pipeline) ---
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exactDedup(Tables.documents(s, dir))),
@@ -240,6 +242,7 @@ object SparkEntry {
       "q_quality" -> graft.text.TextAnalysis.qualityScoreSql,
       "q_lang_id" -> graft.text.TextAnalysis.langIdSql,
       "q_fingerprint" -> graft.text.TextAnalysis.fingerprintSql,
+      "q_winnow" -> graft.text.TextAnalysis.winnowSql,
       "q_dedup_exact" -> graft.dedup.Dedup.exactDedupSql,
       "q_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql(),
       "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),

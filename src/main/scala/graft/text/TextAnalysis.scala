@@ -115,4 +115,52 @@ object TextAnalysis {
 
   def fingerprintSql: String =
     s"SELECT doc_id, md5($normalizeSql) AS fingerprint FROM documents"
+
+  // ---- rolling-hash winnowing fingerprints ----
+  // Karp-Rabin polynomial hash over character k-grams, then the minimum
+  // hash per block of `w` positions (simplified winnowing à la MOSS):
+  // shift-tolerant local fingerprints — a shared fingerprint pins down a
+  // matching k-gram region regardless of where it moved in the document.
+  // Pure integer arithmetic (base/mod small enough to never overflow
+  // int64), so the DuckDB oracle replicates it bit-for-bit.
+  val rollK = 5       // k-gram width
+  val rollW = 16      // winnow block width (positions per block)
+  val rollB = 257L    // polynomial base
+  val rollP = 1000003L // modulus; max term < 257^5·255 ≈ 2^48 « 2^63
+
+  /** Rolling k-gram hash at position `i` (1-based) over `text`. */
+  private def rollHash(): Column =
+    (0 until rollK).map { j =>
+      val pow = java.math.BigInteger.valueOf(rollB)
+        .modPow(java.math.BigInteger.valueOf((rollK - 1 - j).toLong),
+          java.math.BigInteger.valueOf(rollP)).longValue()
+      (ascii(expr(s"substring(text, i + $j, 1)")) * pow) % rollP
+    }.reduce(_ + _) % rollP
+
+  /** Distinct winnowed fingerprints per document. */
+  def winnow(docs: DataFrame): DataFrame = {
+    val positions = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${rollK - 1}, 1))")).as("i"))
+    positions
+      .select(col("doc_id"), floor((col("i") - 1) / rollW).as("block"),
+        rollHash().as("h"))
+      .groupBy(col("doc_id"), col("block"))
+      .agg(min(col("h")).as("fp"))
+      .select(col("doc_id"), col("block"), col("fp"))
+  }
+
+  def winnowSql: String = {
+    val terms = (0 until rollK).map { j =>
+      val pow = java.math.BigInteger.valueOf(rollB)
+        .modPow(java.math.BigInteger.valueOf((rollK - 1 - j).toLong),
+          java.math.BigInteger.valueOf(rollP)).longValue()
+      s"(ascii(substr(text, i + $j, 1)) * $pow) % $rollP"
+    }.mkString(" + ")
+    s"""SELECT doc_id, (i - 1) // $rollW AS block, min(($terms) % $rollP) AS fp
+       |FROM (SELECT doc_id, text,
+       |        unnest(generate_series(1, greatest(length(text) - ${rollK - 1}, 1))) AS i
+       |      FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+  }
 }
