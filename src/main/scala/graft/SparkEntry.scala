@@ -103,6 +103,12 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // salted exact distinct: hot-key skew spread over 32 buckets, result
+    // identical to the plain aggregate (the salt partitions the domain)
+    "q_salted_distinct" -> ((s, dir) =>
+      Skew.saltedCountDistinct(Tables.events(s, dir),
+        keys = Seq("event_type"), distinctCol = "user_id",
+        resultName = "user_distinct")),
     // --- scale-out approximate variants (rows-only driver check) ---
     "q_event_agg_approx" -> ((s, dir) =>
       EventAggregator.aggregateApprox(Tables.events(s, dir))),
@@ -255,6 +261,9 @@ object SparkEntry {
       "q_revenue_nation" -> Relational.revenueByNationSql,
       "q_top_customers" -> Relational.topCustomersSql(),
       "q_late_orders" -> Relational.lateOrdersSql,
+      "q_salted_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS user_distinct
+          |FROM events GROUP BY event_type""".stripMargin,
       "q_asof_join" ->
         """WITH snap AS (
           |  SELECT o_custkey AS user_id, o_orderdate,

@@ -139,7 +139,10 @@ object TextAnalysis {
 
   /** Distinct winnowed fingerprints per document. */
   def winnow(docs: DataFrame): DataFrame = {
+    // spread doc rows before the per-character explode (a small parquet
+    // file is one split — see Dedup.spread rationale)
     val positions = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${rollK - 1}, 1))")).as("i"))
     positions
