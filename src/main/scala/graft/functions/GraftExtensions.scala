@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hll_estimate"),
       new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
       (children: Seq[Expression]) => HllEstimate(children.head)))
+    // opt-in approx mode: COUNT(DISTINCT) -> HLL++ under
+    // spark.graft.approxDistinct=true (no query-code changes)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
   }
 }
 
