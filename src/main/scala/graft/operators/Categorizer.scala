@@ -26,6 +26,19 @@ object Categorizer {
   )
   val defaultLabel = "Other"
 
+  /** The reference's own user-agent rules (device_categorizer.py:5-11):
+    * Mobile before Tablet before Bot, Desktop as default — a UA matching
+    * both "Mobile" and "Tablet" is Mobile. */
+  val deviceRules: Seq[(String, String)] = Seq(
+    "%Mobile%" -> "Mobile",
+    "%Tablet%" -> "Tablet",
+    "%Bot%"    -> "Bot",
+  )
+  val deviceDefault = "Desktop"
+
+  def categorizeDevice(userAgent: Column): Column =
+    categorize(userAgent, deviceRules, deviceDefault)
+
   def categorize(c: Column,
                  rules: Seq[(String, String)] = defaultRules,
                  default: String = defaultLabel): Column =

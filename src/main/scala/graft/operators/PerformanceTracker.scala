@@ -19,10 +19,12 @@ object PerformanceTracker {
   def metrics(events: DataFrame,
               timeCol: String = "ts",
               windowDuration: String = "300 seconds",
-              valueCol: String = "value"): DataFrame =
+              valueCol: String = "value",
+              categoryCol: Option[org.apache.spark.sql.Column] = None): DataFrame =
     events
       .filter(col(valueCol).isNotNull)
-      .withColumn("category", Categorizer.categorize(col("event_type")))
+      .withColumn("category",
+        categoryCol.getOrElse(Categorizer.categorize(col("event_type"))))
       .groupBy(window(col(timeCol), windowDuration), col("category"))
       .agg(
         round(avg(col(valueCol)), 4).as("avg_value"),

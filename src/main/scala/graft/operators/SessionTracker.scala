@@ -28,20 +28,21 @@ object SessionTracker {
                timeCol: String = "ts",
                gap: String = "1800 seconds",
                pageEventType: String = "view",
-               keyCol: String = "user_id"): DataFrame = {
+               keyCols: Seq[String] = Seq("user_id"),
+               categoryCol: org.apache.spark.sql.Column =
+                 Categorizer.categorize(col("event_type"))): DataFrame = {
     events
       .filter(col("event_type") === pageEventType)
-      .groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .groupBy(session_window(col(timeCol), gap) +: keyCols.map(col): _*)
       .agg(
-        count(col(keyCol)).as("page_count"),
-        max(Categorizer.categorize(col("event_type"))).as("category"))
-      .select(
-        col(keyCol),
+        count(lit(1)).as("page_count"),
+        max(categoryCol).as("category"))
+      .select(keyCols.map(col) ++ Seq(
         unix_millis(col("session_window.start")).as("start_ms"),
         unix_millis(col("session_window.end")).as("end_ms"),
         (unix_millis(col("session_window.end")) -
           unix_millis(col("session_window.start"))).as("duration_ms"),
         col("page_count"),
-        col("category"))
+        col("category")): _*)
   }
 }

@@ -30,9 +30,9 @@ object ExactEventMetrics {
   /** `ts` is carried (unused) because the event-time-timeout checker
     * requires the watermark-tagged column to be present in the state
     * operator's input. */
-  case class In(window_start_ms: Long, event_type: String, user_id: Long,
+  case class In(window_start_ms: Long, event_type: String, user_id: String,
                 ts: java.sql.Timestamp)
-  case class S(count: Long, users: Set[Long])
+  case class S(count: Long, users: Set[String])
   case class Out(window_start_ms: Long, window_end_ms: Long,
                  event_type: String, event_count: Long, user_count: Long)
 
@@ -48,7 +48,7 @@ object ExactEventMetrics {
       .select(
         (floor(unix_millis(col("ts")) / windowMs).cast("long") * windowMs)
           .as("window_start_ms"),
-        col("event_type"), col("user_id"), col("ts"))
+        col("event_type"), col("user_id").cast("string").as("user_id"), col("ts"))
       .as[In]
       .groupByKey(r => (r.window_start_ms, r.event_type))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
