@@ -89,6 +89,8 @@ object SparkEntry {
       Relational.topCustomers(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_late_orders" -> ((s, dir) =>
       Relational.lateOrders(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_range_join" -> ((s, dir) =>
+      RangeJoin.withinTimeCounts(Tables.events(s, dir))),
     "q_asof_join" -> ((s, dir) => {
       // per event: the user's latest order at-or-before the event time
       val snap = Tables.orders(s, dir)
@@ -261,6 +263,7 @@ object SparkEntry {
       "q_revenue_nation" -> Relational.revenueByNationSql,
       "q_top_customers" -> Relational.topCustomersSql(),
       "q_late_orders" -> Relational.lateOrdersSql,
+      "q_range_join" -> RangeJoin.withinTimeCountsSql(),
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
