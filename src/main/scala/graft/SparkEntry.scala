@@ -77,7 +77,7 @@ object SparkEntry {
       graft.ann.Similarity.knnBrute(Tables.embeddings(s, dir))),
     "q_embed_dedup" -> ((s, dir) =>
       graft.ann.Similarity.blockedDedup(Tables.embeddings(s, dir))),
-    "q_lsh_knn" -> ((s, dir) => // approximate: rows-only driver check
+    "q_lsh_knn" -> ((s, dir) => // approximate recall, but deterministic → oracle-checked
       graft.ann.Similarity.lshKnn(Tables.embeddings(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate: rows-only driver check
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
@@ -133,8 +133,8 @@ object SparkEntry {
     "q_media_frames" -> ((s, dir) =>
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF()),
-    "q_media_features" -> ((s, dir) => // stubbed extractor: rows-only check
-      graft.multimodal.Multimodal.extractFeatures(
+    "q_media_features" -> ((s, dir) => // scalarized histogram: oracle-checked
+      graft.multimodal.Multimodal.featureCounts(
         graft.multimodal.Multimodal.synthesizeMedia(Tables.documents(s, dir))).toDF()),
   )
 
@@ -257,9 +257,11 @@ object SparkEntry {
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_embed_dedup" -> graft.ann.Similarity.blockedDedupSql(),
-      // q_lsh_knn intentionally omitted: approximate recall, rows-only check
+      // LSH hyperplanes are data-independent md5 constants → exact oracle
+      "q_lsh_knn" -> graft.ann.Similarity.lshKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),
+      "q_media_features" -> graft.multimodal.Multimodal.featureCountsSql(),
       "q_revenue_nation" -> Relational.revenueByNationSql,
       "q_top_customers" -> Relational.topCustomersSql(),
       "q_late_orders" -> Relational.lateOrdersSql,

@@ -157,4 +157,40 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** DuckDB oracle for [[lshKnn]]. The hyperplanes are data-INdependent
+    * (md5 of "plane:dim"), so their exact double values are embedded as
+    * literals; `Double.toString` emits the shortest round-tripping
+    * decimal, and both engines widen the float element exactly and add
+    * left-to-right — the signature is bit-identical, not approximately
+    * equal, which is what makes this rows-only query oracle-upgradable. */
+  def lshKnnSql(queryMaxId: Long = 10, k: Int = 5,
+                dim: Int = 64, nPlanes: Int = 12): String = {
+    val planes = hyperplanes(dim, nPlanes)
+    val sigExpr = (0 until nPlanes).map { p =>
+      val s = (0 until dim)
+        .map(d => s"embedding[${d + 1}] * (${planes(p)(d)})")
+        .mkString(" + ")
+      s"CASE WHEN ($s) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |      $sigExpr AS sig
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |         round(list_dot_product(q.embedding, c.embedding) /
+       |               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+       |                sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos_sim
+       |  FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $queryMaxId),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, cos_sim,
+       |       CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
 }

@@ -108,8 +108,39 @@ object Multimodal {
     })
   }
 
+  case class FeatureCount(doc_id: Long, dim: Int, cnt: Long, n_bytes: Long)
+
+  /** Scalarized feature rows for the correctness gate: the byte-histogram
+    * underlying [[extractFeatures]], exploded to one (doc, dim) row of
+    * exact integer counts. Same mapPartitions batch shape as the float
+    * path, but hash-comparable (no array column, no FP division) — this
+    * is the oracle-checked face of the feature extractor. */
+  def featureCounts(media: Dataset[MediaRow], dim: Int = 8): Dataset[FeatureCount] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val hist = new Array[Long](dim)
+      var i = 0
+      while (i < m.media.length) { hist((m.media(i) & 0xff) % dim) += 1; i += 1 }
+      (0 until dim).map(d => FeatureCount(m.doc_id, d, hist(d), m.media.length.toLong))
+    })
+  }
+
   // ---- DuckDB oracle SQL recomputing the fake decode arithmetically
   // (documents.text is ASCII, so ascii(substr(text,i,1)) == byte i) ----
+
+  def featureCountsSql(dim: Int = 8): String =
+    s"""WITH cnt AS (
+       |  SELECT doc_id, ascii(substr(text, i, 1)) % $dim AS dim, count(*) AS cnt
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, length(text))) AS i
+       |        FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT d.doc_id, CAST(dm.dim AS INT) AS dim,
+       |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+       |       CAST(length(d.text) AS BIGINT) AS n_bytes
+       |FROM documents d
+       |CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS dim) dm
+       |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.dim = dm.dim""".stripMargin
 
   def mediaMetaSql: String =
     """SELECT doc_id,
