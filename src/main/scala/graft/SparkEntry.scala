@@ -126,6 +126,26 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(hll_estimate(hll_merge(col("sk"))).as("approx_users"))
     }),
+    // --- corpus statistics / curation (training-data pipeline) ---
+    "q_doc_freq" -> ((s, dir) =>
+      graft.text.CorpusStats.docFreq(Tables.documents(s, dir))),
+    "q_tfidf_top" -> ((s, dir) =>
+      graft.text.CorpusStats.tfidfTop(Tables.documents(s, dir))),
+    "q_repetition" -> ((s, dir) =>
+      graft.text.CorpusStats.repetition(Tables.documents(s, dir))),
+    "q_corpus_mix" -> ((s, dir) =>
+      graft.text.CorpusStats.corpusMix(Tables.documents(s, dir))),
+    "q_lang_confusion" -> ((s, dir) =>
+      graft.text.CorpusStats.langConfusion(Tables.documents(s, dir))),
+    "q_scrub" -> ((s, dir) =>
+      graft.text.CorpusStats.scrub(Tables.documents(s, dir))),
+    "q_sample_strat" -> ((s, dir) =>
+      Sampling.stratifiedByHash(Tables.documents(s, dir))),
+    // --- set operations (SURVEY §2.8) ---
+    "q_users_view_only" -> ((s, dir) =>
+      SetOps.viewersWhoNeverPurchased(Tables.events(s, dir))),
+    "q_users_view_buy" -> ((s, dir) =>
+      SetOps.viewersWhoAlsoPurchased(Tables.events(s, dir))),
     // --- multimodal binary columns (training-data pipeline) ---
     "q_media_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.extractMeta(
@@ -257,6 +277,15 @@ object SparkEntry {
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_embed_dedup" -> graft.ann.Similarity.blockedDedupSql(),
+      "q_doc_freq" -> graft.text.CorpusStats.docFreqSql,
+      "q_tfidf_top" -> graft.text.CorpusStats.tfidfTopSql(),
+      "q_repetition" -> graft.text.CorpusStats.repetitionSql,
+      "q_corpus_mix" -> graft.text.CorpusStats.corpusMixSql,
+      "q_lang_confusion" -> graft.text.CorpusStats.langConfusionSql,
+      "q_scrub" -> graft.text.CorpusStats.scrubSql,
+      "q_sample_strat" -> Sampling.stratifiedByHashSql(),
+      "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
+      "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
       // LSH hyperplanes are data-independent md5 constants → exact oracle
       "q_lsh_knn" -> graft.ann.Similarity.lshKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,

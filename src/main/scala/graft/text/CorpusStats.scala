@@ -1,0 +1,154 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and cleaning for a training-data pipeline:
+  * document frequency, TF-IDF-ranked distinctive terms, token-repetition
+  * quality, corpus composition, language-ID confusion, and PII scrubbing.
+  *
+  * Scale shape: tokenization is a map-side explode (no shuffle); df/tf
+  * are single partial-aggregated groupBys; per-doc top-k goes through
+  * Spark's WindowGroupLimit (partial top-k per partition before the
+  * shuffle); scores are integer-scaled (×1e6 then integer division) so
+  * results are bit-identical across engines — no FP rounding at
+  * half-boundaries, the one thing a hash-compare can't tolerate.
+  */
+object CorpusStats {
+
+  /** Map-side tokenizer: whitespace-delimited tokens, one row each. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
+
+  private val toksSql =
+    "SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents"
+
+  // -------------------------------------------------- document frequency
+  /** Per-token document frequency + total term frequency. One shuffle:
+    * countDistinct(doc_id) partial-aggregates map-side because the
+    * explode keeps each doc's tokens within one partition. */
+  def docFreq(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"))
+
+  def docFreqSql: String =
+    s"""WITH toks AS ($toksSql)
+       |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+       |FROM toks GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------- TF-IDF top-k
+  /** Top-k distinctive terms per document: integer score
+    * tf·1e6 / df (floor). df joins broadcast when the vocabulary is
+    * small; at web scale the token join shuffles both sides on the
+    * token — still one shuffle each. Rank ties break on token. */
+  def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = tokens(docs).groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tokens(docs).groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(df), "token")
+      .select(col("doc_id"), col("token"),
+        floor((col("tf") * 1000000L) / col("df")).cast("long").as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("score"), col("rk"))
+  }
+
+  def tfidfTopSql(k: Int = 3): String =
+    s"""WITH toks AS ($toksSql),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, (tf.tf * 1000000) // df.df AS score
+       |  FROM tf JOIN df USING (token)),
+       |ranked AS (
+       |  SELECT doc_id, token, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, token) AS rk
+       |  FROM scored)
+       |SELECT doc_id, token, CAST(score AS BIGINT) AS score, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
+
+  // ------------------------------------------------ repetition quality
+  /** Token-repetition score, integer per-mille: 1000·(1 − distinct/total).
+    * Pure scalar expressions (split + array_distinct) — zero shuffles,
+    * embarrassingly parallel at any scale. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    val n = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    docs.select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"),
+      (lit(1000L) - floor((nd * 1000L) / greatest(n, lit(1L))).cast("long"))
+        .as("rep_pm"))
+  }
+
+  def repetitionSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_distinct,
+      |  1000 - (CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT) * 1000)
+      |    // greatest(len(regexp_extract_all(text, '\S+')), 1) AS rep_pm
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------- corpus composition
+  /** Mixing-ratio view: docs and token mass per (source, lang) stratum —
+    * the numbers a data-mixture recipe is written against. */
+  def corpusMix(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+          .as("total_tokens"))
+
+  def corpusMixSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ language-ID confusion
+  /** Confusion matrix of the [[TextAnalysis.langId]] heuristic against
+    * the corpus's labeled `lang` — the eval loop for a classifier op. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), TextAnalysis.langPred.as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+
+  def langConfusionSql: String =
+    s"""WITH pred AS (${TextAnalysis.langIdSql})
+       |SELECT d.lang, p.lang_pred, count(*) AS n
+       |FROM documents d JOIN pred p USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- PII scrubbing
+  val urlPat = "https?://[^ ]+"
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val numPat = "[0-9]{6,}"
+
+  /** Redact URLs, emails, and long digit runs (the standard pre-training
+    * scrub pass). Replacement order is URL → email → number so an email
+    * inside a URL is already gone; counts are over the original text.
+    * Pure regexp_replace chain — codegen'd, no shuffle. */
+  def scrub(docs: DataFrame): DataFrame = {
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), urlPat, "<URL>"),
+        emailPat, "<EMAIL>"),
+      numPat, "<NUM>")
+    docs.select(col("doc_id"), cleaned.as("text_clean"),
+      regexp_count(col("text"), lit(urlPat)).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(numPat)).cast("long").as("n_nums"))
+  }
+
+  def scrubSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$urlPat', '<URL>', 'g'),
+       |    '$emailPat', '<EMAIL>', 'g'),
+       |    '$numPat', '<NUM>', 'g') AS text_clean,
+       |  CAST(len(regexp_extract_all(text, '$urlPat')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$numPat')) AS BIGINT) AS n_nums
+       |FROM documents""".stripMargin
+}

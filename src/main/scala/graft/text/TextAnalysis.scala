@@ -63,21 +63,24 @@ object TextAnalysis {
 
   private def markerPattern(words: Seq[String]) = s"\\b(${words.mkString("|")})\\b"
 
-  /** Heuristic language ID: argmax of marker-word hit counts, earlier
-    * language wins ties. */
-  def langId(docs: DataFrame): DataFrame = {
+  /** lang_pred column: first language whose marker score >= all later
+    * scores (argmax with earlier-language tiebreak). */
+  def langPred: Column = {
     val scores = langMarkers.map { case (l, ws) =>
       l -> regexp_count(col("text"), lit(markerPattern(ws)))
     }
-    // lang_pred = first language whose score >= all later scores
-    val pred = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
       case (((l, s), i), acc) =>
         val rest = scores.drop(i + 1).map(_._2)
         if (rest.isEmpty) acc
         else when(rest.map(s >= _).reduce(_ && _), lit(l)).otherwise(acc)
     }
-    docs.select(col("doc_id"), pred.as("lang_pred"))
   }
+
+  /** Heuristic language ID: argmax of marker-word hit counts, earlier
+    * language wins ties. */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langPred.as("lang_pred"))
 
   // ---- DuckDB-equivalent SQL fragments (regexp_count is not in DuckDB;
   // len(regexp_extract_all(...)) is the equivalent) ----

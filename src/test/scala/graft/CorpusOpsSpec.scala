@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Sampling, SetOps}
+import graft.text.CorpusStats
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("scrub redacts urls, emails, and long digit runs, in that order") {
+    val d = docs(
+      (1L, "see https://ex.com/a?b=1 or mail bob@ex.com code 1234567 end"),
+      (2L, "clean text stays untouched"))
+    val got = CorpusStats.scrub(d).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got(0)._2 == "see <URL> or mail <EMAIL> code <NUM> end")
+    assert((got(0)._3, got(0)._4, got(0)._5) == (1L, 1L, 1L))
+    assert(got(1)._2 == "clean text stays untouched")
+    assert((got(1)._3, got(1)._4, got(1)._5) == (0L, 0L, 0L))
+  }
+
+  test("scrub counts an email inside a url as url only") {
+    val d = docs((1L, "x https://ex.com/u?e=a@b.co y"))
+    val r = CorpusStats.scrub(d).as[(Long, String, Long, Long, Long)].head()
+    assert(r._2 == "x <URL> y")
+    assert(r._3 == 1L) // the url
+  }
+
+  test("repetition: integer per-mille of non-distinct tokens") {
+    val d = docs((1L, "a a a b"), (2L, "x y z"))
+    val got = CorpusStats.repetition(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 4L, 2L, 500L))) // 1000 - 2*1000/4
+    assert(got(1) == ((2L, 3L, 3L, 0L)))
+  }
+
+  test("doc frequency and tf-idf rank the distinctive token first") {
+    val d = docs((1L, "cat cat dog"), (2L, "dog bird"), (3L, "dog"))
+    val dfreq = CorpusStats.docFreq(d).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(dfreq("dog") == ((3L, 3L)))
+    assert(dfreq("cat") == ((1L, 2L)))
+    assert(dfreq("bird") == ((1L, 1L)))
+    val top = CorpusStats.tfidfTop(d, k = 1)
+      .as[(Long, String, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    // doc 1: cat tf=2 df=1 → 2e6 beats dog 1e6/3
+    assert(top(1L) == "cat")
+    assert(top(2L) == "bird")
+    assert(top(3L) == "dog") // only token
+  }
+
+  test("stratified hash sample caps per stratum and is deterministic") {
+    val d = (1L to 100L).map(i => (i, if (i <= 80) "en" else "de", s"t$i"))
+      .toDF("doc_id", "lang", "text")
+    val s1 = Sampling.stratifiedByHash(d, cap = 10)
+    val rows = s1.as[(String, Long, Int)].collect()
+    val byLang = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang("en") == 10)
+    assert(byLang("de") == 10) // only 20 de docs, 10 kept
+    val s2 = Sampling.stratifiedByHash(d, cap = 10).as[(String, Long, Int)].collect()
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq == s2.sortBy(r => (r._1, r._3)).toSeq)
+    // different seed → different subset (overwhelmingly likely)
+    val s3 = Sampling.stratifiedByHash(d, cap = 10, seed = 8)
+      .as[(String, Long, Int)].collect()
+    assert(s3.map(_._2).toSet != rows.map(_._2).toSet)
+  }
+
+  test("set ops: except and intersect on user sets") {
+    val ev = Seq(
+      (1L, "view"), (1L, "purchase"),
+      (2L, "view"), (2L, "view"),
+      (3L, "purchase"),
+      (4L, "view"),
+    ).toDF("user_id", "event_type")
+    val viewOnly = SetOps.viewersWhoNeverPurchased(ev).as[Long].collect().sorted
+    assert(viewOnly.toSeq == Seq(2L, 4L))
+    val both = SetOps.viewersWhoAlsoPurchased(ev).as[Long].collect().sorted
+    assert(both.toSeq == Seq(1L))
+  }
+
+  test("lang confusion diagonal dominates on marker-bearing docs") {
+    val d = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "el gato que la casa", "es"),
+      (3L, "der hund und die katze", "de"),
+    ).toDF("doc_id", "text", "lang")
+    val got = CorpusStats.langConfusion(d).as[(String, String, Long)].collect()
+    assert(got.forall { case (l, p, _) => l == p })
+    assert(got.map(_._3).sum == 3)
+  }
+}
