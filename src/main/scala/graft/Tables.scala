@@ -14,6 +14,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread rows across all cores when the scan has too few splits.
+    *
+    * A small parquet file is a single row group = a single task, so any
+    * per-row-heavy stage above it (regex, hashing, explode) runs on ONE
+    * core. The cheap row shuffle buys full parallelism. Adaptive: when
+    * the input already has enough splits (the 100 TB case — thousands of
+    * row groups), this is a no-op, so operators that call it don't pay a
+    * gratuitous full-corpus shuffle at scale. */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= par) df.repartition(par) else df
+  }
+
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * only reads as a raw long (nanosAsLong). Convert to a micros
     * TimestampType by truncating — exactly what DuckDB does when it reads

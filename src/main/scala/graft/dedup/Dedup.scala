@@ -35,9 +35,11 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id.
-    * dup_count > 1 marks a duplicate cluster. */
+    * dup_count > 1 marks a duplicate cluster. The md5+normalize runs in
+    * the partial-aggregate, i.e. in the scan task — spread first so it
+    * parallelizes (a single small file is otherwise one task). */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs
+    spread(docs)
       .groupBy(md5(TextAnalysis.normalize(col("text"))).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
@@ -47,14 +49,10 @@ object Dedup {
        |FROM documents GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- shingles
-  /** Spread doc rows across all cores BEFORE per-doc expansion. A small
-    * parquet file is one split (often one row group), so without this
-    * every shingle/hash below runs in a single task — the cheap shuffle
-    * of (id, text) rows buys full parallelism for the 100-1000× larger
-    * exploded stage. At scale the input already has many splits and this
-    * doubles as a balance repartition. */
-  private def spread(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+  /** Spread doc rows across all cores BEFORE per-doc expansion — see
+    * [[graft.Tables.spread]] (adaptive: no-op when the scan already has
+    * enough splits, so nothing extra shuffles at 100 TB). */
+  private def spread(docs: DataFrame): DataFrame = graft.Tables.spread(docs)
 
   /** Distinct character n-gram shingles per document (map-side explode —
     * no shuffle; distinct is per-doc via groupBy downstream). */
@@ -119,16 +117,38 @@ object Dedup {
   val numBands = 4
   val rowsPerBand: Int = numHashes / numBands
 
-  /** Universal-hash family over one md5 per shingle: two 32-bit halves
-    * (a, b) of the digest feed h_i = ((a·A_i) mod P + (b·B_i) mod P +
-    * C_i) mod P. One md5 call instead of numHashes of them (16× less
-    * hashing — this dominated the minhash profile), products stay below
-    * 2^62 so no BIGINT overflow in either engine. */
+  /** Universal-hash family over two independent polynomial char hashes
+    * (ha, hb) per shingle: h_i = ((ha·A_i) mod P + (hb·B_i) mod P +
+    * C_i) mod P. The shingle hashes are Karp-Rabin style (ascii·base^j
+    * mod P31) rather than md5 — pure integer arithmetic is ~4× cheaper
+    * than digest+hex+conv and every engine computes it bit-identically
+    * (md5 was the previous common denominator; this removed it from the
+    * profile entirely). ha,hb < 2^31 and A,B < 2^30, so products stay
+    * below 2^61 — no BIGINT overflow in either engine. */
   val hashP = 999999937L
+  val polyP = 2147483647L // 2^31 − 1, prime
   def hashConsts(i: Int): (Long, Long, Long) = (
     ((i * 2654435761L + 1013904223L) % (hashP - 1)) + 1,
     ((i * 2246822519L + 3266489917L) % (hashP - 1)) + 1,
     (i * 97531L + 7L) % hashP)
+
+  private def polyPow(base: Long, e: Int): Long =
+    java.math.BigInteger.valueOf(base)
+      .modPow(java.math.BigInteger.valueOf(e.toLong),
+        java.math.BigInteger.valueOf(polyP)).longValue()
+
+  /** Polynomial hash of the fixed-width shingle column: Σ ascii(ch_j) ·
+    * base^(n−1−j) mod P31. Terms < 2^21·2^31 = 2^52; the 4-term sum
+    * stays < 2^54. */
+  def charPolyHash(sh: Column, n: Int, base: Long): Column =
+    (0 until n).map { j =>
+      (ascii(substring(sh, j + 1, 1)).cast("long") * polyPow(base, n - 1 - j)) % polyP
+    }.reduce(_ + _) % polyP
+
+  def charPolyHashSql(expr: String, n: Int, base: Long): String =
+    "(" + (0 until n).map { j =>
+      s"(ascii(substr($expr, ${j + 1}, 1))::BIGINT * ${polyPow(base, n - 1 - j)}) % $polyP"
+    }.mkString(" + ") + s") % $polyP"
 
   /** Non-distinct shingles: min() over the multiset equals min() over
     * the set, so minhash skips the distinct's full shuffle. */
@@ -144,9 +164,8 @@ object Dedup {
     * carries one row per (doc, 16 longs). */
   def minhashSignatures(docs: DataFrame, n: Int = 4): DataFrame = {
     val withHalves = shinglesAll(docs, n)
-      .withColumn("m", md5(col("sh")))
-      .withColumn("ha", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      .withColumn("hb", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+      .withColumn("ha", charPolyHash(col("sh"), n, 257L))
+      .withColumn("hb", charPolyHash(col("sh"), n, 263L))
     val aggs = (0 until numHashes).map { i =>
       val (a, b, c) = hashConsts(i)
       min(((col("ha") * a) % hashP + (col("hb") * b) % hashP + c) % hashP).as(s"h$i")
@@ -199,8 +218,8 @@ object Dedup {
        |        FROM documents)),
        |hh AS (
        |  SELECT doc_id,
-       |    ('0x' || substr(md5(sh), 1, 8))::BIGINT AS ha,
-       |    ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hb
+       |    ${charPolyHashSql("sh", n, 257L)} AS ha,
+       |    ${charPolyHashSql("sh", n, 263L)} AS hb
        |  FROM shs),
        |sig AS (
        |  SELECT doc_id,

@@ -12,18 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object SetOps {
 
-  /** Users who viewed but never purchased (EXCEPT DISTINCT): the
+  /** User-days with a view but no purchase (EXCEPT DISTINCT): the
     * audience-segmentation shape — set difference of two filtered
-    * projections of the same fact table. */
-  def viewersWhoNeverPurchased(events: DataFrame): DataFrame =
-    events.filter(col("event_type") === "view").select(col("user_id")).distinct()
-      .except(
-        events.filter(col("event_type") === "purchase").select(col("user_id")))
+    * projections of the same fact table. Day granularity (epoch-day
+    * BIGINT, identical in both engines) keeps the difference non-empty
+    * on realistic data, where nearly every user eventually purchases. */
+  def viewersWhoNeverPurchased(events: DataFrame): DataFrame = {
+    def userDays(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day_num"))
+    userDays("view").distinct().except(userDays("purchase"))
+  }
 
   def viewersWhoNeverPurchasedSql: String =
-    """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    """SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_num
+      |FROM events WHERE event_type = 'view'
       |EXCEPT
-      |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin
+      |SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_num
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
 
   /** Users who both viewed and purchased (INTERSECT DISTINCT). */
   def viewersWhoAlsoPurchased(events: DataFrame): DataFrame =

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
-  /** Map-side tokenizer: whitespace-delimited tokens, one row each. */
+  private def spread(docs: DataFrame): DataFrame = graft.Tables.spread(docs)
+
+  /** Map-side tokenizer: whitespace-delimited tokens, one row each
+    * (spread first — the regex+explode must not run in a single scan
+    * task; no-op at scale, see [[graft.Tables.spread]]). */
   private def tokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    spread(docs).select(col("doc_id"),
       explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
 
   private val toksSql =
@@ -80,7 +84,7 @@ object CorpusStats {
     val toks = expr("regexp_extract_all(text, '\\\\S+', 0)")
     val n = size(toks).cast("long")
     val nd = size(array_distinct(toks)).cast("long")
-    docs.select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"),
+    spread(docs).select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"),
       (lit(1000L) - floor((nd * 1000L) / greatest(n, lit(1L))).cast("long"))
         .as("rep_pm"))
   }
@@ -97,7 +101,7 @@ object CorpusStats {
   /** Mixing-ratio view: docs and token mass per (source, lang) stratum —
     * the numbers a data-mixture recipe is written against. */
   def corpusMix(docs: DataFrame): DataFrame =
-    docs.groupBy("source", "lang")
+    spread(docs).groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
           .as("total_tokens"))
@@ -111,7 +115,7 @@ object CorpusStats {
   /** Confusion matrix of the [[TextAnalysis.langId]] heuristic against
     * the corpus's labeled `lang` — the eval loop for a classifier op. */
   def langConfusion(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), TextAnalysis.langPred.as("lang_pred"))
+    spread(docs).select(col("lang"), TextAnalysis.langPred.as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
 
   def langConfusionSql: String =
@@ -135,7 +139,7 @@ object CorpusStats {
         regexp_replace(col("text"), urlPat, "<URL>"),
         emailPat, "<EMAIL>"),
       numPat, "<NUM>")
-    docs.select(col("doc_id"), cleaned.as("text_clean"),
+    spread(docs).select(col("doc_id"), cleaned.as("text_clean"),
       regexp_count(col("text"), lit(urlPat)).cast("long").as("n_urls"),
       regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(numPat)).cast("long").as("n_nums"))

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Per-row regex/hash work runs inside the scan task; spread first so
+    * a single-file input doesn't serialize it on one core (no-op when
+    * the scan already has enough splits — see [[graft.Tables.spread]]). */
+  private def spread(docs: DataFrame): DataFrame = graft.Tables.spread(docs)
+
   /** Whitespace-normalized lowercase form used for fingerprinting. */
   def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
   val normalizeSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -22,11 +27,11 @@ object TextAnalysis {
     * variant for shift-tolerant matching is the shingle pipeline in
     * [[graft.dedup.Dedup]]. */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(normalize(col("text"))).as("fingerprint"))
+    spread(docs).select(col("doc_id"), md5(normalize(col("text"))).as("fingerprint"))
 
   /** Token / character / punctuation / stopword counts. */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(
+    spread(docs).select(
       col("doc_id"),
       length(col("text")).as("n_chars_calc"),
       regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
@@ -48,7 +53,7 @@ object TextAnalysis {
     val lengthPart = least(nTokens, lit(100L)) * 4L
     val punctPart = (lit(100L) - intDiv(nPunct * 100L, greatest(nChars, lit(1L)))) * 3L
     val stopPart = least(intDiv(nStop * 1000L, greatest(nTokens, lit(1L))), lit(100L)) * 3L
-    docs.select(
+    spread(docs).select(
       col("doc_id"),
       (lengthPart + punctPart + stopPart).cast("long").as("quality_pm"))
   }
@@ -80,7 +85,7 @@ object TextAnalysis {
   /** Heuristic language ID: argmax of marker-word hit counts, earlier
     * language wins ties. */
   def langId(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), langPred.as("lang_pred"))
+    spread(docs).select(col("doc_id"), langPred.as("lang_pred"))
 
   // ---- DuckDB-equivalent SQL fragments (regexp_count is not in DuckDB;
   // len(regexp_extract_all(...)) is the equivalent) ----
@@ -143,9 +148,8 @@ object TextAnalysis {
   /** Distinct winnowed fingerprints per document. */
   def winnow(docs: DataFrame): DataFrame = {
     // spread doc rows before the per-character explode (a small parquet
-    // file is one split — see Dedup.spread rationale)
-    val positions = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // file is one split — see Tables.spread rationale)
+    val positions = spread(docs)
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${rollK - 1}, 1))")).as("i"))
     positions

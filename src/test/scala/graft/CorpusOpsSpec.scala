@@ -70,15 +70,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s3.map(_._2).toSet != rows.map(_._2).toSet)
   }
 
-  test("set ops: except and intersect on user sets") {
+  test("set ops: except on user-days, intersect on user sets") {
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val d0 = ts("2024-01-01T10:00:00Z"); val d1 = ts("2024-01-02T10:00:00Z")
+    val day0 = 19723L; val day1 = 19724L // epoch days of d0/d1
     val ev = Seq(
-      (1L, "view"), (1L, "purchase"),
-      (2L, "view"), (2L, "view"),
-      (3L, "purchase"),
-      (4L, "view"),
-    ).toDF("user_id", "event_type")
-    val viewOnly = SetOps.viewersWhoNeverPurchased(ev).as[Long].collect().sorted
-    assert(viewOnly.toSeq == Seq(2L, 4L))
+      (1L, "view", d0), (1L, "purchase", d0), // same-day purchase → excluded
+      (1L, "view", d1),                       // next day: view only
+      (2L, "view", d0), (2L, "view", d0),
+      (3L, "purchase", d0),
+      (4L, "view", d0),
+    ).toDF("user_id", "event_type", "ts")
+    val viewOnly = SetOps.viewersWhoNeverPurchased(ev)
+      .as[(Long, Long)].collect().sorted
+    assert(viewOnly.toSeq == Seq((1L, day1), (2L, day0), (4L, day0)))
     val both = SetOps.viewersWhoAlsoPurchased(ev).as[Long].collect().sorted
     assert(both.toSeq == Seq(1L))
   }
