@@ -146,6 +146,15 @@ object SparkEntry {
       SetOps.viewersWhoNeverPurchased(Tables.events(s, dir))),
     "q_users_view_buy" -> ((s, dir) =>
       SetOps.viewersWhoAlsoPurchased(Tables.events(s, dir))),
+    // --- behavior analytics (funnel / cohort / rollup / timeline) ---
+    "q_funnel" -> ((s, dir) =>
+      Behavior.funnel(Tables.events(s, dir))),
+    "q_cohort_retention" -> ((s, dir) =>
+      Behavior.cohortRetention(Tables.events(s, dir))),
+    "q_rollup" -> ((s, dir) =>
+      Behavior.typeDayRollup(Tables.events(s, dir))),
+    "q_user_timeline" -> ((s, dir) =>
+      Behavior.userTimeline(Tables.events(s, dir))),
     // --- multimodal binary columns (training-data pipeline) ---
     "q_media_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.extractMeta(
@@ -286,6 +295,10 @@ object SparkEntry {
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
+      "q_funnel" -> Behavior.funnelSql(),
+      "q_cohort_retention" -> Behavior.cohortRetentionSql,
+      "q_rollup" -> Behavior.typeDayRollupSql,
+      "q_user_timeline" -> Behavior.userTimelineSql,
       // LSH hyperplanes are data-independent md5 constants → exact oracle
       "q_lsh_knn" -> graft.ann.Similarity.lshKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
