@@ -146,6 +146,9 @@ object SparkEntry {
       SetOps.viewersWhoNeverPurchased(Tables.events(s, dir))),
     "q_users_view_buy" -> ((s, dir) =>
       SetOps.viewersWhoAlsoPurchased(Tables.events(s, dir))),
+    // --- duplicate clusters: connected components over LSH candidates ---
+    "q_dup_clusters" -> ((s, dir) =>
+      graft.dedup.Clusters.dupClusters(Tables.documents(s, dir))),
     // --- behavior analytics (funnel / cohort / rollup / timeline) ---
     "q_funnel" -> ((s, dir) =>
       Behavior.funnel(Tables.events(s, dir))),
@@ -295,6 +298,7 @@ object SparkEntry {
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
+      "q_dup_clusters" -> graft.dedup.Clusters.dupClustersSql(),
       "q_funnel" -> Behavior.funnelSql(),
       "q_cohort_retention" -> Behavior.cohortRetentionSql,
       "q_rollup" -> Behavior.typeDayRollupSql,

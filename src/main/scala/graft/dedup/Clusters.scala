@@ -1,0 +1,73 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assembly: connected components over candidate
+  * pairs, so "A≈B, B≈C" collapses into one keep-group even when A and C
+  * never collide directly — the step a real corpus-dedup pipeline runs
+  * between LSH candidate generation and document dropping (keep the
+  * cluster minimum, drop the rest).
+  *
+  * Algorithm: iterative min-label propagation. labels(n) starts at n;
+  * each round takes the min label across neighbors; converged when no
+  * label changes. Rounds = graph diameter, and LSH duplicate clusters
+  * are near-cliques (diameter 2-3), so 3-4 rounds is typical. Each
+  * round is one shuffle-join + one aggregate; `localCheckpoint` cuts
+  * the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+  * At 1000-executor scale the same loop holds (labels and edges are
+  * both (long, long) tables — tiny relative to the corpus); for
+  * adversarial high-diameter graphs the alternating large-star /
+  * small-star variant (Kiveris et al., MapReduce CC) drops rounds to
+  * O(log d) with the same per-round join shape.
+  */
+object Clusters {
+
+  /** (doc_id, cluster_id) for every doc that appears in `pairs`
+    * (a_id/b_id columns); cluster_id = min doc_id of the component. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint() // materialize once; every round re-reads it
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("dst"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end: MinHash-LSH candidates at `minEstJaccard`, clustered.
+    * @see [[Dedup.minhashCandidates]] */
+  def dupClusters(docs: DataFrame, n: Int = 4,
+                  minEstJaccard: Double = 0.5): DataFrame =
+    connectedComponents(Dedup.minhashCandidates(docs, n, minEstJaccard))
+
+  /** DuckDB oracle: the same candidate SQL feeding a recursive-CTE
+    * reachability walk; min reachable root = min component member. */
+  def dupClustersSql(n: Int = 4, minEstJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE cand AS (
+       |  SELECT a_id, b_id FROM (
+       |${Dedup.minhashCandidatesSql(n, minEstJaccard)}
+       |  )),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM cand
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM cand),
+       |walk(node, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node)
+       |SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY 1""".stripMargin
+}
