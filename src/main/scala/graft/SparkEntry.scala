@@ -126,6 +126,19 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(hll_estimate(hll_merge(col("sk"))).as("approx_users"))
     }),
+    // quantile-sketch rollup: per-day value sketches re-merged per type —
+    // percentiles across windows without rescanning raw events (rows-only)
+    "q_quantile_rollup" -> ((s, dir) => {
+      import graft.functions.QSketchFunctions._
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(q_sketch(col("value"), col("event_id")).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(q_sketch_quantile(q_sketch_merge(col("sk")), lit(0.5)), 4).as("p50"),
+          round(q_sketch_quantile(q_sketch_merge(col("sk")), lit(0.95)), 4).as("p95"),
+          round(q_sketch_quantile(q_sketch_merge(col("sk")), lit(0.99)), 4).as("p99"))
+    }),
     // --- corpus statistics / curation (training-data pipeline) ---
     "q_doc_freq" -> ((s, dir) =>
       graft.text.CorpusStats.docFreq(Tables.documents(s, dir))),

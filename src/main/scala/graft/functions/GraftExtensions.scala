@@ -36,6 +36,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hll_estimate"),
       new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
       (children: Seq[Expression]) => HllEstimate(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("q_sketch"),
+      new ExpressionInfo(classOf[QSketchAgg].getName, "q_sketch"),
+      (children: Seq[Expression]) =>
+        QSketchAgg(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("q_sketch_merge"),
+      new ExpressionInfo(classOf[QSketchMergeAgg].getName, "q_sketch_merge"),
+      (children: Seq[Expression]) => QSketchMergeAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("q_sketch_quantile"),
+      new ExpressionInfo(classOf[QSketchQuantile].getName, "q_sketch_quantile"),
+      (children: Seq[Expression]) => QSketchQuantile(children(0), children(1))))
     // opt-in approx mode: COUNT(DISTINCT) -> HLL++ under
     // spark.graft.approxDistinct=true (no query-code changes)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
@@ -48,4 +61,21 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     org.apache.spark.sql.GraftColumnBridge.registerFunction(
       spark, "dot_product_f", children => DotProductF(children(0), children(1)))
+
+  /** Register every graft SQL function on an already-built session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge.registerFunction
+    register(spark)
+    registerFunction(spark, "hll_sketch",
+      c => HllSketchAgg(c.head).toAggregateExpression())
+    registerFunction(spark, "hll_merge",
+      c => HllMergeAgg(c.head).toAggregateExpression())
+    registerFunction(spark, "hll_estimate", c => HllEstimate(c.head))
+    registerFunction(spark, "q_sketch",
+      c => QSketchAgg(c(0), c(1)).toAggregateExpression())
+    registerFunction(spark, "q_sketch_merge",
+      c => QSketchMergeAgg(c.head).toAggregateExpression())
+    registerFunction(spark, "q_sketch_quantile",
+      c => QSketchQuantile(c(0), c(1)))
+  }
 }
