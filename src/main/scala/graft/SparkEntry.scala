@@ -79,6 +79,10 @@ object SparkEntry {
       graft.ann.Similarity.blockedDedup(Tables.embeddings(s, dir))),
     "q_lsh_knn" -> ((s, dir) => // approximate recall, but deterministic → oracle-checked
       graft.ann.Similarity.lshKnn(Tables.embeddings(s, dir))),
+    "q_quantize" -> ((s, dir) => // int8 codes: scalarized digest, oracle-checked
+      graft.ann.Quantize.quantizeDigest(Tables.embeddings(s, dir))),
+    "q_quant_knn" -> ((s, dir) => // quantized candidates + exact re-rank
+      graft.ann.Quantize.quantKnn(Tables.embeddings(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate: rows-only driver check
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
     // --- relational / joins over the star schema ---
@@ -318,6 +322,8 @@ object SparkEntry {
       "q_user_timeline" -> Behavior.userTimelineSql,
       // LSH hyperplanes are data-independent md5 constants → exact oracle
       "q_lsh_knn" -> graft.ann.Similarity.lshKnnSql(),
+      "q_quantize" -> graft.ann.Quantize.quantizeDigestSql,
+      "q_quant_knn" -> graft.ann.Quantize.quantKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),
       "q_media_features" -> graft.multimodal.Multimodal.featureCountsSql(),
