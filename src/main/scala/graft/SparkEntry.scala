@@ -166,6 +166,11 @@ object SparkEntry {
     // --- duplicate clusters: connected components over LSH candidates ---
     "q_dup_clusters" -> ((s, dir) =>
       graft.dedup.Clusters.dupClusters(Tables.documents(s, dir))),
+    // --- hopping windows + anomaly scoring ---
+    "q_hopping" -> ((s, dir) =>
+      Windows.hoppingCounts(Tables.events(s, dir))),
+    "q_anomalies" -> ((s, dir) =>
+      Windows.dailyAnomalies(Tables.events(s, dir))),
     // --- behavior analytics (funnel / cohort / rollup / timeline) ---
     "q_funnel" -> ((s, dir) =>
       Behavior.funnel(Tables.events(s, dir))),
@@ -316,6 +321,8 @@ object SparkEntry {
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
       "q_dup_clusters" -> graft.dedup.Clusters.dupClustersSql(),
+      "q_hopping" -> Windows.hoppingCountsSql(),
+      "q_anomalies" -> Windows.dailyAnomaliesSql,
       "q_funnel" -> Behavior.funnelSql(),
       "q_cohort_retention" -> Behavior.cohortRetentionSql,
       "q_rollup" -> Behavior.typeDayRollupSql,
