@@ -26,9 +26,14 @@ object Clusters {
   /** (doc_id, cluster_id) for every doc that appears in `pairs`
     * (a_id/b_id columns); cluster_id = min doc_id of the component. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint() // materialize once; every round re-reads it
+    // materialize the pair pipeline ONCE before fanning into two union
+    // branches (each union branch would otherwise re-run the full
+    // upstream plan — for LSH candidates that is the whole
+    // shingle/signature/band pipeline, twice)
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint() // every round re-reads it
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()

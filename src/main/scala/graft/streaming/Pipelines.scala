@@ -81,6 +81,33 @@ object Pipelines {
       }
       .start()
 
+  /** Stream-stream interval join (purchase attribution): each purchase
+    * matched to the same user's views in the preceding `windowSec`
+    * seconds. Both sides carry watermarks and the join condition bounds
+    * event-time distance, so Spark can evict view state once the
+    * purchase-side watermark passes v_ts + windowSec — state is
+    * O(windowSec × view rate), never unbounded. The two sides here are
+    * filtered projections of ONE source (a supported stream self-join);
+    * with separate Kafka topics the same code applies unchanged. */
+  def purchaseAttribution(events: DataFrame,
+                          watermark: String = "10 seconds",
+                          windowSec: Int = 60): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("p_ts"), col("v_ts"), col("value"))
+  }
+
   def startMemorySink(df: DataFrame, name: String): StreamingQuery =
     df.writeStream.outputMode("append").format("memory").queryName(name).start()
 
