@@ -64,9 +64,12 @@ object Quantize {
        |              AS VARCHAR)), ',')) AS qvec_md5
        |FROM q""".stripMargin
 
-  /** Integer dot product of two code vectors (exact in any engine). */
+  /** Integer dot product of two code vectors (exact in any engine):
+    * codegen'd primitive loop ([[graft.functions.DotProductI]]) — the
+    * zip_with/aggregate formulation evaluates interpreted lambdas per
+    * element, which dominates the corpus-wide candidate pass. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), _ + _)
+    graft.functions.VectorFunctions.dot_i(a, b)
 
   /** Two-stage quantized KNN: stage 1 ranks by the quantized inner
     * product (integer math over 1-byte codes — the cheap pass over the

@@ -42,13 +42,17 @@ object Clusters {
       val neighborMin = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      // carry a changed flag through the checkpoint: convergence is then
+      // one agg over the already-materialized table instead of a second
+      // join against the previous labels
       val next = labels
         .join(neighborMin, labels("node") === neighborMin("dst"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("newlab"),
+          (coalesce(col("nmin"), col("label")) < col("label")).cast("long").as("chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      labels = next.select(col("node"), col("newlab").as("label"))
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }

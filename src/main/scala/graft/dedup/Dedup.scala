@@ -54,10 +54,15 @@ object Dedup {
     * enough splits, so nothing extra shuffles at 100 TB). */
   private def spread(docs: DataFrame): DataFrame = graft.Tables.spread(docs)
 
-  /** Distinct character n-gram shingles per document (map-side explode —
-    * no shuffle; distinct is per-doc via groupBy downstream). */
+  /** Distinct character n-gram shingles per document. The dedup happens
+    * MAP-SIDE (`array_distinct` on the per-doc shingle array before the
+    * explode): zero shuffle, versus `.distinct()` which would shuffle
+    * every shingle occurrence of the corpus. */
   def shingles(docs: DataFrame, n: Int = 4): DataFrame =
-    shinglesAll(docs, n).distinct()
+    spread(docs).select(col("doc_id"),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n))")))
+        .as("sh"))
 
   def shinglesSql(n: Int = 4): String =
     s"""SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
@@ -73,9 +78,10 @@ object Dedup {
     * scale is exactly the trap LSH exists to avoid. */
   def ngramJaccard(docs: DataFrame, n: Int = 4, queryMaxId: Long = 10,
                    threshold: Double = 0.5): DataFrame = {
-    // cache: the distinct shingle set feeds three consumers (query side,
-    // sizes, corpus join) and would otherwise be exploded+deduped thrice
-    val sh = shingles(docs, n).cache()
+    // no cache: shingle generation is map-side integer work after the
+    // array_distinct rewrite, so recomputing it per consumer beats
+    // materializing corpus×shingles rows (which cannot fit at 100 TB)
+    val sh = shingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val qsh = sh.filter(col("doc_id") < queryMaxId)
       .withColumnRenamed("doc_id", "query_id")

@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
       (children: Seq[Expression]) => HllEstimate(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("dot_product_i"),
+      new ExpressionInfo(classOf[DotProductI].getName, "dot_product_i"),
+      (children: Seq[Expression]) => DotProductI(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("q_sketch"),
       new ExpressionInfo(classOf[QSketchAgg].getName, "q_sketch"),
       (children: Seq[Expression]) =>
@@ -66,6 +70,8 @@ object GraftExtensions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.GraftColumnBridge.registerFunction
     register(spark)
+    registerFunction(spark, "dot_product_i",
+      c => DotProductI(c(0), c(1)))
     registerFunction(spark, "hll_sketch",
       c => HllSketchAgg(c.head).toAggregateExpression())
     registerFunction(spark, "hll_merge",

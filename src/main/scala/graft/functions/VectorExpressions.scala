@@ -58,9 +58,56 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[DotProductF]] for array<int> code vectors
+  * (int8-quantized embeddings): long accumulation — exact, engine-
+  * independent, and the inner loop of quantized candidate generation. */
+case class DotProductI(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dot_product_i"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd float-array dot product (see [[DotProductF]]). */
   def dot_f(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(DotProductF(
+      GraftColumnBridge.toExpr(a), GraftColumnBridge.toExpr(b)))
+
+  /** Codegen'd int-array dot product (see [[DotProductI]]). */
+  def dot_i(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(DotProductI(
       GraftColumnBridge.toExpr(a), GraftColumnBridge.toExpr(b)))
 }

@@ -48,6 +48,17 @@ class QuantizeSpec extends AnyFunSuite {
     assert(err < 0.05, s"max cosine-scale quantization error $err")
   }
 
+  test("codegen dot_i is bit-identical to the zip_with formulation") {
+    val q = Quantize.quantize(Tables.embeddings(spark, sf))
+    val mismatches = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id") - 480)
+      .select(
+        graft.functions.VectorFunctions.dot_i(col("a.qvec"), col("b.qvec")).as("fast"),
+        aggregate(zip_with(col("a.qvec"), col("b.qvec"),
+          (x, y) => (x * y).cast("long")), lit(0L), _ + _).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatches == 0)
+  }
+
   test("quantized+refine KNN recalls most of the exact top-k") {
     val embs = Tables.embeddings(spark, sf)
     val exact = Similarity.knnBrute(embs).select("query_id", "vec_id")
