@@ -166,6 +166,14 @@ object SparkEntry {
     // --- duplicate clusters: connected components over LSH candidates ---
     "q_dup_clusters" -> ((s, dir) =>
       graft.dedup.Clusters.dupClusters(Tables.documents(s, dir))),
+    // --- relational: anti join ---
+    "q_idle_customers" -> ((s, dir) =>
+      Relational.idleCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // --- training-set assembly: packing + curriculum buckets ---
+    "q_pack_shards" -> ((s, dir) =>
+      Packing.packShards(Tables.documents(s, dir))),
+    "q_quality_buckets" -> ((s, dir) =>
+      Packing.qualityBuckets(Tables.documents(s, dir))),
     // --- hopping windows + anomaly scoring ---
     "q_hopping" -> ((s, dir) =>
       Windows.hoppingCounts(Tables.events(s, dir))),
@@ -321,6 +329,9 @@ object SparkEntry {
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
       "q_dup_clusters" -> graft.dedup.Clusters.dupClustersSql(),
+      "q_idle_customers" -> Relational.idleCustomersSql(),
+      "q_pack_shards" -> Packing.packShardsSql(),
+      "q_quality_buckets" -> Packing.qualityBucketsSql(),
       "q_hopping" -> Windows.hoppingCountsSql(),
       "q_anomalies" -> Windows.dailyAnomaliesSql,
       "q_funnel" -> Behavior.funnelSql(),

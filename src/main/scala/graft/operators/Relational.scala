@@ -75,4 +75,23 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM lineitem
       |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Churned customers (NOT EXISTS via left-anti join): no order since
+    * `cutoff`. The date filter prunes the right side BEFORE the join
+    * (pushed into the orders scan); the anti join shuffles both sides
+    * on the key, and AQE picks broadcast-anti when the filtered order
+    * side fits. */
+  def idleCustomers(customer: DataFrame, orders: DataFrame,
+                    cutoff: String = "1998-01-01"): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+
+  def idleCustomersSql(cutoff: String = "1998-01-01"): String =
+    s"""SELECT c_custkey, c_name, c_nationkey
+       |FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '$cutoff')""".stripMargin
 }

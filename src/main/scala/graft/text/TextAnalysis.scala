@@ -43,7 +43,8 @@ object TextAnalysis {
     * Pure integer arithmetic (no doubles, no rounding) so the score is
     * bit-identical across engines — FP round() at half-boundaries is
     * engine-dependent and hash-compares can't tolerate it. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** The quality score as a reusable expression over a `text` column. */
+  def qualityExpr: Column = {
     val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
     val nPunct = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
     val nStop = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("long")
@@ -53,10 +54,11 @@ object TextAnalysis {
     val lengthPart = least(nTokens, lit(100L)) * 4L
     val punctPart = (lit(100L) - intDiv(nPunct * 100L, greatest(nChars, lit(1L)))) * 3L
     val stopPart = least(intDiv(nStop * 1000L, greatest(nTokens, lit(1L))), lit(100L)) * 3L
-    spread(docs).select(
-      col("doc_id"),
-      (lengthPart + punctPart + stopPart).cast("long").as("quality_pm"))
+    (lengthPart + punctPart + stopPart).cast("long")
   }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"), qualityExpr.as("quality_pm"))
 
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic; priority order breaks score ties. */
