@@ -82,13 +82,13 @@ object Relational {
     * on the key, and AQE picks broadcast-anti when the filtered order
     * side fits. */
   def idleCustomers(customer: DataFrame, orders: DataFrame,
-                    cutoff: String = "1998-01-01"): DataFrame =
+                    cutoff: String = "1999-01-01"): DataFrame =
     customer
       .join(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
 
-  def idleCustomersSql(cutoff: String = "1998-01-01"): String =
+  def idleCustomersSql(cutoff: String = "1999-01-01"): String =
     s"""SELECT c_custkey, c_name, c_nationkey
        |FROM customer
        |WHERE NOT EXISTS (SELECT 1 FROM orders

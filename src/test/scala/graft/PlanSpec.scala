@@ -64,4 +64,47 @@ class PlanSpec extends AnyFunSuite {
     val top = Relational.topCustomers(Tables.orders(spark, sf), Tables.customer(spark, sf))
     assert(top.count() == 10)
   }
+
+  test("anti join plans as LeftAnti with the date filter below the join") {
+    val df = Relational.idleCustomers(Tables.customer(spark, sf), Tables.orders(spark, sf))
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    // the cutoff predicate must be pushed into the orders scan, not
+    // evaluated post-join
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"cutoff not pushed to scan:\n$plan")
+  }
+
+  test("ROLLUP plans one Expand + partial/final aggregate, not a rescan per set") {
+    val plan = planOf(Behavior.typeDayRollup(Tables.events(spark, sf)))
+    assert(plan.linesIterator.count(_.contains("Expand [")) == 1,
+      s"expected exactly one Expand:\n$plan")
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"grouping sets must not rescan the input:\n$plan")
+  }
+
+  test("hopping windows keep the single-shuffle tumbling shape") {
+    val plan = planOf(Windows.hoppingCounts(Tables.events(spark, sf)))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"hopping agg should shuffle once (+AQE read):\n$plan") // agg exchange only
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+  }
+
+  test("packing windows sort within shard partitions, no global sort") {
+    val plan = planOf(Packing.packShards(Tables.documents(spark, sf)))
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort leaked into packing:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"expected shard-hash shuffle:\n$plan")
+  }
+
+  test("quantized candidate pass uses codegen dot_product_i and broadcasts queries") {
+    val df = graft.ann.Quantize.quantKnn(Tables.embeddings(spark, sf), 2, 3)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dot_product_i"), s"int dot product missing:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"queries side not broadcast:\n$plan")
+  }
 }
