@@ -166,6 +166,9 @@ object SparkEntry {
     // --- duplicate clusters: connected components over LSH candidates ---
     "q_dup_clusters" -> ((s, dir) =>
       graft.dedup.Clusters.dupClusters(Tables.documents(s, dir))),
+    // --- data-quality profile (single-pass, unpivoted) ---
+    "q_profile" -> ((s, dir) =>
+      Profiler.profileEvents(Tables.events(s, dir))),
     // --- relational: anti join ---
     "q_idle_customers" -> ((s, dir) =>
       Relational.idleCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -329,6 +332,7 @@ object SparkEntry {
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
       "q_dup_clusters" -> graft.dedup.Clusters.dupClustersSql(),
+      "q_profile" -> Profiler.profileEventsSql,
       "q_idle_customers" -> Relational.idleCustomersSql(),
       "q_pack_shards" -> Packing.packShardsSql(),
       "q_quality_buckets" -> Packing.qualityBucketsSql(),

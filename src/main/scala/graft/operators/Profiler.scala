@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass data-quality profile: per-column row/null/distinct
+  * counts and min/max, unpivoted to one row per column — the first
+  * query anyone runs against an unfamiliar 100 TB table, and the
+  * validation gate a pipeline runs after every load.
+  *
+  * One aggregate computes every column's stats in a single scan
+  * (count/min/max are partial-aggregated map-side; exact distinct adds
+  * one expand — swap `approxDistinct = true` for HLL at extreme
+  * cardinality, same single-pass shape), then a literal-array explode
+  * unpivots columns to rows — no second scan, no per-column jobs. */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // unpivot: one struct literal per column, exploded to rows
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").cast("long").as("n_distinct"),
+        col(s"__mn_$c").as("min_str"), col(s"__mx_$c").as("max_str"))
+    }
+    total.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+
+  /** events-table profile used by the oracle-checked query. */
+  def profileEvents(events: DataFrame): DataFrame =
+    profile(events, Seq("event_id", "user_id", "event_type", "value"))
+
+  def profileEventsSql: String = {
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    cols.map { c =>
+      s"""SELECT '$c' AS column, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_str,
+         |  CAST(max($c) AS VARCHAR) AS max_str
+         |FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+}
