@@ -31,28 +31,44 @@ object Clusters {
     // upstream plan — for LSH candidates that is the whole
     // shingle/signature/band pipeline, twice)
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    // size the loop's shuffle width from the actual edge count (p is
+    // already materialized, so the count is free): the label tables are
+    // (long, long) rows, orders of magnitude smaller than the corpus
+    // that produced the pairs, and running a 10k-edge graph through
+    // 32-way exchanges is pure scheduling overhead. ~1M edges/partition
+    // keeps partitions comfortably in memory at any scale.
+    val conf = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val nPart = math.max(1L, math.min(conf.toLong, p.count() / 1000000L + 1L)).toInt
+    // pre-partition the edge table on the join key: localCheckpoint
+    // preserves the hash partitioning in LogicalRDD, so every round's
+    // join shuffles only the (much smaller) labels side
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(nPart, col("src"))
       .localCheckpoint() // every round re-reads it
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges
-        .join(labels, edges("src") === labels("node"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
-      // carry a changed flag through the checkpoint: convergence is then
-      // one agg over the already-materialized table instead of a second
-      // join against the previous labels
-      val next = labels
-        .join(neighborMin, labels("node") === neighborMin("dst"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("newlab"),
-          (coalesce(col("nmin"), col("label")) < col("label")).cast("long").as("chg"))
+      // one round = propagate labels across edges, then self-union and
+      // take the per-node min: 2 shuffles (join + groupBy), versus the
+      // naive join + groupBy + left-join's 3. The self rows smuggle the
+      // previous label through the aggregate (`own` is MaxValue on
+      // propagated rows), so convergence detection is a cheap sum over
+      // the already-checkpointed result instead of a second join.
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"),
+          lit(Long.MaxValue).as("own"))
+      val next = prop
+        .unionAll(labels.select(col("node"), col("label"),
+          col("label").as("own")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), min(col("own")).as("old"))
+        .withColumn("chg", (col("label") < col("old")).cast("long"))
         .localCheckpoint()
       changed = next.agg(sum(col("chg"))).head().getLong(0)
-      labels = next.select(col("node"), col("newlab").as("label"))
+      labels = next.select(col("node"), col("label"))
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
