@@ -109,6 +109,14 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // native heap-based top-k per key (custom LogicalPlan + Strategy +
+    // SparkPlan): 5 highest-value events per type, total order via id
+    "q_topk_events" -> ((s, dir) =>
+      graft.plans.TopK.perKey(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value")),
+        keyCols = Seq(col("event_type")),
+        orderCols = Seq(col("value").desc, col("event_id").asc), k = 5)),
     // salted exact distinct: hot-key skew spread over 32 buckets, result
     // identical to the plain aggregate (the salt partitions the domain)
     "q_salted_distinct" -> ((s, dir) =>
@@ -356,6 +364,13 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_topk_events" ->
+        """SELECT event_type, event_id, value FROM (
+          |  SELECT event_type, event_id, value,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY value DESC, event_id) AS rn
+          |  FROM events WHERE value IS NOT NULL)
+          |WHERE rn <= 5""".stripMargin,
       "q_asof_join" ->
         """WITH snap AS (
           |  SELECT o_custkey AS user_id, o_orderdate,

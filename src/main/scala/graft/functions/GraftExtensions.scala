@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in approx mode: COUNT(DISTINCT) -> HLL++ under
     // spark.graft.approxDistinct=true (no query-code changes)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
+    // whole-operator extension: heap-based top-k per key (the
+    // DataFrame API self-registers too — this covers builder-time)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

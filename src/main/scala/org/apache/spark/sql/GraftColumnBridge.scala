@@ -9,7 +9,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * host this one-liner inside the sql package. */
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager catalyst conversion. `ExpressionUtils.expression` would wrap
+    * the column node in a lazy ColumnNodeExpression whose payload (the
+    * internal SortOrder/ColumnNode graph) is not java-serializable and
+    * breaks task closures that capture the expression; the converter
+    * produces the plain catalyst tree instead. */
+  def toExpr(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** `Dataset.ofRows` is `private[sql]` in Spark 4: build a DataFrame
+    * from a hand-constructed LogicalPlan (custom operators). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   /** Register a function builder on an ALREADY-RUNNING session
     * (SparkSessionExtensions only applies at session build; sessionState
