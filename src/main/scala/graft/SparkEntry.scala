@@ -109,6 +109,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // bloom-prefiltered exact semi join: fact table never shuffles
+    // rows the filter set rejects
+    "q_bloom_semi" -> ((s, dir) =>
+      BloomJoin.urgentRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // RANGE-frame moving aggregate over gap-tolerant integer days
+    "q_moving_avg" -> ((s, dir) =>
+      Windows.movingRevenue(Tables.orders(s, dir))),
+    // per-user lag window -> global bigram counts (Markov transitions)
+    "q_transitions" -> ((s, dir) =>
+      Windows.transitions(Tables.events(s, dir))),
+    // eval-leakage gate: exact n-gram overlap vs a broadcast benchmark set
+    "q_contamination" -> ((s, dir) =>
+      graft.dedup.Dedup.contamination(Tables.documents(s, dir))),
     // native heap-based top-k per key (custom LogicalPlan + Strategy +
     // SparkPlan): 5 highest-value events per type, total order via id
     "q_topk_events" -> ((s, dir) =>
@@ -364,6 +377,10 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_bloom_semi" -> BloomJoin.urgentRevenueSql,
+      "q_moving_avg" -> Windows.movingRevenueSql(),
+      "q_transitions" -> Windows.transitionsSql,
+      "q_contamination" -> graft.dedup.Dedup.contaminationSql(),
       "q_topk_events" ->
         """SELECT event_type, event_id, value FROM (
           |  SELECT event_type, event_id, value,

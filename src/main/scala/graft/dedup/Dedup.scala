@@ -118,6 +118,36 @@ object Dedup {
        |WHERE round(CAST(i.n_inter AS DOUBLE) /
        |            CAST(sq.n_sh + sc.n_sh - i.n_inter AS DOUBLE), 4) >= $threshold""".stripMargin
 
+  // ------------------------------------------------- benchmark contamination
+  /** Benchmark contamination check: which corpus docs share any exact
+    * character n-gram with a held-out benchmark set (here: doc_id <
+    * benchMaxId stands in for the benchmark corpus). The eval-leakage
+    * gate every training-data pipeline runs before a corpus ships —
+    * exact n-gram overlap, the standard "13-gram collision" test, at
+    * n=8 for this synthetic corpus's shorter texts.
+    *
+    * Scale shape: the benchmark n-gram set is tiny and broadcast, so
+    * the corpus side never shuffles — the join happens in the scan
+    * stage and only (contaminated doc, gram) survivors reach the one
+    * aggregation shuffle. Shingling is map-side with per-doc
+    * `array_distinct` (see [[shingles]]), so n_shared counts DISTINCT
+    * shared grams. */
+  def contamination(docs: DataFrame, n: Int = 8, benchMaxId: Long = 20): DataFrame = {
+    val sh = shingles(docs, n)
+    val bench = sh.filter(col("doc_id") < benchMaxId).select(col("sh")).distinct()
+    sh.filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  def contaminationSql(n: Int = 8, benchMaxId: Long = 20): String =
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $benchMaxId)
+       |SELECT s.doc_id, count(*) AS n_shared
+       |FROM sh s JOIN bench b ON s.sh = b.sh
+       |WHERE s.doc_id >= $benchMaxId
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- MinHash + LSH
   val numHashes = 16
   val numBands = 4

@@ -83,4 +83,63 @@ object Windows {
       |  FROM daily d JOIN stats s ON d.event_type = s.event_type)
       |SELECT event_type, day_num, n, z, abs(z) > 2.0 AS is_anomaly
       |FROM scored""".stripMargin
+
+  /** 7-day moving revenue per order priority: daily pre-aggregate
+    * (shrinks the window input from |orders| rows to |priorities|×|days|)
+    * then a RANGE frame over the integer day — a range frame, unlike
+    * ROWS, stays correct when a group has gap days. Money stays in
+    * integer cents end-to-end so the moving sums hash-match across
+    * engines. One shuffle for the daily agg; the window only adds a
+    * per-group sort on top of it. */
+  def movingRevenue(orders: DataFrame, days: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("day_num"))
+      .rangeBetween(-(days - 1), 0)
+    daily.select(col("priority"), col("day_num"), col("day_cents"),
+      sum(col("day_cents")).over(w).as(s"cents_${days}d"))
+  }
+
+  def movingRevenueSql(days: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS priority,
+       |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT priority, day_num, day_cents,
+       |       CAST(sum(day_cents) OVER (PARTITION BY priority ORDER BY day_num
+       |         RANGE BETWEEN ${days - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS cents_${days}d
+       |FROM daily""".stripMargin
+
+  /** Event-type transition matrix: per user, order events by time and
+    * count (previous type → type) bigrams — the Markov-chain input for
+    * funnel/path products. One shuffle (hash by user for the lag
+    * window); the global bigram count partial-aggregates map-side on
+    * top of it. Ties on ts are broken by event_id so the lag order is
+    * total and both engines agree. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        col("event_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def transitionsSql: String =
+    """SELECT prev_type, event_type, count(*) AS n
+      |FROM (SELECT user_id,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS prev_type,
+      |        event_type
+      |      FROM events)
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -107,4 +107,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"queries side not broadcast:\n$plan")
   }
+
+  test("bloom semi join prefilters the fact scan before any exchange") {
+    val plan = planOf(BloomJoin.urgentRevenue(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf)))
+    assert(plan.contains("might_contain"), s"no bloom prefilter:\n$plan")
+    // the prefilter must sit below the first exchange: find the deepest
+    // scan-side Filter and check it carries might_contain
+    val mcLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val exLine = plan.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(mcLine >= 0 && (exLine < 0 || mcLine > exLine || !plan.contains("SortMergeJoin")),
+      s"bloom filter not map-side:\n$plan")
+  }
+
+  test("moving revenue: daily pre-agg below the window, RANGE frame") {
+    val plan = planOf(Windows.movingRevenue(Tables.orders(spark, sf)))
+    assert(plan.contains("RangeFrame"), s"no range frame:\n$plan")
+    val aggIdx = plan.linesIterator.indexWhere(_.contains("HashAggregate"))
+    val winIdx = plan.linesIterator.indexWhere(_.contains("Window"))
+    assert(aggIdx > winIdx && winIdx >= 0,
+      s"expected aggregate below window:\n$plan")
+  }
+
+  test("transitions: window and aggregate, bigram count partial-aggregates") {
+    val plan = planOf(Windows.transitions(Tables.events(spark, sf)))
+    assert(plan.contains("lag("), s"no lag window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"bigram count should partial-aggregate:\n$plan")
+  }
 }
