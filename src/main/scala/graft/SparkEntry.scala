@@ -109,6 +109,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // stream-static enrichment join, batch-mode oracle (same code path
+    // runs under readStream in Pipelines.enrichedEvents)
+    "q_enriched" -> ((s, dir) =>
+      graft.streaming.Pipelines.enrichedEvents(
+        Tables.events(s, dir), Tables.customer(s, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment"), col("c_nationkey"))),
     // bloom-prefiltered exact semi join: fact table never shuffles
     // rows the filter set rejects
     "q_bloom_semi" -> ((s, dir) =>
@@ -377,6 +384,10 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_enriched" ->
+        """SELECT e.event_id, e.user_id, e.event_type,
+          |       c.c_mktsegment, c.c_nationkey
+          |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin,
       "q_bloom_semi" -> BloomJoin.urgentRevenueSql,
       "q_moving_avg" -> Windows.movingRevenueSql(),
       "q_transitions" -> Windows.transitionsSql,

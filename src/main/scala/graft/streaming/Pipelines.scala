@@ -108,6 +108,22 @@ object Pipelines {
         col("p_ts"), col("v_ts"), col("value"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * (batch) dimension table — the standard "decorate events with user
+    * attributes" stage. Stream-static inner joins are stateless in
+    * Spark: each micro-batch hash-joins against the static side, no
+    * watermark or state store involved, and with a dim that fits the
+    * broadcast threshold every batch plans a BroadcastHashJoin — the
+    * stream side never shuffles. The static plan re-resolves per batch,
+    * so a dim refreshed by an external writer is picked up without
+    * restarting the query. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"), col("c_nationkey"))),
+      Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("c_mktsegment"), col("c_nationkey"))
+
   def startMemorySink(df: DataFrame, name: String): StreamingQuery =
     df.writeStream.outputMode("append").format("memory").queryName(name).start()
 

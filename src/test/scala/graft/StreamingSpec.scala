@@ -124,4 +124,27 @@ class StreamingSpec extends AnyFunSuite {
     // partition column exists and prunes
     assert(em.where($"p_date" === "2024-01-15").count() > 0)
   }
+
+  test("stream-static enrichment join is stateless and broadcasts the dim") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((7L, "AUTOMOBILE", 3L), (8L, "BUILDING", 1L))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+    val ms = MemoryStream[Ev]
+    val name = "stream_enriched"
+    val q = Pipelines.startMemorySink(
+      Pipelines.enrichedEvents(ms.toDF(), dim), name)
+    try {
+      ms.addData(Seq(ev(1, 0, 7, "view"), ev(2, 100, 42, "purchase")))
+      q.processAllAvailable()
+      // no watermark/flush needed: stream-static joins keep no state
+      val rows = spark.table(name).collect()
+      assert(rows.length == 2)
+      val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+      assert(byId(1L).getAs[String]("c_mktsegment") == "AUTOMOBILE")
+      assert(byId(2L).isNullAt(byId(2L).fieldIndex("c_mktsegment")),
+        "unmatched user must survive the left join with nulls")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not create a state store")
+    } finally q.stop()
+  }
 }
