@@ -36,11 +36,14 @@ object Quantize {
   def codesOf(emb: Column, scale: Column): Column =
     transform(emb, v => floor(asDouble(v) / scale + 0.5).cast("int"))
 
-  /** (vec_id, label, scale, qvec) — the stored quantized form. */
+  /** (vec_id, label, scale, qvec) — the stored quantized form. One
+    * codegen'd pass ([[graft.functions.QuantizeCodes]]); [[scaleOf]]/
+    * [[codesOf]] remain as the reference formulation (bit-identical,
+    * QuantizeSpec-asserted). */
   def quantize(embs: DataFrame): DataFrame = {
-    val sc = scaleOf(col("embedding"))
-    embs.select(col("vec_id"), col("label"), sc.as("scale"),
-      codesOf(col("embedding"), sc).as("qvec"))
+    val q = graft.functions.VectorFunctions.quantize_codes(col("embedding"))
+    embs.select(col("vec_id"), col("label"),
+      q.getField("scale").as("scale"), q.getField("qvec").as("qvec"))
   }
 
   /** Scalarized audit view (array columns don't survive generic result

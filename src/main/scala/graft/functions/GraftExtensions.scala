@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductI].getName, "dot_product_i"),
       (children: Seq[Expression]) => DotProductI(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("quantize_codes"),
+      new ExpressionInfo(classOf[QuantizeCodes].getName, "quantize_codes"),
+      (children: Seq[Expression]) => QuantizeCodes(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("q_sketch"),
       new ExpressionInfo(classOf[QSketchAgg].getName, "q_sketch"),
       (children: Seq[Expression]) =>
@@ -75,6 +79,7 @@ object GraftExtensions {
     register(spark)
     registerFunction(spark, "dot_product_i",
       c => DotProductI(c(0), c(1)))
+    registerFunction(spark, "quantize_codes", c => QuantizeCodes(c.head))
     registerFunction(spark, "hll_sketch",
       c => HllSketchAgg(c.head).toAggregateExpression())
     registerFunction(spark, "hll_merge",

@@ -100,6 +100,69 @@ case class DotProductI(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Single-pass int8 quantizer: float array → struct(scale double,
+  * qvec array<int>), scale = max|v|/127 (1.0 for the zero vector),
+  * q_i = floor(v_i/scale + 0.5) — identical arithmetic to the
+  * `aggregate(transform(...))` + `transform(...)` HOF formulation in
+  * [[graft.ann.Quantize]], which walks the array twice through
+  * interpreted lambdas. This is the corpus-wide pass of quantized ANN,
+  * so it gets the same treatment as the dot kernels: one tight
+  * codegen'd loop pair, no intermediate arrays.
+  */
+case class QuantizeCodes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("qvec",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "quantize_codes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(a.getFloat(i).toDouble); if (v > mx) mx = v; i += 1 }
+    val scale = if (mx == 0.0) 1.0 else mx / 127.0
+    val codes = new Array[Int](n)
+    i = 0
+    while (i < n) { codes(i) = math.floor(a.getFloat(i).toDouble / scale + 0.5).toInt; i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx")
+      val v = ctx.freshName("v")
+      val scale = ctx.freshName("scale")
+      val codes = ctx.freshName("codes")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($v > $mx) $mx = $v;
+         |}
+         |double $scale = $mx == 0.0 ? 1.0 : $mx / 127.0;
+         |int[] $codes = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $codes[$i] = (int) java.lang.Math.floor(((double) $a.getFloat($i)) / $scale + 0.5);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $scale,
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd float-array dot product (see [[DotProductF]]). */
   def dot_f(a: Column, b: Column): Column =
@@ -110,4 +173,8 @@ object VectorFunctions {
   def dot_i(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(DotProductI(
       GraftColumnBridge.toExpr(a), GraftColumnBridge.toExpr(b)))
+
+  /** Codegen'd single-pass int8 quantizer (see [[QuantizeCodes]]). */
+  def quantize_codes(emb: Column): Column =
+    GraftColumnBridge.toColumn(QuantizeCodes(GraftColumnBridge.toExpr(emb)))
 }

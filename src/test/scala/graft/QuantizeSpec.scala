@@ -20,6 +20,15 @@ class QuantizeSpec extends AnyFunSuite {
     assert(stats._2 == 127) // EVERY vector's max element hits 127 (symmetric scale)
   }
 
+  test("codegen quantize_codes is bit-identical to the HOF formulation") {
+    val embs = Tables.embeddings(spark, sf)
+    val sc = Quantize.scaleOf($"embedding")
+    val hof = embs.select($"vec_id", sc.as("scale"),
+      Quantize.codesOf($"embedding", sc).as("qvec"))
+    val gen = Quantize.quantize(embs).select($"vec_id", $"scale", $"qvec")
+    assert(gen.exceptAll(hof).isEmpty && hof.exceptAll(gen).isEmpty)
+  }
+
   test("zero vector quantizes to zero codes with scale 1") {
     val d = Seq((1L, Array(0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")
     val got = Quantize.quantize(d).select($"scale",
