@@ -109,6 +109,17 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // TPC-H Q5 shape: 6-table join, one fact-fact exchange, dims broadcast
+    "q_regional_rev" -> ((s, dir) =>
+      Relational.regionalRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    // fixed-width distribution histogram, integer bucket + cents
+    "q_histogram" -> ((s, dir) =>
+      Relational.priceHistogram(Tables.orders(s, dir))),
+    // GROUPING SETS in one Expand + single aggregate pass
+    "q_grouping_sets" -> ((s, dir) =>
+      Relational.orderGroupingSets(Tables.orders(s, dir))),
     // stream-static enrichment join, batch-mode oracle (same code path
     // runs under readStream in Pipelines.enrichedEvents)
     "q_enriched" -> ((s, dir) =>
@@ -384,6 +395,9 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_regional_rev" -> Relational.regionalRevenueSql(),
+      "q_histogram" -> Relational.priceHistogramSql(),
+      "q_grouping_sets" -> Relational.orderGroupingSetsSql,
       "q_enriched" ->
         """SELECT e.event_id, e.user_id, e.event_type,
           |       c.c_mktsegment, c.c_nationkey

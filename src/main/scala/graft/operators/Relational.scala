@@ -94,4 +94,89 @@ object Relational {
        |WHERE NOT EXISTS (SELECT 1 FROM orders
        |                  WHERE o_custkey = c_custkey
        |                    AND o_orderdate >= TIMESTAMP '$cutoff')""".stripMargin
+
+  /** TPC-H Q5 shape — regional supplier revenue: the 6-table join that
+    * exercises real join planning. One fact-fact shuffle join
+    * (lineitem ⋈ orders, both sides hash on orderkey — the only
+    * unavoidable exchange pair) with every dimension broadcast, the
+    * region/date filters pushed below the joins, and the nation-match
+    * predicate (customer's nation = supplier's nation) applied as a
+    * cheap post-join filter. At 100 TB the same plan holds: dims stay
+    * ≪ broadcast threshold, and AQE picks the fact-fact strategy from
+    * runtime sizes. */
+  def regionalRevenue(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      regionName: String = "ASIA",
+                      yearStart: String = "1995-01-01",
+                      yearEnd: String = "1996-01-01"): DataFrame = {
+    val natInRegion = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ordersInYear = orders.filter(
+      col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+    lineitem
+      .join(ordersInYear, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(natInRegion), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  def regionalRevenueSql(regionName: String = "ASIA",
+                         yearStart: String = "1995-01-01",
+                         yearEnd: String = "1996-01-01"): String =
+    s"""SELECT n_name,
+       |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = '$regionName'
+       |  AND c_nationkey = s_nationkey
+       |  AND o_orderdate >= TIMESTAMP '$yearStart'
+       |  AND o_orderdate <  TIMESTAMP '$yearEnd'
+       |GROUP BY n_name""".stripMargin
+
+  /** Fixed-width histogram of order totals: integer bucket arithmetic
+    * (floor of value/width), counts + per-bucket revenue mass. The
+    * single-shuffle shape every BI "distribution" panel compiles to. */
+  def priceHistogram(orders: DataFrame, width: Double = 25000.0): DataFrame =
+    orders
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+
+  def priceHistogramSql(width: Double = 25000.0): String =
+    s"""SELECT CAST(floor(o_totalprice / $width) AS BIGINT) AS bucket,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** GROUPING SETS: per (status), per (priority), and grand total in
+    * one pass — one Expand (×3) + a single partial/final aggregate,
+    * not three scans. grouping_id() disambiguates the null-key rows
+    * from genuine NULL group values. */
+  def orderGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+
+  def orderGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 }

@@ -108,6 +108,21 @@ class PlanSpec extends AnyFunSuite {
       s"queries side not broadcast:\n$plan")
   }
 
+  test("Q5 joins: all four dims broadcast, exactly one fact-fact join") {
+    val plan = planOf(Relational.regionalRevenue(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf)))
+    val nBroadcast = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcast >= 4, s"dims not broadcast:\n$plan")
+    val factFact = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(factFact <= 1, s"more than one shuffle join:\n$plan")
+    // region + date filters must reach the scans
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]")
+      || plan.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$plan")
+  }
+
   test("bloom semi join prefilters the fact scan before any exchange") {
     val plan = planOf(BloomJoin.urgentRevenue(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf)))
