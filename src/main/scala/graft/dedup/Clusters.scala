@@ -46,8 +46,12 @@ object Clusters {
       .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .repartition(nPart, col("src"))
       .localCheckpoint() // every round re-reads it
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // fused first round: label₀(n) = min(n, min neighbor). The groupBy
+    // runs on the edge table's existing src-partitioning — no shuffle,
+    // no join — and equals one full propagate round from the identity
+    // labeling, so the loop below starts at round 2.
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(col("node"), min(col("dst"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
