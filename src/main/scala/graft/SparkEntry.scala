@@ -109,6 +109,24 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // integer Lloyd k-means on quantized codes (SemDeDup-style corpus
+    // clustering; exact cross-engine arithmetic, full membership oracle)
+    "q_kmeans" -> ((s, dir) =>
+      graft.ann.KMeans.assign(Tables.embeddings(s, dir))),
+    // unigram LM surprisal per doc (KenLM-perplexity proxy)
+    "q_unigram_ppl" -> ((s, dir) =>
+      graft.text.CorpusStats.unigramSurprisal(Tables.documents(s, dir))),
+    // dedup end-to-end: the corpus surviving LSH + clustering
+    "q_dedup_keep" -> ((s, dir) =>
+      graft.dedup.Clusters.survivors(Tables.documents(s, dir))),
+    // CDC compaction: latest order per customer via the heap top-k (k=1)
+    "q_latest_order" -> ((s, dir) =>
+      graft.plans.TopK.perKey(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate")),
+        keyCols = Seq(col("o_custkey")),
+        orderCols = Seq(col("o_orderdate").desc, col("o_orderkey").desc), k = 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
     // TPC-H Q5 shape: 6-table join, one fact-fact exchange, dims broadcast
     "q_regional_rev" -> ((s, dir) =>
       Relational.regionalRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir),
@@ -395,6 +413,15 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_kmeans" -> graft.ann.KMeans.assignSql(),
+      "q_unigram_ppl" -> graft.text.CorpusStats.unigramSurprisalSql,
+      "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
+      "q_latest_order" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |  FROM orders) WHERE rn = 1""".stripMargin,
       "q_regional_rev" -> Relational.regionalRevenueSql(),
       "q_histogram" -> Relational.priceHistogramSql(),
       "q_grouping_sets" -> Relational.orderGroupingSetsSql,

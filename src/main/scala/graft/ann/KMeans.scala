@@ -1,0 +1,110 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means over int8-quantized embeddings — the corpus-clustering
+  * step of semantic curation pipelines (SemDeDup-style: cluster, then
+  * prune/dedup within clusters; also the offline centroid training IVF
+  * indexes want — see [[IvfKnn]]).
+  *
+  * Runs on the quantized codes so every piece of arithmetic is exact in
+  * any engine: squared L2 distance decomposes into integer dot products
+  * (|a−c|² = a·a + c·c − 2a·c, each ≤ 64·127² ≪ 2^53, computed by the
+  * codegen'd [[graft.functions.DotProductI]]), and the centroid update
+  * floor(sum/n + 0.5) divides two exact integers — bit-identical
+  * everywhere, so the full clustering is DuckDB-oracle-checkable, which
+  * float k-means (FP summation order) is not.
+  *
+  * Scale shape per iteration: centroids broadcast (k rows), the corpus
+  * never shuffles for assignment; the update is one posexplode +
+  * groupBy(cid, pos) — rows = corpus × dim, the standard mini-batch-
+  * free Lloyd layout. Seeds are the k smallest vec_ids (deterministic;
+  * swap for k-means|| offline at 100 TB, same loop).
+  */
+object KMeans {
+
+  private def dist2(a: String, c: String) =
+    graft.functions.VectorFunctions.dot_i(col(a), col(a)) +
+      graft.functions.VectorFunctions.dot_i(col(c), col(c)) -
+      lit(2L) * graft.functions.VectorFunctions.dot_i(col(a), col(c))
+
+  /** (vec_id, cluster) after `iters` Lloyd rounds, k seeds. */
+  def assign(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val q = Quantize.quantize(embs).select(col("vec_id"), col("qvec"))
+    var cents = q.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("qvec").as("cvec"))
+    val rn = row_number().over(
+      Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid")))
+    def assignTo(c: DataFrame): DataFrame = q
+      .crossJoin(broadcast(c))
+      .withColumn("d2", dist2("qvec", "cvec"))
+      .withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("qvec"))
+    for (_ <- 1 until iters) {
+      val assigned = assignTo(cents)
+      cents = assigned
+        .select(col("cid"), posexplode(col("qvec")).as(Seq("pos", "code")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("code")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"),
+            floor(col("s").cast("double") / col("n") + 0.5).cast("int").as("code")))),
+          e => e.getField("code")).as("cvec"))
+    }
+    assignTo(cents).select(col("vec_id"), col("cid").as("cluster"))
+  }
+
+  /** Assignment + per-cluster sizes (the curation view). */
+  def clusterSizes(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    assign(embs, k, iters).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec"))
+
+  /** DuckDB oracle: identical integer pipeline. Parallel unnests zip
+    * (code, position); list(... ORDER BY pos) rebuilds centroid
+    * vectors; list_dot_product on small ints is exact in double. */
+  def assignSql(k: Int = 8, iters: Int = 2): String = {
+    require(iters == 2, "oracle spells out the iters=2 case")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+       |      (CASE WHEN list_aggregate(list_transform(embedding,
+       |              x -> abs(CAST(x AS DOUBLE))), 'max') = 0 THEN 1.0
+       |            ELSE list_aggregate(list_transform(embedding,
+       |              x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END)
+       |      + 0.5) AS INTEGER)) AS qvec
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qvec AS cvec FROM q ORDER BY vec_id LIMIT $k),
+       |a1 AS (
+       |  SELECT vec_id, cid, qvec FROM (
+       |    SELECT q.vec_id, c.cid, q.qvec,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.qvec, q.qvec) + list_dot_product(c.cvec, c.cvec)
+       |          - 2 * list_dot_product(q.qvec, c.cvec), c.cid) AS rn
+       |    FROM q CROSS JOIN c0 c) WHERE rn = 1),
+       |px AS (
+       |  SELECT cid, unnest(qvec) AS code,
+       |         unnest(range(1, len(qvec) + 1)) AS pos
+       |  FROM a1),
+       |c1 AS (
+       |  SELECT cid, list(code ORDER BY pos) AS cvec FROM (
+       |    SELECT cid, pos,
+       |           CAST(floor(CAST(sum(code) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS code
+       |    FROM px GROUP BY cid, pos)
+       |  GROUP BY cid)
+       |SELECT vec_id, cid AS cluster FROM (
+       |  SELECT q.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_dot_product(q.qvec, q.qvec) + list_dot_product(c.cvec, c.cvec)
+       |        - 2 * list_dot_product(q.qvec, c.cvec), c.cid) AS rn
+       |  FROM q CROSS JOIN c1 c) WHERE rn = 1""".stripMargin
+  }
+
+  def clusterSizesSql(k: Int = 8, iters: Int = 2): String =
+    s"""SELECT cluster, count(*) AS n_members, min(vec_id) AS min_vec
+       |FROM (
+       |${assignSql(k, iters)}
+       |) GROUP BY 1""".stripMargin
+}

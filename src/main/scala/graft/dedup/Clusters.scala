@@ -83,6 +83,25 @@ object Clusters {
                   minEstJaccard: Double = 0.5): DataFrame =
     connectedComponents(Dedup.minhashCandidates(docs, n, minEstJaccard))
 
+  /** The end of the dedup pipeline: the corpus that SURVIVES
+    * MinHash-LSH + clustering — every cluster keeps its minimum doc_id,
+    * all other members drop. Anti join against the (tiny) drop list, so
+    * the corpus scan streams map-side at any scale. */
+  def survivors(docs: DataFrame, n: Int = 4,
+                minEstJaccard: Double = 0.5): DataFrame = {
+    val drop = dupClusters(docs, n, minEstJaccard)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  def survivorsSql(n: Int = 4, minEstJaccard: Double = 0.5): String =
+    s"""SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM (
+       |${dupClustersSql(n, minEstJaccard)}
+       |  ) c WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)""".stripMargin
+
   /** DuckDB oracle: the same candidate SQL feeding a recursive-CTE
     * reachability walk; min reachable root = min component member. */
   def dupClustersSql(n: Int = 4, minEstJaccard: Double = 0.5): String =

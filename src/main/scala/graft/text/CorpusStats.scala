@@ -155,4 +155,35 @@ object CorpusStats {
        |  CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_emails,
        |  CAST(len(regexp_extract_all(text, '$numPat')) AS BIGINT) AS n_nums
        |FROM documents""".stripMargin
+
+  // ------------------------------------------- unigram LM quality score
+  /** Per-doc average unigram surprisal (bits/token) against the
+    * corpus's own unigram distribution — the cheap KenLM-perplexity
+    * proxy used to rank documents by "typicality" before training. Low
+    * bits = repetitive/common; high = rare-token-heavy. Two shuffles
+    * (vocab count, per-doc average); the frequency table joins
+    * broadcast for any real vocabulary (≤ millions of tokens) while
+    * the corpus side stays map-side. log2 of identical doubles is
+    * IEEE-identical across engines, and avg lands off the 4dp rounding
+    * grid (irrational), so round(,4) hash-matches. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val tf = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).cast("double").as("total"))
+    toks.join(broadcast(tf), "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log2(col("cnt").cast("double") / col("total"))), 4)
+          .as("avg_bits"))
+  }
+
+  def unigramSurprisalSql: String =
+    s"""WITH toks AS ($toksSql),
+       |tf AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM tf)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       round(avg(-log2(CAST(cnt AS DOUBLE) / total)), 4) AS avg_bits
+       |FROM toks JOIN tf USING (token) CROSS JOIN tot
+       |GROUP BY 1""".stripMargin
 }
