@@ -109,6 +109,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // DSv2 generator source (BATCH_READ path; arithmetic replicated by
+    // the oracle from generate_series — the source itself is checked)
+    "q_gen_agg" -> ((s, _) =>
+      s.read.format("graft.sources.EventGen").option("totalRows", 100000L)
+        .load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          round(sum(col("value")), 4).as("sum_value"))),
     // integer Lloyd k-means on quantized codes (SemDeDup-style corpus
     // clustering; exact cross-engine arithmetic, full membership oracle)
     "q_kmeans" -> ((s, dir) =>
@@ -413,6 +422,14 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_gen_agg" ->
+        s"""WITH ev AS (
+           |${graft.sources.EventGen.tableSql(100000L)}
+           |)
+           |SELECT event_type, count(*) AS n,
+           |       count(DISTINCT user_id) AS users,
+           |       round(sum(value), 4) AS sum_value
+           |FROM ev GROUP BY 1""".stripMargin,
       "q_kmeans" -> graft.ann.KMeans.assignSql(),
       "q_unigram_ppl" -> graft.text.CorpusStats.unigramSurprisalSql,
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
