@@ -109,6 +109,12 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // FULL OUTER reconciliation with pre-aggregated sides
+    "q_activity_matrix" -> ((s, dir) =>
+      SetOps.userActivityMatrix(Tables.events(s, dir))),
+    // Z-order layout: z-curve range histogram over (custkey, day)
+    "q_zorder" -> ((s, dir) =>
+      Layout.zHistogram(Tables.orders(s, dir))),
     // DSv2 generator source (BATCH_READ path; arithmetic replicated by
     // the oracle from generate_series — the source itself is checked)
     "q_gen_agg" -> ((s, _) =>
@@ -422,6 +428,8 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_activity_matrix" -> SetOps.userActivityMatrixSql,
+      "q_zorder" -> Layout.zHistogramSql(),
       "q_gen_agg" ->
         s"""WITH ev AS (
            |${graft.sources.EventGen.tableSql(100000L)}

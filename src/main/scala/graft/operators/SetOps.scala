@@ -41,4 +41,38 @@ object SetOps {
     """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
       |INTERSECT
       |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  /** FULL OUTER reconciliation: every user's view and purchase counts
+    * side by side with a segment label — the "diff two aggregates,
+    * keep rows unique to either side" shape (snapshot reconciliation,
+    * A/B cohort diffing). Both sides pre-aggregate BEFORE the join, so
+    * the full-outer exchange carries one row per user per side, not
+    * raw events. */
+  def userActivityMatrix(events: DataFrame): DataFrame = {
+    def side(t: String, n: String) = events
+      .filter(col("event_type") === t)
+      .groupBy(col("user_id")).agg(count(lit(1)).as(n))
+    side("view", "n_views")
+      .join(side("purchase", "n_purchases"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        when(col("n_views").isNull, "purchase_only")
+          .when(col("n_purchases").isNull, "view_only")
+          .otherwise("both").as("segment"))
+  }
+
+  def userActivityMatrixSql: String =
+    """SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+      |       COALESCE(v.n_views, 0) AS n_views,
+      |       COALESCE(p.n_purchases, 0) AS n_purchases,
+      |       CASE WHEN v.user_id IS NULL THEN 'purchase_only'
+      |            WHEN p.user_id IS NULL THEN 'view_only'
+      |            ELSE 'both' END AS segment
+      |FROM (SELECT user_id, count(*) AS n_views FROM events
+      |      WHERE event_type = 'view' GROUP BY 1) v
+      |FULL OUTER JOIN
+      |     (SELECT user_id, count(*) AS n_purchases FROM events
+      |      WHERE event_type = 'purchase' GROUP BY 1) p
+      |ON v.user_id = p.user_id""".stripMargin
 }
