@@ -126,14 +126,25 @@ class EventGenScan(required: StructType, options: CaseInsensitiveStringMap)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
+    new MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+      import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
       override def initialOffset(): Offset = EventGenOffset(0L)
-      override def latestOffset(): Offset = {
-        val prev = planned
-        planned = math.min(totalRows, prev + rowsPerBatch)
-        EventGenOffset(planned)
+      // rate control via admission control (not mutable stream state):
+      // progress derives from the START offset Spark hands back, so a
+      // restart from checkpoint resumes exactly where it committed
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val s = start.asInstanceOf[EventGenOffset].n
+        val step = limit match {
+          case m: ReadMaxRows => m.maxRows()
+          case _              => rowsPerBatch
+        }
+        EventGenOffset(math.min(totalRows, s + step))
       }
-      private var planned = 0L
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "latestOffset(start, limit) is used (SupportsAdmissionControl)")
       override def deserializeOffset(json: String): Offset =
         EventGenOffset(json.toLong)
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
