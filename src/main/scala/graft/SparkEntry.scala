@@ -109,6 +109,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // gap-filled daily series (sequence spine densification)
+    "q_gapfill" -> ((s, dir) =>
+      Windows.gapFill(Tables.events(s, dir))),
+    // post-load referential-integrity audit (anti-join orphan counts)
+    "q_integrity" -> ((s, dir) =>
+      Relational.integrityAudit(Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.lineitem(s, dir))),
     // FULL OUTER reconciliation with pre-aggregated sides
     "q_activity_matrix" -> ((s, dir) =>
       SetOps.userActivityMatrix(Tables.events(s, dir))),
@@ -428,6 +435,8 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_gapfill" -> Windows.gapFillSql,
+      "q_integrity" -> Relational.integrityAuditSql,
       "q_activity_matrix" -> SetOps.userActivityMatrixSql,
       "q_zorder" -> Layout.zHistogramSql(),
       "q_gen_agg" ->

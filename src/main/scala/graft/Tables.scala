@@ -49,4 +49,19 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Pure-SQL surface: register every corpus table as a temp view (and
+    * graft's SQL functions on the session), so thriftserver/notebook
+    * clients run `spark.sql("SELECT … FROM lineitem …")` with zero
+    * DataFrame code. `events` keeps its nanos→micros conversion. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => load(spark, dir, n).createOrReplaceTempView(n)
+    }
+    graft.functions.GraftExtensions.registerAll(spark)
+  }
 }

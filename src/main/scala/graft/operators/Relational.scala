@@ -145,6 +145,27 @@ object Relational {
        |  AND o_orderdate <  TIMESTAMP '$yearEnd'
        |GROUP BY n_name""".stripMargin
 
+  /** Referential-integrity audit: orphan counts per foreign key — the
+    * post-load constraint check a warehouse runs on every batch (anti
+    * joins; the dim side builds the hash table, orphans stream). */
+  def integrityAudit(orders: DataFrame, customer: DataFrame,
+                     lineitem: DataFrame): DataFrame = {
+    val o = orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit("orders_custkey").as("fk"), col("n_orphans"))
+    val l = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit("lineitem_orderkey").as("fk"), col("n_orphans"))
+    o.unionAll(l)
+  }
+
+  def integrityAuditSql: String =
+    """SELECT 'orders_custkey' AS fk, count(*) AS n_orphans FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'lineitem_orderkey', count(*) FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin
+
   /** Fixed-width histogram of order totals: integer bucket arithmetic
     * (floor of value/width), counts + per-bucket revenue mass. The
     * single-shuffle shape every BI "distribution" panel compiles to. */

@@ -142,4 +142,36 @@ object Windows {
       |      FROM events)
       |WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
+
+  /** Gap-filled daily series: every (event_type, day) in the observed
+    * range gets a row, zero when absent — the densification step time-
+    * series models and dashboards require (a LEFT JOIN against a
+    * `sequence()` spine). The spine is |types|×|days| rows built from
+    * the AGGREGATED table, so the corpus contributes one shuffle (the
+    * daily agg) and the dense join is dimension-sized. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.agg(min(col("day_num")).as("lo"), max(col("day_num")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day_num"))
+    daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("day_num"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_num, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT unnest(range(min(day_num), max(day_num) + 1)) AS day_num
+      |         FROM daily),
+      |t AS (SELECT DISTINCT event_type FROM daily)
+      |SELECT t.event_type, d.day_num, CAST(COALESCE(dl.n, 0) AS BIGINT) AS n
+      |FROM t CROSS JOIN days d
+      |LEFT JOIN daily dl ON dl.event_type = t.event_type
+      |                  AND dl.day_num = d.day_num""".stripMargin
 }
