@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: heap-based top-k per key (the
     // DataFrame API self-registers too — this covers builder-time)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // opt-in: plain row_number()<=k window SQL -> heap operator under
+    // spark.graft.heapTopK=true (no query-code changes)
+    ext.injectOptimizerRule(_ => graft.plans.HeapTopKRewrite())
   }
 }
 
