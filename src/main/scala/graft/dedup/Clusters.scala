@@ -23,9 +23,51 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Edge count below which the graph goes through a driver union-find
+    * instead of iterative Spark jobs. LSH candidate graphs are tiny
+    * relative to the corpus that produced them (pairs ≈ near-dup
+    * collisions, not documents): 2M edges is 32 MB of longs — the same
+    * order as a broadcast build side — and union-find finishes in
+    * milliseconds where every distributed label round costs a join +
+    * aggregate job. Above the threshold the distributed loop runs;
+    * identical results, spec-asserted on both paths. */
+  val smallGraphEdges: Long = 2000000L
+
+  /** Driver union-find (path halving + union-by-min): one collect of
+    * the edge list, min-root labels, one parallelize back. */
+  private def unionFind(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var px = parent.getOrDefault(x, x)
+      while (px != x) { // path halving
+        val ppx = parent.getOrDefault(px, px)
+        parent.put(x, ppx); x = ppx; px = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min: root IS the component minimum
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      if (!parent.containsKey(a)) parent.put(a, find(a))
+      if (!parent.containsKey(b)) parent.put(b, find(b))
+    }
+    import scala.jdk.CollectionConverters._
+    val out = parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+    import spark.implicits._
+    out.toDF("doc_id", "cluster_id")
+  }
+
   /** (doc_id, cluster_id) for every doc that appears in `pairs`
-    * (a_id/b_id columns); cluster_id = min doc_id of the component. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * (a_id/b_id columns); cluster_id = min doc_id of the component.
+    * @param smallGraphThreshold override for tests (0 forces the
+    *   distributed loop) */
+  def connectedComponents(pairs: DataFrame,
+                          smallGraphThreshold: Long = smallGraphEdges): DataFrame = {
     // materialize the pair pipeline ONCE before fanning into two union
     // branches (each union branch would otherwise re-run the full
     // upstream plan — for LSH candidates that is the whole
@@ -38,7 +80,9 @@ object Clusters {
     // 32-way exchanges is pure scheduling overhead. ~1M edges/partition
     // keeps partitions comfortably in memory at any scale.
     val conf = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val nPart = math.max(1L, math.min(conf.toLong, p.count() / 1000000L + 1L)).toInt
+    val nEdges = p.count()
+    if (nEdges <= smallGraphThreshold) return unionFind(p)
+    val nPart = math.max(1L, math.min(conf.toLong, nEdges / 1000000L + 1L)).toInt
     // pre-partition the edge table on the join key: localCheckpoint
     // preserves the hash partitioning in LogicalRDD, so every round's
     // join shuffles only the (much smaller) labels side
