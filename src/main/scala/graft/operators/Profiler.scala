@@ -20,12 +20,21 @@ object Profiler {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else countDistinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stats = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // distinct counts as one single-column aggregate per column, cross-
+    // joined onto the 1-row stats: a SINGLE agg with k exact distincts
+    // would plan an Expand (k+1 copies of every row through the
+    // shuffle); per-column aggregates instead read one pruned column
+    // each — on columnar storage that is the same bytes as the fused
+    // scan, with partial aggregation and no row multiplication.
+    val total = cols.foldLeft(stats) { (acc, c) =>
+      acc.crossJoin(df.agg(
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__nd_$c")))
+    }
     // unpivot: one struct literal per column, exploded to rows
     val entries = cols.map { c =>
       struct(lit(c).as("column"), col("__n").as("n_rows"),
