@@ -109,6 +109,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // Count-Min sketch column: per-day sketches merged, then point
+    // estimates (exact at this cardinality — CmsSpec proves no
+    // collision — so the estimate oracle-checks against true counts)
+    "q_cms_freq" -> ((s, dir) => {
+      import graft.functions.CmsFunctions._
+      val ev = Tables.events(s, dir)
+      val sk = ev
+        .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(cm_sketch(col("event_type")).as("sk"))
+        .agg(cm_merge(col("sk")).as("sk"))
+      ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(sk))
+        .select(col("event_type"),
+          cm_estimate(col("sk"), col("event_type")).as("est"))
+    }),
     // gap-filled daily series (sequence spine densification)
     "q_gapfill" -> ((s, dir) =>
       Windows.gapFill(Tables.events(s, dir))),
@@ -435,6 +450,8 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_cms_freq" ->
+        "SELECT event_type, count(*) AS est FROM events GROUP BY 1",
       "q_gapfill" -> Windows.gapFillSql,
       "q_integrity" -> Relational.integrityAuditSql,
       "q_activity_matrix" -> SetOps.userActivityMatrixSql,

@@ -45,6 +45,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantizeCodes].getName, "quantize_codes"),
       (children: Seq[Expression]) => QuantizeCodes(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("cm_sketch"),
+      new ExpressionInfo(classOf[CmSketchAgg].getName, "cm_sketch"),
+      (children: Seq[Expression]) => CmSketchAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("cm_merge"),
+      new ExpressionInfo(classOf[CmMergeAgg].getName, "cm_merge"),
+      (children: Seq[Expression]) => CmMergeAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("cm_estimate"),
+      new ExpressionInfo(classOf[CmEstimate].getName, "cm_estimate"),
+      (children: Seq[Expression]) => CmEstimate(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("q_sketch"),
       new ExpressionInfo(classOf[QSketchAgg].getName, "q_sketch"),
       (children: Seq[Expression]) =>
@@ -83,6 +95,11 @@ object GraftExtensions {
     registerFunction(spark, "dot_product_i",
       c => DotProductI(c(0), c(1)))
     registerFunction(spark, "quantize_codes", c => QuantizeCodes(c.head))
+    registerFunction(spark, "cm_sketch",
+      c => CmSketchAgg(c.head).toAggregateExpression())
+    registerFunction(spark, "cm_merge",
+      c => CmMergeAgg(c.head).toAggregateExpression())
+    registerFunction(spark, "cm_estimate", c => CmEstimate(c(0), c(1)))
     registerFunction(spark, "hll_sketch",
       c => HllSketchAgg(c.head).toAggregateExpression())
     registerFunction(spark, "hll_merge",
