@@ -109,6 +109,10 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("last_orderkey"), col("last_totalprice"))
     }),
+    // dynamic-gap sessions: per-event gap expression (purchases hold
+    // the session open longer), interval-merge island oracle
+    "q_dynamic_sessions" -> ((s, dir) =>
+      SessionTracker.dynamicSessions(Tables.events(s, dir))),
     // Count-Min sketch column: per-day sketches merged, then point
     // estimates (exact at this cardinality — CmsSpec proves no
     // collision — so the estimate oracle-checks against true counts)
@@ -450,6 +454,7 @@ object SparkEntry {
       "q_salted_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS user_distinct
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_dynamic_sessions" -> SessionTracker.dynamicSessionsSql(),
       "q_cms_freq" ->
         "SELECT event_type, count(*) AS est FROM events GROUP BY 1",
       "q_gapfill" -> Windows.gapFillSql,
