@@ -22,12 +22,19 @@ class ProfilerSpec extends AnyFunSuite {
       ("v", 4L, 1L, 2L, "1.5", "9.0")))
   }
 
-  test("profile plans a single scan of the input") {
+  test("profile plans pruned per-column scans with no Expand") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val plan = Profiler.profileEvents(events)
       .queryExecution.executedPlan.toString
-    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
-      s"profiler must not rescan per column:\n$plan")
+    // one stats pass + one scan per distinct-counted column, each
+    // pruned to its single column — and no multi-distinct Expand
+    // multiplying rows through the shuffle
+    assert(!plan.contains("Expand"),
+      s"multi-distinct Expand crept back in:\n$plan")
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 5, s"expected 1 stats + 4 distinct scans:\n$plan")
+    assert(scans.exists(_.contains("ReadSchema: struct<event_id:bigint>")),
+      s"distinct scans not pruned to one column:\n$plan")
   }
 
   test("approxDistinct variant keeps the same shape with estimated counts") {
