@@ -16,6 +16,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // exact-percentile aggregates (ObjectHashAggregate) fall back to
+      // sort-based aggregation after 128 in-memory groups by default;
+      // q_perf has ~90k near-singleton groups at sf0.1, so the default
+      // turns a hash agg into a sort. Per-group state here is a handful
+      // of doubles — 1M keys is still only tens of MB per task. The
+      // unbounded-state concern at 100 TB is addressed by metricsApprox,
+      // not by the fallback.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -29,13 +37,22 @@ object Bench {
     // minhash, CC loop, vector kernels) on the smallest SF so codegen
     // compilation + C2 JIT aren't charged to whichever timed query
     // alphabetically touches them first — standard JMH-style warmup;
-    // the timed data (sfDir) is never read here
-    val warmDir = "/root/testdata/sf0.001"
+    // the timed data (sfDir) is never read here. The warmup SF lives
+    // next to the timed SF (sibling dir), so a relocated testdata root
+    // still warms up; failures are logged, not swallowed.
+    val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent match {
+      case null => sfDir
+      case p =>
+        val sib = p.resolve("sf0.001")
+        if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
+    }
     Seq("q_dup_clusters", "q_winnow", "q_simhash", "q_quant_knn",
         "q_tfidf_top", "q_asof_join").foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $q skipped: ${e.getMessage}")
+      }
     }
     // two passes per query, report the per-query minimum: the machine
     // shares a host (load-average swings with zero local processes), so

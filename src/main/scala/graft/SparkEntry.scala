@@ -222,11 +222,14 @@ object SparkEntry {
     // the "distinct across windows without raw data" pattern (rows-only)
     "q_hll_rollup" -> ((s, dir) => {
       import graft.functions.HllFunctions._
+      // merge once per group; estimate is a scalar projection over the
+      // merged sketch, outside the aggregate expression tree
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(hll_sketch(col("user_id")).as("sk"))
         .groupBy(col("event_type"))
-        .agg(hll_estimate(hll_merge(col("sk"))).as("approx_users"))
+        .agg(hll_merge(col("sk")).as("msk"))
+        .select(col("event_type"), hll_estimate(col("msk")).as("approx_users"))
     }),
     // quantile-sketch rollup: per-day value sketches re-merged per type —
     // percentiles across windows without rescanning raw events (rows-only)
@@ -236,10 +239,11 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(q_sketch(col("value"), col("event_id")).as("sk"))
         .groupBy(col("event_type"))
-        .agg(
-          round(q_sketch_quantile(q_sketch_merge(col("sk")), lit(0.5)), 4).as("p50"),
-          round(q_sketch_quantile(q_sketch_merge(col("sk")), lit(0.95)), 4).as("p95"),
-          round(q_sketch_quantile(q_sketch_merge(col("sk")), lit(0.99)), 4).as("p99"))
+        .agg(q_sketch_merge(col("sk")).as("msk")) // ONE merge per group
+        .select(col("event_type"),
+          round(q_sketch_quantile(col("msk"), lit(0.5)), 4).as("p50"),
+          round(q_sketch_quantile(col("msk"), lit(0.95)), 4).as("p95"),
+          round(q_sketch_quantile(col("msk"), lit(0.99)), 4).as("p99"))
     }),
     // --- corpus statistics / curation (training-data pipeline) ---
     "q_doc_freq" -> ((s, dir) =>

@@ -213,7 +213,14 @@ object Dedup {
     * agreement fraction (the MinHash Jaccard estimate). */
   def minhashCandidates(docs: DataFrame, n: Int = 4,
                         minEstJaccard: Double = 0.0): DataFrame = {
-    val sig = minhashSignatures(docs, n).cache()
+    // localCheckpoint, not cache(): the signature table feeds three
+    // consumers (band explosion + both sides of the pair join), so it
+    // must materialize once — but cache() pins blocks in the session's
+    // CacheManager until an explicit unpersist that a lazily-returned
+    // DataFrame can never schedule. Eager localCheckpoint blocks are
+    // GC-owned: the ContextCleaner frees them once the plan is
+    // unreachable, so long-lived sessions don't leak.
+    val sig = minhashSignatures(docs, n).localCheckpoint(true)
     val bandKey = (b: Int) =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*))
     val bands = (0 until numBands).map { b =>

@@ -52,7 +52,15 @@ object CMS {
     }
   }
 
+  /** A sketch column is just `binary` — any malformed blob can reach
+    * merge/estimate, and without this check it dies deep in the agg as
+    * an ArrayIndexOutOfBoundsException. */
+  def checkLen(buf: Array[Byte]): Unit =
+    require(buf.length == Len,
+      s"cm sketch must be exactly $Len bytes (d=$D×w=$W×8), got ${buf.length}")
+
   def estimate(buf: Array[Byte], hashes: Array[Long]): Long = {
+    checkLen(buf)
     var mn = Long.MaxValue
     var r = 0
     while (r < D) {
@@ -65,6 +73,7 @@ object CMS {
   }
 
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    checkLen(b)
     var r = 0
     while (r < D) {
       var c = 0

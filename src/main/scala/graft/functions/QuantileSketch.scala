@@ -100,6 +100,8 @@ object QSketch {
   }
 
   def deserialize(bytes: Array[Byte]): Buf = {
+    require(bytes.length % 16 == 0 && bytes.length / 16 <= K,
+      s"q_sketch must be n×16 bytes with n ≤ $K, got ${bytes.length} bytes")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val n = bytes.length / 16
     val b = new Buf(new Array[Long](K), new Array[Double](K), 0)

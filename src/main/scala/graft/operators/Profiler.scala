@@ -3,16 +3,21 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Single-pass data-quality profile: per-column row/null/distinct
-  * counts and min/max, unpivoted to one row per column — the first
-  * query anyone runs against an unfamiliar 100 TB table, and the
-  * validation gate a pipeline runs after every load.
+/** Data-quality profile: per-column row/null/distinct counts and
+  * min/max, unpivoted to one row per column — the first query anyone
+  * runs against an unfamiliar 100 TB table, and the validation gate a
+  * pipeline runs after every load.
   *
-  * One aggregate computes every column's stats in a single scan
-  * (count/min/max are partial-aggregated map-side; exact distinct adds
-  * one expand — swap `approxDistinct = true` for HLL at extreme
-  * cardinality, same single-pass shape), then a literal-array explode
-  * unpivots columns to rows — no second scan, no per-column jobs. */
+  * One aggregate computes every column's count/min/max stats in a
+  * single scan (partial-aggregated map-side); the k exact-distinct
+  * counts run as k additional single-column pruned scans cross-joined
+  * onto the 1-row stats (see the shape note below — this avoids the
+  * Expand a fused multi-distinct would plan). NOTE: that makes the
+  * profile k+1 independent Spark jobs, NOT one atomic pass — against a
+  * table mutated between jobs the per-column snapshots can be mutually
+  * inconsistent; profile an immutable snapshot (or a pinned version)
+  * when that matters. `approxDistinct = true` keeps the same shape with
+  * HLL instead of exact distinct. */
 object Profiler {
 
   def profile(df: DataFrame, cols: Seq[String],

@@ -41,6 +41,10 @@ case class TopKPerKeyPlan(
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  // empty keys would reach physical planning as ClusteredDistribution(Nil)
+  // and die there with an obscure internal error; fail at construction
+  require(partitionExprs.nonEmpty,
+    "TopKPerKey needs at least one key column (for a global top-k, sort + limit)")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =

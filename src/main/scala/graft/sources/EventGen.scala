@@ -52,8 +52,13 @@ object EventGen {
     StructField("event_type", StringType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
-  def h1(i: Long): Long = (i * 2654435761L + 1013904223L) % P
-  def h2(i: Long): Long = (i * 2246822519L + 3266489917L) % P
+  // reduce i mod P BEFORE multiplying: (i%P)*a stays < 2^62 for any i,
+  // where the naive i*a overflows signed 64-bit past i ≈ 3.5e9 rows —
+  // and DuckDB (which promotes to HUGEINT instead of wrapping) would
+  // silently diverge from the overflowed Spark values at that scale.
+  // (i%P * a) % P ≡ (i*a) % P, so values are unchanged where both work.
+  def h1(i: Long): Long = ((i % P) * 2654435761L + 1013904223L) % P
+  def h2(i: Long): Long = ((i % P) * 2246822519L + 3266489917L) % P
 
   /** Column generators by field name; value = (h2 % 1000)/10 — one
     * decimal, sums stay on the 4dp rounding grid. */
@@ -71,10 +76,10 @@ object EventGen {
                stepMs: Long = 1000L, usersCard: Long = 1000L): String =
     s"""SELECT i AS event_id,
        |       epoch_ms($startTsMs + i * $stepMs) AS ts,
-       |       ((i * 2654435761 + 1013904223) % $P) % $usersCard AS user_id,
+       |       (((i % $P) * 2654435761 + 1013904223) % $P) % $usersCard AS user_id,
        |       list_value('page_view','click','scroll','conversion','add_to_cart')
-       |         [CAST(((i * 2246822519 + 3266489917) % $P) % 5 AS INTEGER) + 1] AS event_type,
-       |       CAST(((i * 2246822519 + 3266489917) % $P) % 1000 AS DOUBLE) / 10.0 AS value
+       |         [CAST((((i % $P) * 2246822519 + 3266489917) % $P) % 5 AS INTEGER) + 1] AS event_type,
+       |       CAST((((i % $P) * 2246822519 + 3266489917) % $P) % 1000 AS DOUBLE) / 10.0 AS value
        |FROM (SELECT unnest(range(0, $totalRows)) AS i)""".stripMargin
 }
 
