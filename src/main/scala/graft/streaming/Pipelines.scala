@@ -62,22 +62,51 @@ object Pipelines {
     PerformanceTracker.metrics(
       events.withWatermark("ts", watermark), windowDuration = window)
 
-  /** Storage sink (S5 analog): append each micro-batch to a parquet
+  /** Idempotent micro-batch write for the storage sink. foreachBatch is
+    * at-least-once: after a crash between the parquet commit and the
+    * checkpoint commit, Spark REPLAYS the batch, and a plain append would
+    * double every row (the gap the reference closes with transactional
+    * producer ids — services/processing/src/connectors/kafka_sink.py:18).
+    * Exactly-once here comes from making the replay a no-op: each batch
+    * lands in its own (p_date, batch_id) partitions and the write runs in
+    * dynamic partition-overwrite mode, so re-running batch N rewrites
+    * exactly the partitions batch N already produced — no read of
+    * existing data, no key comparison, O(batch) work at any table size.
+    * Within a batch, append-mode windowed output is already unique per
+    * (window, keys), so partition-level idempotence IS row-level
+    * exactly-once. */
+  def writeStorageBatch(batch: DataFrame, batchId: Long, path: String,
+                        sortKey: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val tsCol = sortKey.head
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      batch
+        .withColumn("p_date", to_date(timestamp_millis(col(tsCol))))
+        .withColumn("batch_id", lit(batchId))
+        .repartition(col("p_date"))
+        .sortWithinPartitions(sortKey.map(col): _*)
+        .write.mode("overwrite").partitionBy("p_date", "batch_id").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Storage sink (S5 analog): write each micro-batch to a parquet
     * table partitioned by UTC date of the window start and sorted within
     * partitions on the MergeTree-style sort key — date partition pruning
-    * then mirrors ClickHouse range reads (SURVEY §4 storage layout). */
+    * then mirrors ClickHouse range reads (SURVEY §4 storage layout).
+    * Batch replays after crash are absorbed by [[writeStorageBatch]]'s
+    * partition-overwrite idempotence (exactly-once table contents). */
   def startStorageSink(df: DataFrame, path: String, checkpoint: String,
                        sortKey: Seq[String]): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val tsCol = sortKey.head
-        batch
-          .withColumn("p_date", to_date(timestamp_millis(col(tsCol))))
-          .repartition(col("p_date"))
-          .sortWithinPartitions(sortKey.map(col): _*)
-          .write.mode("append").partitionBy("p_date").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeStorageBatch(batch, batchId, path, sortKey)
       }
       .start()
 
@@ -135,7 +164,9 @@ object Pipelines {
     * input scale; readers get a consistent newest-N table at all times
     * (written to a temp dir + atomic-ish swap via overwrite). */
   def startServingSnapshot(eventMetrics: DataFrame, path: String,
-                           checkpoint: String, retain: Int = 120): StreamingQuery =
+                           checkpoint: String, retain: Int = 120,
+                           ttlMs: Long = 6L * 3600 * 1000,
+                           now: () => Long = () => System.currentTimeMillis()): StreamingQuery =
     eventMetrics.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -147,7 +178,15 @@ object Pipelines {
         val merged =
           if (existing.columns.sameElements(batch.columns))
             existing.unionByName(batch) else batch
-        val keep = merged
+        // two eviction rules, matching the reference cache: newest-N
+        // retention trim (repository.py:54-115) AND age-based TTL
+        // (services/cache/src/core/config.py:24 — 6 h hash expiry);
+        // a window older than the TTL leaves the snapshot even when
+        // fewer than `retain` windows exist. `now` is injectable so
+        // specs can move the clock instead of sleeping.
+        val fresh = merged.filter(
+          org.apache.spark.sql.functions.col("window_start_ms") >= now() - ttlMs)
+        val keep = fresh
           .orderBy(org.apache.spark.sql.functions.col("window_start_ms").desc,
             org.apache.spark.sql.functions.col("event_type"))
           .limit(retain)
@@ -172,13 +211,8 @@ object Pipelines {
         .outputMode("append")
         .option("checkpointLocation", s"$outDir/_chk/$name")
         .trigger(trigger)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val tsCol = key.head
-          batch
-            .withColumn("p_date", to_date(timestamp_millis(col(tsCol))))
-            .repartition(col("p_date"))
-            .sortWithinPartitions(key.map(col): _*)
-            .write.mode("append").partitionBy("p_date").parquet(s"$outDir/$name")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeStorageBatch(batch, batchId, s"$outDir/$name", key)
         }
         .start()
     }

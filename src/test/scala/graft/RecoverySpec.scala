@@ -45,6 +45,31 @@ class RecoverySpec extends AnyFunSuite {
       "duplicate event_ids after recovery")
   }
 
+  test("replayed micro-batch leaves the storage table unchanged (idempotent sink)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_idem").toString + "/t"
+    val key = Seq("window_start_ms", "event_type")
+    val base = 1714867200000L
+    val b0 = Seq((base, "view", 5L), (base + 60000L, "click", 3L))
+      .toDF("window_start_ms", "event_type", "event_count")
+    graft.streaming.Pipelines.writeStorageBatch(b0, 7L, path, key)
+    val once = spark.read.parquet(path).collect().toSet
+    assert(once.size == 2)
+    // crash between parquet commit and checkpoint commit → Spark calls
+    // foreachBatch AGAIN with the same batchId and the same data; the
+    // dynamic partition overwrite must make that a no-op
+    graft.streaming.Pipelines.writeStorageBatch(b0, 7L, path, key)
+    assert(spark.read.parquet(path).collect().toSet == once,
+      "replay of the same batch id duplicated rows")
+    // a NEW batch id appends alongside, never clobbers
+    val b1 = Seq((base + 120000L, "view", 9L))
+      .toDF("window_start_ms", "event_type", "event_count")
+    graft.streaming.Pipelines.writeStorageBatch(b1, 8L, path, key)
+    val after = spark.read.parquet(path)
+    assert(after.count() == 3)
+    assert(after.select($"window_start_ms", $"event_type", $"event_count")
+      .distinct().count() == 3)
+  }
+
   test("pipeline runs under the RocksDB state store provider") {
     val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
