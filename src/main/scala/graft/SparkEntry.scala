@@ -83,7 +83,7 @@ object SparkEntry {
       graft.ann.Quantize.quantizeDigest(Tables.embeddings(s, dir))),
     "q_quant_knn" -> ((s, dir) => // quantized candidates + exact re-rank
       graft.ann.Quantize.quantKnn(Tables.embeddings(s, dir))),
-    "q_ivf_knn" -> ((s, dir) => // approximate: rows-only driver check
+    "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
     // --- relational / joins over the star schema ---
     "q_revenue_nation" -> ((s, dir) =>
@@ -446,6 +446,9 @@ object SparkEntry {
       "q_user_timeline" -> Behavior.userTimelineSql,
       // LSH hyperplanes are data-independent md5 constants → exact oracle
       "q_lsh_knn" -> graft.ann.Similarity.lshKnnSql(),
+      // IVF centroids are md5-hash-sampled + cells argmax'd on the
+      // bit-identical double cosine → the full pipeline replays in SQL
+      "q_ivf_knn" -> graft.ann.IvfKnn.ivfKnnSql(),
       "q_quantize" -> graft.ann.Quantize.quantizeDigestSql,
       "q_quant_knn" -> graft.ann.Quantize.quantKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,

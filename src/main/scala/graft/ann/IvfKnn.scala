@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object IvfKnn {
 
-  /** kCells deterministic centroids: the rows with smallest
-    * xxhash64(vec_id) — hash-spread, stable across runs and partitionings. */
+  /** kCells deterministic centroids: the rows with the smallest
+    * md5-derived 60-bit hash of vec_id — hash-spread, stable across runs
+    * and partitionings. md5 (not xxhash64) because it is the one hash
+    * DuckDB shares, which makes the whole IVF pipeline oracle-checkable:
+    * hex digits 1-15 → bigint is `conv(...,16,10)` here and
+    * `('0x' || substr(...))::BIGINT` there, bit-identical. */
+  def centroidHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
   def centroids(embs: DataFrame, kCells: Int): Array[Array[Float]] =
     embs.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(centroidHash(col("vec_id")), col("vec_id"))
       .limit(kCells)
       .select(col("embedding"))
       .collect()
@@ -85,5 +92,52 @@ object IvfKnn {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** DuckDB oracle for [[ivfKnn]]. Centroid choice, cell assignment and
+    * probing replay the exact engine arithmetic: the centroid hash is the
+    * shared md5-bigint; cell ranking orders by the UNROUNDED cosine
+    * (both engines widen float elements exactly and accumulate the dot
+    * product left-to-right in double, so the ordering is bit-identical —
+    * same property [[Similarity.lshKnnSql]] relies on for hyperplane
+    * signs), ties broken by cell index, matching the stable sortBy in
+    * [[rankedCells]]. */
+  def ivfKnnSql(queryMaxId: Long = 10, k: Int = 5,
+                kCells: Int = 16, nprobe: Int = 4): String = {
+    def cosSql(a: String, b: String) =
+      s"""list_dot_product($a, $b) /
+         |             (sqrt(list_dot_product($a, $a)) *
+         |              sqrt(list_dot_product($b, $b)))""".stripMargin
+    s"""WITH hashed AS (
+       |  SELECT vec_id, embedding,
+       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+       |         embedding AS c_emb
+       |  FROM hashed ORDER BY h, vec_id LIMIT $kCells),
+       |cellrank AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM cellrank WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, cell
+       |  FROM cellrank WHERE vec_id < $queryMaxId AND rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         round(${cosSql("p.q_emb", "a.embedding")}, 4) AS cos_sim
+       |  FROM probes p JOIN assigned a
+       |    ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, cos_sim,
+       |       CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
   }
 }
