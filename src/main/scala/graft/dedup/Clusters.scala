@@ -121,6 +121,79 @@ object Clusters {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the high-diameter scale path. Min-label propagation moves a label
+    * ONE hop per round (rounds = graph diameter); the star operations
+    * rewire the edge set itself toward the component minimum, converging
+    * in O(log d) rounds with the same join+aggregate per-round shape:
+    *
+    *  - large-star(c): every neighbor LARGER than c re-attaches to
+    *    min(N(c) ∪ {c}) — long chains contract toward small labels;
+    *  - small-star(c): c and its SMALLER neighbors all attach to their
+    *    minimum — locally canonicalizes into stars.
+    *
+    * Both preserve connectivity exactly (no approximation); at the fixed
+    * point every component is a star rooted at its minimum id, which is
+    * precisely the (doc_id, cluster_id) output contract. LSH candidate
+    * graphs are near-cliques where min-label already converges in 3-4
+    * rounds; this variant exists for adversarially chained graphs (e.g.
+    * near-dup "drift" chains A≈B≈C≈… across a crawl) where diameter can
+    * reach hundreds. Same output as [[connectedComponents]],
+    * spec-asserted equal on both shapes. */
+  def connectedComponentsStar(pairs: DataFrame,
+                              maxRounds: Int = 64): DataFrame =
+    starRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponentsStar]] + the number of large+small rounds it
+    * took to converge (exposed for specs/monitoring). */
+  def starRounds(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    // canonical undirected edge set: u < v, no self-loops, no dups
+    var edges = pairs
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      // LARGE-STAR. Symmetrize so every node is a center once with its
+      // full neighborhood; m = min(neighbors ∪ {center}); neighbors
+      // strictly larger than the center re-attach to m. Edges (n, m)
+      // come out already canonical (m ≤ c < n).
+      val sym = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionAll(edges.select(col("v").as("c"), col("u").as("n")))
+      val lmin = sym.groupBy(col("c"))
+        .agg(least(min(col("n")), col("c")).as("m"))
+      val large = sym.join(lmin, "c")
+        .filter(col("n") > col("c"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // SMALL-STAR on the canonical direction only: center = larger
+      // endpoint, neighbors all smaller; center and neighbors attach to
+      // the group minimum.
+      val dir = large.select(col("v").as("c"), col("u").as("n"))
+      val smin = dir.groupBy(col("c")).agg(min(col("n")).as("m"))
+      val small = dir
+        .unionAll(dir.select(col("c"), col("c").as("n")).distinct())
+        .join(smin, "c")
+        .filter(col("n") =!= col("m"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .distinct().localCheckpoint()
+      // fixed point: the round neither added nor removed an edge
+      // (small ⊆ edges tested by anti join, sizes equal ⇒ sets equal)
+      val grew = small.join(edges, Seq("u", "v"), "left_anti").count()
+      done = grew == 0 && small.count() == edges.count()
+      edges = small
+      rounds += 1
+    }
+    // at the fixed point every edge is (componentMin, member): members
+    // label directly, roots label themselves
+    val labels = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .unionAll(edges.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct())
+      .distinct()
+    (labels, rounds)
+  }
+
   /** End-to-end: MinHash-LSH candidates at `minEstJaccard`, clustered.
     * @see [[Dedup.minhashCandidates]] */
   def dupClusters(docs: DataFrame, n: Int = 4,

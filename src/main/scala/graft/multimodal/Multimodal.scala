@@ -47,6 +47,73 @@ object Multimodal {
     }
   }
 
+  /** Real image header codec: parses actual PNG IHDR and JPEG SOF
+    * structures straight from the binary column — no java.awt decode, no
+    * pixel buffer, just the few header bytes, which is also the right
+    * 100 TB shape (metadata extraction must not decompress 100 TB of
+    * pixels; full decode belongs to the explicit resize/feature stages).
+    * Returns None for bytes that are not a known image container (the
+    * synthetic corpus, audio, truncated blobs) — callers fall back to
+    * [[FakeCodec]], so deterministic oracle queries are unchanged. */
+  object ImageHeaderCodec {
+    def isPng(b: Array[Byte]): Boolean =
+      b.length > 33 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    def isJpeg(b: Array[Byte]): Boolean =
+      b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+    private def u32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    private def u16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (always first):
+      * 4 len + "IHDR" + width u32 + height u32 + bitdepth + colortype. */
+    private def png(m: MediaRow): Option[MediaMeta] = {
+      val b = m.media
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+      val channels = (b(25) & 0xff) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return None
+      }
+      Some(MediaMeta(m.doc_id, m.media_type, b.length.toLong,
+        u32(b, 16), u32(b, 20), channels))
+    }
+
+    /** JPEG: walk the marker stream to the first SOFn frame header
+      * (precision u8, height u16, width u16, components u8). */
+    private def jpeg(m: MediaRow): Option[MediaMeta] = {
+      val b = m.media
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // desynced marker stream
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          i += 2 // standalone marker, no length field
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
+                   marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 9 >= b.length) return None
+          return Some(MediaMeta(m.doc_id, m.media_type, b.length.toLong,
+            u16(b, i + 7), u16(b, i + 5), b(i + 9) & 0xff))
+        } else {
+          i += 2 + u16(b, i + 2) // skip segment payload
+        }
+      }
+      None
+    }
+
+    def decode(m: MediaRow): Option[MediaMeta] =
+      try {
+        if (isPng(m.media)) png(m)
+        else if (isJpeg(m.media)) jpeg(m)
+        else None
+      } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
   /** Attach a synthetic binary media column (UTF-8 bytes of the text —
     * the driver corpus has no real media) with a deterministic type tag.
     * In production this column comes straight from parquet/object-store. */
@@ -62,11 +129,15 @@ object Multimodal {
   }
 
   /** Decode/feature-extract: batch-shaped per-partition map — codec
-    * setup (the expensive part with a real codec) amortizes across the
-    * partition's iterator, exactly like mapInPandas batches. */
+    * setup (the expensive part with a full codec) amortizes across the
+    * partition's iterator, exactly like mapInPandas batches. Real image
+    * containers get real header parsing ([[ImageHeaderCodec]]); anything
+    * else falls back to the deterministic [[FakeCodec]], which keeps the
+    * synthetic-corpus oracle exact. */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(FakeCodec.decode))
+    media.mapPartitions(_.map(m =>
+      ImageHeaderCodec.decode(m).getOrElse(FakeCodec.decode(m))))
   }
 
   /** Frame sampling: one input row → nFrames rows. flatMap keeps it

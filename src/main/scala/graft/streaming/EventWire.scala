@@ -49,6 +49,38 @@ object EventWire {
     "startingOffsets" -> "earliest",
     "failOnDataLoss" -> "false")
 
+  /** The Kafka source relation shape — spark-sql-kafka's fixed output
+    * schema (key/value as raw bytes, record coordinates, timestamp,
+    * headers). Pinned here so wire-level tests compile and run against
+    * the exact record layout the connector produces even though this
+    * environment carries no Kafka jar: any DataFrame in this shape is
+    * indistinguishable from a real `format("kafka")` read downstream. */
+  val kafkaRecordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", BinaryType)))))))
+
+  /** Decode straight off Kafka-shaped records: the connector's `value`
+    * bytes are UTF-8 JSON per the reference wire format; everything else
+    * (key, coordinates, headers) is transport metadata the reference
+    * source ignores too. */
+  def decodeKafka(records: DataFrame): DataFrame =
+    decode(records.select(col("value").cast("string").as("value")))
+
+  /** Wire-level re-encode: parse `value` against the full nested schema
+    * and serialize it back. For a canonical record (every schema field
+    * present, schema field order, no whitespace) this is byte-for-byte
+    * identity — the property that pins the JSON wire contract. */
+  def reencode(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.select(to_json(from_json(col(valueCol), nestedSchema)).as("value"))
+
   /** Lenient JSON decode + nested-field projection (P1): string `value`
     * column → flat typed columns + event_time. Rows whose JSON is
     * unparseable or missing the required type/timestamp are dropped —

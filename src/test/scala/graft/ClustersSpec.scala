@@ -7,8 +7,9 @@ class ClustersSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  /** Every assertion runs BOTH paths: driver union-find (default
-    * threshold) and the distributed label loop (threshold 0). */
+  /** Every assertion runs ALL THREE paths: driver union-find (default
+    * threshold), the distributed min-label loop (threshold 0), and the
+    * alternating large-star/small-star variant. */
   private def cc(pairs: (Long, Long)*): Map[Long, Long] = {
     val df = pairs.toDF("a_id", "b_id")
     val fast = Clusters.connectedComponents(df)
@@ -16,6 +17,9 @@ class ClustersSpec extends AnyFunSuite {
     val dist = Clusters.connectedComponents(df, smallGraphThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(fast == dist, "union-find and distributed paths disagree")
+    val star = Clusters.connectedComponentsStar(df)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == star, "union-find and star paths disagree")
     fast
   }
 
@@ -45,6 +49,20 @@ class ClustersSpec extends AnyFunSuite {
       val byCluster = got.groupBy(_._2).view.mapValues(_.keys.min)
       byCluster.foreach { case (label, minMember) => assert(label == minMember) }
     }
+  }
+
+  test("star variant matches min-label on a diameter-24 path in O(log d) rounds") {
+    // path 0-1-2-…-24: min-label propagation moves the 0 label one hop
+    // per round, so it needs ≥ diameter (24) rounds to converge; the
+    // alternating star rounds must land the same single cluster in
+    // logarithmically few.
+    val pairs = (0L until 24L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Clusters.starRounds(pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 24L).map(_ -> 0L).toMap)
+    assert(rounds < 12, s"star CC took $rounds rounds on diameter 24 — " +
+      "no better than one-hop label propagation")
+    info(s"star CC converged in $rounds rounds (min-label needs 24)")
   }
 
   test("dupClusters groups near-identical docs end to end") {

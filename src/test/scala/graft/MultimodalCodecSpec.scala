@@ -1,0 +1,83 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{ImageHeaderCodec, MediaRow}
+
+/** Real-codec leg of the multimodal stage: the header parser must agree
+  * with javax.imageio on genuine PNG/JPEG bytes (fixtures are encoded
+  * in-test by ImageIO itself, so they are real container structures, not
+  * hand-crafted byte strings), while non-image bytes keep flowing to the
+  * deterministic FakeCodec — which is what keeps q_media_meta's oracle
+  * exact on the synthetic corpus. */
+class MultimodalCodecSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, bos), s"JVM carries no $format writer")
+    bos.toByteArray
+  }
+
+  private def rgb(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    img
+  }
+
+  test("PNG IHDR parsing matches ImageIO on real encoder output") {
+    for ((w, h) <- Seq((640, 480), (17, 923), (1, 1))) {
+      val bytes = encode(rgb(w, h), "png")
+      val meta = ImageHeaderCodec.decode(MediaRow(1L, "image/png", bytes))
+        .getOrElse(fail("real PNG not recognized"))
+      assert((meta.width, meta.height) == (w, h))
+      assert(meta.channels == 3) // TYPE_INT_RGB → truecolor
+      assert(meta.n_bytes == bytes.length)
+      val crossCheck = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert((crossCheck.getWidth, crossCheck.getHeight) == (meta.width, meta.height))
+    }
+    // gray+alpha exercises the colorType→channels table beyond truecolor
+    val ga = new BufferedImage(5, 9, BufferedImage.TYPE_BYTE_GRAY)
+    val gaMeta = ImageHeaderCodec.decode(
+      MediaRow(2L, "image/png", encode(ga, "png"))).get
+    assert((gaMeta.width, gaMeta.height, gaMeta.channels) == (5, 9, 1))
+  }
+
+  test("JPEG SOF parsing matches ImageIO on real encoder output") {
+    for ((w, h) <- Seq((320, 200), (1024, 3))) {
+      val bytes = encode(rgb(w, h), "jpg")
+      val meta = ImageHeaderCodec.decode(MediaRow(3L, "image/jpeg", bytes))
+        .getOrElse(fail("real JPEG not recognized"))
+      assert((meta.width, meta.height) == (w, h))
+      assert(meta.channels == 3) // YCbCr
+      val crossCheck = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert((crossCheck.getWidth, crossCheck.getHeight) == (w, h))
+    }
+  }
+
+  test("extractMeta routes real images to the header codec, other bytes to FakeCodec") {
+    import spark.implicits._
+    val png = encode(rgb(64, 32), "png")
+    val jpg = encode(rgb(48, 16), "jpg")
+    val text = "plain text pretending to be media".getBytes("UTF-8")
+    val truncatedPng = png.take(20) // signature but no full IHDR
+    val rows = Seq(
+      MediaRow(1L, "image/png", png),
+      MediaRow(2L, "image/jpeg", jpg),
+      MediaRow(3L, "audio/wav", text),
+      MediaRow(4L, "image/png", truncatedPng))
+    val got = Multimodal.extractMeta(rows.toDS())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert((got(1L).width, got(1L).height, got(1L).channels) == (64, 32, 3))
+    assert((got(2L).width, got(2L).height, got(2L).channels) == (48, 16, 3))
+    // non-image and truncated blobs take the deterministic fake path
+    val fake3 = Multimodal.FakeCodec.decode(rows(2))
+    assert(got(3L) == fake3)
+    val fake4 = Multimodal.FakeCodec.decode(rows(3))
+    assert(got(4L) == fake4)
+  }
+}
