@@ -40,6 +40,8 @@ object SparkEntry {
       Scalars.filterProject(Tables.events(s, dir))),
     "q_validate" -> ((s, dir) =>
       Validator.validate(Tables.events(s, dir))),
+    "q_type_sniff" -> ((s, dir) => // P14 int→float→string coercion ladder
+      Scalars.typeSniff(Tables.events(s, dir))),
     // --- serving read models (SURVEY §2.7, A8/P13) ---
     "q_pivot_counts" -> ((s, dir) =>
       Serving.pivotEventCounts(
@@ -369,6 +371,7 @@ object SparkEntry {
         """SELECT event_id, user_id, value FROM events
           |WHERE event_type = 'purchase' AND value IS NOT NULL AND value > 50.0""".stripMargin,
       "q_validate" -> Validator.validateSql,
+      "q_type_sniff" -> Scalars.typeSniffSql,
       "q_pivot_counts" ->
         s"""WITH ea AS (
            |  SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms, event_type,

@@ -40,4 +40,44 @@ object Scalars {
       .filter(col("event_type") === "purchase" &&
               col("value").isNotNull && col("value") > minValue)
       .select(col("event_id"), col("user_id"), col("value"))
+
+  /** String→number type sniffing (P14): the reference cache reads hash
+    * values back as strings and coerces int → float → string in that
+    * order (services/cache/src/infrastructure/redis/repository.py:
+    * 117-127). Same ladder here over three raw strings per event (a pure
+    * integer, a synthesized decimal, a word). The integer rung is a
+    * regex, not a cast: engines disagree on casting decimal strings to
+    * integers (DuckDB rounds '42.7'→43 where ANSI Spark refuses), and
+    * Python's int() — the semantics being mirrored — refuses too. */
+  def typeSniff(events: DataFrame): DataFrame = {
+    val isInt = regexp_like(col("raw"), lit("^-?[0-9]+$"))
+    val asDouble = expr("try_cast(raw AS DOUBLE)")
+    events
+      .select(col("event_id"), explode(array(
+        col("user_id").cast("string"),
+        concat_ws(".", col("user_id").cast("string"),
+          length(col("event_type")).cast("string")),
+        col("event_type"))).as("raw"))
+      .select(col("event_id"), col("raw"),
+        when(isInt, "int").when(asDouble.isNotNull, "float")
+          .otherwise("string").as("kind"),
+        when(isInt, expr("try_cast(raw AS BIGINT)")).as("int_val"),
+        round(asDouble, 4).as("num_val"))
+  }
+
+  val typeSniffSql: String =
+    """WITH raws AS (
+      |  SELECT event_id, unnest([
+      |    CAST(user_id AS VARCHAR),
+      |    CAST(user_id AS VARCHAR) || '.' || CAST(length(event_type) AS VARCHAR),
+      |    event_type]) AS raw
+      |  FROM events)
+      |SELECT event_id, raw,
+      |  CASE WHEN regexp_matches(raw, '^-?[0-9]+$') THEN 'int'
+      |       WHEN TRY_CAST(raw AS DOUBLE) IS NOT NULL THEN 'float'
+      |       ELSE 'string' END AS kind,
+      |  CASE WHEN regexp_matches(raw, '^-?[0-9]+$')
+      |       THEN CAST(raw AS BIGINT) END AS int_val,
+      |  round(TRY_CAST(raw AS DOUBLE), 4) AS num_val
+      |FROM raws""".stripMargin
 }

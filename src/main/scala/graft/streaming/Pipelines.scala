@@ -110,6 +110,70 @@ object Pipelines {
       }
       .start()
 
+  /** Processing-time mode (P11/W5): the reference's non-production runs
+    * swap the event-time column for Flink's `PROCTIME()`
+    * (event_source.py:58-59; jobs switch on app_environment). Spark
+    * analog: `current_timestamp()` in a streaming query is evaluated
+    * once per micro-batch at planning time — constant within a batch,
+    * monotonically increasing across batches — which IS proc-time at
+    * micro-batch granularity. Prepending this transform puts any
+    * existing pipeline in proc-time mode (windows tumble on arrival
+    * time; watermark delay 0 is sound because arrival time never
+    * regresses), mirroring the reference's time-column switch. */
+  def withProcTime(events: DataFrame, timeCol: String = "ts"): DataFrame =
+    events.withColumn(timeCol, current_timestamp())
+
+  /** Proc-time event metrics: the reference's dev-mode aggregation.
+    * Uses the HLL distinct variant — streaming-safe built-in agg; the
+    * exact-distinct state op stays the event-time production path. */
+  def procTimeMetrics(events: DataFrame, window: String = "60 seconds"): DataFrame =
+    eventMetricsApprox(withProcTime(events), watermark = "0 seconds", window = window)
+
+  /** Sentinel type for watermark-liveness heartbeats (W6). */
+  val heartbeatType = "__heartbeat"
+
+  /** Idle-source watermark liveness (W6): Flink has
+    * `table.exec.source.idle-timeout` so an idle Kafka partition cannot
+    * stall the watermark (job_coordinator.py:53-55); Spark has no such
+    * knob — the query watermark is the min across sources and an idle
+    * source freezes emission. Equivalent mechanism: union a heartbeat
+    * stream (a rate source in production, its own topic, or any ticking
+    * input) into the events BEFORE the watermark. Heartbeat rows carry
+    * only a timestamp and the sentinel type.
+    *
+    * CRITICAL ordering constraint: heartbeats must NOT be filtered
+    * before the watermark node — Catalyst pushes filters below
+    * EventTimeWatermark, and a dropped row never advances the watermark.
+    * So the windowed aggregate keys heartbeats like any other type and
+    * the SINK drops the sentinel groups (a post-state filter in
+    * foreachBatch or at read time, outside the optimized plan). */
+  def withHeartbeats(events: DataFrame, heartbeats: DataFrame,
+                     timeCol: String = "ts"): DataFrame = {
+    val hb = heartbeats.select(
+      lit(null).cast("long").as("event_id"),
+      col(timeCol).as(timeCol),
+      lit(null).cast("long").as("user_id"),
+      lit(heartbeatType).as("event_type"),
+      lit(null).cast("double").as("value"))
+    events.select(col("event_id"), col(timeCol), col("user_id"),
+      col("event_type"), col("value")).unionByName(hb)
+  }
+
+  /** Windowed metrics over a heartbeat-merged stream: NO pre-aggregation
+    * type filter (see [[withHeartbeats]]), heartbeat groups flow into the
+    * output and are dropped by the sink. */
+  def idleSafeMetrics(merged: DataFrame,
+                      watermark: String = "10 seconds",
+                      windowDur: String = "60 seconds"): DataFrame =
+    merged.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(col("event_type")).as("event_count"),
+        approx_count_distinct(col("user_id")).as("user_count"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        unix_millis(col("window.end")).as("window_end_ms"),
+        col("event_type"), col("event_count"), col("user_count"))
+
   /** Stream-stream interval join (purchase attribution): each purchase
     * matched to the same user's views in the preceding `windowSec`
     * seconds. Both sides carry watermarks and the join condition bounds
