@@ -74,6 +74,10 @@ object SparkEntry {
       graft.dedup.Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash(Tables.documents(s, dir))),
+    "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
+      graft.dedup.Dedup.lineDedup(Tables.documents(s, dir))),
+    "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
+      graft.ann.KMeans.semanticDedup(Tables.embeddings(s, dir))),
     // --- similarity search (training-data pipeline) ---
     "q_knn_cosine" -> ((s, dir) =>
       graft.ann.Similarity.knnBrute(Tables.embeddings(s, dir))),
@@ -425,6 +429,8 @@ object SparkEntry {
       "q_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql(),
       "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
+      "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
+      "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_embed_dedup" -> graft.ann.Similarity.blockedDedupSql(),
       "q_doc_freq" -> graft.text.CorpusStats.docFreqSql,

@@ -62,6 +62,56 @@ object KMeans {
     assign(embs, k, iters).groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec"))
 
+  /** SemDeDup (Abbas et al. 2023): cluster the corpus, then drop any
+    * vector with a LOWER-id near-duplicate (cosine ≥ `threshold`) in the
+    * SAME cluster — semantic dedup at a cost of cluster² instead of
+    * corpus², because cross-cluster pairs are never scored. Keeps the
+    * per-cluster minimum of each near-dup group (deterministic, same
+    * keep-the-min convention as the other dedup families). Output: every
+    * vector with its cluster and a `kept` flag, so downstream can either
+    * filter survivors or audit the drops.
+    *
+    * Scale shape: assignment is the broadcast k-means pipeline; the
+    * pairwise pass shuffles on the cluster key only and AQE splits
+    * skewed clusters; norms are computed once per row before the join. */
+  def semanticDedup(embs: DataFrame, k: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.35): DataFrame = {
+    val assigned = assign(embs, k, iters)
+    val withC = embs.join(assigned, "vec_id")
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val a = withC.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = withC.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(Similarity.dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")), 4) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("__drop").isNull.as("kept"))
+  }
+
+  def semanticDedupSql(k: Int = 8, iters: Int = 2,
+                       threshold: Double = 0.35): String =
+    s"""WITH asg AS (
+       |${assignSql(k, iters)}
+       |),
+       |wc AS (
+       |  SELECT a.cluster, e.vec_id, e.embedding,
+       |         sqrt(list_dot_product(e.embedding, e.embedding)) AS nrm
+       |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM wc x JOIN wc y
+       |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.embedding, y.embedding) /
+       |              (x.nrm * y.nrm), 4) >= $threshold)
+       |SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+       |FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin
+
   /** DuckDB oracle: identical integer pipeline. Parallel unnests zip
     * (code, position); list(... ORDER BY pos) rebuilds centroid
     * vectors; list_dot_product on small ints is exact in double. */

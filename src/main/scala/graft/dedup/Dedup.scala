@@ -48,6 +48,68 @@ object Dedup {
        |       min(doc_id) AS keep_id, count(*) AS dup_count
        |FROM documents GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------------- line dedup
+  /** C4/RefinedWeb-style repeated-span removal: any fixed-width word
+    * span occurring in at least `minDocFrac` of all documents is corpus
+    * boilerplate (headers, footers, license blurbs at web scale) and is
+    * cut from every document; the survivors are re-joined in order.
+    * (The reference corpus has no newlines, so the "line" unit is an
+    * aligned `chunkWords`-word span — same algorithm, same shapes.)
+    *
+    * Scale shape: chunking is map-side (one split + transform per doc);
+    * the frequency count is one groupBy(chunk) with partial aggregation;
+    * the boilerplate set is tiny (spans above a corpus-wide frequency
+    * floor) and broadcasts, so the removal join never shuffles the
+    * corpus. Reconstruction sorts each doc's surviving spans by position
+    * inside the aggregate — no window function, no second shuffle. */
+  def lineDedup(docs: DataFrame, chunkWords: Int = 2,
+                minDocFrac: Double = 0.04): DataFrame = {
+    val minDocs = math.max(2L, math.ceil(minDocFrac * docs.count()).toLong)
+    val chunks = spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(w) >= $chunkWords
+           |THEN transform(sequence(0, size(w) div $chunkWords - 1),
+           |       i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))
+           |ELSE array() END""".stripMargin)).as(Seq("pos", "chunk")))
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("chunk"), lit(1).as("__boiler"))
+    chunks.join(broadcast(boiler), Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips nulls → only surviving spans are gathered;
+        // struct sort restores document order without a window
+        array_join(transform(
+          sort_array(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("chunk"))))),
+          e => e.getField("chunk")), " ").as("clean_text"))
+  }
+
+  def lineDedupSql(chunkWords: Int = 2, minDocFrac: Double = 0.04): String =
+    s"""WITH chunks AS (
+       |  SELECT doc_id, i AS pos,
+       |         array_to_string(w[i*$chunkWords+1 : i*$chunkWords+$chunkWords], ' ') AS chunk
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |          unnest(generate_series(0, len(string_split(text, ' ')) // $chunkWords - 1)) AS i
+       |        FROM documents)),
+       |boiler AS (
+       |  SELECT chunk FROM chunks GROUP BY chunk
+       |  HAVING count(DISTINCT doc_id) >=
+       |    greatest(2, CAST(ceil($minDocFrac * (SELECT count(*) FROM documents)) AS BIGINT))),
+       |marked AS (
+       |  SELECT c.doc_id, c.pos, c.chunk, b.chunk IS NOT NULL AS is_boiler
+       |  FROM chunks c LEFT JOIN boiler b ON b.chunk = c.chunk)
+       |SELECT doc_id,
+       |       count(*) AS n_chunks,
+       |       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' '
+       |                           ORDER BY pos), '') AS clean_text
+       |FROM marked GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- shingles
   /** Spread doc rows across all cores BEFORE per-doc expansion — see
     * [[graft.Tables.spread]] (adaptive: no-op when the scan already has

@@ -20,6 +20,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == java.lang.Long.parseLong(md5hex.take(15), 16))
   }
 
+  test("lineDedup removes corpus-repeated spans, preserves document order") {
+    // the span "common footer" (one aligned 2-word chunk) appears in 3
+    // of 4 docs → boilerplate at minDocFrac 0.5 (minDocs = 2); unique
+    // spans survive in their original order
+    val docs = Seq(
+      (1L, "alpha beta common footer gamma delta"),
+      (2L, "common footer epsilon zeta"),
+      (3L, "eta theta common footer"),
+      (4L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, chunkWords = 2, minDocFrac = 0.5)
+      .select($"doc_id", $"n_chunks", $"n_dropped", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 3L, 1L, "alpha beta gamma delta"))
+    assert(got(2L) == (2L, 2L, 1L, "epsilon zeta"))
+    assert(got(3L) == (3L, 2L, 1L, "eta theta"))
+    assert(got(4L) == (4L, 2L, 0L, "iota kappa lambda mu"))
+  }
+
+  test("lineDedup emits empty text for a fully-boilerplate doc") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, chunkWords = 2, minDocFrac = 0.5)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "", 2L -> "", 3L -> ""))
+  }
+
   test("exact dedup groups identical normalized texts") {
     val docs = Seq(
       (1L, "hello  world"), (2L, "Hello World"), (3L, "other text")
