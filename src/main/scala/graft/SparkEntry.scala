@@ -225,25 +225,30 @@ object SparkEntry {
     "q_perf_approx" -> ((s, dir) =>
       PerformanceTracker.metricsApprox(Tables.events(s, dir))),
     // sketch-column rollup: per-day user sketches re-merged per type —
-    // the "distinct across windows without raw data" pattern (rows-only)
+    // the "distinct across windows without raw data" pattern. The
+    // replicable (md5-hash) sketch variant makes register contents and
+    // the estimate bit-reproducible in DuckDB → full hash-match oracle.
     "q_hll_rollup" -> ((s, dir) => {
       import graft.functions.HllFunctions._
       // merge once per group; estimate is a scalar projection over the
       // merged sketch, outside the aggregate expression tree
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(hll_sketch(col("user_id")).as("sk"))
+        .agg(hll_sketch_r(col("user_id")).as("sk"))
         .groupBy(col("event_type"))
         .agg(hll_merge(col("sk")).as("msk"))
         .select(col("event_type"), hll_estimate(col("msk")).as("approx_users"))
     }),
     // quantile-sketch rollup: per-day value sketches re-merged per type —
-    // percentiles across windows without rescanning raw events (rows-only)
+    // percentiles across windows without rescanning raw events. KMV
+    // bottom-k with the md5 sample hash → the oracle reproduces sample
+    // membership exactly (bottom-k of a union == bottom-k of the union
+    // of bottom-ks, so the per-window sketch step drops out of the SQL).
     "q_quantile_rollup" -> ((s, dir) => {
       import graft.functions.QSketchFunctions._
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(q_sketch(col("value"), col("event_id")).as("sk"))
+        .agg(q_sketch_r(col("value"), col("event_id")).as("sk"))
         .groupBy(col("event_type"))
         .agg(q_sketch_merge(col("sk")).as("msk")) // ONE merge per group
         .select(col("event_type"),
@@ -521,8 +526,73 @@ object SparkEntry {
           |SELECT e.event_id, e.user_id, s.last_orderkey, s.last_totalprice
           |FROM events e ASOF LEFT JOIN snap s
           |  ON e.user_id = s.user_id AND e.ts >= s.o_orderdate""".stripMargin,
-      // q_event_agg_approx / q_perf_approx omitted: sketch results are
-      // engine-specific by design (rows-only check)
+      // HLL rollup: replay the register construction — md5-derived
+      // 64-bit hash, bucket = top 11 bits, rank = leading zeros of the
+      // remaining 53 bits + 1 (left-shift spelled as mod-multiply:
+      // DuckDB raises on UBIGINT shift overflow), then the standard
+      // harmonic estimate with linear-counting small-range correction.
+      // The register sum is an ORDERED list fold so FP addition order
+      // matches the engine's ascending-index loop exactly.
+      "q_hll_rollup" ->
+        """WITH pts AS (
+          |  SELECT event_type,
+          |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+          |  FROM events),
+          |reg AS (
+          |  SELECT event_type, CAST(h >> 53 AS INTEGER) AS idx,
+          |         max(CASE WHEN (h % 9007199254740992::UBIGINT) = 0 THEN 54
+          |                  ELSE 64 - length(bin((h % 9007199254740992::UBIGINT)
+          |                                        * 2048::UBIGINT)) + 1 END) AS rank
+          |  FROM pts GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT t.event_type, g.idx
+          |  FROM (SELECT DISTINCT event_type FROM events) t
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 2047)) AS idx) g),
+          |regs AS (
+          |  SELECT g.event_type, g.idx, coalesce(r.rank, 0) AS rank
+          |  FROM grid g LEFT JOIN reg r ON r.event_type = g.event_type AND r.idx = g.idx),
+          |est AS (
+          |  SELECT event_type,
+          |         list_aggregate(list(1.0 / CAST(1::UBIGINT << rank AS DOUBLE)
+          |                             ORDER BY idx), 'sum') AS s,
+          |         sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS zeros
+          |  FROM regs GROUP BY 1)
+          |SELECT event_type,
+          |  CAST(round(CASE WHEN (0.7213 / (1.0 + 1.079 / 2048.0)) * 2048.0 * 2048.0 / s
+          |                      <= 2.5 * 2048.0 AND zeros > 0
+          |             THEN 2048.0 * ln(2048.0 / zeros)
+          |             ELSE (0.7213 / (1.0 + 1.079 / 2048.0)) * 2048.0 * 2048.0 / s END)
+          |       AS BIGINT) AS approx_users
+          |FROM est""".stripMargin,
+      // KMV rollup: the merged per-type sketch is the 1024 smallest
+      // DISTINCT (hash, value) pairs of that type (bottom-k of a union
+      // of bottom-ks == global bottom-k); quantile = nearest-rank on
+      // the value-sorted sample, rank = min(n, max(1, ceil(p·n))).
+      "q_quantile_rollup" ->
+        """WITH pts AS (
+          |  SELECT DISTINCT event_type,
+          |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+          |         value
+          |  FROM events WHERE value IS NOT NULL),
+          |samp AS (
+          |  SELECT event_type, value,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY h, value) AS rh
+          |  FROM pts),
+          |ranked AS (
+          |  SELECT event_type, value,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rv,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM samp WHERE rh <= 1024)
+          |SELECT event_type,
+          |  round(max(CASE WHEN rv = least(n, greatest(1, CAST(ceil(0.50 * n) AS BIGINT)))
+          |            THEN value END), 4) AS p50,
+          |  round(max(CASE WHEN rv = least(n, greatest(1, CAST(ceil(0.95 * n) AS BIGINT)))
+          |            THEN value END), 4) AS p95,
+          |  round(max(CASE WHEN rv = least(n, greatest(1, CAST(ceil(0.99 * n) AS BIGINT)))
+          |            THEN value END), 4) AS p99
+          |FROM ranked GROUP BY event_type""".stripMargin,
+      // q_event_agg_approx / q_perf_approx omitted: Spark-internal
+      // HLL++/GK sketches are engine-specific by design (rows-only check)
     )
   }
 }

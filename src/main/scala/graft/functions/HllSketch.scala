@@ -66,7 +66,12 @@ object Hll {
   }
 }
 
+/** `replicable = true` hashes with the md5-derived 64-bit pattern
+  * ([[ReplicableHash.h64]]) instead of xxhash64, making register
+  * contents — and therefore the estimate — bit-reproducible by the
+  * DuckDB oracle; int/string inputs only in that mode. */
 case class HllSketchAgg(child: Expression,
+                        replicable: Boolean = false,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] {
@@ -74,13 +79,18 @@ case class HllSketchAgg(child: Expression,
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "hll_sketch"
+  override def prettyName: String = if (replicable) "hll_sketch_r" else "hll_sketch"
 
   override def createAggregationBuffer(): Array[Byte] = Hll.emptySketch()
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) Hll.update(buf, XxHash64Function.hash(v, child.dataType, 42L))
+    if (v != null) {
+      val h =
+        if (replicable) ReplicableHash.h64(ReplicableHash.keyString(v))
+        else XxHash64Function.hash(v, child.dataType, 42L)
+      Hll.update(buf, h)
+    }
     buf
   }
 
@@ -147,6 +157,11 @@ object HllFunctions {
   def hll_sketch(c: Column): Column =
     GraftColumnBridge.toColumn(
       HllSketchAgg(GraftColumnBridge.toExpr(c)).toAggregateExpression())
+  /** Oracle-replicable variant (md5 register hash — see [[ReplicableHash]]). */
+  def hll_sketch_r(c: Column): Column =
+    GraftColumnBridge.toColumn(
+      HllSketchAgg(GraftColumnBridge.toExpr(c), replicable = true)
+        .toAggregateExpression())
   def hll_merge(c: Column): Column =
     GraftColumnBridge.toColumn(
       HllMergeAgg(GraftColumnBridge.toExpr(c)).toAggregateExpression())

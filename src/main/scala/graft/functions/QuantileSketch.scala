@@ -114,8 +114,13 @@ object QSketch {
 
 /** rows → sketch. `child` is the measured value (double); `keyChild` is
   * a row-identity column (e.g. event_id) hashed into the sample draw, so
-  * repeated values sample at row granularity, not value granularity. */
+  * repeated values sample at row granularity, not value granularity.
+  * `replicable = true` swaps xxhash64 for the md5-derived 60-bit hash
+  * ([[ReplicableHash.h60]]) so the ENTIRE sketch — sample membership,
+  * merge results, quantiles — is reproducible by the DuckDB oracle;
+  * int/string keys only in that mode. */
 case class QSketchAgg(child: Expression, keyChild: Expression,
+                      replicable: Boolean = false,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[QSketch.Buf] {
@@ -123,7 +128,7 @@ case class QSketchAgg(child: Expression, keyChild: Expression,
   override def children: Seq[Expression] = Seq(child, keyChild)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "q_sketch"
+  override def prettyName: String = if (replicable) "q_sketch_r" else "q_sketch"
 
   override def createAggregationBuffer(): QSketch.Buf = QSketch.empty()
 
@@ -131,7 +136,9 @@ case class QSketchAgg(child: Expression, keyChild: Expression,
     val v = child.eval(input)
     val k = keyChild.eval(input)
     if (v != null && k != null) {
-      val h = XxHash64Function.hash(k, keyChild.dataType, 7L)
+      val h =
+        if (replicable) ReplicableHash.h60(ReplicableHash.keyString(k))
+        else XxHash64Function.hash(k, keyChild.dataType, 7L)
       QSketch.insert(buf, h, QSketch.asDouble(v))
     }
     buf
@@ -203,6 +210,11 @@ object QSketchFunctions {
     GraftColumnBridge.toColumn(
       QSketchAgg(GraftColumnBridge.toExpr(value),
         GraftColumnBridge.toExpr(rowKey)).toAggregateExpression())
+  /** Oracle-replicable variant (md5 sample hash — see [[ReplicableHash]]). */
+  def q_sketch_r(value: Column, rowKey: Column): Column =
+    GraftColumnBridge.toColumn(
+      QSketchAgg(GraftColumnBridge.toExpr(value),
+        GraftColumnBridge.toExpr(rowKey), replicable = true).toAggregateExpression())
   def q_sketch_merge(c: Column): Column =
     GraftColumnBridge.toColumn(
       QSketchMergeAgg(GraftColumnBridge.toExpr(c)).toAggregateExpression())

@@ -144,6 +144,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected aggregate below window:\n$plan")
   }
 
+  test("lineDedup: boilerplate set broadcasts, reconstruction has no window") {
+    val df = graft.dedup.Dedup.lineDedup(Tables.documents(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate set must broadcast, not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Window"),
+      s"in-order reconstruction must use the sorted-struct aggregate, not a window:\n$plan")
+  }
+
+  test("semanticDedup: pairwise pass shuffles on the cluster key only") {
+    val df = graft.ann.KMeans.semanticDedup(Tables.embeddings(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(cluster"),
+      s"pair join must be keyed on cluster:\n$plan")
+    assert(plan.contains("dot_product_f"),
+      s"cosine must use the codegen kernel:\n$plan")
+  }
+
   test("transitions: window and aggregate, bigram count partial-aggregates") {
     val plan = planOf(Windows.transitions(Tables.events(spark, sf)))
     assert(plan.contains("lag("), s"no lag window:\n$plan")
