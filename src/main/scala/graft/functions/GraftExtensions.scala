@@ -69,6 +69,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("q_sketch_quantile"),
       new ExpressionInfo(classOf[QSketchQuantile].getName, "q_sketch_quantile"),
       (children: Seq[Expression]) => QSketchQuantile(children(0), children(1))))
+    // oracle-replicable (md5-hash) sketch variants — see ReplicableHash
+    ext.injectFunction((
+      new FunctionIdentifier("hll_sketch_r"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch_r"),
+      (children: Seq[Expression]) =>
+        HllSketchAgg(children.head, replicable = true).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("q_sketch_r"),
+      new ExpressionInfo(classOf[QSketchAgg].getName, "q_sketch_r"),
+      (children: Seq[Expression]) =>
+        QSketchAgg(children(0), children(1), replicable = true).toAggregateExpression()))
     // opt-in approx mode: COUNT(DISTINCT) -> HLL++ under
     // spark.graft.approxDistinct=true (no query-code changes)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
@@ -111,5 +122,9 @@ object GraftExtensions {
       c => QSketchMergeAgg(c.head).toAggregateExpression())
     registerFunction(spark, "q_sketch_quantile",
       c => QSketchQuantile(c(0), c(1)))
+    registerFunction(spark, "hll_sketch_r",
+      c => HllSketchAgg(c.head, replicable = true).toAggregateExpression())
+    registerFunction(spark, "q_sketch_r",
+      c => QSketchAgg(c(0), c(1), replicable = true).toAggregateExpression())
   }
 }

@@ -34,6 +34,25 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("replicable variant: split-vs-whole determinism + md5 hash construction") {
+    val df = spark.range(50000)
+      .select((col("id") % 16).as("g"), col("id").cast("double").as("v"), col("id").as("k"))
+    val whole = df.agg(q_sketch_r($"v", $"k").as("sk")).as[Array[Byte]].head()
+    val merged = df.groupBy("g").agg(q_sketch_r($"v", $"k").as("sk"))
+      .agg(q_sketch_merge($"sk").as("sk")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(whole, merged),
+      "replicable sketch is not merge-deterministic")
+    // hash must be exactly the DuckDB-replicable construction:
+    // bigint(first 15 hex of md5(key-as-string))
+    val got = graft.functions.ReplicableHash.h60("42")
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == java.lang.Long.parseLong(md5hex.take(15), 16))
+    // and h64 is the raw 64-bit pattern of the first 16 hex digits
+    assert(graft.functions.ReplicableHash.h64("42") ==
+      java.lang.Long.parseUnsignedLong(md5hex.take(16), 16))
+  }
+
   test("small inputs are exact (sample holds every row)") {
     val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (4.0, 4L), (5.0, 5L))
       .toDF("v", "k")
