@@ -151,31 +151,93 @@ object Multimodal {
                      height: Int, media: Array[Byte])
   case class Features(doc_id: Long, features: Array[Float])
 
-  /** Resize stub: target box + aspect-preserving dims from the fake
-    * decode; payload truncated proportionally (a real codec re-encodes). */
+  /** Full-decode image codec (javax.imageio — on every JVM, no native
+    * deps): the executor-side pixel path for the stages that genuinely
+    * need pixels. Header-only metadata stays in [[ImageHeaderCodec]];
+    * this one decompresses, so it belongs ONLY in explicit resize /
+    * feature stages, never in metadata queries. Returns None for bytes
+    * ImageIO cannot decode — callers fall back to the deterministic
+    * stubs, keeping the synthetic-corpus oracles exact. */
+  object ImagePixelCodec {
+    import java.awt.image.BufferedImage
+
+    private def read(bytes: Array[Byte]): Option[BufferedImage] =
+      if (!ImageHeaderCodec.isPng(bytes) && !ImageHeaderCodec.isJpeg(bytes)) None
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+    /** Aspect-preserving fit into (maxW, maxH), re-encoded as PNG
+      * (lossless → byte-deterministic for a given JVM). */
+    def resize(m: MediaRow, maxW: Int, maxH: Int): Option[Resized] =
+      read(m.media).map { img =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+        val (w, h) = ((img.getWidth * scale).toInt.max(1),
+          (img.getHeight * scale).toInt.max(1))
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Resized(m.doc_id, "image/png", w, h, bos.toByteArray)
+      }
+
+    /** dim-bin luminance histogram over decoded pixels, L1-normalized —
+      * a real (if simple) visual feature, same schema as the stub. */
+    def luminanceHistogram(m: MediaRow, dim: Int): Option[Features] =
+      read(m.media).map { img =>
+        val hist = new Array[Float](dim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(lum * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (img.getWidth.toLong * img.getHeight).max(1L).toFloat
+        Features(m.doc_id, hist.map(_ / n))
+      }
+  }
+
+  /** Resize: real bilinear rescale + PNG re-encode for decodable images
+    * ([[ImagePixelCodec]]); the deterministic proportional-truncation
+    * stub for everything else (audio/video would route to their own
+    * codecs here). Batch-shaped per-partition map either way. */
   def resize(media: Dataset[MediaRow], maxW: Int = 256, maxH: Int = 256): Dataset[Resized] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val meta = FakeCodec.decode(m)
-      val scale = math.min(1.0,
-        math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
-      val (w, h) = ((meta.width * scale).toInt.max(1), (meta.height * scale).toInt.max(1))
-      val keep = math.max((m.media.length * scale * scale).toInt, 1)
-      Resized(m.doc_id, m.media_type, w, h, m.media.take(keep))
+      ImagePixelCodec.resize(m, maxW, maxH).getOrElse {
+        val meta = FakeCodec.decode(m)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / meta.width, maxH.toDouble / meta.height))
+        val (w, h) = ((meta.width * scale).toInt.max(1), (meta.height * scale).toInt.max(1))
+        val keep = math.max((m.media.length * scale * scale).toInt, 1)
+        Resized(m.doc_id, m.media_type, w, h, m.media.take(keep))
+      }
     })
   }
 
-  /** Feature-extraction stub: a deterministic 8-dim byte-histogram
-    * embedding per media blob (a real extractor runs a vision/audio
-    * model here — batch shape and schema are what matter). */
+  /** Feature extraction: real luminance histogram for decodable images;
+    * the byte-histogram stub otherwise (where a vision/audio model would
+    * plug in — batch shape and schema are identical). */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[Features] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val hist = new Array[Float](dim)
-      var i = 0
-      while (i < m.media.length) { hist((m.media(i) & 0xff) % dim) += 1f; i += 1 }
-      val n = math.max(m.media.length, 1).toFloat
-      Features(m.doc_id, hist.map(_ / n))
+      ImagePixelCodec.luminanceHistogram(m, dim).getOrElse {
+        val hist = new Array[Float](dim)
+        var i = 0
+        while (i < m.media.length) { hist((m.media(i) & 0xff) % dim) += 1f; i += 1 }
+        val n = math.max(m.media.length, 1).toFloat
+        Features(m.doc_id, hist.map(_ / n))
+      }
     })
   }
 

@@ -59,6 +59,34 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("resize really rescales decodable images and re-encodes them as PNG") {
+    import spark.implicits._
+    val big = encode(rgb(640, 480), "png")
+    val rows = Multimodal.resize(
+      Seq(Multimodal.MediaRow(1L, "image/png", big)).toDS(), maxW = 64, maxH = 64)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.width, r.height) == (64, 48), "aspect ratio not preserved")
+    // the output bytes are a real decodable PNG of the claimed size
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+    assert((back.getWidth, back.getHeight) == (64, 48))
+  }
+
+  test("feature extraction computes a real luminance histogram for images") {
+    import spark.implicits._
+    // half black, half white image → mass in the lowest and highest bins
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(1L, "image/png", encode(img, "png"))).toDS())
+      .collect().head.features
+    assert(math.abs(feats(0) - 0.5f) < 1e-6, s"black mass: ${feats.toSeq}")
+    assert(math.abs(feats(7) - 0.5f) < 1e-6, s"white mass: ${feats.toSeq}")
+    assert(math.abs(feats.sum - 1.0f) < 1e-5, "histogram not L1-normalized")
+  }
+
   test("extractMeta routes real images to the header codec, other bytes to FakeCodec") {
     import spark.implicits._
     val png = encode(rgb(64, 32), "png")
