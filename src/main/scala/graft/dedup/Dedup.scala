@@ -65,11 +65,14 @@ object Dedup {
   def lineDedup(docs: DataFrame, chunkWords: Int = 2,
                 minDocFrac: Double = 0.04): DataFrame = {
     val minDocs = math.max(2L, math.ceil(minDocFrac * docs.count()).toLong)
+    // ceil-division chunk count: the trailing partial span is its own
+    // (short) chunk, so a document with no boilerplate reconstructs to
+    // exactly its original text — nothing is silently truncated
     val chunks = spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(w) >= $chunkWords
-           |THEN transform(sequence(0, size(w) div $chunkWords - 1),
+        s"""CASE WHEN size(w) > 0
+           |THEN transform(sequence(0, (size(w) + ${chunkWords - 1}) div $chunkWords - 1),
            |       i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))
            |ELSE array() END""".stripMargin)).as(Seq("pos", "chunk")))
     val boiler = chunks.groupBy(col("chunk"))
@@ -94,7 +97,8 @@ object Dedup {
        |  SELECT doc_id, i AS pos,
        |         array_to_string(w[i*$chunkWords+1 : i*$chunkWords+$chunkWords], ' ') AS chunk
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
-       |          unnest(generate_series(0, len(string_split(text, ' ')) // $chunkWords - 1)) AS i
+       |          unnest(generate_series(0,
+       |            (len(string_split(text, ' ')) + ${chunkWords - 1}) // $chunkWords - 1)) AS i
        |        FROM documents)),
        |boiler AS (
        |  SELECT chunk FROM chunks GROUP BY chunk

@@ -40,6 +40,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(4L) == (4L, 2L, 0L, "iota kappa lambda mu"))
   }
 
+  test("lineDedup with no boilerplate reconstructs the text exactly (odd tail kept)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // odd word count → trailing 1-word chunk
+      (2L, "delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, chunkWords = 2, minDocFrac = 1.1)
+      .select($"doc_id", $"clean_text", $"n_dropped")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, text, dropped) => id -> (text, dropped) }.toMap
+    assert(got(1L) == ("alpha beta gamma", 0L))
+    assert(got(2L) == ("delta epsilon zeta eta", 0L))
+  }
+
   test("lineDedup emits empty text for a fully-boilerplate doc") {
     val docs = Seq(
       (1L, "same text"), (2L, "same text"), (3L, "same text")
