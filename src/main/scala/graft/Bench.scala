@@ -57,9 +57,14 @@ object Bench {
     // two passes per query, report the per-query minimum: the machine
     // shares a host (load-average swings with zero local processes), so
     // a single shot confounds engine time with host steal; min-of-2 is
-    // the steady-state measurement.
-    def timeAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // the steady-state measurement. The second pass runs in REVERSE
+    // order: steal bursts last minutes and cover contiguous stretches,
+    // so same-order passes hit the same queries twice and the min
+    // doesn't cancel the noise — opposite orders ensure no query sits
+    // in the burst window on both passes.
+    def timeAll(reverse: Boolean): Seq[(String, Double)] = {
+      val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      (if (reverse) ordered.reverse else ordered).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -67,7 +72,8 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val results = (timeAll() ++ timeAll())
+    }
+    val results = (timeAll(reverse = false) ++ timeAll(reverse = true))
       .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
