@@ -31,29 +31,55 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 object Hll {
   val P = 11 // 2048 registers ≈ 2 kB, rsd ≈ 1.04/sqrt(2048) ≈ 2.3%
   val M: Int = 1 << P
+  val Len: Int = M + 1 // 1 hash-mode byte + registers
   private val alpha = 0.7213 / (1.0 + 1.079 / M)
 
-  def emptySketch(): Array[Byte] = new Array[Byte](M)
+  /** Serialized form: byte 0 tags the hash the registers were built
+    * with (0 = empty/unset merge buffer, 1 = xxhash64, 2 = md5). Two
+    * sketches hashed differently cover DIFFERENT random bucket/rank
+    * draws of the same set — their register-wise max is meaningless,
+    * and without the tag that corruption is silent. Merge adopts the
+    * mode from the first non-empty side and rejects a mismatch. */
+  val ModeUnset: Byte = 0
+  val ModeXx: Byte = 1
+  val ModeMd5: Byte = 2
+
+  def emptySketch(mode: Byte = ModeUnset): Array[Byte] = {
+    val a = new Array[Byte](Len)
+    a(0) = mode
+    a
+  }
+
+  def checkLen(buf: Array[Byte]): Unit =
+    require(buf.length == Len,
+      s"hll sketch must be exactly $Len bytes (1 mode + $M registers), got ${buf.length}")
 
   def update(regs: Array[Byte], hash: Long): Unit = {
     val idx = (hash >>> (64 - P)).toInt
     val rest = hash << P
     // rank = leading zeros of the remaining bits + 1, capped
     val rank = (if (rest == 0) 64 - P else java.lang.Long.numberOfLeadingZeros(rest)) + 1
-    if (rank > regs(idx)) regs(idx) = rank.toByte
+    if (rank > regs(idx + 1)) regs(idx + 1) = rank.toByte
   }
 
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    checkLen(a); checkLen(b)
+    if (b(0) != ModeUnset) {
+      if (a(0) == ModeUnset) a(0) = b(0)
+      else require(a(0) == b(0),
+        s"cannot merge hll sketches with different hash modes (${a(0)} vs ${b(0)})")
+    }
+    var i = 1
+    while (i < Len) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
   def estimate(regs: Array[Byte]): Long = {
+    checkLen(regs)
     var sum = 0.0
     var zeros = 0
-    var i = 0
-    while (i < M) {
+    var i = 1
+    while (i < Len) {
       sum += 1.0 / (1L << regs(i)).toDouble
       if (regs(i) == 0) zeros += 1
       i += 1
@@ -81,7 +107,8 @@ case class HllSketchAgg(child: Expression,
   override def dataType: DataType = BinaryType
   override def prettyName: String = if (replicable) "hll_sketch_r" else "hll_sketch"
 
-  override def createAggregationBuffer(): Array[Byte] = Hll.emptySketch()
+  override def createAggregationBuffer(): Array[Byte] =
+    Hll.emptySketch(if (replicable) Hll.ModeMd5 else Hll.ModeXx)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)

@@ -33,20 +33,30 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   *  - [[QSketchMergeAgg]] (`q_sketch_merge(sk)`):    sketches → sketch
   *  - [[QSketchQuantile]] (`q_sketch_quantile(sk, p)`): sketch → value
   *
-  * Serialized form: n × 16-byte little-endian (hash long, value double)
-  * pairs, hash-ascending.
+  * Serialized form: 1 hash-mode byte, then n × 16-byte little-endian
+  * (hash long, value double) pairs, hash-ascending.
   */
 object QSketch {
   val K = 1024
 
+  /** Hash-mode tag (serialized as the leading byte): sketches sampled
+    * with different hashes keep DIFFERENT bottom-k draws of the same
+    * rows — merging them is meaningless, so merge adopts the mode from
+    * the first non-empty side and rejects a mismatch. */
+  val ModeUnset: Byte = 0
+  val ModeXx: Byte = 1
+  val ModeMd5: Byte = 2
+
   /** In-memory buffer: a bounded max-heap-by-hash would be optimal; a
     * sorted array with a cap keeps it simple and allocation-light at
     * k ≤ 1024. Pairs are (hash, value), kept hash-ascending. */
-  final class Buf(var hashes: Array[Long], var values: Array[Double], var n: Int) {
+  final class Buf(var hashes: Array[Long], var values: Array[Double], var n: Int,
+                  var mode: Byte = ModeUnset) {
     def threshold: Long = if (n < K) Long.MaxValue else hashes(n - 1)
   }
 
-  def empty(): Buf = new Buf(new Array[Long](K), new Array[Double](K), 0)
+  def empty(mode: Byte = ModeUnset): Buf =
+    new Buf(new Array[Long](K), new Array[Double](K), 0, mode)
 
   /** Catalyst numerics → double (SQL decimal literals arrive as
     * [[org.apache.spark.sql.types.Decimal]], not java.lang.Number). */
@@ -77,6 +87,11 @@ object QSketch {
   }
 
   def merge(a: Buf, b: Buf): Buf = {
+    if (b.mode != ModeUnset) {
+      if (a.mode == ModeUnset) a.mode = b.mode
+      else require(a.mode == b.mode,
+        s"cannot merge q_sketches with different hash modes (${a.mode} vs ${b.mode})")
+    }
     var i = 0
     while (i < b.n) { insert(a, b.hashes(i), b.values(i)); i += 1 }
     a
@@ -92,19 +107,24 @@ object QSketch {
     vs(rank)
   }
 
+  /** Serialized form: 1 mode byte, then n × 16-byte little-endian
+    * (hash long, value double) pairs, hash-ascending. */
   def serialize(b: Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(b.n * 16).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.allocate(1 + b.n * 16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(b.mode)
     var i = 0
     while (i < b.n) { bb.putLong(b.hashes(i)); bb.putDouble(b.values(i)); i += 1 }
     bb.array()
   }
 
   def deserialize(bytes: Array[Byte]): Buf = {
-    require(bytes.length % 16 == 0 && bytes.length / 16 <= K,
-      s"q_sketch must be n×16 bytes with n ≤ $K, got ${bytes.length} bytes")
+    require(bytes.length >= 1 && (bytes.length - 1) % 16 == 0 &&
+      (bytes.length - 1) / 16 <= K,
+      s"q_sketch must be 1 mode byte + n×16 with n ≤ $K, got ${bytes.length} bytes")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val n = bytes.length / 16
-    val b = new Buf(new Array[Long](K), new Array[Double](K), 0)
+    val mode = bb.get()
+    val n = (bytes.length - 1) / 16
+    val b = new Buf(new Array[Long](K), new Array[Double](K), 0, mode)
     var i = 0
     while (i < n) { b.hashes(i) = bb.getLong(); b.values(i) = bb.getDouble(); i += 1 }
     b.n = n
@@ -130,7 +150,8 @@ case class QSketchAgg(child: Expression, keyChild: Expression,
   override def dataType: DataType = BinaryType
   override def prettyName: String = if (replicable) "q_sketch_r" else "q_sketch"
 
-  override def createAggregationBuffer(): QSketch.Buf = QSketch.empty()
+  override def createAggregationBuffer(): QSketch.Buf =
+    QSketch.empty(if (replicable) QSketch.ModeMd5 else QSketch.ModeXx)
 
   override def update(buf: QSketch.Buf, input: InternalRow): QSketch.Buf = {
     val v = child.eval(input)

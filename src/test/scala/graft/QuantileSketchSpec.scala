@@ -53,6 +53,22 @@ class QuantileSketchSpec extends AnyFunSuite {
       java.lang.Long.parseUnsignedLong(md5hex.take(16), 16))
   }
 
+  test("merging sketches with different hash modes fails loudly, not silently") {
+    val df = spark.range(100).select(col("id").cast("double").as("v"), col("id").as("k"))
+    val xx = df.agg(q_sketch($"v", $"k").as("sk"))
+    val md = df.agg(q_sketch_r($"v", $"k").as("sk"))
+    val mixed = xx.unionAll(md).agg(q_sketch_merge($"sk").as("sk"))
+    val e = intercept[Exception](mixed.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("different hash modes"))),
+      s"expected a hash-mode mismatch error, got: $e")
+    // same-mode merges still work for both modes
+    assert(xx.unionAll(xx).agg(q_sketch_merge($"sk")).collect().length == 1)
+    assert(md.unionAll(md).agg(q_sketch_merge($"sk")).collect().length == 1)
+  }
+
   test("small inputs are exact (sample holds every row)") {
     val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (4.0, 4L), (5.0, 5L))
       .toDF("v", "k")
