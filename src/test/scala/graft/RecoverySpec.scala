@@ -70,6 +70,36 @@ class RecoverySpec extends AnyFunSuite {
       .distinct().count() == 3)
   }
 
+  test("full topology restart: three sinks recover with no duplicate rows") {
+    import graft.streaming.Pipelines
+    val src = "/root/testdata/sf0.001"
+    // baseline: one uninterrupted run
+    val ref = java.nio.file.Files.createTempDirectory("graft_topo_ref").toString
+    Pipelines.runAll(spark, src, ref).foreach(_.awaitTermination(120000))
+    // interrupted run: stop all three queries as soon as each has
+    // committed at least one batch, then restart from the checkpoints
+    val out = java.nio.file.Files.createTempDirectory("graft_topo").toString
+    val qs1 = Pipelines.runAll(spark, src, out)
+    var waited = 0
+    while (qs1.exists(_.recentProgress.isEmpty) && waited < 600) {
+      Thread.sleep(100); waited += 1
+    }
+    qs1.foreach(_.stop())
+    Pipelines.runAll(spark, src, out).foreach(_.awaitTermination(120000))
+    for ((table, keys) <- Seq(
+        ("event_metrics", Seq("window_start_ms", "event_type")),
+        ("session_metrics", Seq("start_ms", "user_id")),
+        ("performance_metrics", Seq("window_start_ms", "category")))) {
+      val got = spark.read.parquet(s"$out/$table")
+      val base = spark.read.parquet(s"$ref/$table")
+      assert(got.count() == base.count(),
+        s"$table: ${got.count()} rows after restart vs ${base.count()} uninterrupted")
+      val dups = got.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+        .count().filter($"count" > 1).count()
+      assert(dups == 0, s"$table has $dups duplicated keys after restart")
+    }
+  }
+
   test("pipeline runs under the RocksDB state store provider") {
     val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
