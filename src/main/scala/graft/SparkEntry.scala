@@ -271,6 +271,8 @@ object SparkEntry {
       graft.text.CorpusStats.scrub(Tables.documents(s, dir))),
     "q_sample_strat" -> ((s, dir) =>
       Sampling.stratifiedByHash(Tables.documents(s, dir))),
+    "q_shuffle_order" -> ((s, dir) => // deterministic epoch permutation
+      Sampling.shuffleOrder(Tables.documents(s, dir))),
     // --- set operations (SURVEY §2.8) ---
     "q_users_view_only" -> ((s, dir) =>
       SetOps.viewersWhoNeverPurchased(Tables.events(s, dir))),
@@ -445,6 +447,7 @@ object SparkEntry {
       "q_lang_confusion" -> graft.text.CorpusStats.langConfusionSql,
       "q_scrub" -> graft.text.CorpusStats.scrubSql,
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
+      "q_shuffle_order" -> Sampling.shuffleOrderSql(),
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
       "q_dup_clusters" -> graft.dedup.Clusters.dupClustersSql(),

@@ -43,4 +43,31 @@ object Sampling {
        |           doc_id) AS rk
        |  FROM documents)
        |WHERE rk <= $cap""".stripMargin
+
+  /** Deterministic global shuffle for training order: every doc gets a
+    * (shard, position) from a salted hash — a new salt is a new epoch
+    * permutation, reproducible across runs, partitionings, and engines
+    * (RNG-free, like everything else in this file). The per-shard
+    * position sort shuffles on the shard key once; at 100 TB pick
+    * nShards so a shard's rows fit a task's sort buffer — the trainer
+    * then streams shards in order, which is exactly how large corpora
+    * are served to data loaders. */
+  def shuffleOrder(docs: DataFrame, nShards: Int = 8,
+                   salt: String = "epoch0"): DataFrame = {
+    val h = conv(substring(md5(concat_ws(":", lit(salt),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("position"))
+  }
+
+  def shuffleOrderSql(nShards: Int = 8, salt: String = "epoch0"): String =
+    s"""SELECT doc_id, CAST(h % $nShards AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % $nShards
+       |                               ORDER BY h, doc_id) AS BIGINT) AS position
+       |FROM (SELECT doc_id,
+       |        ('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |      FROM documents)""".stripMargin
 }
