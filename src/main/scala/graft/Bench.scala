@@ -24,6 +24,19 @@ object Bench {
       // unbounded-state concern at 100 TB is addressed by metricsApprox,
       // not by the fallback.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // 83 queries × 2 passes leave thousands of dead shuffle files,
+      // broadcast vars and localCheckpoint blocks that the
+      // ContextCleaner only frees on a JVM GC — which a 128 GB heap
+      // rarely triggers. Periodic GC keeps the session's block/file
+      // state near what each query would see in isolation.
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      // the JVM-wide compiled-codegen cache holds 100 classes by
+      // default; a pass over 83 queries (several codegen stages each)
+      // evicts everything, so every query RECOMPILES its generated
+      // code on the second pass — charged to queries with the largest
+      // generated sources (the 16-chain minhash signature plans pay
+      // ~1s). Static conf: must be set before the first codegen.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,14 +70,19 @@ object Bench {
     // two passes per query, report the per-query minimum: the machine
     // shares a host (load-average swings with zero local processes), so
     // a single shot confounds engine time with host steal; min-of-2 is
-    // the steady-state measurement. The second pass runs in REVERSE
-    // order: steal bursts last minutes and cover contiguous stretches,
-    // so same-order passes hit the same queries twice and the min
-    // doesn't cancel the noise — opposite orders ensure no query sits
-    // in the burst window on both passes.
-    def timeAll(reverse: Boolean): Seq[(String, Double)] = {
+    // the steady-state measurement. The second pass is ROTATED by half:
+    // steal bursts last minutes and cover contiguous stretches, so
+    // same-order passes time each query at the same run offset twice
+    // and the min keeps the noise. Rotation puts every query's two
+    // timings ~half a pass apart in wall-clock (reversal would leave
+    // mid-alphabet queries at the same offset both times), so a burst
+    // must span the whole run to poison both samples of any query.
+    def timeAll(rotate: Boolean): Seq[(String, Double)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      (if (reverse) ordered.reverse else ordered).map { case (name, fn) =>
+      val seq =
+        if (rotate) ordered.drop(ordered.size / 2) ++ ordered.take(ordered.size / 2)
+        else ordered
+      seq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -73,7 +91,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = (timeAll(reverse = false) ++ timeAll(reverse = true))
+    val results = (timeAll(rotate = false) ++ timeAll(rotate = true))
       .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
