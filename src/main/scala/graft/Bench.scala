@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every declared query against
   * SPARK_GRAFT_SF_DIR, full evaluation through the noop sink (count()
@@ -10,34 +9,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // exact-percentile aggregates (ObjectHashAggregate) fall back to
-      // sort-based aggregation after 128 in-memory groups by default;
-      // q_perf has ~90k near-singleton groups at sf0.1, so the default
-      // turns a hash agg into a sort. Per-group state here is a handful
-      // of doubles — 1M keys is still only tens of MB per task. The
-      // unbounded-state concern at 100 TB is addressed by metricsApprox,
-      // not by the fallback.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      // 83 queries × 2 passes leave thousands of dead shuffle files,
-      // broadcast vars and localCheckpoint blocks that the
-      // ContextCleaner only frees on a JVM GC — which a 128 GB heap
-      // rarely triggers. Periodic GC keeps the session's block/file
-      // state near what each query would see in isolation.
+    val spark = Engine.sessionBuilder(Engine.envCores(32))
+      // bench-only: 83 queries × 2 passes leave thousands of dead
+      // shuffle files, broadcast vars and localCheckpoint blocks that
+      // the ContextCleaner only frees on a JVM GC — which a 128 GB
+      // heap rarely triggers. Periodic GC keeps the session's
+      // block/file state near what each query would see in isolation.
       .config("spark.cleaner.periodicGC.interval", "30s")
-      // the JVM-wide compiled-codegen cache holds 100 classes by
-      // default; a pass over 83 queries (several codegen stages each)
-      // evicts everything, so every query RECOMPILES its generated
-      // code on the second pass — charged to queries with the largest
-      // generated sources (the 16-chain minhash signature plans pay
-      // ~1s). Static conf: must be set before the first codegen.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen/shuffle warmup outside the timed region: a tiny

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev helper: time a subset of queries (args = query names; repeats
   * with `-n N`). Same session shape as [[Bench]]. Not driver-facing.
@@ -12,16 +11,7 @@ object BenchOne {
       case rest              => (1, rest)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Engine.sessionBuilder(Engine.envCores(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10000).groupBy(org.apache.spark.sql.functions.expr("id % 7"))
       .count().write.format("noop").mode("overwrite").save()

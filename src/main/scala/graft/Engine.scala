@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place that knows how a graft session should be configured —
+  * every driver main builds through here, so the tuning the engine
+  * depends on cannot drift between the correctness, benchmark, and
+  * pipeline entry points (it did, and the divergence hid a 6 s
+  * exact-percentile regression behind one main's missing conf).
+  *
+  * What the configs are for:
+  *  - shuffle width = core count: local mode has no dynamic executors;
+  *    200 partitions on a laptop-shaped box is pure task overhead.
+  *  - AQE on: runtime coalescing + skew-join splitting are the levers
+  *    the 100 TB plans assume.
+  *  - ObjectHashAggregate fallback threshold: the 128-key default
+  *    silently degrades exact-percentile/collect aggregates to
+  *    sort-based aggregation on any realistic group count.
+  *  - codegen cache: the 100-class JVM default thrashes as soon as a
+  *    workload has ~100 codegen stages, recompiling every generated
+  *    class per query (static conf — must be set before first use).
+  *  - UTC: all oracle comparisons and window math assume it.
+  *  - graft extensions: SQL functions + TopK strategy + the opt-in
+  *    rewrite rules, available from any session built here.
+  */
+object Engine {
+  def sessionBuilder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  /** Cores from the driver contract's env var, else `default`. */
+  def envCores(default: Int): Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(default)
+}

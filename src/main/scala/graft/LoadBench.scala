@@ -21,12 +21,7 @@ object LoadBench {
   def main(args: Array[String]): Unit = {
     val totalRows = args.headOption.map(_.toLong).getOrElse(1000000L)
     val rowsPerBatch = if (args.length > 1) args(1).toLong else 100000L
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Engine.sessionBuilder(Engine.envCores(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println(run(spark, totalRows, rowsPerBatch))
     spark.stop()

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import graft.streaming.Pipelines
 
 /** Streaming job coordinator CLI — the analog of the reference's
@@ -15,13 +14,7 @@ import graft.streaming.Pipelines
 object RunPipelines {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Engine.sessionBuilder(Engine.envCores(8)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = Pipelines.runAll(spark, srcDir, outDir)
     queries.foreach(_.awaitTermination())

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import graft.operators.MetricsStore
 
 /** Serving read CLI — the analog of the reference cache service's read
@@ -13,12 +12,7 @@ object ServeMetrics {
   def main(args: Array[String]): Unit = {
     val path = args(0)
     val limit = if (args.length > 1) args(1).toInt else 20
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Engine.sessionBuilder(Engine.envCores(8)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val store = new MetricsStore(spark, path)
     println(s"[serve] overview:")
