@@ -6,11 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators._
 
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+  // the tuned library session shape (Engine) so specs exercise exactly
+  // what the driver mains run — withExtensions kept for the builder-time
+  // registration path (Engine also sets spark.sql.extensions)
+  lazy val spark: SparkSession = Engine.sessionBuilder(cores = 4)
     .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 }
