@@ -42,6 +42,25 @@ class MetricsStore(spark: SparkSession, path: String) {
   def overview: DataFrame =
     Serving.overview(eventMetrics, performanceMetrics)
 
+  /** Cross-window distinct users from the sketch table written by
+    * [[graft.streaming.Pipelines.startSketchSink]]: merge the stored HLL
+    * sketches over any (time range × type set) and estimate — a
+    * metadata-table read, never a rescan of raw events. Window bounds in
+    * epoch millis; `types` empty = all types. */
+  def distinctUsersAcross(sketchPath: String, fromMs: Long, toMs: Long,
+                          types: Seq[String] = Nil): Long = {
+    import graft.functions.HllFunctions._
+    val base = spark.read.parquet(sketchPath)
+      .filter(col("window_start_ms") >= fromMs && col("window_start_ms") < toMs)
+    val filtered =
+      if (types.isEmpty) base else base.filter(col("event_type").isin(types: _*))
+    val out = filtered
+      .agg(hll_merge(col("user_sketch")).as("msk"))
+      .select(hll_estimate(col("msk")).as("est"))
+      .collect()
+    if (out.isEmpty || out.head.isNullAt(0)) 0L else out.head.getLong(0)
+  }
+
   /** Retention trim (repository.py:111-115, newest 120 windows): rewrite
     * the table keeping only windows above the cutoff. Expressed as a
     * filter so at scale it becomes partition drops + one rewrite of the

@@ -129,6 +129,38 @@ object Pipelines {
   def procTimeMetrics(events: DataFrame, window: String = "60 seconds"): DataFrame =
     eventMetricsApprox(withProcTime(events), watermark = "0 seconds", window = window)
 
+  /** Sketch-column sink: per-(window, type) HLL user sketches persisted
+    * as a first-class BINARY column next to the counts. The payoff is at
+    * read time: "distinct users across ANY span of windows/types" is a
+    * sketch merge over the (tiny) metric table —
+    * [[graft.operators.MetricsStore.distinctUsersAcross]] — instead of a
+    * second scan of raw events, which at 100 TB turns an interactive
+    * rollup into a full-table pass. Uses the md5-replicable sketch mode
+    * so stored sketches stay auditable by an external engine after the
+    * raw events are gone. Custom TypedImperativeAggregates run fine
+    * under streaming aggregation (their buffers serialize into the
+    * state store, exactly like approx_percentile's). */
+  def startSketchSink(events: DataFrame, path: String, checkpoint: String,
+                      watermark: String = "10 seconds",
+                      windowDur: String = "60 seconds"): StreamingQuery = {
+    import graft.functions.HllFunctions._
+    val agg = events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(col("event_type")).as("event_count"),
+        hll_sketch_r(col("user_id")).as("user_sketch"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        unix_millis(col("window.end")).as("window_end_ms"),
+        col("event_type"), col("event_count"), col("user_sketch"))
+    agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeStorageBatch(batch, batchId, path, Seq("window_start_ms", "event_type"))
+      }
+      .start()
+  }
+
   /** Sentinel type for watermark-liveness heartbeats (W6). */
   val heartbeatType = "__heartbeat"
 

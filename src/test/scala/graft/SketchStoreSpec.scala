@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MetricsStore
+import graft.streaming.Pipelines
+
+/** End-to-end sketch-column story: a streaming pipeline persists
+  * per-window HLL user sketches; cross-window distinct queries are then
+  * sketch merges over the metric table — no rescan of raw events. The
+  * assertions are EXACT equalities: the sketch hash is deterministic
+  * (md5-replicable mode) and the user sets are far inside the
+  * linear-counting regime, so the estimate is a pure function of the
+  * input sets — it either always matches or never does. */
+class SketchStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Option[Double])
+  private val base = 1714867200000L
+  private def ev(id: Long, offMs: Long, user: Long, typ: String) =
+    Ev(id, new Timestamp(base + offMs), user, typ, Some(1.0))
+
+  test("streamed sketches answer cross-window distinct queries exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.startSketchSink(ms.toDF(), s"$dir/t", s"$dir/chk",
+      watermark = "1 seconds", windowDur = "60 seconds")
+    try {
+      // window 0: users 1,2,3 view; window 1: users 3,4 view, user 5 buys
+      ms.addData(ev(1, 1000, 1, "view"), ev(2, 2000, 2, "view"),
+        ev(3, 3000, 3, "view"))
+      q.processAllAvailable()
+      ms.addData(ev(4, 61000, 3, "view"), ev(5, 62000, 4, "view"),
+        ev(6, 63000, 5, "purchase"))
+      q.processAllAvailable()
+      ms.addData(ev(99, 600000, 9, "view")) // flush watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = new MetricsStore(spark, dir)
+    // union across both closed windows: users {1,2,3,4,5} — user 3
+    // appears in both windows and must count once
+    assert(store.distinctUsersAcross(s"$dir/t", base, base + 120000) == 5L)
+    // single window
+    assert(store.distinctUsersAcross(s"$dir/t", base, base + 60000) == 3L)
+    // type-filtered across the full range
+    assert(store.distinctUsersAcross(s"$dir/t", base, base + 120000,
+      types = Seq("view")) == 4L)
+    assert(store.distinctUsersAcross(s"$dir/t", base, base + 120000,
+      types = Seq("purchase")) == 1L)
+    // empty range
+    assert(store.distinctUsersAcross(s"$dir/t", 0L, 1000L) == 0L)
+    // the table really carries sketches, not raw users
+    val cols = spark.read.parquet(s"$dir/t").columns.toSet
+    assert(cols.contains("user_sketch") && !cols.contains("user_id"))
+  }
+}
