@@ -81,4 +81,33 @@ class PropertySpec extends AnyFunSuite {
       perf.forall { case (a, p) => a >= lo && a <= hi && p >= lo && p <= hi && p >= 0 }
     })
   }
+
+  test("lineDedup invariants: chunk accounting, word conservation, identity") {
+    val genWord = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "common", "footer")
+    val genDoc = Gen.choose(1, 17).flatMap(n => Gen.listOfN(n, genWord))
+    val genCorpus = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, genDoc))
+    check(forAll(genCorpus) { docsWords =>
+      val docs = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.dedup.Dedup.lineDedup(docs, chunkWords = 2, minDocFrac = 0.5)
+        .select($"doc_id", $"n_chunks", $"n_dropped", $"clean_text")
+        .as[(Long, Long, Long, String)].collect()
+      val byId = out.map(r => r._1 -> r).toMap
+      docsWords.zipWithIndex.forall { case (ws, i) =>
+        val (_, nChunks, nDropped, clean) = byId(i.toLong)
+        val expChunks = (ws.size + 1) / 2
+        val keptWords = if (clean.isEmpty) 0 else clean.split(" ").length
+        // every word is either kept or inside a dropped chunk; dropped
+        // chunks are 2 words except a dropped odd tail
+        nChunks == expChunks && nDropped >= 0 && nDropped <= nChunks &&
+          keptWords <= ws.size &&
+          (keptWords + 2 * nDropped == ws.size ||
+            keptWords + 2 * nDropped == ws.size + 1) &&
+          // no boilerplate dropped → exact identity
+          (nDropped > 0 || clean == ws.mkString(" "))
+      }
+    })
+  }
 }
