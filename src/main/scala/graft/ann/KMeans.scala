@@ -62,6 +62,18 @@ object KMeans {
     assign(embs, k, iters).groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec"))
 
+  /** Expected per-cluster cardinality [[autoK]] sizes the clustering
+    * for: the pair join below does ~s²/2 work per cluster of size s, so
+    * fixing expected s (not k!) is what keeps SemDeDup linear-ish as the
+    * corpus grows — SemDeDup itself runs ~10⁵ clusters on web corpora
+    * for exactly this reason. 512 ⇒ ≤ ~131k scored pairs per cluster. */
+  val targetClusterSize = 512
+
+  /** Cluster count for a corpus of `n` vectors at bounded expected
+    * cluster cardinality. */
+  def autoK(n: Long): Int =
+    math.max(2, math.ceil(n.toDouble / targetClusterSize).toInt)
+
   /** SemDeDup (Abbas et al. 2023): cluster the corpus, then drop any
     * vector with a LOWER-id near-duplicate (cosine ≥ `threshold`) in the
     * SAME cluster — semantic dedup at a cost of cluster² instead of
@@ -71,20 +83,54 @@ object KMeans {
     * vector with its cluster and a `kept` flag, so downstream can either
     * filter survivors or audit the drops.
     *
+    * `k <= 0` (the default) derives the cluster count from the corpus
+    * size via [[autoK]] — a fixed k degrades the per-cluster pair join
+    * toward corpus²/k as the corpus grows. The one eager `count()` in
+    * the auto path is unavoidable: k is a structural plan parameter
+    * (seed `limit(k)`), not a runtime value.
+    *
+    * k-means makes no size promise per cluster, so a skewed corpus can
+    * still pile into one giant cluster; `maxClusterSize` is the hard
+    * cap. Oversized clusters split into `ceil(size/cap)` deterministic
+    * hash-salt buckets and only within-bucket pairs are scored — the
+    * same class of approximation as the cluster boundary itself.
+    * Clusters at or under the cap get a single bucket, so the cap is a
+    * no-op (exact SemDeDup) until skew actually appears.
+    *
     * Scale shape: assignment is the broadcast k-means pipeline; the
-    * pairwise pass shuffles on the cluster key only and AQE splits
-    * skewed clusters; norms are computed once per row before the join. */
-  def semanticDedup(embs: DataFrame, k: Int = 8, iters: Int = 2,
-                    threshold: Double = 0.35): DataFrame = {
-    val assigned = assign(embs, k, iters)
-    val withC = embs.join(assigned, "vec_id")
-      .select(col("cluster"), col("vec_id"), col("embedding"),
+    * salt-bucket table is k tiny rows (broadcast); the pairwise pass
+    * shuffles the corpus once, on (cluster, salt); norms are computed
+    * once per row before the join. */
+  /** The pair join's input: each vector with its cluster, salt bucket
+    * and precomputed norm. Exposed for the skew spec — the per-
+    * (cluster, salt) cardinality here IS the pair join's group size.
+    * Hash salting keeps buckets NEAR `ceil(size/cap)`-way even, not
+    * exactly (binomial spread); the documented bound is 2×cap. */
+  private[graft] def saltedVectors(embs: DataFrame, assigned: DataFrame,
+                                   maxClusterSize: Int): DataFrame = {
+    val nSalts = assigned.groupBy(col("cluster"))
+      .agg(ceil(count(lit(1)).cast("double") / maxClusterSize)
+        .cast("int").as("n_salts"))
+    embs.join(assigned, "vec_id")
+      .join(broadcast(nSalts), "cluster")
+      .select(col("cluster"),
+        pmod(xxhash64(col("vec_id")), col("n_salts").cast("long"))
+          .cast("int").as("salt"),
+        col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
-    val a = withC.select(col("cluster"), col("vec_id").as("a_id"),
+  }
+
+  def semanticDedup(embs: DataFrame, k: Int = 0, iters: Int = 2,
+                    threshold: Double = 0.35,
+                    maxClusterSize: Int = 4096): DataFrame = {
+    val kk = if (k > 0) k else autoK(embs.count())
+    val assigned = assign(embs, kk, iters)
+    val withC = saltedVectors(embs, assigned, maxClusterSize)
+    val a = withC.select(col("cluster"), col("salt"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = withC.select(col("cluster"), col("vec_id").as("b_id"),
+    val b = withC.select(col("cluster"), col("salt"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    val dropped = a.join(b, Seq("cluster"))
+    val dropped = a.join(b, Seq("cluster", "salt"))
       .filter(col("a_id") < col("b_id"))
       .filter(round(Similarity.dot(col("a_emb"), col("b_emb")) /
         (col("a_nrm") * col("b_nrm")), 4) >= threshold)

@@ -186,6 +186,16 @@ object Clusters {
       edges = small
       rounds += 1
     }
+    // The label extraction below is only valid AT the fixed point (every
+    // edge already (componentMin, member)); a maxRounds exit short of
+    // convergence would silently mislabel. Fall back to min-label
+    // propagation, which is exact regardless of round count.
+    if (!done) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"starRounds hit maxRounds=$maxRounds before convergence; " +
+          "falling back to min-label connectedComponents")
+      return (connectedComponents(pairs), rounds)
+    }
     // at the fixed point every edge is (componentMin, member): members
     // label directly, roots label themselves
     val labels = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))

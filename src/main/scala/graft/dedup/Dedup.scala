@@ -64,7 +64,11 @@ object Dedup {
     * inside the aggregate — no window function, no second shuffle. */
   def lineDedup(docs: DataFrame, chunkWords: Int = 2,
                 minDocFrac: Double = 0.04): DataFrame = {
-    val minDocs = math.max(2L, math.ceil(minDocFrac * docs.count()).toLong)
+    // corpus total as a 1-row aggregate folded into the plan (broadcast
+    // onto the frequency filter) — NOT an eager docs.count(), which
+    // would run an extra driver-blocking job before the operator's own
+    // job. The count-only scan is column-pruned and lazy.
+    val total = docs.agg(count(lit(1)).as("__n_docs"))
     // ceil-division chunk count: the trailing partial span is its own
     // (short) chunk, so a document with no boilerplate reconstructs to
     // exactly its original text — nothing is silently truncated
@@ -77,7 +81,9 @@ object Dedup {
            |ELSE array() END""".stripMargin)).as(Seq("pos", "chunk")))
     val boiler = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
+      .crossJoin(broadcast(total))
+      .filter(col("nd") >= greatest(lit(2L),
+        ceil(lit(minDocFrac) * col("__n_docs"))))
       .select(col("chunk"), lit(1).as("__boiler"))
     chunks.join(broadcast(boiler), Seq("chunk"), "left")
       .groupBy(col("doc_id"))
@@ -144,21 +150,28 @@ object Dedup {
     * scale is exactly the trap LSH exists to avoid. */
   def ngramJaccard(docs: DataFrame, n: Int = 4, queryMaxId: Long = 10,
                    threshold: Double = 0.5): DataFrame = {
-    // no cache: shingle generation is map-side integer work after the
-    // array_distinct rewrite, so recomputing it per consumer beats
-    // materializing corpus×shingles rows (which cannot fit at 100 TB)
-    val sh = shingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // no cache/materialization: shingle generation stays map-side (the
+    // corpus×shingles table cannot fit at 100 TB) — but the per-doc
+    // shingle COUNT rides along with every exploded row (it's computed
+    // on the map-side distinct array before the explode), so union
+    // sizes need no second aggregation pass and the corpus is exploded
+    // exactly ONCE (r3 ran the explode 3×: sizes, join side, final
+    // sizes re-join — the suite's slowest query at 1.76 s).
+    val sh = spread(docs)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n))"))
+        .as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
     val qsh = sh.filter(col("doc_id") < queryMaxId)
-      .withColumnRenamed("doc_id", "query_id")
-    val qsizes = sizes.filter(col("doc_id") < queryMaxId)
-      .select(col("doc_id").as("query_id"), col("n_sh").as("n_q"))
+      .select(col("doc_id").as("query_id"), col("n_sh").as("n_q"), col("sh"))
+    // n_q and n_sh are functionally determined by the grouping keys, so
+    // max() just carries them through the one aggregation shuffle
     val inter = broadcast(qsh).join(sh, "sh")
       .filter(col("query_id") =!= col("doc_id"))
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_inter"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_inter"),
+        max(col("n_q")).as("n_q"), max(col("n_sh")).as("n_sh"))
     inter
-      .join(broadcast(qsizes), "query_id")
-      .join(sizes, "doc_id")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_q") + col("n_sh") - col("n_inter")).cast("double"), 4))

@@ -61,6 +61,26 @@ class MetricsStore(spark: SparkSession, path: String) {
     if (out.isEmpty || out.head.isNullAt(0)) 0L else out.head.getLong(0)
   }
 
+  /** The per-trigger progress table written by
+    * [[graft.streaming.MetricsListener]] — one row per (query, trigger)
+    * with rates, durations, watermark and state-store size. */
+  def streamingProgress(metricsPath: String): DataFrame =
+    spark.read.parquet(metricsPath)
+
+  /** Watermark lag per query, newest trigger first: how far each
+    * query's event-time watermark trails the trigger wall-clock — THE
+    * streaming health number (a growing lag means the pipeline is
+    * falling behind its input or an idle source is holding the
+    * watermark). Derived, not stored, so it's always consistent with
+    * the progress rows it came from. */
+  def watermarkLag(metricsPath: String): DataFrame =
+    streamingProgress(metricsPath)
+      .filter(col("watermark_ms").isNotNull && col("watermark_ms") > 0L)
+      .select(col("query_name"), col("batch_id"), col("ts_ms"),
+        col("watermark_ms"),
+        (col("ts_ms") - col("watermark_ms")).as("lag_ms"))
+      .orderBy(col("query_name"), col("batch_id").desc)
+
   /** Retention trim (repository.py:111-115, newest 120 windows): rewrite
     * the table keeping only windows above the cutoff. Expressed as a
     * filter so at scale it becomes partition drops + one rewrite of the

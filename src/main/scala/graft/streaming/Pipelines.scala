@@ -77,21 +77,18 @@ object Pipelines {
     * exactly-once. */
   def writeStorageBatch(batch: DataFrame, batchId: Long, path: String,
                         sortKey: Seq[String]): Unit = {
-    val spark = batch.sparkSession
     val tsCol = sortKey.head
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      batch
-        .withColumn("p_date", to_date(timestamp_millis(col(tsCol))))
-        .withColumn("batch_id", lit(batchId))
-        .repartition(col("p_date"))
-        .sortWithinPartitions(sortKey.map(col): _*)
-        .write.mode("overwrite").partitionBy("p_date", "batch_id").parquet(path)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    batch
+      .withColumn("p_date", to_date(timestamp_millis(col(tsCol))))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("p_date"))
+      .sortWithinPartitions(sortKey.map(col): _*)
+      .write.mode("overwrite")
+      // per-writer scope, not session conf: concurrent callers sharing a
+      // session must never race a set/restore of the global mode (a write
+      // observing STATIC would truncate the whole sink table)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_date", "batch_id").parquet(path)
   }
 
   /** Storage sink (S5 analog): write each micro-batch to a parquet
@@ -304,6 +301,7 @@ object Pipelines {
       ("performance_metrics", perfMetrics(src), Seq("window_start_ms", "category")),
     ).map { case (name, df, key) =>
       df.writeStream
+        .queryName(name) // names flow into progress telemetry (Observability)
         .outputMode("append")
         .option("checkpointLocation", s"$outDir/_chk/$name")
         .trigger(trigger)

@@ -51,6 +51,46 @@ class KMeansSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("autoK bounds expected cluster cardinality as the corpus grows") {
+    assert(KMeans.autoK(100) == 2) // floor: never a 1-cluster degenerate
+    assert(KMeans.autoK(512) == 2)
+    assert(KMeans.autoK(1000000) ==
+      math.ceil(1000000.0 / KMeans.targetClusterSize).toInt)
+    // the property the fixed k=8 default violated: expected cluster
+    // size stays ≤ targetClusterSize at any corpus scale
+    for (n <- Seq(10000L, 1000000L, 100000000L))
+      assert(n.toDouble / KMeans.autoK(n) <= KMeans.targetClusterSize)
+  }
+
+  test("skewed corpus: salt buckets cap the pair join's group cardinality") {
+    // adversarial skew: 200 near-identical vectors k-means piles into
+    // one cluster, plus 2 outliers. Without the cap the pair join does
+    // ~200²/2 work in one task; with cap=16 the giant cluster splits
+    // into ceil(202/16)-way salt buckets.
+    val cap = 16
+    val skewed = ((0L until 200L).map(i =>
+      (i, Array(1f, (i % 7).toFloat * 1e-4f), 0)) ++
+      Seq((200L, Array(0f, 1f), 0), (201L, Array(0f, -1f), 0))).toDF(
+      "vec_id", "embedding", "label")
+    val assigned = KMeans.assign(skewed, k = 2, iters = 2)
+    val buckets = KMeans.saltedVectors(skewed, assigned, cap)
+      .groupBy($"cluster", $"salt").count()
+      .select($"count").as[Long].collect()
+    // hash salting spreads near-evenly, not exactly: documented bound 2×cap
+    assert(buckets.max <= 2L * cap,
+      s"pair-join group of ${buckets.max} rows exceeds 2×cap=$cap")
+    assert(buckets.sum == 202L, "salting must not drop or duplicate rows")
+    // clusters under the cap keep a single bucket → cap inactive → the
+    // sub-cap result is EXACT SemDeDup (identical to an effectively
+    // uncapped run)
+    val small = KMeans.semanticDedup(skewed, k = 2, iters = 2,
+      threshold = 0.9, maxClusterSize = 1 << 20)
+    val capped = KMeans.semanticDedup(skewed, k = 2, iters = 2,
+      threshold = 0.9, maxClusterSize = 1024)
+    assert(small.orderBy($"vec_id").collect().toSeq ==
+      capped.orderBy($"vec_id").collect().toSeq)
+  }
+
   test("a second Lloyd round does not increase total within-cluster cost") {
     val embs = Tables.embeddings(spark, sf)
     def cost(iters: Int): Double = {
