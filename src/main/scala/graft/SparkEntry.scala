@@ -93,6 +93,8 @@ object SparkEntry {
       graft.ann.Quantize.quantKnn(Tables.embeddings(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
+    "q_ann_recall" -> ((s, dir) => // measured recall@k of all 3 ANN indexes
+      graft.ann.Similarity.annRecall(Tables.embeddings(s, dir))),
     // --- relational / joins over the star schema ---
     "q_revenue_nation" -> ((s, dir) =>
       Relational.revenueByNation(Tables.lineitem(s, dir),
@@ -468,6 +470,7 @@ object SparkEntry {
       // IVF centroids are md5-hash-sampled + cells argmax'd on the
       // bit-identical double cosine → the full pipeline replays in SQL
       "q_ivf_knn" -> graft.ann.IvfKnn.ivfKnnSql(),
+      "q_ann_recall" -> graft.ann.Similarity.annRecallSql(),
       "q_quantize" -> graft.ann.Quantize.quantizeDigestSql,
       "q_quant_knn" -> graft.ann.Quantize.quantKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,

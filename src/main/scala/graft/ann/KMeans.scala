@@ -124,7 +124,11 @@ object KMeans {
                     threshold: Double = 0.35,
                     maxClusterSize: Int = 4096): DataFrame = {
     val kk = if (k > 0) k else autoK(embs.count())
-    val assigned = assign(embs, kk, iters)
+    // materialize the assignment once: it feeds the salt-count agg, the
+    // pair join AND the final kept-flag join — three consumers that
+    // would each replay the whole Lloyd pipeline. (vec_id, cluster)
+    // rows are 12 bytes — trivial executor-local state at any scale.
+    val assigned = assign(embs, kk, iters).localCheckpoint()
     val withC = saltedVectors(embs, assigned, maxClusterSize)
     val a = withC.select(col("cluster"), col("salt"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))

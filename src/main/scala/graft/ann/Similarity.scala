@@ -116,74 +116,176 @@ object Similarity {
       (v.toDouble / (1L << 56).toDouble) - 0.5
     }
 
-  /** Random-hyperplane signature as a typed map: a dim×nPlanes
-    * expression tree (1024 nodes) chokes codegen; a tight loop in a
-    * Dataset map is both faster and clearer. */
-  def withLshSignature(embs: DataFrame, dim: Int, nPlanes: Int): DataFrame = {
+  /** Per-band random-hyperplane signatures as a typed map: a
+    * dim×planes expression tree (2048 nodes) chokes codegen; a tight
+    * loop in a Dataset map is both faster and clearer. Band b uses
+    * planes [b·P, (b+1)·P) of [[hyperplanes]](dim, B·P). */
+  def withLshBandSignatures(embs: DataFrame, dim: Int, nBands: Int,
+                            planesPerBand: Int): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val planes = hyperplanes(dim, nPlanes)
+    val planes = hyperplanes(dim, nBands * planesPerBand)
     embs.select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
       .map { case (id, emb, label) =>
-        var sig = 0L
-        var p = 0
-        while (p < nPlanes) {
-          var s = 0.0; var i = 0
-          val plane = planes(p)
-          while (i < math.min(dim, emb.length)) { s += emb(i) * plane(i); i += 1 }
-          if (s > 0) sig |= (1L << p)
-          p += 1
+        val sigs = Array.tabulate(nBands) { b =>
+          var sig = 0L
+          var j = 0
+          while (j < planesPerBand) {
+            val plane = planes(b * planesPerBand + j)
+            var s = 0.0; var i = 0
+            while (i < math.min(dim, emb.length)) { s += emb(i) * plane(i); i += 1 }
+            if (s > 0) sig |= (1L << j)
+            j += 1
+          }
+          sig
         }
-        (id, emb, label, sig)
+        (id, emb, label, sigs)
       }
-      .toDF("vec_id", "embedding", "label", "sig")
+      .toDF("vec_id", "embedding", "label", "sigs")
   }
 
-  /** ANN via LSH bucketing: only pairs whose signatures collide get the
-    * exact cosine — the 100 TB path where corpus × queries is infeasible.
-    * Recall < 1.0 by construction; no DuckDB oracle (rows-only check). */
+  /** ANN via banded LSH (multi-table): a vector pair becomes a
+    * candidate when ANY band's planesPerBand-bit signature collides —
+    * the standard OR-of-ANDs construction (same banding algebra as
+    * MinHash-LSH over in [[graft.dedup.Dedup]]). Only candidates get
+    * the exact cosine — the 100 TB path where corpus × queries is
+    * infeasible. A single AND-only table at these dims has recall ≈ 0
+    * on real embeddings (measured: 12 planes → 0.0 at sf0.01); banding
+    * is what buys recall back while keeping the candidate set sparse.
+    * Recall < 1.0 by construction, measured by [[annRecall]].
+    *
+    * Scale shape: signatures are map-side; the per-band collision join
+    * broadcasts the (tiny) query band table; candidate dedup and the
+    * scoring joins touch candidate rows only, never corpus × queries. */
   def lshKnn(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5,
-             dim: Int = 64, nPlanes: Int = 12): DataFrame = {
-    val sig = withLshSignature(embs, dim, nPlanes)
-    val queries = sig.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("sig"))
-    val scored = broadcast(queries)
-      .join(sig, Seq("sig"))
+             dim: Int = 64, nBands: Int = 12, planesPerBand: Int = 6): DataFrame = {
+    val sig = withLshBandSignatures(embs, dim, nBands, planesPerBand)
+    val bands = sig.select(col("vec_id"),
+      posexplode(col("sigs")).as(Seq("band", "bsig")))
+    val qbands = bands.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("band"), col("bsig"))
+    // collide per band, then dedup (query, candidate): a pair colliding
+    // in several bands is scored once
+    val candIds = broadcast(qbands)
+      .join(bands, Seq("band", "bsig"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val queries = corpus.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = corpus.join(broadcast(candIds), "vec_id")
+      .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 4)
+          .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Recall gate for the approximate indexes: recall@k of [[lshKnn]],
+    * [[IvfKnn.ivfKnn]] and [[Quantize.quantKnn]] against the exact
+    * [[knnBrute]] baseline — the measured quality bar that turns
+    * "approximate" from a shrug into a number. One row per method:
+    * hit count, possible count (brute result size) and 4dp recall.
+    * All four pipelines are deterministic (md5-seeded planes/centroids,
+    * integer quantization), so the recall itself is oracle-checkable —
+    * intersection counts are integers and n_hits/n_possible has ≤2
+    * decimals at these parameters, far from any 4dp half-boundary.
+    *
+    * Scale shape: the brute baseline only ever runs over the (tiny,
+    * broadcast) query set's pairs, and the per-method intersection joins
+    * against the ≤ queries×k brute rows — also broadcast. The gate adds
+    * nothing a 100 TB corpus would notice beyond the three index scans
+    * it audits. */
+  def annRecall(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
+    val brute = knnBrute(embs, queryMaxId, k)
+      .select(col("query_id"), col("vec_id"))
+    val possible = brute.agg(count(lit(1)).as("n_possible"))
+    Seq(
+      "ivf" -> IvfKnn.ivfKnn(embs, queryMaxId, k),
+      "lsh" -> lshKnn(embs, queryMaxId, k),
+      "quant" -> Quantize.quantKnn(embs, queryMaxId, k))
+      .map { case (m, df) =>
+        df.select(col("query_id"), col("vec_id"))
+          .join(broadcast(brute), Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(m).as("method"), col("n_hits"))
+      }
+      .reduce(_.unionAll(_))
+      .crossJoin(broadcast(possible))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_possible"), 4))
+  }
+
+  /** DuckDB oracle for [[annRecall]]: the three approximate oracles and
+    * the brute oracle as CTEs, intersected and counted. */
+  def annRecallSql(queryMaxId: Long = 10, k: Int = 5): String =
+    s"""WITH brute AS (
+       |${knnBruteSql(queryMaxId, k)}
+       |),
+       |m_ivf AS (
+       |${IvfKnn.ivfKnnSql(queryMaxId, k)}
+       |),
+       |m_lsh AS (
+       |${lshKnnSql(queryMaxId, k)}
+       |),
+       |m_quant AS (
+       |${Quantize.quantKnnSql(queryMaxId, k)}
+       |),
+       |hits AS (
+       |  SELECT 'ivf' AS method, count(*) AS n_hits FROM m_ivf a
+       |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+       |  UNION ALL
+       |  SELECT 'lsh', count(*) FROM m_lsh a
+       |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+       |  UNION ALL
+       |  SELECT 'quant', count(*) FROM m_quant a
+       |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id),
+       |poss AS (SELECT count(*) AS n_possible FROM brute)
+       |SELECT method, n_hits, n_possible,
+       |       round(CAST(n_hits AS DOUBLE) / n_possible, 4) AS recall
+       |FROM hits CROSS JOIN poss""".stripMargin
+
   /** DuckDB oracle for [[lshKnn]]. The hyperplanes are data-INdependent
     * (md5 of "plane:dim"), so their exact double values are embedded as
     * literals; `Double.toString` emits the shortest round-tripping
     * decimal, and both engines widen the float element exactly and add
-    * left-to-right — the signature is bit-identical, not approximately
-    * equal, which is what makes this rows-only query oracle-upgradable. */
+    * left-to-right — each band signature is bit-identical, not
+    * approximately equal, which is what makes this approximate query
+    * oracle-upgradable. */
   def lshKnnSql(queryMaxId: Long = 10, k: Int = 5,
-                dim: Int = 64, nPlanes: Int = 12): String = {
-    val planes = hyperplanes(dim, nPlanes)
-    val sigExpr = (0 until nPlanes).map { p =>
+                dim: Int = 64, nBands: Int = 12, planesPerBand: Int = 6): String = {
+    val planes = hyperplanes(dim, nBands * planesPerBand)
+    def bandExpr(b: Int): String = (0 until planesPerBand).map { j =>
       val s = (0 until dim)
-        .map(d => s"embedding[${d + 1}] * (${planes(p)(d)})")
+        .map(d => s"embedding[${d + 1}] * (${planes(b * planesPerBand + j)(d)})")
         .mkString(" + ")
-      s"CASE WHEN ($s) > 0 THEN ${1L << p} ELSE 0 END"
+      s"CASE WHEN ($s) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("\n      + ")
+    val bandCols = (0 until nBands)
+      .map(b => s"      ${bandExpr(b)} AS b$b").mkString(",\n")
+    val orCollide = (0 until nBands).map(b => s"q.b$b = c.b$b").mkString(" OR ")
     s"""WITH sig AS (
        |  SELECT vec_id, embedding,
-       |      $sigExpr AS sig
+       |$bandCols
        |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+       |  FROM sig q JOIN sig c
+       |    ON ($orCollide) AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $queryMaxId),
        |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |  SELECT n.query_id, n.vec_id,
        |         round(list_dot_product(q.embedding, c.embedding) /
        |               (sqrt(list_dot_product(q.embedding, q.embedding)) *
        |                sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos_sim
-       |  FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $queryMaxId),
+       |  FROM cand n
+       |  JOIN embeddings q ON q.vec_id = n.query_id
+       |  JOIN embeddings c ON c.vec_id = n.vec_id),
        |ranked AS (
        |  SELECT query_id, vec_id, cos_sim,
        |         row_number() OVER (PARTITION BY query_id

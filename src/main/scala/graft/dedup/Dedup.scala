@@ -79,9 +79,13 @@ object Dedup {
            |THEN transform(sequence(0, (size(w) + ${chunkWords - 1}) div $chunkWords - 1),
            |       i -> array_join(slice(w, i * $chunkWords + 1, $chunkWords), ' '))
            |ELSE array() END""".stripMargin)).as(Seq("pos", "chunk")))
+    // constant-key equi-join (not crossJoin): a BroadcastNestedLoopJoin
+    // would break whole-stage codegen on the frequency-filter stage;
+    // with a literal key both sides hash-join and stay codegen'd
     val boiler = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .crossJoin(broadcast(total))
+      .withColumn("__k", lit(1))
+      .join(broadcast(total.withColumn("__k", lit(1))), "__k")
       .filter(col("nd") >= greatest(lit(2L),
         ceil(lit(minDocFrac) * col("__n_docs"))))
       .select(col("chunk"), lit(1).as("__boiler"))
@@ -157,11 +161,20 @@ object Dedup {
     // sizes need no second aggregation pass and the corpus is exploded
     // exactly ONCE (r3 ran the explode 3×: sizes, join side, final
     // sizes re-join — the suite's slowest query at 1.76 s).
+    // lambda-bind so the distinct-shingle array is computed ONCE per
+    // doc: naming it in a projection and consuming it twice (size +
+    // explode) lets CollapseProject inline the expensive expression
+    // into BOTH consumers (4 copies in the optimized plan, measured
+    // ~1.6× slower); binding it as a lambda variable via a 1-element
+    // transform() makes the single evaluation structural
     val sh = spread(docs)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n))"))
-        .as("shs"))
-      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(array(array_distinct(transform(
+           |    sequence(1, greatest(length(text) - ${n - 1}, 1)),
+           |    i -> substring(text, i, $n)))),
+           |  arr -> transform(arr, x -> struct(x AS sh, size(arr) AS n_sh)))[0]"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.n_sh").as("n_sh"), col("s.sh").as("sh"))
     val qsh = sh.filter(col("doc_id") < queryMaxId)
       .select(col("doc_id").as("query_id"), col("n_sh").as("n_q"), col("sh"))
     // n_q and n_sh are functionally determined by the grouping keys, so

@@ -61,6 +61,38 @@ class MetricsStore(spark: SparkSession, path: String) {
     if (out.isEmpty || out.head.isNullAt(0)) 0L else out.head.getLong(0)
   }
 
+  /** Sketch-store compaction: merge the per-window sketch rows that
+    * [[graft.streaming.Pipelines.startSketchSink]] accumulates into one
+    * daily supersketch per (day, type). HLL merge is associative and
+    * lossless over merges, so any estimate whose range aligns to day
+    * boundaries is IDENTICAL pre/post compaction — but
+    * [[distinctUsersAcross]] now reads O(days) rows instead of
+    * O(windows) (1440× fewer at 60 s windows), which is the difference
+    * between a metadata read and a scan once the store holds months.
+    * Output keeps the sink's column names/semantics (window = the day),
+    * so every sketch read runs unchanged against either table.
+    *
+    * Scale shape: one shuffle keyed (day, type) with map-side partial
+    * merge of kB-sized sketch buffers; output partitioned by p_date for
+    * range pruning. */
+  def compactSketchesDaily(sketchPath: String, outPath: String): Unit = {
+    import graft.functions.HllFunctions._
+    val dayMs = lit(86400000L)
+    spark.read.parquet(sketchPath)
+      .groupBy(
+        (col("window_start_ms") - pmod(col("window_start_ms"), dayMs))
+          .as("window_start_ms"),
+        col("event_type"))
+      .agg(sum(col("event_count")).as("event_count"),
+        hll_merge(col("user_sketch")).as("user_sketch"))
+      .select(col("window_start_ms"),
+        (col("window_start_ms") + dayMs).as("window_end_ms"),
+        col("event_type"), col("event_count"), col("user_sketch"),
+        to_date(timestamp_millis(col("window_start_ms"))).as("p_date"))
+      .repartition(col("p_date"))
+      .write.mode("overwrite").partitionBy("p_date").parquet(outPath)
+  }
+
   /** The per-trigger progress table written by
     * [[graft.streaming.MetricsListener]] — one row per (query, trigger)
     * with rates, durations, watermark and state-store size. */

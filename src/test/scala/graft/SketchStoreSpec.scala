@@ -56,5 +56,26 @@ class SketchStoreSpec extends AnyFunSuite {
     // the table really carries sketches, not raw users
     val cols = spark.read.parquet(s"$dir/t").columns.toSet
     assert(cols.contains("user_sketch") && !cols.contains("user_id"))
+
+    // --- daily compaction: same estimates from O(days) rows ---
+    val preRows = spark.read.parquet(s"$dir/t").count()
+    val preAll = store.distinctUsersAcross(s"$dir/t", base, base + 86400000)
+    val preView = store.distinctUsersAcross(s"$dir/t", base, base + 86400000,
+      types = Seq("view"))
+    store.compactSketchesDaily(s"$dir/t", s"$dir/daily")
+    val postRows = spark.read.parquet(s"$dir/daily").count()
+    assert(postRows < preRows,
+      s"compaction must reduce rows ($preRows -> $postRows)")
+    assert(postRows == 2L, // one row per (day, type): view + purchase
+      s"expected one supersketch per (day, type), got $postRows")
+    // day-aligned reads are EXACT equalities: HLL merge is associative,
+    // so the merged-then-estimated supersketch equals the estimate over
+    // the raw per-window sketches
+    assert(store.distinctUsersAcross(s"$dir/daily", base, base + 86400000)
+      == preAll)
+    assert(store.distinctUsersAcross(s"$dir/daily", base, base + 86400000,
+      types = Seq("view")) == preView)
+    assert(store.distinctUsersAcross(s"$dir/daily", base, base + 86400000,
+      types = Seq("purchase")) == 1L)
   }
 }
