@@ -16,12 +16,21 @@ object RunPipelines {
     val Array(srcDir, outDir) = args.take(2)
     val spark = Engine.sessionBuilder(Engine.envCores(8)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-trigger telemetry next to the metric tables (the reference
+    // exports Prometheus counters; this is the engine's flight recorder)
+    val listener = graft.streaming.Observability.attach(spark, s"$outDir/_progress")
     val queries = Pipelines.runAll(spark, srcDir, outDir)
     queries.foreach(_.awaitTermination())
+    graft.streaming.Observability.detach(spark, listener)
     Seq("event_metrics", "session_metrics", "performance_metrics").foreach { t =>
       val n = spark.read.parquet(s"$outDir/$t").count()
       println(s"[pipelines] $t rows=$n")
     }
+    val lag = new graft.operators.MetricsStore(spark, outDir)
+      .watermarkLag(s"$outDir/_progress")
+      .groupBy("query_name").agg(org.apache.spark.sql.functions.min("lag_ms"))
+      .collect()
+    println(s"[pipelines] watermark lag (ms, newest): ${lag.mkString(", ")}")
     spark.stop()
   }
 }

@@ -91,6 +91,34 @@ object Pipelines {
       .partitionBy("p_date", "batch_id").parquet(path)
   }
 
+  /** Background part-merge for the storage sink — the ClickHouse
+    * MergeTree analog the reference gets for free from its storage
+    * engine. [[writeStorageBatch]]'s exactly-once contract costs one
+    * (p_date, batch_id) partition per micro-batch: at a 60 s trigger
+    * that is ~1440 batch dirs per date per table, and at 100 TB the
+    * file count (not the bytes) becomes the scan bottleneck. Compaction
+    * rewrites ONE closed date's batch partitions into a single sorted
+    * `batch_id=-1` part, written to the date's own directory so no
+    * other partition is touched (concurrent streaming appends land in
+    * newer dates — disjoint paths). Idempotent: re-running rewrites the
+    * same content.
+    *
+    * Only compact dates the stream has moved past: a crash-replayed
+    * micro-batch re-creates its (p_date, batch_id) partition, so
+    * compacting the date still being written would let a replay
+    * re-add rows the compacted part already absorbed. */
+  def compactStorageDate(spark: SparkSession, tablePath: String,
+                         date: java.time.LocalDate,
+                         sortKey: Seq[String]): Unit = {
+    val datePath = s"$tablePath/p_date=$date"
+    val part = spark.read.parquet(datePath) // batch_id=* subdirs
+      .drop("batch_id")
+      .withColumn("batch_id", lit(-1L))
+      .sortWithinPartitions(sortKey.map(col): _*)
+      .localCheckpoint() // materialize BEFORE overwriting the input dirs
+    part.write.mode("overwrite").partitionBy("batch_id").parquet(datePath)
+  }
+
   /** Storage sink (S5 analog): write each micro-batch to a parquet
     * table partitioned by UTC date of the window start and sorted within
     * partitions on the MergeTree-style sort key — date partition pruning

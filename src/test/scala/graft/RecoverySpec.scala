@@ -70,6 +70,37 @@ class RecoverySpec extends AnyFunSuite {
       .distinct().count() == 3)
   }
 
+  test("storage date compaction: one part per date, rows identical, idempotent") {
+    import graft.streaming.Pipelines
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val key = Seq("window_start_ms", "event_type")
+    val base = 1714867200000L // 2024-05-05 UTC
+    val day2 = base + 86400000L
+    // three micro-batches: two land on day 1, one on day 2
+    Pipelines.writeStorageBatch(Seq((base, "view", 5L), (base + 60000L, "click", 3L))
+      .toDF("window_start_ms", "event_type", "event_count"), 1L, path, key)
+    Pipelines.writeStorageBatch(Seq((base + 120000L, "view", 2L))
+      .toDF("window_start_ms", "event_type", "event_count"), 2L, path, key)
+    Pipelines.writeStorageBatch(Seq((day2, "view", 7L))
+      .toDF("window_start_ms", "event_type", "event_count"), 3L, path, key)
+    def data = spark.read.parquet(path)
+      .select($"window_start_ms", $"event_type", $"event_count")
+    def batchDirs(date: String) =
+      new java.io.File(s"$path/p_date=$date").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    val pre = data.collect().toSet
+    assert(batchDirs("2024-05-05") == Seq("batch_id=1", "batch_id=2"))
+    Pipelines.compactStorageDate(spark, path, java.time.LocalDate.of(2024, 5, 5), key)
+    // one merged part, data unchanged, other dates untouched
+    assert(batchDirs("2024-05-05") == Seq("batch_id=-1"))
+    assert(batchDirs("2024-05-06") == Seq("batch_id=3"))
+    assert(data.collect().toSet == pre, "compaction changed table contents")
+    // idempotent: a second compaction is a no-op rewrite
+    Pipelines.compactStorageDate(spark, path, java.time.LocalDate.of(2024, 5, 5), key)
+    assert(data.collect().toSet == pre)
+    assert(batchDirs("2024-05-05") == Seq("batch_id=-1"))
+  }
+
   test("full topology restart: three sinks recover with no duplicate rows") {
     import graft.streaming.Pipelines
     val src = "/root/testdata/sf0.001"
