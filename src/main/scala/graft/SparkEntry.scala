@@ -167,6 +167,9 @@ object SparkEntry {
     // unigram LM surprisal per doc (KenLM-perplexity proxy)
     "q_unigram_ppl" -> ((s, dir) =>
       graft.text.CorpusStats.unigramSurprisal(Tables.documents(s, dir))),
+    // DSIR-shaped importance weights (target-domain data selection)
+    "q_importance" -> ((s, dir) =>
+      graft.text.CorpusStats.importanceWeights(Tables.documents(s, dir))),
     // dedup end-to-end: the corpus surviving LSH + clustering
     "q_dedup_keep" -> ((s, dir) =>
       graft.dedup.Clusters.survivors(Tables.documents(s, dir))),
@@ -500,6 +503,7 @@ object SparkEntry {
            |FROM ev GROUP BY 1""".stripMargin,
       "q_kmeans" -> graft.ann.KMeans.assignSql(),
       "q_unigram_ppl" -> graft.text.CorpusStats.unigramSurprisalSql,
+      "q_importance" -> graft.text.CorpusStats.importanceWeightsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->
         """SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -186,4 +186,78 @@ object CorpusStats {
        |       round(avg(-log2(CAST(cnt AS DOUBLE) / total)), 4) AS avg_bits
        |FROM toks JOIN tf USING (token) CROSS JOIN tot
        |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------- importance weighting (DSIR)
+  /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much its hashed-unigram feature distribution looks
+    * like a TARGET domain (here: doc_id < targetMaxId stands in for the
+    * curated target set, same convention as the query sets elsewhere).
+    * Tokens hash into `buckets` feature buckets (md5 universal hash —
+    * replicable in any engine); each bucket gets a target/corpus
+    * probability ratio; a document's importance score is the sum of its
+    * tokens' bucket ratios. DSIR proper sums log-ratios — engines'
+    * libm log isn't bit-portable, so this uses the ratio itself in
+    * fixed point (same ranking intent, hash-checkable): probabilities
+    * quantize to parts-per-million (add-one smoothing), ratios to 1e4.
+    * All arithmetic stays in Long lanes (ppm ≤ 1e6, counts ≤ 1e12
+    * before overflow risk — documented headroom, not luck).
+    *
+    * Scale shape: tokenize + bucket are map-side; the two distribution
+    * aggregates shuffle ≤ `buckets` rows; the ratio table (buckets
+    * rows) broadcasts onto the token stream; the per-doc sum
+    * partial-aggregates map-side because a doc's tokens stay in its
+    * partition after the explode. The corpus is scanned, never
+    * pair-joined. */
+  def importanceWeights(docs: DataFrame, targetMaxId: Long = 50,
+                        buckets: Int = 64): DataFrame = {
+    val toks = tokens(docs).withColumn("bucket",
+      pmod(expr("conv(substring(md5(token), 1, 15), 16, 10)").cast("long"),
+        lit(buckets.toLong)))
+    def dist(t: DataFrame, pcol: String): DataFrame = t
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(t.agg((count(lit(1)) + buckets).as("total"))
+        .withColumn("__k", lit(1))), "__k")
+      // add-one smoothing, parts-per-million quantization. `div` (not
+      // `/`): Spark's / on longs is DOUBLE division — inexact past
+      // 2^53, where DuckDB's // stays integer-exact
+      .select(col("bucket"),
+        expr("((cnt + 1) * 1000000) div total").as(pcol))
+    val p = dist(toks.filter(col("doc_id") < targetMaxId), "p_ppm")
+    val q = dist(toks, "q_ppm")
+    val ratio = p.join(q, "bucket")
+      .select(col("bucket"),
+        expr("(p_ppm * 10000) div greatest(q_ppm, 1)").as("ratio_fp"))
+    toks.join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio_fp")).as("imp_score"))
+  }
+
+  def importanceWeightsSql(targetMaxId: Long = 50, buckets: Int = 64): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, token,
+       |         ('0x' || substr(md5(token), 1, 15))::BIGINT % $buckets AS bucket
+       |  FROM ($toksSql)),
+       |p AS (
+       |  SELECT bucket,
+       |         CAST((cnt + 1) * 1000000 // total AS BIGINT) AS p_ppm
+       |  FROM (SELECT bucket, count(*) AS cnt FROM toks
+       |        WHERE doc_id < $targetMaxId GROUP BY 1)
+       |  CROSS JOIN (SELECT count(*) + $buckets AS total FROM toks
+       |              WHERE doc_id < $targetMaxId)),
+       |q AS (
+       |  SELECT bucket,
+       |         CAST((cnt + 1) * 1000000 // total AS BIGINT) AS q_ppm
+       |  FROM (SELECT bucket, count(*) AS cnt FROM toks GROUP BY 1)
+       |  CROSS JOIN (SELECT count(*) + $buckets AS total FROM toks)),
+       |ratio AS (
+       |  SELECT bucket,
+       |         CAST(p_ppm * 10000 // greatest(q_ppm, 1) AS BIGINT) AS ratio_fp
+       |  FROM p JOIN q USING (bucket))
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       CAST(sum(ratio_fp) AS BIGINT) AS imp_score
+       |FROM toks JOIN ratio USING (bucket)
+       |GROUP BY 1""".stripMargin
 }

@@ -88,6 +88,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(both.toSeq == Seq(1L))
   }
 
+  test("importance weights rank target-like docs above off-domain docs") {
+    // target = doc_ids < 2, all about zebras; docs 10/11 match the
+    // target vocabulary, doc 12 is entirely off-domain. DSIR intent:
+    // target-like docs must outscore off-domain ones (per-token, to
+    // control for length).
+    val docs = Seq(
+      (0L, "zebra stripes zebra savanna zebra"),
+      (1L, "zebra herd savanna stripes"),
+      (10L, "zebra savanna stripes herd"),
+      (11L, "stripes zebra zebra"),
+      (12L, "quantum flux capacitor oscillates wildly today"),
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.importanceWeights(docs, targetMaxId = 2, buckets = 16)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> s.toDouble / n }.toMap
+    assert(got.keySet == Set(0L, 1L, 10L, 11L, 12L))
+    assert(got(10L) > got(12L) && got(11L) > got(12L),
+      s"target-vocabulary docs must outscore off-domain: $got")
+  }
+
   test("lang confusion diagonal dominates on marker-bearing docs") {
     val d = Seq(
       (1L, "the cat and the dog", "en"),
