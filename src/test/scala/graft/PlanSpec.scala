@@ -154,6 +154,20 @@ class PlanSpec extends AnyFunSuite {
       s"in-order reconstruction must use the sorted-struct aggregate, not a window:\n$plan")
   }
 
+  test("importanceWeights: ratio table broadcasts, corpus never pair-joins") {
+    val df = graft.text.CorpusStats.importanceWeights(
+      Tables.documents(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-ratio table must broadcast onto the token stream:\n$plan")
+    // the only acceptable non-hash joins are the 1-row totals appends
+    // (constant-folded to BNLJ, codegen'd — the `*(n)` prefix); the
+    // corpus side must never reach a shuffle join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no corpus-side shuffle join belongs in this plan:\n$plan")
+  }
+
   test("semanticDedup: pairwise pass shuffles on the cluster key only") {
     val df = graft.ann.KMeans.semanticDedup(Tables.embeddings(spark, sf))
     df.collect()
