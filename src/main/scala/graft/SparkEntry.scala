@@ -170,6 +170,9 @@ object SparkEntry {
     // DSIR-shaped importance weights (target-domain data selection)
     "q_importance" -> ((s, dir) =>
       graft.text.CorpusStats.importanceWeights(Tables.documents(s, dir))),
+    // temporal-behavior similarity: top-k rhythm-similar users
+    "q_ts_similar" -> ((s, dir) =>
+      graft.operators.TimeSeries.similarActivity(Tables.events(s, dir))),
     // dedup end-to-end: the corpus surviving LSH + clustering
     "q_dedup_keep" -> ((s, dir) =>
       graft.dedup.Clusters.survivors(Tables.documents(s, dir))),
@@ -504,6 +507,7 @@ object SparkEntry {
       "q_kmeans" -> graft.ann.KMeans.assignSql(),
       "q_unigram_ppl" -> graft.text.CorpusStats.unigramSurprisalSql,
       "q_importance" -> graft.text.CorpusStats.importanceWeightsSql(),
+      "q_ts_similar" -> graft.operators.TimeSeries.similarActivitySql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->
         """SELECT o_custkey, o_orderkey, o_totalprice FROM (
