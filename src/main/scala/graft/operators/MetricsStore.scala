@@ -77,6 +77,8 @@ class MetricsStore(spark: SparkSession, path: String) {
     * range pruning. */
   def compactSketchesDaily(sketchPath: String, outPath: String): Unit = {
     import graft.functions.HllFunctions._
+    import graft.functions.CmsFunctions._
+    import graft.functions.QSketchFunctions._
     val dayMs = lit(86400000L)
     spark.read.parquet(sketchPath)
       .groupBy(
@@ -84,10 +86,13 @@ class MetricsStore(spark: SparkSession, path: String) {
           .as("window_start_ms"),
         col("event_type"))
       .agg(sum(col("event_count")).as("event_count"),
-        hll_merge(col("user_sketch")).as("user_sketch"))
+        hll_merge(col("user_sketch")).as("user_sketch"),
+        cm_merge(col("user_cms")).as("user_cms"),
+        q_sketch_merge(col("value_sketch")).as("value_sketch"))
       .select(col("window_start_ms"),
         (col("window_start_ms") + dayMs).as("window_end_ms"),
         col("event_type"), col("event_count"), col("user_sketch"),
+        col("user_cms"), col("value_sketch"),
         to_date(timestamp_millis(col("window_start_ms"))).as("p_date"))
       .repartition(col("p_date"))
       .write.mode("overwrite").partitionBy("p_date").parquet(outPath)
@@ -112,6 +117,42 @@ class MetricsStore(spark: SparkSession, path: String) {
         col("watermark_ms"),
         (col("ts_ms") - col("watermark_ms")).as("lag_ms"))
       .orderBy(col("query_name"), col("batch_id").desc)
+
+  /** Cross-window per-user event frequency from the stored Count-Min
+    * sketches: how many events did `userId` generate over any
+    * (time range × type set) — upper-bound estimate (CMS never
+    * undercounts), from the metric table alone. */
+  def userEventsAcross(sketchPath: String, fromMs: Long, toMs: Long,
+                       userId: Long, types: Seq[String] = Nil): Long = {
+    import graft.functions.CmsFunctions._
+    val base = spark.read.parquet(sketchPath)
+      .filter(col("window_start_ms") >= fromMs && col("window_start_ms") < toMs)
+    val filtered =
+      if (types.isEmpty) base else base.filter(col("event_type").isin(types: _*))
+    val out = filtered
+      .agg(cm_merge(col("user_cms")).as("msk"))
+      .select(cm_estimate(col("msk"), lit(userId)).as("est"))
+      .collect()
+    if (out.isEmpty || out.head.isNullAt(0)) 0L else out.head.getLong(0)
+  }
+
+  /** Cross-window value quantile from the stored KMV sketches: the
+    * p-quantile of the metric value over any (time range × type set) —
+    * the "p95 load time last week" question answered from kB of
+    * sketch state instead of a raw-event rescan. */
+  def valueQuantileAcross(sketchPath: String, fromMs: Long, toMs: Long,
+                          p: Double, types: Seq[String] = Nil): Double = {
+    import graft.functions.QSketchFunctions._
+    val base = spark.read.parquet(sketchPath)
+      .filter(col("window_start_ms") >= fromMs && col("window_start_ms") < toMs)
+    val filtered =
+      if (types.isEmpty) base else base.filter(col("event_type").isin(types: _*))
+    val out = filtered
+      .agg(q_sketch_merge(col("value_sketch")).as("msk"))
+      .select(q_sketch_quantile(col("msk"), lit(p)).as("q"))
+      .collect()
+    if (out.isEmpty || out.head.isNullAt(0)) Double.NaN else out.head.getDouble(0)
+  }
 
   /** Retention trim (repository.py:111-115, newest 120 windows): rewrite
     * the table keeping only windows above the cutoff. Expressed as a

@@ -20,8 +20,9 @@ class SketchStoreSpec extends AnyFunSuite {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                 event_type: String, value: Option[Double])
   private val base = 1714867200000L
-  private def ev(id: Long, offMs: Long, user: Long, typ: String) =
-    Ev(id, new Timestamp(base + offMs), user, typ, Some(1.0))
+  private def ev(id: Long, offMs: Long, user: Long, typ: String,
+                 value: Double = 1.0) =
+    Ev(id, new Timestamp(base + offMs), user, typ, Some(value))
 
   test("streamed sketches answer cross-window distinct queries exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
@@ -31,11 +32,11 @@ class SketchStoreSpec extends AnyFunSuite {
       watermark = "1 seconds", windowDur = "60 seconds")
     try {
       // window 0: users 1,2,3 view; window 1: users 3,4 view, user 5 buys
-      ms.addData(ev(1, 1000, 1, "view"), ev(2, 2000, 2, "view"),
-        ev(3, 3000, 3, "view"))
+      ms.addData(ev(1, 1000, 1, "view", 10.0), ev(2, 2000, 2, "view", 20.0),
+        ev(3, 3000, 3, "view", 30.0))
       q.processAllAvailable()
-      ms.addData(ev(4, 61000, 3, "view"), ev(5, 62000, 4, "view"),
-        ev(6, 63000, 5, "purchase"))
+      ms.addData(ev(4, 61000, 3, "view", 40.0), ev(5, 62000, 4, "view", 50.0),
+        ev(6, 63000, 5, "purchase", 60.0))
       q.processAllAvailable()
       ms.addData(ev(99, 600000, 9, "view")) // flush watermark
       q.processAllAvailable()
@@ -57,6 +58,15 @@ class SketchStoreSpec extends AnyFunSuite {
     val cols = spark.read.parquet(s"$dir/t").columns.toSet
     assert(cols.contains("user_sketch") && !cols.contains("user_id"))
 
+    // --- CMS frequency across windows: user 3 fired in both windows ---
+    assert(store.userEventsAcross(s"$dir/t", base, base + 120000, 3L) == 2L)
+    assert(store.userEventsAcross(s"$dir/t", base, base + 120000, 5L) == 1L)
+    assert(store.userEventsAcross(s"$dir/t", base, base + 60000, 4L) == 0L)
+    // --- KMV quantile across windows: values 10..50 for view ---
+    val p50 = store.valueQuantileAcross(s"$dir/t", base, base + 120000, 0.5,
+      types = Seq("view"))
+    assert(p50 >= 20.0 && p50 <= 40.0, s"median of 10..50 was $p50")
+
     // --- daily compaction: same estimates from O(days) rows ---
     val preRows = spark.read.parquet(s"$dir/t").count()
     val preAll = store.distinctUsersAcross(s"$dir/t", base, base + 86400000)
@@ -77,5 +87,13 @@ class SketchStoreSpec extends AnyFunSuite {
       types = Seq("view")) == preView)
     assert(store.distinctUsersAcross(s"$dir/daily", base, base + 86400000,
       types = Seq("purchase")) == 1L)
+    // frequency and quantile families survive compaction identically
+    // (all three merges are associative)
+    assert(store.userEventsAcross(s"$dir/daily", base, base + 86400000, 3L)
+      == store.userEventsAcross(s"$dir/t", base, base + 86400000, 3L))
+    assert(store.valueQuantileAcross(s"$dir/daily", base, base + 86400000, 0.5,
+      types = Seq("view"))
+      == store.valueQuantileAcross(s"$dir/t", base, base + 86400000, 0.5,
+        types = Seq("view")))
   }
 }
