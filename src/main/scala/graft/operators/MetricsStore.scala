@@ -47,14 +47,20 @@ class MetricsStore(spark: SparkSession, path: String) {
     * sketches over any (time range × type set) and estimate — a
     * metadata-table read, never a rescan of raw events. Window bounds in
     * epoch millis; `types` empty = all types. */
+  /** Sketch rows for a (time range × type set) read — the shared scan
+    * every cross-window sketch query starts from (partition-pruned by
+    * the window filter). */
+  private def sketchRows(sketchPath: String, fromMs: Long, toMs: Long,
+                         types: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(sketchPath)
+      .filter(col("window_start_ms") >= fromMs && col("window_start_ms") < toMs)
+    if (types.isEmpty) base else base.filter(col("event_type").isin(types: _*))
+  }
+
   def distinctUsersAcross(sketchPath: String, fromMs: Long, toMs: Long,
                           types: Seq[String] = Nil): Long = {
     import graft.functions.HllFunctions._
-    val base = spark.read.parquet(sketchPath)
-      .filter(col("window_start_ms") >= fromMs && col("window_start_ms") < toMs)
-    val filtered =
-      if (types.isEmpty) base else base.filter(col("event_type").isin(types: _*))
-    val out = filtered
+    val out = sketchRows(sketchPath, fromMs, toMs, types)
       .agg(hll_merge(col("user_sketch")).as("msk"))
       .select(hll_estimate(col("msk")).as("est"))
       .collect()
@@ -125,11 +131,7 @@ class MetricsStore(spark: SparkSession, path: String) {
   def userEventsAcross(sketchPath: String, fromMs: Long, toMs: Long,
                        userId: Long, types: Seq[String] = Nil): Long = {
     import graft.functions.CmsFunctions._
-    val base = spark.read.parquet(sketchPath)
-      .filter(col("window_start_ms") >= fromMs && col("window_start_ms") < toMs)
-    val filtered =
-      if (types.isEmpty) base else base.filter(col("event_type").isin(types: _*))
-    val out = filtered
+    val out = sketchRows(sketchPath, fromMs, toMs, types)
       .agg(cm_merge(col("user_cms")).as("msk"))
       .select(cm_estimate(col("msk"), lit(userId)).as("est"))
       .collect()
@@ -143,11 +145,7 @@ class MetricsStore(spark: SparkSession, path: String) {
   def valueQuantileAcross(sketchPath: String, fromMs: Long, toMs: Long,
                           p: Double, types: Seq[String] = Nil): Double = {
     import graft.functions.QSketchFunctions._
-    val base = spark.read.parquet(sketchPath)
-      .filter(col("window_start_ms") >= fromMs && col("window_start_ms") < toMs)
-    val filtered =
-      if (types.isEmpty) base else base.filter(col("event_type").isin(types: _*))
-    val out = filtered
+    val out = sketchRows(sketchPath, fromMs, toMs, types)
       .agg(q_sketch_merge(col("value_sketch")).as("msk"))
       .select(q_sketch_quantile(col("msk"), lit(p)).as("q"))
       .collect()
