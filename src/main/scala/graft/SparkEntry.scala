@@ -68,6 +68,8 @@ object SparkEntry {
     // --- deduplication (training-data pipeline) ---
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exactDedup(Tables.documents(s, dir))),
+    "q_incr_dedup" -> ((s, dir) => // shard-arrival gate vs existing corpus
+      graft.dedup.Dedup.incrementalDedup(Tables.documents(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccard(Tables.documents(s, dir))),
     "q_minhash_lsh" -> ((s, dir) =>
@@ -443,6 +445,7 @@ object SparkEntry {
       "q_fingerprint" -> graft.text.TextAnalysis.fingerprintSql,
       "q_winnow" -> graft.text.TextAnalysis.winnowSql,
       "q_dedup_exact" -> graft.dedup.Dedup.exactDedupSql,
+      "q_incr_dedup" -> graft.dedup.Dedup.incrementalDedupSql(),
       "q_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql(),
       "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,

@@ -48,6 +48,48 @@ object Dedup {
        |       min(doc_id) AS keep_id, count(*) AS dup_count
        |FROM documents GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------- incremental dedup
+  /** Shard-arrival dedup gate: which docs of a NEW shard (doc_id >=
+    * existingMaxId) survive against the corpus already ingested
+    * (doc_id < existingMaxId) — the incremental workflow every
+    * continuously-crawling pipeline runs, versus [[exactDedup]]'s
+    * whole-corpus pass. A new doc survives iff its content fingerprint
+    * (1) never appeared in the existing corpus AND (2) is the smallest
+    * doc_id holding that fingerprint within the new shard itself.
+    * Output marks each new doc kept/dropped with the reason-relevant
+    * fingerprint, so the caller can both filter survivors and append
+    * the survivors' fingerprints to the store.
+    *
+    * Scale shape: both sides reduce to (16-byte fingerprint, id) BEFORE
+    * any join — content never shuffles; the existing side arrives
+    * pre-aggregated (one row per fingerprint, i.e. the fingerprint
+    * STORE, not the corpus); the left_anti + keep-min are one shuffle
+    * each on the fingerprint key. At 100 TB the existing-corpus scan is
+    * replaced by reading the persisted fingerprint table that this same
+    * operator's survivors maintain. */
+  def incrementalDedup(docs: DataFrame, existingMaxId: Long = 250): DataFrame = {
+    val fp = spread(docs).select(col("doc_id"),
+      md5(TextAnalysis.normalize(col("text"))).as("fingerprint"))
+    val existing = fp.filter(col("doc_id") < existingMaxId)
+      .select(col("fingerprint")).distinct()
+    fp.filter(col("doc_id") >= existingMaxId)
+      .join(existing, Seq("fingerprint"), "left_anti")
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("shard_dups"))
+  }
+
+  def incrementalDedupSql(existingMaxId: Long = 250): String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, md5(${TextAnalysis.normalizeSql}) AS fingerprint
+       |  FROM documents),
+       |existing AS (
+       |  SELECT DISTINCT fingerprint FROM fp WHERE doc_id < $existingMaxId)
+       |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS shard_dups
+       |FROM fp
+       |WHERE doc_id >= $existingMaxId
+       |  AND fingerprint NOT IN (SELECT fingerprint FROM existing)
+       |GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------- line dedup
   /** C4/RefinedWeb-style repeated-span removal: any fixed-width word
     * span occurring in at least `minDocFrac` of all documents is corpus

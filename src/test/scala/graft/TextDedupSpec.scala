@@ -71,6 +71,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental dedup drops shard docs already in the corpus, keeps shard-min of new ones") {
+    // existing corpus: ids 0,1. new shard: id 10 duplicates 0 (dropped),
+    // ids 11+12 share NEW content (11 kept as shard min), 13 is unique
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma delta"),
+      (10L, "Alpha  Beta"),     // normalized dup of 0 → gated out
+      (11L, "epsilon zeta"), (12L, "epsilon zeta"),
+      (13L, "unique text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(docs, existingMaxId = 10)
+      .select("keep_id", "shard_dups").as[(Long, Long)].collect().toSet
+    assert(got == Set((11L, 2L), (13L, 1L)), s"got $got")
+  }
+
   test("identical docs are minhash candidates with est_jaccard 1.0") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
