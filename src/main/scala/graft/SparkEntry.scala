@@ -70,6 +70,8 @@ object SparkEntry {
       graft.dedup.Dedup.exactDedup(Tables.documents(s, dir))),
     "q_incr_dedup" -> ((s, dir) => // shard-arrival gate vs existing corpus
       graft.dedup.Dedup.incrementalDedup(Tables.documents(s, dir))),
+    "q_dedup_best" -> ((s, dir) => // keep highest-quality cluster member
+      graft.dedup.Clusters.survivorsBest(Tables.documents(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccard(Tables.documents(s, dir))),
     "q_minhash_lsh" -> ((s, dir) =>
@@ -446,6 +448,7 @@ object SparkEntry {
       "q_winnow" -> graft.text.TextAnalysis.winnowSql,
       "q_dedup_exact" -> graft.dedup.Dedup.exactDedupSql,
       "q_incr_dedup" -> graft.dedup.Dedup.incrementalDedupSql(),
+      "q_dedup_best" -> graft.dedup.Clusters.survivorsBestSql(),
       "q_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql(),
       "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,

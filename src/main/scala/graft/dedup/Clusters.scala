@@ -229,6 +229,49 @@ object Clusters {
        |${dupClustersSql(n, minEstJaccard)}
        |  ) c WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)""".stripMargin
 
+  /** Quality-aware survivorship (the FineWeb-style policy): each
+    * duplicate cluster keeps its HIGHEST-quality member — integer
+    * per-mille [[graft.text.TextAnalysis.qualityExpr]] score, doc_id
+    * tiebreak — instead of [[survivors]]' keep-the-min. Near-dup
+    * crawls routinely pair a clean article with a boilerplate-wrapped
+    * copy; min-id keeps whichever was crawled first, this keeps the
+    * better one.
+    *
+    * Scale shape: the cluster table (near-dup members only — tiny
+    * relative to the corpus) joins the quality scan, the argmax window
+    * runs over those members only, and the corpus anti-joins the drop
+    * list exactly as in [[survivors]] — the added policy never touches
+    * non-duplicate rows. */
+  def survivorsBest(docs: DataFrame, n: Int = 4,
+                    minEstJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = dupClusters(docs, n, minEstJaccard)
+      .join(docs.select(col("doc_id"),
+        graft.text.TextAnalysis.qualityExpr.as("quality_pm")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_pm").desc, col("doc_id"))
+    val drops = members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1).select(col("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  def survivorsBestSql(n: Int = 4, minEstJaccard: Double = 0.5): String =
+    s"""WITH clusters AS (
+       |${dupClustersSql(n, minEstJaccard)}
+       |),
+       |quality AS (
+       |${graft.text.TextAnalysis.qualityScoreSql}
+       |),
+       |ranked AS (
+       |  SELECT c.doc_id,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |                            ORDER BY q.quality_pm DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN quality q USING (doc_id)),
+       |drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)""".stripMargin
+
   /** DuckDB oracle: the same candidate SQL feeding a recursive-CTE
     * reachability walk; min reachable root = min component member. */
   def dupClustersSql(n: Int = 4, minEstJaccard: Double = 0.5): String =

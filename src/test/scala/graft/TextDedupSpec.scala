@@ -85,6 +85,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Set((11L, 2L), (13L, 1L)), s"got $got")
   }
 
+  test("quality-aware survivorship keeps the best cluster member, not the min id") {
+    val core = ("the quick brown fox jumps over a lazy dog and " * 5).trim
+    val docs = Seq(
+      (1L, core + " !!!!!!!!!!"), // near-dup, punct-spam tail → lower quality
+      (2L, core),                 // clean copy, HIGHER id
+      (3L, "completely different content about sailing ships")
+    ).map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val best = graft.dedup.Clusters.survivorsBest(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 3L),
+      s"clean higher-id copy must win its cluster: $best")
+    // contrast: min-id survivorship keeps the spammy first crawl
+    val minId = graft.dedup.Clusters.survivors(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 3L))
+  }
+
   test("identical docs are minhash candidates with est_jaccard 1.0") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
