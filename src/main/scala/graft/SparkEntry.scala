@@ -177,6 +177,15 @@ object SparkEntry {
     // temporal-behavior similarity: top-k rhythm-similar users
     "q_ts_similar" -> ((s, dir) =>
       graft.operators.TimeSeries.similarActivity(Tables.events(s, dir))),
+    // signed-random-projection dim reduction (pre-ANN compression)
+    "q_rand_proj" -> ((s, dir) =>
+      graft.ann.Projection.randomProject(Tables.embeddings(s, dir))),
+    // event-type mix drift between early/late halves of the time range
+    "q_drift" -> ((s, dir) =>
+      graft.operators.Drift.eventTypeDrift(Tables.events(s, dir))),
+    // BPE statistics: frequency-weighted top adjacent symbol pairs
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.text.Bpe.topPairs(Tables.documents(s, dir))),
     // dedup end-to-end: the corpus surviving LSH + clustering
     "q_dedup_keep" -> ((s, dir) =>
       graft.dedup.Clusters.survivors(Tables.documents(s, dir))),
@@ -514,6 +523,9 @@ object SparkEntry {
       "q_unigram_ppl" -> graft.text.CorpusStats.unigramSurprisalSql,
       "q_importance" -> graft.text.CorpusStats.importanceWeightsSql(),
       "q_ts_similar" -> graft.operators.TimeSeries.similarActivitySql(),
+      "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),
+      "q_drift" -> graft.operators.Drift.eventTypeDriftSql,
+      "q_bpe_pairs" -> graft.text.Bpe.topPairsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->
         """SELECT o_custkey, o_orderkey, o_totalprice FROM (

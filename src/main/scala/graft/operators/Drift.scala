@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift audit: how much did the event-type mix shift
+  * between the early and late halves of the stream's time range?
+  *
+  * The reference's operational story (sustained ingest into windowed
+  * aggregates — services/processing event_analytics) implicitly assumes
+  * a stable event mix; a pipeline feeding a training corpus needs that
+  * assumption CHECKED — schema-stable drift in the value distribution is
+  * the failure mode dashboards miss. This operator is the minimal
+  * engine-side detector: per-category rate (ppm, integer-exact) in each
+  * half of the observed time range and the absolute rate delta.
+  *
+  * Scale shape: one pass over events for the time bounds (column-pruned
+  * min/max), one pass for the per-type conditional counts (map-side
+  * partial aggregation; the bounds row rides a constant-key broadcast
+  * hash join so everything stays in whole-stage codegen). The
+  * cross-type totals come from an unpartitioned window over the
+  * per-type AGGREGATE — a #event_types-row table, so the single-
+  * partition window is a few rows, never the raw events. All
+  * arithmetic is integer (epoch ms, counts, ppm floor-division) —
+  * bit-identical across engines, no float drift in a drift detector.
+  */
+object Drift {
+
+  /** Columns: event_type, n_early, n_late, ppm_early, ppm_late,
+    * drift_ppm. Midpoint = floor((min_ms + max_ms)/2); "early" is
+    * strictly before the midpoint. A single-timestamp corpus yields
+    * zero early rows → ppm columns are NULL (nullif guard), not a
+    * division error.
+    *
+    * The midpoint reaches the per-row comparison as an uncorrelated
+    * SCALAR SUBQUERY, not a constant-key join: Catalyst runs the
+    * bounds aggregate once as a subquery stage and injects the result
+    * as a literal, so the events scan → conditional-count aggregate
+    * stays one whole-stage-codegen pipeline (a 1-row broadcast join
+    * here constant-folds into a BroadcastNestedLoopJoin that breaks
+    * codegen on the full-corpus side — measured, not guessed). */
+  def eventTypeDrift(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val v = "graft_drift_events"
+    events.select(col("event_type"), unix_millis(col("ts")).as("ms"))
+      .createOrReplaceTempView(v)
+    val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
+    val perType = spark.sql(
+      s"""SELECT event_type,
+         |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS n_early,
+         |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS n_late
+         |FROM $v GROUP BY event_type""".stripMargin)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perType
+      .withColumn("te", sum(col("n_early")).over(w))
+      .withColumn("tl", sum(col("n_late")).over(w))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        expr("n_early * 1000000 div nullif(te, 0)").as("ppm_early"),
+        expr("n_late * 1000000 div nullif(tl, 0)").as("ppm_late"),
+        abs(expr("n_early * 1000000 div nullif(te, 0)") -
+            expr("n_late * 1000000 div nullif(tl, 0)")).as("drift_ppm"))
+  }
+
+  /** DuckDB twin: epoch_ms ↔ unix_millis, `//` ↔ `div`, same nullif
+    * guard; HUGEINT sums cast back to BIGINT for schema parity. */
+  def eventTypeDriftSql: String =
+    s"""WITH b AS (
+       |  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events),
+       |pt AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN epoch_ms(ts) < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+       |         CAST(sum(CASE WHEN epoch_ms(ts) >= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |  FROM events, b GROUP BY 1),
+       |tot AS (
+       |  SELECT event_type, n_early, n_late,
+       |         CAST(sum(n_early) OVER () AS BIGINT) AS te,
+       |         CAST(sum(n_late) OVER () AS BIGINT) AS tl
+       |  FROM pt)
+       |SELECT event_type, n_early, n_late,
+       |       CAST((n_early * 1000000) // nullif(te, 0) AS BIGINT) AS ppm_early,
+       |       CAST((n_late * 1000000) // nullif(tl, 0) AS BIGINT) AS ppm_late,
+       |       CAST(abs((n_early * 1000000) // nullif(te, 0) -
+       |                (n_late * 1000000) // nullif(tl, 0)) AS BIGINT) AS drift_ppm
+       |FROM tot""".stripMargin
+}

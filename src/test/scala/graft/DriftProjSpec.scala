@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ann.Projection
+import graft.operators.Drift
+
+class DriftProjSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def events(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("ms", "event_type")
+      .select(timestamp_millis(col("ms")).as("ts"), col("event_type"))
+
+  test("drift: rates shift fully between halves") {
+    // min=1000 max=9000 → mid=5000; A all early, B all late
+    val d = Drift.eventTypeDrift(events(
+      (1000L, "A"), (2000L, "A"), (3000L, "A"), (9000L, "B")))
+      .orderBy("event_type")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(d(0) == (("A", 3L, 0L, Some(1000000L), Some(0L), Some(1000000L))))
+    assert(d(1) == (("B", 0L, 1L, Some(0L), Some(1000000L), Some(1000000L))))
+  }
+
+  test("drift: stable mix yields zero drift") {
+    val d = Drift.eventTypeDrift(events(
+      (0L, "A"), (0L, "B"), (10000L, "A"), (10000L, "B")))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(d.forall(_._6 == Some(0L)))
+    assert(d.forall(r => r._4 == Some(500000L) && r._5 == Some(500000L)))
+  }
+
+  test("drift: single-timestamp corpus nulls the early rate, no div error") {
+    val d = Drift.eventTypeDrift(events((5000L, "A")))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(d == (("A", 0L, 1L, None, Some(1000000L), None)))
+  }
+
+  test("projection: sign matrix is seed-deterministic and balanced-ish") {
+    val m1 = Projection.signMatrix(64, 8, 42L)
+    val m2 = Projection.signMatrix(64, 8, 42L)
+    val m3 = Projection.signMatrix(64, 8, 43L)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.map(_.toSeq).toSeq != m3.map(_.toSeq).toSeq)
+    val flat = m1.flatten
+    assert(flat.count(_ > 0) > flat.length / 4)
+    assert(flat.count(_ < 0) > flat.length / 4)
+  }
+
+  test("projection: engine values equal the driver-side dot, 4dp") {
+    val vec = Array.tabulate(64)(i => (i % 7 - 3) * 0.25f)
+    val df = Seq((1L, vec.toSeq)).toDF("vec_id", "embedding")
+    val row = Projection.randomProject(df).head()
+    val m = Projection.signMatrix(64, 8, 42L)
+    (0 until 8).foreach { j =>
+      var acc = 0.0
+      (0 until 64).foreach(i => acc += vec(i).toDouble * m(j)(i).toDouble)
+      val expected = BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(math.abs(row.getDouble(1 + j) - expected) < 1e-9,
+        s"dim $j: got ${row.getDouble(1 + j)} want $expected")
+    }
+  }
+
+  test("projection: oracle SQL embeds the identical literal matrix") {
+    val sql = Projection.randomProjectSql()
+    assert(sql.contains("AS r0") && sql.contains("AS r7"))
+    val m = Projection.signMatrix(64, 8, 42L)
+    val firstRow = m(0).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+    assert(sql.contains(firstRow))
+  }
+}
