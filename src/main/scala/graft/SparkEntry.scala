@@ -183,6 +183,12 @@ object SparkEntry {
     // event-type mix drift between early/late halves of the time range
     "q_drift" -> ((s, dir) =>
       graft.operators.Drift.eventTypeDrift(Tables.events(s, dir))),
+    // exact two-sample KS distance of `value` between the halves
+    "q_ks_drift" -> ((s, dir) =>
+      graft.operators.Drift.ksDrift(Tables.events(s, dir))),
+    // MOSS-style cross-doc shared-span pairs (winnow fp self-join)
+    "q_shared_spans" -> ((s, dir) =>
+      graft.text.TextAnalysis.sharedSpans(Tables.documents(s, dir))),
     // BPE statistics: frequency-weighted top adjacent symbol pairs
     "q_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.topPairs(Tables.documents(s, dir))),
@@ -525,6 +531,8 @@ object SparkEntry {
       "q_ts_similar" -> graft.operators.TimeSeries.similarActivitySql(),
       "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),
       "q_drift" -> graft.operators.Drift.eventTypeDriftSql,
+      "q_ks_drift" -> graft.operators.Drift.ksDriftSql,
+      "q_shared_spans" -> graft.text.TextAnalysis.sharedSpansSql(),
       "q_bpe_pairs" -> graft.text.Bpe.topPairsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->

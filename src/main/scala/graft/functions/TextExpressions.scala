@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing fingerprints: one pass over the document, one
+  * output entry per block — replaces the declarative formulation
+  * (explode a row PER CHARACTER, evaluate a 5-term polynomial per
+  * position, shuffle-free but still materializing ~len rows per doc
+  * through the aggregate) with an O(len) incremental rolling hash and
+  * in-loop per-block minima.
+  *
+  * Semantics are bit-identical to [[graft.text.TextAnalysis.winnowSql]]
+  * (the DuckDB oracle is unchanged): hash_i = Σ_j ascii(c_{i+j})·B^{k−1−j}
+  * mod P — per-term mod and full-sum mod agree because mod is additive —
+  * computed incrementally as H_{i+1} = ((H_i − a_i·B^{k−1})·B + a_{i+k})
+  * mod P; fp(block) = min over the block's w positions. Documents
+  * shorter than k pad with ascii 0, exactly like `substring` returning
+  * '' → `ascii('') = 0` in both engines.
+  *
+  * Eval-only (CodegenFallback): the work is O(len) per ROW, so the
+  * per-row interpreted dispatch that codegen eliminates is amortized
+  * over the document's whole character loop — unlike the per-element
+  * dot products ([[DotProductF]]) where codegen is the difference.
+  * Operating on the raw UTF8String keeps it allocation-light; no UDF,
+  * no serialization boundary. */
+case class WinnowFps(child: Expression, k: Int, w: Int, b: Long, p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("block", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  // B^(k-1) mod P, for the rolling subtraction
+  private val powTop: Long =
+    java.math.BigInteger.valueOf(b).modPow(
+      java.math.BigInteger.valueOf((k - 1).toLong),
+      java.math.BigInteger.valueOf(p)).longValue()
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    // ascii() of the j-th 1-based character; 0 beyond the end (parity
+    // with ascii(substring(text, i, 1)) on out-of-range = ascii('') = 0)
+    @inline def at(pos1: Int): Long =
+      if (pos1 >= 1 && pos1 <= len) s.charAt(pos1 - 1).toLong else 0L
+    val nPos = math.max(len - (k - 1), 1)
+    val nBlocks = (nPos - 1) / w + 1
+    val blocks = new Array[Long](nBlocks)
+    val fps = new Array[Long](nBlocks)
+    // initial window hash at i=1
+    var h = 0L
+    var j = 0
+    while (j < k) {
+      h = (h * b + at(1 + j)) % p
+      j += 1
+    }
+    var block = 0
+    var minFp = h
+    var i = 2
+    while (i <= nPos) {
+      // roll: drop a_{i-1}, shift, add a_{i-1+k}
+      h = ((h + p - (at(i - 1) * powTop) % p) % p * b + at(i - 1 + k)) % p
+      val blk = (i - 1) / w
+      if (blk != block) {
+        blocks(block) = block.toLong
+        fps(block) = minFp
+        block = blk
+        minFp = h
+      } else if (h < minFp) minFp = h
+      i += 1
+    }
+    blocks(block) = block.toLong
+    fps(block) = minFp
+    val rows = new Array[Any](nBlocks)
+    var bi = 0
+    while (bi < nBlocks) {
+      rows(bi) = InternalRow(blocks(bi), fps(bi))
+      bi += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** Per-block winnowed fingerprints (see [[WinnowFps]]). */
+  def winnow_fps(text: Column, k: Int, w: Int, b: Long, p: Long): Column =
+    GraftColumnBridge.toColumn(WinnowFps(
+      GraftColumnBridge.toExpr(text), k, w, b, p))
+}

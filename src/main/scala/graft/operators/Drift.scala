@@ -62,6 +62,74 @@ object Drift {
             expr("n_late * 1000000 div nullif(tl, 0)")).as("drift_ppm"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance of the `value`
+    * distribution between the early and late halves, per event type —
+    * the numeric-column companion to [[eventTypeDrift]]'s categorical
+    * mix check (the KS test is the standard continuous-drift gate).
+    *
+    * Fully integer arithmetic: at each observed value v,
+    * |F_early(v) − F_late(v)| = |cum_a·n_b − cum_b·n_a| / (n_a·n_b),
+    * so the max runs over exact BIGINT cross-products and only the
+    * final ppm ratio divides (floor). No float CDFs, no engine drift.
+    *
+    * Scale shape: one groupBy(type, value) collapses the corpus to
+    * distinct observed values (counts partial-aggregate map-side);
+    * the CDF cumsum is a per-type ordered window over that collapsed
+    * table. A type with ~10⁹ distinct values makes the per-type sort
+    * the bottleneck — the documented scale path is pre-bucketing
+    * `value` to fixed-width bins (KS on binned data lower-bounds the
+    * true KS), which caps the window input at #bins·#types rows. */
+  def ksDrift(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val v = "graft_ksdrift_events"
+    events.select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+      .createOrReplaceTempView(v)
+    val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
+    val perVal = spark.sql(
+      s"""SELECT event_type, value,
+         |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS ca,
+         |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS cb
+         |FROM $v WHERE value IS NOT NULL
+         |GROUP BY event_type, value""".stripMargin)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wAll = Window.partitionBy(col("event_type"))
+    perVal
+      .withColumn("cum_a", sum(col("ca")).over(wOrd))
+      .withColumn("cum_b", sum(col("cb")).over(wOrd))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("na")).as("n_early"),
+        max(col("nb")).as("n_late"),
+        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("ks_num"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        expr("ks_num * 1000000 div nullif(n_early * n_late, 0)").as("ks_ppm"))
+  }
+
+  def ksDriftSql: String =
+    s"""WITH mid AS (
+       |  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS m FROM events),
+       |pv AS (
+       |  SELECT event_type, value,
+       |         CAST(sum(CASE WHEN epoch_ms(ts) < mid.m THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |         CAST(sum(CASE WHEN epoch_ms(ts) >= mid.m THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM events, mid WHERE value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type,
+       |         CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum_a,
+       |         CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum_b,
+       |         CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+       |         CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+       |  FROM pv)
+       |SELECT event_type,
+       |       max(na) AS n_early, max(nb) AS n_late,
+       |       CAST(max(abs(cum_a * nb - cum_b * na)) * 1000000 //
+       |            nullif(max(na) * max(nb), 0) AS BIGINT) AS ks_ppm
+       |FROM cum GROUP BY 1""".stripMargin
+
   /** DuckDB twin: epoch_ms ↔ unix_millis, `//` ↔ `div`, same nullif
     * guard; HUGEINT sums cast back to BIGINT for schema parity. */
   def eventTypeDriftSql: String =

@@ -40,6 +40,35 @@ class DriftProjSpec extends AnyFunSuite {
     assert(d == (("A", 0L, 1L, None, Some(1000000L), None)))
   }
 
+  def eventsV(rows: (Long, String, Double)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("ms", "event_type", "value")
+      .select(timestamp_millis(col("ms")).as("ts"), col("event_type"), col("value"))
+
+  test("ks drift: separated, identical, and half-shifted distributions") {
+    // range 0..10000 → mid=5000
+    val d = Drift.ksDrift(eventsV(
+      // A: early {1,2} late {3,4} → KS=1
+      (0L, "A", 1.0), (0L, "A", 2.0), (10000L, "A", 3.0), (10000L, "A", 4.0),
+      // B: identical halves → KS=0
+      (0L, "B", 1.0), (0L, "B", 2.0), (10000L, "B", 1.0), (10000L, "B", 2.0),
+      // C: early {1,3} late {2,3} → KS=1/2
+      (0L, "C", 1.0), (0L, "C", 3.0), (10000L, "C", 2.0), (10000L, "C", 3.0)))
+      .orderBy("event_type")
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(d(0) == (("A", 2L, 2L, Some(1000000L))))
+    assert(d(1) == (("B", 2L, 2L, Some(0L))))
+    assert(d(2) == (("C", 2L, 2L, Some(500000L))))
+  }
+
+  test("ks drift: one-sided type yields null ppm, not a division error") {
+    val d = Drift.ksDrift(eventsV(
+      (0L, "A", 1.0), (10000L, "A", 2.0),
+      (0L, "B", 5.0))) // B has no late sample
+      .orderBy("event_type")
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(d(1) == (("B", 1L, 0L, None)))
+  }
+
   test("projection: sign matrix is seed-deterministic and balanced-ish") {
     val m1 = Projection.signMatrix(64, 8, 42L)
     val m2 = Projection.signMatrix(64, 8, 42L)
