@@ -189,6 +189,9 @@ object SparkEntry {
     // MOSS-style cross-doc shared-span pairs (winnow fp self-join)
     "q_shared_spans" -> ((s, dir) =>
       graft.text.TextAnalysis.sharedSpans(Tables.documents(s, dir))),
+    // window-over-window event-mix drift (streaming drift-on-read shape)
+    "q_window_drift" -> ((s, dir) =>
+      graft.operators.Drift.windowMixDrift(Tables.events(s, dir))),
     // BPE statistics: frequency-weighted top adjacent symbol pairs
     "q_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.topPairs(Tables.documents(s, dir))),
@@ -533,6 +536,7 @@ object SparkEntry {
       "q_drift" -> graft.operators.Drift.eventTypeDriftSql,
       "q_ks_drift" -> graft.operators.Drift.ksDriftSql,
       "q_shared_spans" -> graft.text.TextAnalysis.sharedSpansSql(),
+      "q_window_drift" -> graft.operators.Drift.windowMixDriftSql(),
       "q_bpe_pairs" -> graft.text.Bpe.topPairsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->

@@ -62,6 +62,88 @@ object Drift {
             expr("n_late * 1000000 div nullif(tl, 0)")).as("drift_ppm"))
   }
 
+  /** Window-over-window event-mix drift: per (tumbling window, type),
+    * the type's share of the window (ppm) vs its share of the
+    * PREVIOUS window — the streaming-native companion to
+    * [[eventTypeDrift]]'s one-shot half-split. This is the quantity a
+    * live pipeline alerts on ("checkout's share just moved 300k ppm
+    * window-over-window").
+    *
+    * Streaming integration is drift-on-READ, not extra stream state:
+    * the windowed counts are exactly what the storage sink already
+    * lands (event_metrics), and this recomputes over that
+    * O(#windows·#types) metadata table — see
+    * [[graft.operators.MetricsStore.mixDrift]]. Types absent from a
+    * window are explicit 0-ppm rows (dense grid), so a type
+    * disappearing IS a drift signal, not a missing row. */
+  def windowMixDrift(events: DataFrame, windowMs: Long = 60000L): DataFrame =
+    mixDriftOfCounts(
+      events.select(
+        expr(s"(unix_millis(ts) div $windowMs) * $windowMs").as("window_start_ms"),
+        col("event_type"))
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      // the count table is #windows·#types rows (kB); without the
+      // checkpoint its corpus-scan lineage re-runs for each grid
+      // branch (wins, types, join). In the streaming shape this table
+      // IS the materialized sink — see MetricsStore.mixDrift, which
+      // passes the stored table and skips this
+      .localCheckpoint())
+
+  /** The drift computation over an already-windowed count table
+    * (window_start_ms, event_type, cnt) — shared by the batch query
+    * and the metrics-store read. Everything here is post-aggregate:
+    * the inputs are #windows·#types rows. */
+  def mixDriftOfCounts(wcnt0: DataFrame): DataFrame = {
+    // post-aggregate the table is #windows·#types rows (bounded by
+    // retention at scale): one partition makes the grid join and both
+    // window functions single-task instead of paying 3 exchanges of
+    // kB-sized data across the full shuffle width
+    val wcnt = wcnt0.coalesce(1)
+    val wins = wcnt.select(col("window_start_ms")).distinct()
+    val types = wcnt.select(col("event_type")).distinct()
+    val dense = wins.crossJoin(broadcast(types))
+      .join(wcnt, Seq("window_start_ms", "event_type"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val wTot = Window.partitionBy(col("window_start_ms"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("window_start_ms"))
+    dense
+      .withColumn("total", sum(col("cnt")).over(wTot))
+      .withColumn("ppm", expr("cnt * 1000000 div nullif(total, 0)"))
+      .withColumn("prev_ppm", lag(col("ppm"), 1).over(wLag))
+      .filter(col("prev_ppm").isNotNull)
+      .select(col("window_start_ms"), col("event_type"), col("cnt"),
+        col("ppm"), col("prev_ppm"),
+        abs(col("ppm") - col("prev_ppm")).as("drift_ppm"))
+  }
+
+  def windowMixDriftSql(windowMs: Long = 60000L): String =
+    s"""WITH wcnt AS (
+       |  SELECT (epoch_ms(ts) // $windowMs) * $windowMs AS window_start_ms,
+       |         event_type, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT g.window_start_ms, g.event_type, coalesce(c.cnt, 0) AS cnt
+       |  FROM (SELECT w.window_start_ms, t.event_type
+       |        FROM (SELECT DISTINCT window_start_ms FROM wcnt) w,
+       |             (SELECT DISTINCT event_type FROM wcnt) t) g
+       |  LEFT JOIN wcnt c
+       |    ON c.window_start_ms = g.window_start_ms
+       |   AND c.event_type = g.event_type),
+       |ppm AS (
+       |  SELECT window_start_ms, event_type, cnt,
+       |         CAST(cnt * 1000000 //
+       |              nullif(CAST(sum(cnt) OVER (PARTITION BY window_start_ms) AS BIGINT), 0)
+       |              AS BIGINT) AS ppm
+       |  FROM dense),
+       |lagd AS (
+       |  SELECT window_start_ms, event_type, cnt, ppm,
+       |         lag(ppm) OVER (PARTITION BY event_type ORDER BY window_start_ms) AS prev_ppm
+       |  FROM ppm)
+       |SELECT window_start_ms, event_type, cnt, ppm, prev_ppm,
+       |       abs(ppm - prev_ppm) AS drift_ppm
+       |FROM lagd WHERE prev_ppm IS NOT NULL""".stripMargin
+
   /** Exact two-sample Kolmogorov–Smirnov distance of the `value`
     * distribution between the early and late halves, per event type —
     * the numeric-column companion to [[eventTypeDrift]]'s categorical

@@ -42,6 +42,15 @@ class MetricsStore(spark: SparkSession, path: String) {
   def overview: DataFrame =
     Serving.overview(eventMetrics, performanceMetrics)
 
+  /** Window-over-window event-mix drift over the stored windows —
+    * drift-on-read: recomputed from the O(#windows·#types) metric
+    * table, no extra streaming state (see
+    * [[Drift.mixDriftOfCounts]]). */
+  def mixDrift: DataFrame =
+    Drift.mixDriftOfCounts(eventMetrics.select(
+      col("window_start_ms"), col("event_type"),
+      col("event_count").as("cnt")))
+
   /** Cross-window distinct users from the sketch table written by
     * [[graft.streaming.Pipelines.startSketchSink]]: merge the stored HLL
     * sketches over any (time range × type set) and estimate — a

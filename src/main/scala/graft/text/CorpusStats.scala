@@ -50,8 +50,10 @@ object CorpusStats {
     * token — still one shuffle each. Rank ties break on token. */
   def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = tokens(docs).groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tokens(docs).groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df derived FROM the tf table (one row per (doc, token), so a
+    // plain count per token IS the document frequency) — the corpus is
+    // tokenized and exploded once, not once per statistic
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "token")
       .select(col("doc_id"), col("token"),
         floor((col("tf") * 1000000L) / col("df")).cast("long").as("score"))
@@ -167,24 +169,35 @@ object CorpusStats {
     * IEEE-identical across engines, and avg lands off the 4dp rounding
     * grid (irrational), so round(,4) hash-matches. */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val toks = tokens(docs)
-    val tf = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // per-(doc, token) counts first: the corpus explodes ONCE, the
+    // corpus tf derives from the collapsed table (sum of per-doc
+    // counts), and the scoring join touches (doc, token) rows instead
+    // of every token occurrence. avg over occurrences becomes the
+    // c-weighted mean — same quantity, identical in both engines'
+    // formulations below.
+    val dtf = tokens(docs).groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+    val tf = dtf.groupBy("token").agg(sum(col("c")).as("cnt"))
     val total = tf.agg(sum(col("cnt")).cast("double").as("total"))
-    toks.join(broadcast(tf), "token")
+    dtf.join(broadcast(tf), "token")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log2(col("cnt").cast("double") / col("total"))), 4)
-          .as("avg_bits"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(
+          sum(col("c").cast("double") *
+            -log2(col("cnt").cast("double") / col("total"))) /
+          sum(col("c").cast("double")), 4).as("avg_bits"))
   }
 
   def unigramSurprisalSql: String =
     s"""WITH toks AS ($toksSql),
-       |tf AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+       |dtf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+       |tf AS (SELECT token, CAST(sum(c) AS BIGINT) AS cnt FROM dtf GROUP BY 1),
        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM tf)
-       |SELECT doc_id, count(*) AS n_tokens,
-       |       round(avg(-log2(CAST(cnt AS DOUBLE) / total)), 4) AS avg_bits
-       |FROM toks JOIN tf USING (token) CROSS JOIN tot
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       round(sum(c * -log2(CAST(cnt AS DOUBLE) / total)) /
+       |             sum(CAST(c AS DOUBLE)), 4) AS avg_bits
+       |FROM dtf JOIN tf USING (token) CROSS JOIN tot
        |GROUP BY 1""".stripMargin
 
   // ------------------------------------------- importance weighting (DSIR)

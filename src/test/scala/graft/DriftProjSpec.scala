@@ -69,6 +69,23 @@ class DriftProjSpec extends AnyFunSuite {
     assert(d(1) == (("B", 1L, 0L, None)))
   }
 
+  test("window mix drift: dense grid, ppm shares, previous-window lag") {
+    // two 60s windows: w0 has A:3 B:1 (A=750000ppm), w1 has A:1 B:1
+    // (A=500000ppm); C appears only in w1 → prev row exists via dense
+    // grid with ppm 0 in w0
+    val d = Drift.windowMixDrift(eventsV(
+      (0L, "A", 0.0), (1000L, "A", 0.0), (2000L, "A", 0.0), (3000L, "B", 0.0),
+      (60000L, "A", 0.0), (61000L, "B", 0.0), (62000L, "C", 0.0)))
+      .orderBy("window_start_ms", "event_type")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    // only w1 rows survive (w0 has no previous window)
+    assert(d.map(_._1).forall(_ == 60000L))
+    assert(d == Seq(
+      (60000L, "A", 1L, 333333L, 750000L, 416667L),
+      (60000L, "B", 1L, 333333L, 250000L, 83333L),
+      (60000L, "C", 1L, 333333L, 0L, 333333L)))
+  }
+
   test("projection: sign matrix is seed-deterministic and balanced-ish") {
     val m1 = Projection.signMatrix(64, 8, 42L)
     val m2 = Projection.signMatrix(64, 8, 42L)

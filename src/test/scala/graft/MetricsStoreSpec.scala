@@ -48,4 +48,18 @@ class MetricsStoreSpec extends AnyFunSuite {
       .orderBy($"window_start_ms".desc).limit(10).as[Long].collect().toSeq
     assert(kept.sorted == newest.sorted)
   }
+
+  test("mixDrift serves window-over-window ppm drift from the stored table") {
+    val d = store.mixDrift
+    val rows = d.count()
+    assert(rows > 0, "no drift rows from stored windows")
+    val nWindows = store.eventMetrics
+      .select("window_start_ms").distinct().count()
+    val nTypes = store.eventMetrics.select("event_type").distinct().count()
+    // dense grid minus the first (lag-less) window
+    assert(rows == (nWindows - 1) * nTypes)
+    val cols = d.columns.toSet
+    assert(cols == Set("window_start_ms", "event_type", "cnt",
+      "ppm", "prev_ppm", "drift_ppm"))
+  }
 }
