@@ -178,8 +178,7 @@ object Dedup {
     * every shingle occurrence of the corpus. */
   def shingles(docs: DataFrame, n: Int = 4): DataFrame =
     spread(docs).select(col("doc_id"),
-      explode(array_distinct(expr(
-        s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n))")))
+      explode(graft.functions.TextFunctions.char_shingles(col("text"), n))
         .as("sh"))
 
   def shinglesSql(n: Int = 4): String =
@@ -208,14 +207,15 @@ object Dedup {
     // explode) lets CollapseProject inline the expensive expression
     // into BOTH consumers (4 copies in the optimized plan, measured
     // ~1.6× slower); binding it as a lambda variable via a 1-element
-    // transform() makes the single evaluation structural
+    // transform() makes the single evaluation structural. The shingle
+    // set itself comes from the one-pass native expression
+    // ([[graft.functions.CharShingles]]).
+    val cs = graft.functions.TextFunctions.char_shingles(col("text"), n)
     val sh = spread(docs)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(array(array_distinct(transform(
-           |    sequence(1, greatest(length(text) - ${n - 1}, 1)),
-           |    i -> substring(text, i, $n)))),
-           |  arr -> transform(arr, x -> struct(x AS sh, size(arr) AS n_sh)))[0]"""
-          .stripMargin)).as("s"))
+      .select(col("doc_id"), explode(
+        transform(array(cs), arr =>
+          transform(arr, x => struct(x.as("sh"), size(arr).as("n_sh"))))
+          .getItem(0)).as("s"))
       .select(col("doc_id"), col("s.n_sh").as("n_sh"), col("s.sh").as("sh"))
     val qsh = sh.filter(col("doc_id") < queryMaxId)
       .select(col("doc_id").as("query_id"), col("n_sh").as("n_q"), col("sh"))

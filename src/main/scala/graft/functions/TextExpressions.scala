@@ -91,9 +91,55 @@ case class WinnowFps(child: Expression, k: Int, w: Int, b: Long, p: Long)
     copy(child = newChild)
 }
 
+/** Distinct character n-gram shingles in one pass — replaces
+  * `array_distinct(transform(sequence(1, len−n+1), i → substring(text,
+  * i, n)))`, which materializes every overlapping substring (len
+  * strings per doc) before deduplicating, with a single LinkedHashSet
+  * sweep. Bit-identical output set and size: positions 1..max(len−n+1,
+  * 1), shingle = the n chars at the position (shorter at the tail /
+  * for short docs, '' for empty text — exactly `substring`'s clamping),
+  * first-occurrence order like array_distinct.
+  *
+  * Eval-only for the same reason as [[WinnowFps]]: O(len) work per
+  * row amortizes the interpreted dispatch. */
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    val nPos = math.max(len - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < nPos) {
+      seen.add(s.substring(i, math.min(i + n, len)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = UTF8String.fromString(it.next())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Per-block winnowed fingerprints (see [[WinnowFps]]). */
   def winnow_fps(text: Column, k: Int, w: Int, b: Long, p: Long): Column =
     GraftColumnBridge.toColumn(WinnowFps(
       GraftColumnBridge.toExpr(text), k, w, b, p))
+
+  /** Distinct char n-gram shingles (see [[CharShingles]]). */
+  def char_shingles(text: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(CharShingles(
+      GraftColumnBridge.toExpr(text), n))
 }
