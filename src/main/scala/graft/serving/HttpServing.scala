@@ -47,15 +47,23 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
 
   /** Re-read the metric tables into the serving snapshot. Bounded:
     * newest `maxWindows` pivoted event windows (the store's retention
-    * cap), the same for performance rows, one overview row. */
+    * cap), the same for performance rows, one overview row.
+    *
+    * Each table loads independently: during topology startup the sinks
+    * commit at different times (the event sink's first batch can land
+    * before the performance sink's), so a missing table contributes an
+    * empty section rather than failing the whole refresh — the next
+    * batch's refresh fills it in. Ready once event windows exist. */
   def refresh(): Unit = {
-    val ev = store.windows(maxWindows).toJSON.collect().toVector
-    val perf = store.performanceMetrics
+    def safe(rows: => Vector[String]): Vector[String] =
+      try rows catch { case _: Exception => Vector.empty }
+    val ev = safe(store.windows(maxWindows).toJSON.collect().toVector)
+    val perf = safe(store.performanceMetrics
       .orderBy(org.apache.spark.sql.functions.col("window_start_ms").desc,
         org.apache.spark.sql.functions.col("category"))
-      .limit(maxWindows).toJSON.collect().toVector
-    val ov = store.overview.toJSON.collect().headOption
-    snap.set(Some(Snapshot(ev, perf, ov)))
+      .limit(maxWindows).toJSON.collect().toVector)
+    val ov = safe(store.overview.toJSON.collect().toVector).headOption
+    if (ev.nonEmpty) snap.set(Some(Snapshot(ev, perf, ov)))
   }
 
   private def respond(x: HttpExchange, code: Int, body: String): Unit = {
@@ -111,4 +119,54 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+
+  // -- live refresh: the cache-apply analog ----------------------------
+  private lazy val refresher =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "metrics-http-refresh"); t.setDaemon(true); t
+    })
+
+  /** Attach a listener that refreshes the snapshot after every
+    * micro-batch of `queryName` — the reference's stream→Redis apply
+    * loop, expressed as progress-driven snapshot rebuilds. The refresh
+    * runs on a dedicated thread (never on the listener bus: refresh is
+    * bounded Spark work, and a slow refresh must drop behind, not
+    * stall every query's progress events); a single-thread executor
+    * makes overlapping triggers queue, and `refresh()` always rebuilds
+    * from the current table state so the queue collapses to
+    * last-write-wins. */
+  def attachAutoRefresh(spark: org.apache.spark.sql.SparkSession,
+                        queryName: String = "event_metrics")
+  : org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == queryName && e.progress.numInputRows > 0)
+          submitRefresh()
+      // also refresh when any query terminates: with a run-to-complete
+      // trigger (AvailableNow) the single progress event can race the
+      // sink's very first commit — the empty-dir read is swallowed and
+      // no later batch would retry; at termination the tables are
+      // fully committed. (QueryTerminatedEvent carries no name, so no
+      // filter — the refresh is bounded either way.)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        submitRefresh()
+      private def submitRefresh(): Unit =
+        refresher.submit(new Runnable {
+          override def run(): Unit =
+            try refresh()
+            catch { case _: Throwable => () } // table mid-write: a later event refreshes
+        })
+    }
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detachAutoRefresh(spark: org.apache.spark.sql.SparkSession,
+                        l: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
+    spark.streams.removeListener(l)
 }

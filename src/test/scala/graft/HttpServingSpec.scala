@@ -73,4 +73,26 @@ class HttpServingSpec extends AnyFunSuite {
       assert(none == """{"windows":[]}""")
     } finally server.stop()
   }
+
+  test("auto-refresh: micro-batch progress drives the serving snapshot") {
+    val out = java.nio.file.Files.createTempDirectory("graft_http_live").toString
+    val server = new MetricsHttpServer(new MetricsStore(spark, out))
+    val port = server.start()
+    val listener = server.attachAutoRefresh(spark)
+    try {
+      assert(get(port, "/readyz")._1 == 503)
+      val qs = graft.streaming.Pipelines.runAll(spark, "/root/testdata/sf0.001", out)
+      qs.foreach(_.awaitTermination(120000))
+      // the refresh runs on its own thread after the progress event
+      val deadline = System.currentTimeMillis() + 30000
+      while (get(port, "/readyz")._1 != 200 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(get(port, "/readyz")._1 == 200, "snapshot never refreshed")
+      val (c, latest) = get(port, "/metrics/event/latest")
+      assert(c == 200 && latest.contains("\"window_start_ms\""))
+    } finally {
+      server.detachAutoRefresh(spark, listener)
+      server.stop()
+    }
+  }
 }

@@ -184,4 +184,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"bigram count should partial-aggregate:\n$plan")
   }
+
+  test("random projection is a single map stage: no exchange, no join") {
+    val plan = planOf(graft.ann.Projection.randomProject(
+      Tables.embeddings(spark, sf)))
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"projection must not join:\n$plan")
+  }
+
+  test("drift midpoint rides a scalar subquery, not a per-row join") {
+    val df = graft.operators.Drift.eventTypeDrift(Tables.events(spark, sf))
+    val plan = planOf(df)
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"expected scalar subquery:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"midpoint must not become a BNLJ on the corpus side:\n$plan")
+  }
+
+  test("native winnow explodes per block, not per character") {
+    val df = graft.text.TextAnalysis.winnow(Tables.documents(spark, sf))
+    val plan = planOf(df)
+    assert(plan.contains("winnow_fps"), s"native expression missing:\n$plan")
+    // the old formulation needed a (doc, block) min-aggregate; the
+    // native one emits final rows straight from the generator
+    assert(!plan.contains("HashAggregate"),
+      s"per-block minima must come from the expression, not an aggregate:\n$plan")
+  }
+
+  test("bpe pair counting: one corpus explode feeding one count exchange") {
+    val plan = planOf(graft.text.Bpe.pairCounts(Tables.documents(spark, sf)))
+    val generates = plan.linesIterator.count(_.contains("Generate"))
+    assert(generates == 2, s"expected word + pair explodes only, got $generates:\n$plan")
+  }
 }
