@@ -43,7 +43,7 @@ object Bench {
         val sib = p.resolve("sf0.001")
         if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
     }
-    Seq("q_dup_clusters", "q_dedup_best", "q_winnow", "q_simhash",
+    Seq("q_dup_clusters", "q_dedup_best", "q_curate", "q_winnow", "q_simhash",
         "q_quant_knn", "q_tfidf_top", "q_asof_join", "q_bpe_pairs").foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()

@@ -192,6 +192,9 @@ object SparkEntry {
     // window-over-window event-mix drift (streaming drift-on-read shape)
     "q_window_drift" -> ((s, dir) =>
       graft.operators.Drift.windowMixDrift(Tables.events(s, dir))),
+    // end-to-end curation: score -> gate -> exact dedup -> keep-best LSH dedup
+    "q_curate" -> ((s, dir) =>
+      graft.text.Curate.curate(Tables.documents(s, dir))),
     // BPE statistics: frequency-weighted top adjacent symbol pairs
     "q_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.topPairs(Tables.documents(s, dir))),
@@ -537,6 +540,7 @@ object SparkEntry {
       "q_ks_drift" -> graft.operators.Drift.ksDriftSql,
       "q_shared_spans" -> graft.text.TextAnalysis.sharedSpansSql(),
       "q_window_drift" -> graft.operators.Drift.windowMixDriftSql(),
+      "q_curate" -> graft.text.Curate.curateSql(),
       "q_bpe_pairs" -> graft.text.Bpe.topPairsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->

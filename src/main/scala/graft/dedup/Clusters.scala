@@ -256,8 +256,13 @@ object Clusters {
       .select(col("doc_id"), col("n_chars"))
   }
 
-  def survivorsBestSql(n: Int = 4, minEstJaccard: Double = 0.5): String =
-    s"""WITH clusters AS (
+  /** The survivorship CTE chain WITHOUT the leading WITH / final
+    * select, so composites can prepend their own CTEs (e.g. a
+    * `documents` CTE shadowing the base table — the curation
+    * pipeline). All references to `documents` resolve to whatever is
+    * in scope. */
+  def survivorsBestCtes(n: Int = 4, minEstJaccard: Double = 0.5): String =
+    s"""clusters AS (
        |${dupClustersSql(n, minEstJaccard)}
        |),
        |quality AS (
@@ -268,7 +273,10 @@ object Clusters {
        |         row_number() OVER (PARTITION BY c.cluster_id
        |                            ORDER BY q.quality_pm DESC, c.doc_id) AS rn
        |  FROM clusters c JOIN quality q USING (doc_id)),
-       |drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
+       |drops AS (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin
+
+  def survivorsBestSql(n: Int = 4, minEstJaccard: Double = 0.5): String =
+    s"""WITH ${survivorsBestCtes(n, minEstJaccard)}
        |SELECT d.doc_id, d.n_chars FROM documents d
        |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)""".stripMargin
 

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation pipeline as ONE composable operator —
+  * the FineWeb/C4 recipe the individual operators exist for, chained:
+  *
+  *   1. score: quality (integer per-mille composite) + language ID
+  *   2. gate:  quality ≥ floor AND predicted language ∈ allowed set
+  *   3. exact dedup: keep the lowest doc_id per md5(text)
+  *   4. near dedup: MinHash→LSH→connected components, keep the
+  *      HIGHEST-QUALITY member of each duplicate cluster
+  *      ([[graft.dedup.Clusters.survivorsBest]])
+  *
+  * Output: the surviving corpus with its curation metadata
+  * (doc_id, lang_pred, quality_pm, n_chars).
+  *
+  * Scale shape is the sum of its parts, each already plan-audited:
+  * scoring is pure map-side expressions; the gate prunes BEFORE any
+  * dedup shuffle (the expensive stages see only survivors); exact
+  * dedup is one hash shuffle; LSH/CC runs on the gated corpus. The
+  * oracle composes the SAME per-stage SQL fragments the stage queries
+  * are checked with, via a `documents` CTE that shadows the base
+  * table for every downstream fragment (DuckDB resolves unqualified
+  * names to the CTE; the base table stays reachable as
+  * `main.documents`).
+  */
+object Curate {
+
+  def curate(docs: DataFrame, minQualityPm: Long = 600,
+             langs: Seq[String] = Seq("en", "de")): DataFrame = {
+    val scored = graft.Tables.spread(docs)
+      .withColumn("quality_pm", TextAnalysis.qualityExpr)
+      .withColumn("lang_pred", TextAnalysis.langPred)
+    val gated = scored
+      .filter(col("quality_pm") >= minQualityPm &&
+        col("lang_pred").isin(langs: _*))
+    val wMd5 = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    // stage boundary: the near-dedup stage consumes its input several
+    // times (shingles, quality join, final anti-join), and each
+    // consumption would re-run the 7 gating regexes + the md5 window.
+    // Materializing the gated corpus between stages is the standard
+    // curation-pipeline shape (each FineWeb stage persists its
+    // survivors); measured 3.7 s → 2.4 s at sf0.1
+    val exact = gated
+      .withColumn("__rn", row_number().over(wMd5))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    graft.dedup.Clusters.survivorsBest(exact)
+      .join(exact.select(col("doc_id"), col("lang_pred"), col("quality_pm")),
+        "doc_id")
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+  }
+
+  def curateSql(minQualityPm: Long = 600,
+                langs: Seq[String] = Seq("en", "de")): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH gated AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, text, n_chars,
+       |           ${TextAnalysis.qualityPmSql} AS quality_pm,
+       |           ${TextAnalysis.langPredSql} AS lang_pred
+       |    FROM main.documents)
+       |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
+       |documents AS (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+       |                             ORDER BY doc_id) = 1),
+       |${graft.dedup.Clusters.survivorsBestCtes()}
+       |SELECT d.doc_id, d.lang_pred, d.quality_pm, d.n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)""".stripMargin
+  }
+}

@@ -103,15 +103,21 @@ object TextAnalysis {
        |  ${countSql("\\b(the|a)\\b")} AS n_stopwords
        |FROM documents""".stripMargin
 
-  def qualityScoreSql: String =
-    s"""SELECT doc_id, CAST(
+  /** The quality score as a bare SQL expression over a `text` column —
+    * shared by [[qualityScoreSql]] and the curation composite. */
+  def qualityPmSql: String =
+    s"""CAST(
        |    least(${countSql("\\S+")}, 100) * 4 +
        |    (100 - (${countSql("[.,!?;:]")} * 100) // greatest(length(text), 1)) * 3 +
        |    least((${countSql("\\b(the|a)\\b")} * 1000) // greatest(${countSql("\\S+")}, 1), 100) * 3
-       |  AS BIGINT) AS quality_pm
+       |  AS BIGINT)""".stripMargin
+
+  def qualityScoreSql: String =
+    s"""SELECT doc_id, $qualityPmSql AS quality_pm
        |FROM documents""".stripMargin
 
-  def langIdSql: String = {
+  /** The language-ID argmax as a bare SQL CASE over a `text` column. */
+  def langPredSql: String = {
     val scoreExprs = langMarkers.map { case (l, ws) =>
       l -> countSql(markerPattern(ws).replace("\\", "\\"))
     }
@@ -119,10 +125,13 @@ object TextAnalysis {
       val rest = scoreExprs.drop(i + 1).map(_._2)
       s"WHEN ${rest.map(r => s"$s >= $r").mkString(" AND ")} THEN '$l'"
     }
-    s"""SELECT doc_id,
-       |  CASE ${cases.mkString(" ")} ELSE '${scoreExprs.last._1}' END AS lang_pred
-       |FROM documents""".stripMargin
+    s"CASE ${cases.mkString(" ")} ELSE '${scoreExprs.last._1}' END"
   }
+
+  def langIdSql: String =
+    s"""SELECT doc_id,
+       |  $langPredSql AS lang_pred
+       |FROM documents""".stripMargin
 
   def fingerprintSql: String =
     s"SELECT doc_id, md5($normalizeSql) AS fingerprint FROM documents"

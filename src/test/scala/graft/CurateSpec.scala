@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Curate
+
+/** End-to-end curation pipeline: gate semantics and keep-best dedup
+  * through the full chain. */
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // long English-looking filler so quality/lang gates pass; `tail`
+  // differentiates near-duplicates without changing most shingles
+  private def enDoc(tail: String): String =
+    ("the cat and the dog walked over a bridge and the sun rose " * 4) + tail
+
+  def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("gates: low quality and disallowed language are dropped") {
+    val d = docs(
+      (1L, enDoc("alpha beta gamma")),
+      (2L, "der die und der die und der die und"), // de, short → below floor
+      (3L, "el la que el la que")) // es not in default langs
+    val kept = Curate.curate(d).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("exact duplicates collapse to the lowest doc_id") {
+    val t = enDoc("identical twin text")
+    val kept = Curate.curate(docs((7L, t), (3L, t), (9L, t)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
+  test("near-duplicate cluster keeps the highest-quality member") {
+    // doc 2 carries extra stopword-rich text → higher quality_pm than
+    // its near-duplicate 1; distinct doc 5 survives untouched
+    val base = enDoc("")
+    val d = docs(
+      (1L, base + "zzz qqq 12345"),
+      (2L, base + "and the cat saw the dog again"),
+      (5L, ("completely different prose about the sea and a ship " * 5)))
+    val out = Curate.curate(d)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(5L))
+    assert((kept & Set(1L, 2L)).size == 1, s"cluster not collapsed: $kept")
+    assert(kept.contains(2L), "keep-best should prefer the higher-quality member")
+  }
+
+  test("output carries curation metadata and respects the floor") {
+    val d = docs((1L, enDoc("alpha")), (2L, enDoc("beta gamma delta")))
+    val rows = Curate.curate(d).collect()
+    assert(rows.nonEmpty)
+    assert(Curate.curate(d).columns.toSeq ==
+      Seq("doc_id", "lang_pred", "quality_pm", "n_chars"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("quality_pm") >= 600L)
+      assert(r.getAs[String]("lang_pred") == "en")
+    }
+  }
+}
