@@ -186,6 +186,9 @@ object SparkEntry {
     // exact two-sample KS distance of `value` between the halves
     "q_ks_drift" -> ((s, dir) =>
       graft.operators.Drift.ksDrift(Tables.events(s, dir))),
+    // binned KS (the bounded-cardinality scale path; lower-bounds exact)
+    "q_ks_binned" -> ((s, dir) =>
+      graft.operators.Drift.ksDriftBinned(Tables.events(s, dir))),
     // MOSS-style cross-doc shared-span pairs (winnow fp self-join)
     "q_shared_spans" -> ((s, dir) =>
       graft.text.TextAnalysis.sharedSpans(Tables.documents(s, dir))),
@@ -538,6 +541,7 @@ object SparkEntry {
       "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),
       "q_drift" -> graft.operators.Drift.eventTypeDriftSql,
       "q_ks_drift" -> graft.operators.Drift.ksDriftSql,
+      "q_ks_binned" -> graft.operators.Drift.ksDriftBinnedSql(),
       "q_shared_spans" -> graft.text.TextAnalysis.sharedSpansSql(),
       "q_window_drift" -> graft.operators.Drift.windowMixDriftSql(),
       "q_curate" -> graft.text.Curate.curateSql(),

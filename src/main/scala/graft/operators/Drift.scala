@@ -190,6 +190,64 @@ object Drift {
         expr("ks_num * 1000000 div nullif(n_early * n_late, 0)").as("ks_ppm"))
   }
 
+  /** The documented scale path for [[ksDrift]], as real code: values
+    * pre-bucketed to fixed-width bins, then the identical integer CDF
+    * arithmetic over ≤ #bins·#types rows. Binned KS lower-bounds the
+    * exact statistic (the max is taken over bin boundaries only), so a
+    * binned alarm is always a true alarm; resolution is 1/binWidth of
+    * the value axis. Use when a type's distinct-value cardinality
+    * makes the exact per-type CDF sort the bottleneck. */
+  def ksDriftBinned(events: DataFrame, binWidth: Double = 10.0): DataFrame = {
+    val spark = events.sparkSession
+    val v = "graft_ksdrift_binned_events"
+    events.select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .createOrReplaceTempView(v)
+    val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
+    val perBin = spark.sql(
+      s"""SELECT event_type, bin,
+         |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS ca,
+         |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS cb
+         |FROM $v WHERE bin IS NOT NULL
+         |GROUP BY event_type, bin""".stripMargin)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("event_type"))
+    perBin
+      .withColumn("cum_a", sum(col("ca")).over(wOrd))
+      .withColumn("cum_b", sum(col("cb")).over(wOrd))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("na")).as("n_early"),
+        max(col("nb")).as("n_late"),
+        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("ks_num"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        expr("ks_num * 1000000 div nullif(n_early * n_late, 0)").as("ks_ppm"))
+  }
+
+  def ksDriftBinnedSql(binWidth: Double = 10.0): String =
+    s"""WITH mid AS (
+       |  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS m FROM events),
+       |pv AS (
+       |  SELECT event_type, CAST(floor(value / $binWidth) AS BIGINT) AS bin,
+       |         CAST(sum(CASE WHEN epoch_ms(ts) < mid.m THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |         CAST(sum(CASE WHEN epoch_ms(ts) >= mid.m THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM events, mid WHERE value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type,
+       |         CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum_a,
+       |         CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum_b,
+       |         CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+       |         CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+       |  FROM pv)
+       |SELECT event_type,
+       |       max(na) AS n_early, max(nb) AS n_late,
+       |       CAST(max(abs(cum_a * nb - cum_b * na)) * 1000000 //
+       |            nullif(max(na) * max(nb), 0) AS BIGINT) AS ks_ppm
+       |FROM cum GROUP BY 1""".stripMargin
+
   def ksDriftSql: String =
     s"""WITH mid AS (
        |  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS m FROM events),

@@ -60,6 +60,28 @@ class DriftProjSpec extends AnyFunSuite {
     assert(d(2) == (("C", 2L, 2L, Some(500000L))))
   }
 
+  test("binned ks lower-bounds exact ks and agrees when bins separate the halves") {
+    // values 0..9 early vs 100..109 late: bins (width 10) fully
+    // separate the halves too → binned == exact == 1.0
+    val rows = (0 until 10).map(i => (0L, "A", i.toDouble)) ++
+      (0 until 10).map(i => (10000L, "A", 100.0 + i))
+    val exact = Drift.ksDrift(eventsV(rows: _*))
+      .as[(String, Long, Long, Option[Long])].head()
+    val binned = Drift.ksDriftBinned(eventsV(rows: _*))
+      .as[(String, Long, Long, Option[Long])].head()
+    assert(exact._4 == Some(1000000L) && binned._4 == Some(1000000L))
+    // same-bin values: exact sees the within-bin shift, binned cannot
+    // (lower bound, never an overestimate)
+    val close = Seq((0L, "A", 1.0), (0L, "A", 2.0),
+      (10000L, "A", 3.0), (10000L, "A", 4.0))
+    val e2 = Drift.ksDrift(eventsV(close: _*))
+      .as[(String, Long, Long, Option[Long])].head()._4.get
+    val b2 = Drift.ksDriftBinned(eventsV(close: _*))
+      .as[(String, Long, Long, Option[Long])].head()._4.get
+    assert(b2 <= e2)
+    assert(b2 == 0L && e2 == 1000000L)
+  }
+
   test("ks drift: one-sided type yields null ppm, not a division error") {
     val d = Drift.ksDrift(eventsV(
       (0L, "A", 1.0), (10000L, "A", 2.0),
