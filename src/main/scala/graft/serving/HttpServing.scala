@@ -34,10 +34,13 @@ import graft.operators.MetricsStore
   *   GET /metrics/event/windows?limit=N    → {"windows":[...]}
   *   GET /metrics/performance/windows?limit=N → {"windows":[...]}
   *   GET /metrics/overview                 → {"event_latest":…,"performance_latest":…}
+  *   GET /metrics/drift?limit=N            → {"drift":[...]} (window-over-window
+  *                                           mix drift, [[MetricsStore.mixDrift]])
   */
 private final case class Snapshot(eventWindows: Vector[String],
                                   perfWindows: Vector[String],
-                                  overview: Option[String])
+                                  overview: Option[String],
+                                  drift: Vector[String])
 
 class MetricsHttpServer(store: MetricsStore, port: Int = 0,
                         maxWindows: Int = 120) {
@@ -63,7 +66,12 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
         org.apache.spark.sql.functions.col("category"))
       .limit(maxWindows).toJSON.collect().toVector)
     val ov = safe(store.overview.toJSON.collect().toVector).headOption
-    if (ev.nonEmpty) snap.set(Some(Snapshot(ev, perf, ov)))
+    // newest windows' mix drift (drift-on-read over the stored table)
+    val drift = safe(store.mixDrift
+      .orderBy(org.apache.spark.sql.functions.col("window_start_ms").desc,
+        org.apache.spark.sql.functions.col("event_type"))
+      .limit(maxWindows).toJSON.collect().toVector)
+    if (ev.nonEmpty) snap.set(Some(Snapshot(ev, perf, ov, drift)))
   }
 
   private def respond(x: HttpExchange, code: Int, body: String): Unit = {
@@ -104,6 +112,11 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
     s.createContext("/metrics/performance/windows", (x: HttpExchange) => snap.get() match {
       case Some(sn) => respond(x, 200, windowsJson(sn.perfWindows, limitParam(x, 20)))
       case None     => respond(x, 503, "{}")
+    })
+    s.createContext("/metrics/drift", (x: HttpExchange) => snap.get() match {
+      case Some(sn) => respond(x, 200,
+        sn.drift.take(limitParam(x, 20)).mkString("{\"drift\":[", ",", "]}"))
+      case None => respond(x, 503, "{}")
     })
     s.createContext("/metrics/overview", (x: HttpExchange) => snap.get() match {
       case Some(sn) =>

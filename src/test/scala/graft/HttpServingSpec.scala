@@ -58,6 +58,10 @@ class HttpServingSpec extends AnyFunSuite {
       assert(c4 == 200)
       assert(ov.contains("\"event_latest\":{") &&
              ov.contains("\"performance_latest\":{"))
+
+      val (c5, drift) = get(port, "/metrics/drift?limit=4")
+      assert(c5 == 200 && drift.startsWith("{\"drift\":["))
+      assert(drift.contains("\"drift_ppm\""))
     } finally server.stop()
   }
 

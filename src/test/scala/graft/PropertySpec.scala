@@ -110,4 +110,42 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  // ---- native text expressions vs their declarative references ----
+
+  private val genText: Gen[String] = for {
+    n <- Gen.choose(0, 120)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.const(' ')),
+      (1, Gen.oneOf('.', ',', '!', '?'))))
+  } yield cs.mkString
+
+  private val genDocs: Gen[List[String]] = Gen.listOfN(12, genText)
+
+  test("property: CharShingles equals array_distinct(transform(substring))") {
+    check(forAll(genDocs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = graft.dedup.Dedup.shingles(df)
+        .as[(Long, String)].collect().toSet
+      val declared = graft.Tables.spread(df).select($"doc_id",
+          explode(array_distinct(expr(
+            "transform(sequence(1, greatest(length(text) - 3, 1)), i -> substring(text, i, 4))")))
+          .as("sh"))
+        .as[(Long, String)].collect().toSet
+      native == declared
+    })
+  }
+
+  test("property: native winnow equals the per-position reference") {
+    check(forAll(genDocs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fast = graft.text.TextAnalysis.winnow(df)
+        .as[(Long, Long, Long)].collect().toSet
+      val ref = graft.text.TextAnalysis.winnowReference(df)
+        .as[(Long, Long, Long)].collect().toSet
+      fast == ref
+    })
+  }
 }
