@@ -198,6 +198,12 @@ object SparkEntry {
     // end-to-end curation: score -> gate -> exact dedup -> keep-best LSH dedup
     "q_curate" -> ((s, dir) =>
       graft.text.Curate.curate(Tables.documents(s, dir))),
+    // context-window chunking with overlap (map-side, no shuffle)
+    "q_chunk" -> ((s, dir) =>
+      graft.text.Chunking.chunkDocs(Tables.documents(s, dir))),
+    // data-mixing resample to a target language mixture (largest feasible)
+    "q_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(Tables.documents(s, dir))),
     // BPE statistics: frequency-weighted top adjacent symbol pairs
     "q_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.topPairs(Tables.documents(s, dir))),
@@ -545,6 +551,8 @@ object SparkEntry {
       "q_shared_spans" -> graft.text.TextAnalysis.sharedSpansSql(),
       "q_window_drift" -> graft.operators.Drift.windowMixDriftSql(),
       "q_curate" -> graft.text.Curate.curateSql(),
+      "q_chunk" -> graft.text.Chunking.chunkDocsSql(),
+      "q_mixture" -> graft.operators.Sampling.mixtureSampleSql(),
       "q_bpe_pairs" -> graft.text.Bpe.topPairsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->

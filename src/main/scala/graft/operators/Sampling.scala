@@ -70,4 +70,70 @@ object Sampling {
        |FROM (SELECT doc_id,
        |        ('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
        |      FROM documents)""".stripMargin
+
+  /** Default target mixture for [[mixtureSample]]: ppm of the OUTPUT
+    * corpus per language (fr deliberately absent → dropped). */
+  val defaultMixture: Seq[(String, Long)] = Seq(
+    "en" -> 600000L, "de" -> 150000L, "es" -> 150000L, "zh" -> 100000L)
+
+  /** Resample the corpus to a target stratum mixture (the data-mixing
+    * step of every LLM pretraining recipe — "60% web, 15% books, …"):
+    * given target weights w_s (ppm of the output), the output is the
+    * LARGEST corpus with exactly that mixture the inventory allows —
+    * T = min_s(n_s·10⁶ div w_s), keep_s = T·w_s div 10⁶ — and each
+    * stratum keeps its keep_s lowest-hash documents. All arithmetic
+    * integer, the per-doc choice a seeded md5 rank: the sampled corpus
+    * is bit-reproducible across runs, partitionings, and engines.
+    * Strata without a declared weight are dropped.
+    *
+    * Scale shape: the inventory aggregate collapses the corpus to one
+    * row per stratum (map-side partial); the feasibility min is a
+    * window over that tiny table; the rank filter is one window sort
+    * per stratum — the same O(corpus log) shuffle any deterministic
+    * sample pays. */
+  def mixtureSample(docs: DataFrame, stratum: String = "lang",
+                    weightsPpm: Seq[(String, Long)] = defaultMixture,
+                    seed: Int = 11): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weightsPpm.toDF(stratum, "w_ppm"))
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .join(wdf, stratum)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val keepN = counts
+      .withColumn("t", min(expr("n * 1000000 div w_ppm")).over(wAll))
+      .select(col(stratum),
+        expr("t * w_ppm div 1000000").as("keep_n"))
+    val wRank = Window.partitionBy(col(stratum))
+      .orderBy(idHash(seed), col("doc_id"))
+    docs.select(col(stratum), col("doc_id"))
+      .join(broadcast(keepN), stratum)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= col("keep_n"))
+      .select(col(stratum), col("doc_id"), col("rk"), col("keep_n"))
+  }
+
+  def mixtureSampleSql(stratum: String = "lang",
+                       weightsPpm: Seq[(String, Long)] = defaultMixture,
+                       seed: Int = 11): String = {
+    val values = weightsPpm.map { case (s, w) => s"('$s', ${w})" }.mkString(", ")
+    s"""WITH wts AS (SELECT * FROM (VALUES $values) t($stratum, w_ppm)),
+       |cnt AS (SELECT $stratum, count(*) AS n FROM documents GROUP BY 1),
+       |keepn AS (
+       |  SELECT $stratum,
+       |         CAST(t * w_ppm // 1000000 AS BIGINT) AS keep_n
+       |  FROM (SELECT w.$stratum, w.w_ppm,
+       |               min((c.n * 1000000) // w.w_ppm) OVER () AS t
+       |        FROM wts w JOIN cnt c USING ($stratum))),
+       |ranked AS (
+       |  SELECT d.$stratum, d.doc_id,
+       |         CAST(row_number() OVER (PARTITION BY d.$stratum ORDER BY
+       |           ('0x' || substr(md5($seed || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+       |           d.doc_id) AS BIGINT) AS rk
+       |  FROM documents d JOIN keepn k USING ($stratum))
+       |SELECT r.$stratum, r.doc_id, r.rk, k.keep_n
+       |FROM ranked r JOIN keepn k USING ($stratum)
+       |WHERE r.rk <= k.keep_n""".stripMargin
+  }
 }

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking with overlap: split each document into
+  * fixed-token-budget chunks where consecutive chunks share `overlap`
+  * tokens — the preprocessing step between curation and sequence
+  * packing (a retrieval/pretraining corpus is chunked so no training
+  * sequence spans a document boundary and boundary context isn't
+  * lost).
+  *
+  * Chunk i covers tokens [i·stride+1 .. i·stride+chunkTokens]
+  * (stride = chunkTokens − overlap); the last chunk may be short, and
+  * a document at most `chunkTokens` long is exactly one chunk (no
+  * redundant fully-contained tail). Pure map-side: one whitespace
+  * tokenization + one bounded explode per document, no shuffle, no
+  * window function — the 100 TB plan is the scan plan.
+  */
+object Chunking {
+
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64,
+                overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CASE WHEN size(w) <= $chunkTokens THEN 0
+           |                   ELSE (size(w) - $chunkTokens + $stride - 1) div $stride END),
+           |  i -> struct(
+           |    array_join(slice(w, i * $stride + 1, $chunkTokens), ' ') AS chunk_text,
+           |    size(slice(w, i * $stride + 1, $chunkTokens)) AS n_tokens))"""
+          .stripMargin)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"),
+        col("c.n_tokens").cast("long").as("n_tokens"))
+  }
+
+  def chunkDocsSql(chunkTokens: Int = 64, overlap: Int = 8): String = {
+    val stride = chunkTokens - overlap
+    s"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |       array_to_string(w[i * $stride + 1 : i * $stride + $chunkTokens], ' ') AS chunk_text,
+       |       CAST(len(w[i * $stride + 1 : i * $stride + $chunkTokens]) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
+       |        unnest(generate_series(0,
+       |          CASE WHEN len(regexp_extract_all(text, '\\S+')) <= $chunkTokens THEN 0
+       |               ELSE (len(regexp_extract_all(text, '\\S+')) - $chunkTokens + $stride - 1) // $stride END)) AS i
+       |      FROM documents)""".stripMargin
+  }
+}
