@@ -216,4 +216,21 @@ class PlanSpec extends AnyFunSuite {
     val generates = plan.linesIterator.count(_.contains("Generate"))
     assert(generates == 2, s"expected word + pair explodes only, got $generates:\n$plan")
   }
+
+  test("chunking is shuffle-free: the 100 TB plan is the scan plan") {
+    val plan = planOf(graft.text.Chunking.chunkDocs(
+      Tables.documents(spark, sf)))
+    // Tables.spread may add one adaptive round-robin on a tiny scan;
+    // beyond that there must be no exchange and no window/aggregate
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"no aggregate expected:\n$plan")
+  }
+
+  test("mixture sample: inventory collapses before any corpus-wide work") {
+    val plan = planOf(graft.operators.Sampling.mixtureSample(
+      Tables.documents(spark, sf)))
+    // the keep_n side must reach the probe join as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), s"keep_n not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
 }
