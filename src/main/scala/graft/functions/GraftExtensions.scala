@@ -80,6 +80,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QSketchAgg].getName, "q_sketch_r"),
       (children: Seq[Expression]) =>
         QSketchAgg(children(0), children(1), replicable = true).toAggregateExpression()))
+    // one-pass text expressions (constants must be SQL literals)
+    ext.injectFunction((
+      new FunctionIdentifier("char_shingles"),
+      new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+      (children: Seq[Expression]) =>
+        CharShingles(children(0), GraftExtensions.intArg(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(children(0),
+        GraftExtensions.intArg(children(1)), GraftExtensions.intArg(children(2)),
+        GraftExtensions.longArg(children(3)), GraftExtensions.longArg(children(4)))))
     // opt-in approx mode: COUNT(DISTINCT) -> HLL++ under
     // spark.graft.approxDistinct=true (no query-code changes)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
@@ -126,5 +138,17 @@ object GraftExtensions {
       c => HllSketchAgg(c.head, replicable = true).toAggregateExpression())
     registerFunction(spark, "q_sketch_r",
       c => QSketchAgg(c(0), c(1), replicable = true).toAggregateExpression())
+    registerFunction(spark, "char_shingles",
+      c => CharShingles(c(0), intArg(c(1))))
+    registerFunction(spark, "winnow_fps",
+      c => WinnowFps(c(0), intArg(c(1)), intArg(c(2)),
+        longArg(c(3)), longArg(c(4))))
   }
+
+  /** Constant argument extraction for SQL-registered expressions whose
+    * parameters are plan-time constants (literal-folded at resolution). */
+  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval().asInstanceOf[Number].intValue
+  private def longArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e.eval().asInstanceOf[Number].longValue
 }

@@ -35,5 +35,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT quantize_codes(embedding).scale AS s FROM embeddings LIMIT 1")
       .head().getDouble(0)
     assert(qc > 0)
+    // one-pass text expressions from SQL, constants as literals
+    val sh = spark.sql("SELECT char_shingles('abab', 2) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("ab", "ba"))
+    val wf = spark.sql(
+      "SELECT size(winnow_fps(text, 5, 16, 257L, 1000003L)) AS n " +
+      "FROM documents LIMIT 1").head().getInt(0)
+    assert(wf > 0)
   }
 }
