@@ -404,7 +404,7 @@ object SparkEntry {
         s"""SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
            |       (epoch_ms(ts) // 300000) * 300000 + 300000 AS window_end_ms,
            |       $catSql AS category,
-           |       round(avg(value), 4) AS avg_value,
+           |       ${graft.operators.PerformanceTracker.exactAvgSql()} AS avg_value,
            |       round(quantile_cont(value, 0.95), 4) AS p95_value
            |FROM events
            |WHERE value IS NOT NULL
@@ -455,7 +455,8 @@ object SparkEntry {
            |  FROM events WHERE event_type IN $allowedIn GROUP BY 1, 2),
            |pm AS (
            |  SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
-           |         $catSql AS category, round(avg(value), 4) AS avg_value
+           |         $catSql AS category,
+           |         ${graft.operators.PerformanceTracker.exactAvgSql()} AS avg_value
            |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
            |er AS (
            |  SELECT max(window_start_ms) AS event_window_ms,
