@@ -163,7 +163,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("users"),
-          round(sum(col("value")), 4).as("sum_value"))),
+          graft.operators.FixedPoint.sum4(col("value")).as("sum_value"))),
     // integer Lloyd k-means on quantized codes (SemDeDup-style corpus
     // clustering; exact cross-engine arithmetic, full membership oracle)
     "q_kmeans" -> ((s, dir) =>
@@ -414,7 +414,7 @@ object SparkEntry {
       "q_json_props" ->
         """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
           |       count(*) AS n,
-          |       round(sum(value), 4) AS value_sum
+          |       round(CAST(sum(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS value_sum
           |FROM events GROUP BY 1""".stripMargin,
       "q_ts_coerce" ->
         """SELECT event_id,
@@ -539,7 +539,7 @@ object SparkEntry {
            |)
            |SELECT event_type, count(*) AS n,
            |       count(DISTINCT user_id) AS users,
-           |       round(sum(value), 4) AS sum_value
+           |       round(CAST(sum(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS sum_value
            |FROM ev GROUP BY 1""".stripMargin,
       "q_kmeans" -> graft.ann.KMeans.assignSql(),
       "q_unigram_ppl" -> graft.text.CorpusStats.unigramSurprisalSql,

@@ -102,7 +102,7 @@ object Behavior {
       .rollup("event_type", "day_num")
       .agg(grouping_id().cast("int").as("gid"),
         count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("revenue"))
+        FixedPoint.sum4(col("value")).as("revenue"))
       .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
         coalesce(col("day_num"), lit(-1L)).as("day_num"),
         col("gid"), col("n"), col("revenue"))
@@ -112,7 +112,7 @@ object Behavior {
       |       coalesce(day_num, -1) AS day_num,
       |       CAST(GROUPING(event_type, day_num) AS INTEGER) AS gid,
       |       count(*) AS n,
-      |       round(sum(value), 4) AS revenue
+      |       round(CAST(sum(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
       |FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day_num, value
       |      FROM events)
       |GROUP BY ROLLUP(event_type, day_num)""".stripMargin

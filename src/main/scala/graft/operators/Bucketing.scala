@@ -33,6 +33,6 @@ object Bucketing {
     spark.table(lineitemTable)
       .join(spark.table(ordersTable), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+      .agg(FixedPoint.sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
 }

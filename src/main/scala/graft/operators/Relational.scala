@@ -26,13 +26,13 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        FixedPoint.sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("n_items"))
 
   def revenueByNationSql: String =
     """SELECT n_name,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |       round(CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -44,14 +44,14 @@ object Relational {
     orders
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(round(sum(col("o_totalprice")), 4).as("total_spend"),
+      .agg(FixedPoint.sum4(col("o_totalprice")).as("total_spend"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("total_spend").desc, col("c_custkey"))
       .limit(n)
 
   def topCustomersSql(n: Int = 10): String =
     s"""SELECT c_custkey, c_name,
-       |       round(sum(o_totalprice), 4) AS total_spend,
+       |       round(CAST(sum(CAST(round((o_totalprice) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_spend,
        |       count(*) AS n_orders
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY c_custkey, c_name
@@ -124,7 +124,7 @@ object Relational {
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(natInRegion), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+      .agg(FixedPoint.sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
   }
 
@@ -132,7 +132,7 @@ object Relational {
                          yearStart: String = "1995-01-01",
                          yearEnd: String = "1996-01-01"): String =
     s"""SELECT n_name,
-       |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+       |       round(CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
        |FROM lineitem
        |JOIN orders   ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey

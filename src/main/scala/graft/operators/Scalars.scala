@@ -21,7 +21,7 @@ object Scalars {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k_val"),
               col("value"))
       .groupBy(col("k_val"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("value_sum"))
+      .agg(count(lit(1)).as("n"), FixedPoint.sum4(col("value")).as("value_sum"))
 
   /** Epoch-ms ↔ ISO-second ↔ hour-bucket coercions (storage consumer
     * normalizes ISO strings, consumer.py:13-20; cache parser epoch-ms,
