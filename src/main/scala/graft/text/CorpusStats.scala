@@ -175,6 +175,13 @@ object CorpusStats {
     // of every token occurrence. avg over occurrences becomes the
     // c-weighted mean — same quantity, identical in both engines'
     // formulations below.
+    //
+    // This stays a double sum (log2 terms are irrational — no lossless
+    // fixed-point, unlike operators.FixedPoint's money/metric sums).
+    // Safe at 4 dp because groups are per-DOC: ≤ a few hundred terms
+    // of O(10) bits accumulate ~1e-12 of order-dependent error, five
+    // orders below the 1e-4 rounding grid — unlike the per-window
+    // averages over thousands of values that motivated FixedPoint.
     val dtf = tokens(docs).groupBy("doc_id", "token")
       .agg(count(lit(1)).as("c"))
     val tf = dtf.groupBy("token").agg(sum(col("c")).as("cnt"))
