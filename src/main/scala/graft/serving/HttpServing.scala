@@ -92,39 +92,47 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
   private def windowsJson(rows: Vector[String], n: Int): String =
     rows.take(n).mkString("{\"windows\":[", ",", "]}")
 
+  /** JDK HttpServer matches contexts by longest PREFIX — an exact-path
+    * guard per handler keeps /metrics/event/latestXYZ a 404 (FastAPI
+    * route semantics), not a silent alias. */
+  private def exact(path: String)(h: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (x: HttpExchange) =>
+      if (x.getRequestURI.getPath == path) h(x)
+      else respond(x, 404, """{"error":"not found"}""")
+
   /** Start and return the bound port (`port=0` picks a free one). */
   def start(): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    s.createContext("/healthz", (x: HttpExchange) =>
-      respond(x, 200, """{"status":"ok"}"""))
-    s.createContext("/readyz", (x: HttpExchange) => snap.get() match {
+    s.createContext("/healthz", exact("/healthz") { x =>
+      respond(x, 200, """{"status":"ok"}""") })
+    s.createContext("/readyz", exact("/readyz") { x => snap.get() match {
       case Some(_) => respond(x, 200, """{"status":"ready"}""")
       case None    => respond(x, 503, """{"status":"not ready"}""")
-    })
-    s.createContext("/metrics/event/latest", (x: HttpExchange) => snap.get() match {
+    }})
+    s.createContext("/metrics/event/latest", exact("/metrics/event/latest") { x => snap.get() match {
       case Some(sn) => respond(x, 200, sn.eventWindows.headOption.getOrElse("{}"))
       case None     => respond(x, 503, "{}")
-    })
-    s.createContext("/metrics/event/windows", (x: HttpExchange) => snap.get() match {
+    }})
+    s.createContext("/metrics/event/windows", exact("/metrics/event/windows") { x => snap.get() match {
       case Some(sn) => respond(x, 200, windowsJson(sn.eventWindows, limitParam(x, 20)))
       case None     => respond(x, 503, "{}")
-    })
-    s.createContext("/metrics/performance/windows", (x: HttpExchange) => snap.get() match {
+    }})
+    s.createContext("/metrics/performance/windows", exact("/metrics/performance/windows") { x => snap.get() match {
       case Some(sn) => respond(x, 200, windowsJson(sn.perfWindows, limitParam(x, 20)))
       case None     => respond(x, 503, "{}")
-    })
-    s.createContext("/metrics/drift", (x: HttpExchange) => snap.get() match {
+    }})
+    s.createContext("/metrics/drift", exact("/metrics/drift") { x => snap.get() match {
       case Some(sn) => respond(x, 200,
         sn.drift.take(limitParam(x, 20)).mkString("{\"drift\":[", ",", "]}"))
       case None => respond(x, 503, "{}")
-    })
-    s.createContext("/metrics/overview", (x: HttpExchange) => snap.get() match {
+    }})
+    s.createContext("/metrics/overview", exact("/metrics/overview") { x => snap.get() match {
       case Some(sn) =>
         val ev = sn.eventWindows.headOption.getOrElse("{}")
         val ovPerf = sn.overview.getOrElse("{}")
         respond(x, 200, s"""{"event_latest":$ev,"performance_latest":$ovPerf}""")
       case None => respond(x, 503, "{}")
-    })
+    }})
     s.setExecutor(null) // serve on the dispatch thread: snapshot reads only
     s.start()
     server = s

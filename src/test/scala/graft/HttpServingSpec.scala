@@ -62,6 +62,10 @@ class HttpServingSpec extends AnyFunSuite {
       val (c5, drift) = get(port, "/metrics/drift?limit=4")
       assert(c5 == 200 && drift.startsWith("{\"drift\":["))
       assert(drift.contains("\"drift_ppm\""))
+
+      // prefix-matching must not alias routes (FastAPI 404 semantics)
+      assert(get(port, "/metrics/event/latestXYZ")._1 == 404)
+      assert(get(port, "/healthzz")._1 == 404)
     } finally server.stop()
   }
 
