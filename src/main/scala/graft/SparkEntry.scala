@@ -207,6 +207,9 @@ object SparkEntry {
     // BPE statistics: frequency-weighted top adjacent symbol pairs
     "q_bpe_pairs" -> ((s, dir) =>
       graft.text.Bpe.topPairs(Tables.documents(s, dir))),
+    // bigram LM perplexity (CCNet-style fit filter, engine-exact MLE)
+    "q_bigram_ppl" -> ((s, dir) =>
+      graft.text.CorpusStats.bigramSurprisal(Tables.documents(s, dir))),
     // dedup end-to-end: the corpus surviving LSH + clustering
     "q_dedup_keep" -> ((s, dir) =>
       graft.dedup.Clusters.survivors(Tables.documents(s, dir))),
@@ -543,6 +546,7 @@ object SparkEntry {
            |FROM ev GROUP BY 1""".stripMargin,
       "q_kmeans" -> graft.ann.KMeans.assignSql(),
       "q_unigram_ppl" -> graft.text.CorpusStats.unigramSurprisalSql,
+      "q_bigram_ppl" -> graft.text.CorpusStats.bigramSurprisalSql,
       "q_importance" -> graft.text.CorpusStats.importanceWeightsSql(),
       "q_ts_similar" -> graft.operators.TimeSeries.similarActivitySql(),
       "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),

@@ -207,6 +207,74 @@ object CorpusStats {
        |FROM dtf JOIN tf USING (token) CROSS JOIN tot
        |GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------- bigram LM perplexity
+  /** CCNet-style n-gram LM perplexity filter, at n=2: per document, the
+    * mean conditional surprisal −log2 P(w_i | w_{i−1}) under the
+    * corpus's own bigram MLE (P = count(w1,w2) / count_left(w1), where
+    * count_left is w1's occurrences as a bigram LEFT context — exact
+    * normalization: Σ_w2 P(w2|w1) = 1, and every document bigram has
+    * corpus count ≥ its own occurrences, so no zeros and no smoothing
+    * term to reconcile across engines. Perplexity-style filters rank
+    * documents by LM fit (CCNet buckets on KenLM perplexity); bigram
+    * MLE is the engine-exact stand-in for the external LM.
+    *
+    * Scale shape mirrors [[unigramSurprisal]]: the corpus collapses to
+    * per-(doc, bigram) counts map-side (one explode via the same
+    * lambda-bound adjacent-pair zip as [[Bpe]]), the corpus bigram /
+    * left-context tables derive FROM that collapsed table, and the
+    * scoring join touches collapsed rows. Per-doc sums are small →
+    * the double log-sum is safely below the 4 dp grid (same argument
+    * as unigram). */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val pairs = spread(docs)
+      .select(col("doc_id"), expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (l, r) => struct(l.as("w1"), r.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val dbf = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val bf = dbf.groupBy("w1", "w2").agg(sum(col("c")).as("bc"))
+    val lf = bf.groupBy("w1").agg(sum(col("bc")).as("lc"))
+    // NO broadcast hints: unlike the unigram vocabulary, the bigram
+    // table grows toward corpus size (~#distinct bigrams) — forcing it
+    // broadcast is exactly the 100 TB trap. AQE picks broadcast when
+    // the aggregated tables turn out small, shuffle join when not.
+    dbf.join(bf, Seq("w1", "w2"))
+      .join(lf, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(
+          sum(col("c").cast("double") *
+            -log2(col("bc").cast("double") / col("lc").cast("double"))) /
+          sum(col("c").cast("double")), 4).as("avg_bits"))
+  }
+
+  def bigramSurprisalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 2),
+       |pos AS (
+       |  SELECT doc_id, unnest(w) AS tok,
+       |         unnest(range(1, len(w) + 1)) AS p
+       |  FROM t),
+       |pairs AS (
+       |  SELECT doc_id, tok AS w1,
+       |         lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+       |  FROM pos),
+       |dbf AS (
+       |  SELECT doc_id, w1, w2, count(*) AS c
+       |  FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+       |bf AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS bc FROM dbf GROUP BY 1, 2),
+       |lf AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS lc FROM bf GROUP BY 1)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |       round(sum(c * -log2(CAST(bc AS DOUBLE) / CAST(lc AS DOUBLE))) /
+       |             sum(CAST(c AS DOUBLE)), 4) AS avg_bits
+       |FROM dbf JOIN bf USING (w1, w2) JOIN lf USING (w1)
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------- importance weighting (DSIR)
   /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus

@@ -118,4 +118,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall { case (l, p, _) => l == p })
     assert(got.map(_._3).sum == 3)
   }
+
+  test("bigram surprisal: MLE conditionals, repeated text scores 0 bits") {
+    // "a b a b a b": bigrams (a,b)x3? no - (a,b),(b,a),(a,b),(b,a),(a,b)
+    // every a is followed only by b and every b only by a -> P=1 -> 0 bits
+    val d = docs((1L, "a b a b a b"), (2L, "a b a c"))
+    val got = CorpusStats.bigramSurprisal(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // doc1: all bigrams deterministic given corpus? corpus counts:
+    // (a,b)=4 [3 from d1, 1 from d2], (b,a)=3 [2 from d1, 1 from d2],
+    // (a,c)=1. left a: 5, left b: 3.
+    // d1 bits: 3*(-log2(4/5)) + 2*(-log2(3/3)) over 5
+    val d1 = (3.0 * -math.log(4.0 / 5.0) / math.log(2.0)) / 5.0
+    assert(math.abs(got(0)._3 - BigDecimal(d1).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(got(0)._2 == 5L)
+    // d2: (a,b): -log2(4/5); (b,a): -log2(3/3)=0; (a,c): -log2(1/5)
+    val d2 = ((-math.log(4.0 / 5.0) - math.log(1.0 / 5.0)) / math.log(2.0)) / 3.0
+    assert(math.abs(got(1)._3 - BigDecimal(d2).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigram surprisal: single-token and empty docs are excluded") {
+    val d = docs((1L, "only"), (2L, ""), (3L, "a b"))
+    val got = CorpusStats.bigramSurprisal(d).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
 }
