@@ -45,11 +45,15 @@ case class WinnowFps(child: Expression, k: Int, w: Int, b: Long, p: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val len = s.length
+    // Iterate CODE POINTS, not UTF-16 code units: Spark's substring/
+    // ascii/length and DuckDB's are all codepoint-based, so an astral
+    // char (emoji) is one position with its full code-point value.
+    val cps = s.codePoints().toArray
+    val len = cps.length
     // ascii() of the j-th 1-based character; 0 beyond the end (parity
     // with ascii(substring(text, i, 1)) on out-of-range = ascii('') = 0)
     @inline def at(pos1: Int): Long =
-      if (pos1 >= 1 && pos1 <= len) s.charAt(pos1 - 1).toLong else 0L
+      if (pos1 >= 1 && pos1 <= len) cps(pos1 - 1).toLong else 0L
     val nPos = math.max(len - (k - 1), 1)
     val nBlocks = (nPos - 1) / w + 1
     val blocks = new Array[Long](nBlocks)
@@ -110,12 +114,15 @@ case class CharShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val len = s.length
+    // Code-point positions/lengths, matching Spark + DuckDB substring
+    // semantics for astral chars (see [[WinnowFps]]).
+    val cps = s.codePoints().toArray
+    val len = cps.length
     val nPos = math.max(len - (n - 1), 1)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i < nPos) {
-      seen.add(s.substring(i, math.min(i + n, len)))
+      seen.add(new String(cps, i, math.min(i + n, len) - i))
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Registers `df` under a per-call unique temp-view name, runs `f`,
+    * and drops the view before returning. `spark.sql` analyzes eagerly
+    * (the view's plan is inlined at analysis), so the drop is safe and
+    * concurrent callers in one session can't clobber each other's view
+    * — a fixed global name would race between registration and
+    * analysis and leak into the session catalog. */
+  private def withTempView(df: DataFrame, prefix: String)(f: String => DataFrame): DataFrame = {
+    val v = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceTempView(v)
+    try f(v) finally df.sparkSession.catalog.dropTempView(v)
+  }
+
   /** Columns: event_type, n_early, n_late, ppm_early, ppm_late,
     * drift_ppm. Midpoint = floor((min_ms + max_ms)/2); "early" is
     * strictly before the midpoint. A single-timestamp corpus yields
@@ -42,15 +54,16 @@ object Drift {
     * codegen on the full-corpus side — measured, not guessed). */
   def eventTypeDrift(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
-    val v = "graft_drift_events"
-    events.select(col("event_type"), unix_millis(col("ts")).as("ms"))
-      .createOrReplaceTempView(v)
-    val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
-    val perType = spark.sql(
-      s"""SELECT event_type,
-         |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS n_early,
-         |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS n_late
-         |FROM $v GROUP BY event_type""".stripMargin)
+    val perType = withTempView(
+      events.select(col("event_type"), unix_millis(col("ts")).as("ms")),
+      "graft_drift_") { v =>
+      val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
+      spark.sql(
+        s"""SELECT event_type,
+           |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS n_early,
+           |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS n_late
+           |FROM $v GROUP BY event_type""".stripMargin)
+    }
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perType
       .withColumn("te", sum(col("n_early")).over(w))
@@ -163,18 +176,31 @@ object Drift {
     * true KS), which caps the window input at #bins·#types rows. */
   def ksDrift(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
-    val v = "graft_ksdrift_events"
-    events.select(col("event_type"), unix_millis(col("ts")).as("ms"),
-        col("value"))
-      .createOrReplaceTempView(v)
-    val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
-    val perVal = spark.sql(
-      s"""SELECT event_type, value,
-         |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS ca,
-         |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS cb
-         |FROM $v WHERE value IS NOT NULL
-         |GROUP BY event_type, value""".stripMargin)
-    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val perVal = withTempView(
+      events.select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        col("value")),
+      "graft_ksdrift_") { v =>
+      val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
+      spark.sql(
+        s"""SELECT event_type, value,
+           |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS ca,
+           |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS cb
+           |FROM $v WHERE value IS NOT NULL
+           |GROUP BY event_type, value""".stripMargin)
+    }
+    ksOfCdf(perVal, col("value"))
+  }
+
+  /** Shared KS tail: CDF cross-products and the ppm ratio in
+    * DECIMAL(38,0) — BIGINT would wrap silently (non-ANSI) once
+    * n_early·n_late exceeds ~9.2e12 (a few million events per half),
+    * i.e. exactly on the documented scale path, while the DuckDB twin
+    * promotes to HUGEINT. Decimal headroom: ks_num ≤ n_a·n_b and
+    * ks_num·1e6 must fit 38 digits → valid while n_a·n_b ≤ 1e32
+    * (each half up to ~1e16 events — beyond any real corpus). The
+    * final floor-div lands back in BIGINT (ppm ≤ 1e6). */
+  private def ksOfCdf(perVal: DataFrame, ord: org.apache.spark.sql.Column): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(ord)
     val wAll = Window.partitionBy(col("event_type"))
     perVal
       .withColumn("cum_a", sum(col("ca")).over(wOrd))
@@ -185,9 +211,11 @@ object Drift {
       .agg(
         max(col("na")).as("n_early"),
         max(col("nb")).as("n_late"),
-        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("ks_num"))
+        max(abs(col("cum_a").cast("decimal(38,0)") * col("nb") -
+                col("cum_b").cast("decimal(38,0)") * col("na"))).as("ks_num"))
       .select(col("event_type"), col("n_early"), col("n_late"),
-        expr("ks_num * 1000000 div nullif(n_early * n_late, 0)").as("ks_ppm"))
+        expr("ks_num * 1000000 div nullif(CAST(n_early AS DECIMAL(38,0)) * n_late, 0)")
+          .as("ks_ppm"))
   }
 
   /** The documented scale path for [[ksDrift]], as real code: values
@@ -199,31 +227,19 @@ object Drift {
     * makes the exact per-type CDF sort the bottleneck. */
   def ksDriftBinned(events: DataFrame, binWidth: Double = 10.0): DataFrame = {
     val spark = events.sparkSession
-    val v = "graft_ksdrift_binned_events"
-    events.select(col("event_type"), unix_millis(col("ts")).as("ms"),
-        floor(col("value") / binWidth).cast("long").as("bin"))
-      .createOrReplaceTempView(v)
-    val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
-    val perBin = spark.sql(
-      s"""SELECT event_type, bin,
-         |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS ca,
-         |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS cb
-         |FROM $v WHERE bin IS NOT NULL
-         |GROUP BY event_type, bin""".stripMargin)
-    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-    val wAll = Window.partitionBy(col("event_type"))
-    perBin
-      .withColumn("cum_a", sum(col("ca")).over(wOrd))
-      .withColumn("cum_b", sum(col("cb")).over(wOrd))
-      .withColumn("na", sum(col("ca")).over(wAll))
-      .withColumn("nb", sum(col("cb")).over(wAll))
-      .groupBy(col("event_type"))
-      .agg(
-        max(col("na")).as("n_early"),
-        max(col("nb")).as("n_late"),
-        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("ks_num"))
-      .select(col("event_type"), col("n_early"), col("n_late"),
-        expr("ks_num * 1000000 div nullif(n_early * n_late, 0)").as("ks_ppm"))
+    val perBin = withTempView(
+      events.select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        floor(col("value") / binWidth).cast("long").as("bin")),
+      "graft_ksbinned_") { v =>
+      val mid = s"(SELECT (min(ms) + max(ms)) div 2 FROM $v)"
+      spark.sql(
+        s"""SELECT event_type, bin,
+           |       sum(CASE WHEN ms < $mid THEN 1L ELSE 0L END) AS ca,
+           |       sum(CASE WHEN ms >= $mid THEN 1L ELSE 0L END) AS cb
+           |FROM $v WHERE bin IS NOT NULL
+           |GROUP BY event_type, bin""".stripMargin)
+    }
+    ksOfCdf(perBin, col("bin"))
   }
 
   def ksDriftBinnedSql(binWidth: Double = 10.0): String =
@@ -244,8 +260,8 @@ object Drift {
        |  FROM pv)
        |SELECT event_type,
        |       max(na) AS n_early, max(nb) AS n_late,
-       |       CAST(max(abs(cum_a * nb - cum_b * na)) * 1000000 //
-       |            nullif(max(na) * max(nb), 0) AS BIGINT) AS ks_ppm
+       |       CAST(CAST(max(abs(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)) AS HUGEINT) * 1000000 //
+       |            nullif(CAST(max(na) AS HUGEINT) * max(nb), 0) AS BIGINT) AS ks_ppm
        |FROM cum GROUP BY 1""".stripMargin
 
   def ksDriftSql: String =
@@ -266,8 +282,8 @@ object Drift {
        |  FROM pv)
        |SELECT event_type,
        |       max(na) AS n_early, max(nb) AS n_late,
-       |       CAST(max(abs(cum_a * nb - cum_b * na)) * 1000000 //
-       |            nullif(max(na) * max(nb), 0) AS BIGINT) AS ks_ppm
+       |       CAST(CAST(max(abs(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)) AS HUGEINT) * 1000000 //
+       |            nullif(CAST(max(na) AS HUGEINT) * max(nb), 0) AS BIGINT) AS ks_ppm
        |FROM cum GROUP BY 1""".stripMargin
 
   /** DuckDB twin: epoch_ms ↔ unix_millis, `//` ↔ `div`, same nullif

@@ -77,9 +77,15 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
   private def respond(x: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     x.getResponseHeaders.set("Content-Type", "application/json")
-    x.sendResponseHeaders(code, bytes.length.toLong)
-    val os = x.getResponseBody
-    try os.write(bytes) finally os.close()
+    if (x.getRequestMethod == "HEAD") {
+      // headers only: JDK HttpServer disallows a body write on HEAD
+      x.sendResponseHeaders(code, -1L)
+      x.close()
+    } else {
+      x.sendResponseHeaders(code, bytes.length.toLong)
+      val os = x.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
   }
 
   private def limitParam(x: HttpExchange, dflt: Int): Int = {
@@ -94,11 +100,16 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
 
   /** JDK HttpServer matches contexts by longest PREFIX — an exact-path
     * guard per handler keeps /metrics/event/latestXYZ a 404 (FastAPI
-    * route semantics), not a silent alias. */
+    * route semantics), not a silent alias. All routes are read-only,
+    * so non-GET methods are 405 (FastAPI's method-not-allowed), not a
+    * 200 with a body; HEAD rides the GET handler per RFC 9110. */
   private def exact(path: String)(h: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
     (x: HttpExchange) =>
-      if (x.getRequestURI.getPath == path) h(x)
-      else respond(x, 404, """{"error":"not found"}""")
+      if (x.getRequestURI.getPath != path) respond(x, 404, """{"error":"not found"}""")
+      else if (x.getRequestMethod != "GET" && x.getRequestMethod != "HEAD") {
+        x.getResponseHeaders.set("Allow", "GET, HEAD")
+        respond(x, 405, """{"error":"method not allowed"}""")
+      } else h(x)
 
   /** Start and return the bound port (`port=0` picks a free one). */
   def start(): Int = {

@@ -82,6 +82,21 @@ class DriftProjSpec extends AnyFunSuite {
     assert(b2 == 0L && e2 == 1000000L)
   }
 
+  test("ks drift: ppm arithmetic survives counts whose BIGINT cross-products wrap") {
+    // 4M early at value 1.0, 4M late at value 2.0: ks_num = n_a·n_b =
+    // 1.6e13, so ks_num·1e6 = 1.6e19 exceeds Long.MaxValue (9.2e18) —
+    // the old BIGINT expression wrapped silently (non-ANSI) to a wrong
+    // negative ppm; the DECIMAL(38,0) path must return exactly 1e6.
+    val n = 4000000L
+    val df = spark.range(2 * n).select(
+      timestamp_millis(when(col("id") < n, 0L).otherwise(lit(10000L))).as("ts"),
+      lit("A").as("event_type"),
+      when(col("id") < n, 1.0).otherwise(2.0).as("value"))
+    val d = Drift.ksDrift(df)
+      .as[(String, Long, Long, Option[Long])].head()
+    assert(d == (("A", n, n, Some(1000000L))))
+  }
+
   test("ks drift: one-sided type yields null ppm, not a division error") {
     val d = Drift.ksDrift(eventsV(
       (0L, "A", 1.0), (10000L, "A", 2.0),

@@ -66,7 +66,24 @@ class HttpServingSpec extends AnyFunSuite {
       // prefix-matching must not alias routes (FastAPI 404 semantics)
       assert(get(port, "/metrics/event/latestXYZ")._1 == 404)
       assert(get(port, "/healthzz")._1 == 404)
+
+      // read-only routes reject writes (FastAPI 405 semantics)
+      assert(method(port, "/healthz", "POST") == 405)
+      assert(method(port, "/metrics/overview", "DELETE") == 405)
+      assert(method(port, "/metrics/event/windows", "PUT") == 405)
+      assert(method(port, "/healthz", "HEAD") == 200) // HEAD rides GET
     } finally server.stop()
+  }
+
+  def method(port: Int, path: String, m: String): Int = {
+    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    conn.setRequestMethod(m)
+    val code = conn.getResponseCode
+    conn.disconnect()
+    code
   }
 
   test("limit parameter clamps to the snapshot bound") {

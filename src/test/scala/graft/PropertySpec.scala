@@ -113,11 +113,15 @@ class PropertySpec extends AnyFunSuite {
 
   // ---- native text expressions vs their declarative references ----
 
+  // Includes non-BMP code points (emoji, math alphanumerics): the
+  // native text expressions must agree with Spark's codepoint-based
+  // substring/ascii/length on astral chars, not just ASCII.
   private val genText: Gen[String] = for {
     n <- Gen.choose(0, 120)
     cs <- Gen.listOfN(n, Gen.frequency(
-      (8, Gen.alphaNumChar), (2, Gen.const(' ')),
-      (1, Gen.oneOf('.', ',', '!', '?'))))
+      (8, Gen.alphaNumChar.map(_.toString)), (2, Gen.const(" ")),
+      (1, Gen.oneOf(".", ",", "!", "?")),
+      (1, Gen.oneOf("😀", "𝕊", "é", "中"))))
   } yield cs.mkString
 
   private val genDocs: Gen[List[String]] = Gen.listOfN(12, genText)
