@@ -78,18 +78,30 @@ object Bench {
       }
     }
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
-    val results = (0 until nPasses).flatMap { p =>
+    val byPass = (0 until nPasses).map { p =>
       val r = timeAll(p, nPasses)
       System.err.println(f"[bench] pass=$p total=${r.map(_._2).sum}%.2f")
       // between-pass hygiene: surface dead shuffle/broadcast/checkpoint
       // blocks to the ContextCleaner now, outside any timed region
       System.gc()
       r
-    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
+    }
+    // headline stays min-of-N (steady state under host steal); the
+    // per-pass arrays make any drift self-diagnosing — a query slow in
+    // ONE pass was hit by a burst (environment), slow in EVERY pass
+    // changed plan or data (real). Without them a drift needs a rerun
+    // to attribute.
+    val perQuery = byPass.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val results = perQuery.map { case (k, ts) => k -> ts.min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val passesJson = perQuery.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val passTotals = byPass.map(r => f"${r.map(_._2).sum}%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"pass_totals":$passTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

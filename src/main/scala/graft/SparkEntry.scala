@@ -198,9 +198,14 @@ object SparkEntry {
     // end-to-end curation: score -> gate -> exact dedup -> keep-best LSH dedup
     "q_curate" -> ((s, dir) =>
       graft.text.Curate.curate(Tables.documents(s, dir))),
-    // context-window chunking with overlap (map-side, no shuffle)
+    // context-window chunking with overlap (map-side, no shuffle);
+    // non-text columns ride along, so project to the classic surface
     "q_chunk" -> ((s, dir) =>
-      graft.text.Chunking.chunkDocs(Tables.documents(s, dir))),
+      graft.text.Chunking.chunkDocs(
+        Tables.documents(s, dir).select("doc_id", "text"))),
+    // the whole corpus-preparation pipeline: curate -> chunk -> epoch order
+    "q_training_data" -> ((s, dir) =>
+      graft.text.TrainingData.prepare(Tables.documents(s, dir))),
     // data-mixing resample to a target language mixture (largest feasible)
     "q_mixture" -> ((s, dir) =>
       graft.operators.Sampling.mixtureSample(Tables.documents(s, dir))),
@@ -557,6 +562,7 @@ object SparkEntry {
       "q_window_drift" -> graft.operators.Drift.windowMixDriftSql(),
       "q_curate" -> graft.text.Curate.curateSql(),
       "q_chunk" -> graft.text.Chunking.chunkDocsSql(),
+      "q_training_data" -> graft.text.TrainingData.prepareSql(),
       "q_mixture" -> graft.operators.Sampling.mixtureSampleSql(),
       "q_bpe_pairs" -> graft.text.Bpe.topPairsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),

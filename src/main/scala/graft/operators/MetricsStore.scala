@@ -18,11 +18,28 @@ import org.apache.spark.sql.functions._
   * access pattern the reference gets from its Redis zset index, without
   * a second store to keep consistent.
   */
-class MetricsStore(spark: SparkSession, path: String) {
+class MetricsStore(spark: SparkSession, path: String,
+                   atLeastOnceReads: Boolean = false) {
 
-  def eventMetrics: DataFrame = spark.read.parquet(s"$path/event_metrics")
-  def sessionMetrics: DataFrame = spark.read.parquet(s"$path/session_metrics")
-  def performanceMetrics: DataFrame = spark.read.parquet(s"$path/performance_metrics")
+  /** `atLeastOnceReads=true` applies consume-side idempotence
+    * ([[graft.streaming.Idempotence.dedupOnRead]], last-batch-wins) to
+    * every table read — for stores landed by a plain-append
+    * at-least-once writer (e.g. a downstream Kafka-topic consumer)
+    * instead of [[graft.streaming.Pipelines.writeStorageBatch]]'s
+    * batch-id overwrite, whose tables are exactly-once already and
+    * read dedup-free by default. */
+  private def table(name: String, keys: Seq[String]): DataFrame = {
+    val t = spark.read.parquet(s"$path/$name")
+    if (atLeastOnceReads) graft.streaming.Idempotence.dedupOnRead(t, keys)
+    else t
+  }
+
+  def eventMetrics: DataFrame =
+    table("event_metrics", Seq("window_start_ms", "event_type"))
+  def sessionMetrics: DataFrame =
+    table("session_metrics", Seq("start_ms", "user_id"))
+  def performanceMetrics: DataFrame =
+    table("performance_metrics", Seq("window_start_ms", "category"))
 
   /** Newest-N event windows as pivoted wide rows (the reference's
     * GET /metrics/event/windows?limit=N). */

@@ -113,31 +113,71 @@ object Bpe {
                          merged: String, n: Long)
 
   /** Train nMerges BPE merges. Each round: distributed pair count over
-    * the word table, ONE collected argmax row (ties break on the pair
-    * for determinism), distributed fold rewrite. localCheckpoint every
-    * few rounds truncates the otherwise linearly-growing lineage of
-    * nested higher-order folds. Returns the merge list and the final
-    * word → symbols table. */
-  def train(docs: DataFrame, nMerges: Int = 10)
+    * the word table, ONE bounded collect (≤ batchB rows), distributed
+    * fold rewrites. localCheckpoint every few merges truncates the
+    * otherwise linearly-growing lineage of nested higher-order folds.
+    * Returns the merge list and the final word → symbols table.
+    *
+    * `batchB` > 1 is the scale path: a 30k-merge vocab at one merge
+    * per Spark job is 30k jobs; batching applies up to B merges per
+    * pair-count pass. The batch is the PREFIX of the global candidate
+    * order (count desc, pair asc) up to the first symbol conflict —
+    * stopping at the first conflict (not skipping past it) means every
+    * applied pair's count is still exact when it's applied (merging
+    * disjoint symbols can't change it), and any pair a batch merge
+    * creates or destroys involves a symbol of a pair that ranked BELOW
+    * the whole batch, so new pairs can't outrank what the batch
+    * applied. Sequential (batchB=1) and batched training therefore
+    * agree whenever the leaderboard's top pairs are symbol-disjoint;
+    * ties broken across a batch boundary are the one place the two can
+    * legitimately differ (BpeSpec pins both behaviors). */
+  def train(docs: DataFrame, nMerges: Int = 10, batchB: Int = 1)
   : (Seq[Merge], DataFrame) = {
+    val (m, w, _) = trainRounds(docs, nMerges, batchB)
+    (m, w)
+  }
+
+  /** [[train]] plus the number of pair-count rounds it ran — the
+    * quantity batching exists to shrink (rounds ≈ nMerges/B when the
+    * leaderboard stays disjoint, nMerges when it never is). */
+  def trainRounds(docs: DataFrame, nMerges: Int = 10, batchB: Int = 1)
+  : (Seq[Merge], DataFrame, Int) = {
+    require(batchB >= 1, "batchB must be >= 1")
     var words = wordFreq(docs).withColumn("syms", charSyms(col("word")))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var round = 0
-    while (round < nMerges) {
+    var rounds = 0
+    var sinceCkpt = 0
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(batchB, nMerges - merges.size)
       val top = pairCountsOfSyms(words)
         .orderBy(col("n").desc, col("left_sym"), col("right_sym"))
-        .limit(1).collect() // exactly one row per round, by construction
-      if (top.isEmpty) { round = nMerges }
+        .limit(want).collect() // bounded: at most batchB rows per round
+      rounds += 1
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(merges.size + 1, l, r, l + r, n)
-        words = words.withColumn("syms", applyMerge(col("syms"), l, r))
-        round += 1
-        if (round % 4 == 0) words = words.localCheckpoint()
+        val used = scala.collection.mutable.Set.empty[String]
+        val it = top.iterator
+        var open = true
+        while (open && it.hasNext) {
+          val row = it.next()
+          val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          // prefix rule: stop at the FIRST conflict (a symbol of an
+          // already-picked pair, or a string colliding with a new
+          // merged symbol) — do not skip past it
+          if (used(l) || used(r)) open = false
+          else {
+            used ++= Seq(l, r, l + r)
+            merges += Merge(merges.size + 1, l, r, l + r, n)
+            words = words.withColumn("syms", applyMerge(col("syms"), l, r))
+            sinceCkpt += 1
+            if (sinceCkpt >= 4) { words = words.localCheckpoint(); sinceCkpt = 0 }
+          }
+        }
       }
     }
-    (merges.toSeq, words)
+    (merges.toSeq, words, rounds)
   }
 
   /** Merge list as a DataFrame (for writing a vocab artifact). */

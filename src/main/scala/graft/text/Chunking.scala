@@ -19,23 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Any columns besides (doc_id, text) ride along unchanged, appended
+    * after n_tokens — so a fused pipeline (curate → chunk) carries its
+    * per-doc metadata (lang_pred, quality_pm) THROUGH the explode
+    * instead of re-joining the chunk table with the corpus afterwards;
+    * at 100 TB chunks are the biggest table in the pipeline and that
+    * re-join would be its largest avoidable shuffle. */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 64,
                 overlap: Int = 8): DataFrame = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val stride = chunkTokens - overlap
+    val meta = docs.columns.filter(c => c != "doc_id" && c != "text").toSeq
+    val carry = (Seq("doc_id") ++ meta).map(col)
     graft.Tables.spread(docs)
-      .select(col("doc_id"), expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-      .select(col("doc_id"), posexplode(expr(
+      .select(carry :+ expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"): _*)
+      .select(carry :+ posexplode(expr(
         s"""transform(
            |  sequence(0, CASE WHEN size(w) <= $chunkTokens THEN 0
            |                   ELSE (size(w) - $chunkTokens + $stride - 1) div $stride END),
            |  i -> struct(
            |    array_join(slice(w, i * $stride + 1, $chunkTokens), ' ') AS chunk_text,
            |    size(slice(w, i * $stride + 1, $chunkTokens)) AS n_tokens))"""
-          .stripMargin)).as(Seq("chunk_idx", "c")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          .stripMargin)).as(Seq("chunk_idx", "c")): _*)
+      .select(Seq(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"),
-        col("c.n_tokens").cast("long").as("n_tokens"))
+        col("c.n_tokens").cast("long").as("n_tokens")) ++ meta.map(col): _*)
   }
 
   def chunkDocsSql(chunkTokens: Int = 64, overlap: Int = 8): String = {

@@ -29,8 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  def curate(docs: DataFrame, minQualityPm: Long = 600,
-             langs: Seq[String] = Seq("en", "de")): DataFrame = {
+  /** The surviving corpus WITH its text: (doc_id, text, lang_pred,
+    * quality_pm, n_chars). This is the artifact downstream stages
+    * (chunking) consume directly — re-joining the base table to
+    * recover text would pay a second corpus-scale doc_id shuffle for
+    * columns this pipeline already holds. [[curate]] is the text-free
+    * projection (Catalyst prunes the column, so the q_curate plan is
+    * unchanged). */
+  def curateDocs(docs: DataFrame, minQualityPm: Long = 600,
+                 langs: Seq[String] = Seq("en", "de")): DataFrame = {
     val scored = graft.Tables.spread(docs)
       .withColumn("quality_pm", TextAnalysis.qualityExpr)
       .withColumn("lang_pred", TextAnalysis.langPred)
@@ -49,16 +56,26 @@ object Curate {
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint()
     graft.dedup.Clusters.survivorsBest(exact)
-      .join(exact.select(col("doc_id"), col("lang_pred"), col("quality_pm")),
-        "doc_id")
-      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
-        col("n_chars"))
+      .join(exact.select(col("doc_id"), col("text"), col("lang_pred"),
+        col("quality_pm")), "doc_id")
+      .select(col("doc_id"), col("text"), col("lang_pred"),
+        col("quality_pm"), col("n_chars"))
   }
 
-  def curateSql(minQualityPm: Long = 600,
-                langs: Seq[String] = Seq("en", "de")): String = {
+  def curate(docs: DataFrame, minQualityPm: Long = 600,
+             langs: Seq[String] = Seq("en", "de")): DataFrame =
+    curateDocs(docs, minQualityPm, langs)
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+
+  /** The curation CTE chain WITHOUT the leading WITH / final select,
+    * ending in a `kept` CTE (doc_id, text, lang_pred, quality_pm,
+    * n_chars) — so composites ([[TrainingData.prepareSql]]) can chain
+    * their own stages onto the survivors, mirroring [[curateDocs]]. */
+  def curateCtes(minQualityPm: Long = 600,
+                 langs: Seq[String] = Seq("en", "de")): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
-    s"""WITH gated AS (
+    s"""gated AS (
        |  SELECT * FROM (
        |    SELECT doc_id, text, n_chars,
        |           ${TextAnalysis.qualityPmSql} AS quality_pm,
@@ -69,9 +86,15 @@ object Curate {
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
        |                             ORDER BY doc_id) = 1),
-       |${graft.dedup.Clusters.survivorsBestCtes()}
-       |SELECT d.doc_id, d.lang_pred, d.quality_pm, d.n_chars
-       |FROM documents d
-       |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)""".stripMargin
+       |${graft.dedup.Clusters.survivorsBestCtes()},
+       |kept AS (
+       |  SELECT d.doc_id, d.text, d.lang_pred, d.quality_pm, d.n_chars
+       |  FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id))""".stripMargin
   }
+
+  def curateSql(minQualityPm: Long = 600,
+                langs: Seq[String] = Seq("en", "de")): String =
+    s"""WITH ${curateCtes(minQualityPm, langs)}
+       |SELECT doc_id, lang_pred, quality_pm, n_chars FROM kept""".stripMargin
 }

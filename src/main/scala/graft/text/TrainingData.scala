@@ -34,13 +34,15 @@ object TrainingData {
               langs: Seq[String] = Seq("en", "de"),
               chunkTokens: Int = 64, overlap: Int = 8,
               nShards: Int = 8, salt: String = "epoch0"): DataFrame = {
-    val kept = Curate.curate(docs, minQualityPm, langs)
-    val keptDocs = docs.join(kept.select(col("doc_id"), col("lang_pred"),
-      col("quality_pm")), "doc_id")
+    // FUSED: curateDocs hands the survivors WITH text + metadata, and
+    // chunkDocs carries the metadata columns through its explode — the
+    // pipeline adds ZERO joins beyond curation's own (the chunk table,
+    // the biggest in the pipeline at 100 TB, is never shuffled for a
+    // join; its only shuffle is the per-shard epoch-order sort).
+    val keptDocs = Curate.curateDocs(docs, minQualityPm, langs)
     val chunks = Chunking.chunkDocs(
-        keptDocs.select(col("doc_id"), col("text")), chunkTokens, overlap)
-      .join(keptDocs.select(col("doc_id"), col("lang_pred"), col("quality_pm")),
-        "doc_id")
+      keptDocs.select(col("doc_id"), col("text"), col("lang_pred"),
+        col("quality_pm")), chunkTokens, overlap)
     val h = conv(substring(md5(concat_ws(":", lit(salt),
       col("doc_id").cast("string"), col("chunk_idx").cast("string"))), 1, 15),
       16, 10).cast("long")
@@ -53,5 +55,36 @@ object TrainingData {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
         col("n_tokens"), col("lang_pred"), col("quality_pm"),
         col("shard"), col("position"))
+  }
+
+  /** DuckDB twin of [[prepare]], composed from the same per-stage SQL
+    * the stage queries are checked with: curation CTEs → chunk explode
+    * over `kept` → salted-hash epoch order. */
+  def prepareSql(minQualityPm: Long = 600,
+                 langs: Seq[String] = Seq("en", "de"),
+                 chunkTokens: Int = 64, overlap: Int = 8,
+                 nShards: Int = 8, salt: String = "epoch0"): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH ${Curate.curateCtes(minQualityPm, langs)},
+       |chunks AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |         array_to_string(w[i * $stride + 1 : i * $stride + $chunkTokens], ' ') AS chunk_text,
+       |         CAST(len(w[i * $stride + 1 : i * $stride + $chunkTokens]) AS BIGINT) AS n_tokens,
+       |         lang_pred, quality_pm
+       |  FROM (SELECT doc_id, lang_pred, quality_pm,
+       |          regexp_extract_all(text, '\\S+') AS w,
+       |          unnest(generate_series(0,
+       |            CASE WHEN len(regexp_extract_all(text, '\\S+')) <= $chunkTokens THEN 0
+       |                 ELSE (len(regexp_extract_all(text, '\\S+')) - $chunkTokens + $stride - 1) // $stride END)) AS i
+       |        FROM kept)),
+       |hashed AS (
+       |  SELECT *, ('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |               CAST(chunk_idx AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM chunks)
+       |SELECT doc_id, chunk_idx, chunk_text, n_tokens, lang_pred, quality_pm,
+       |       CAST(h % $nShards AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % $nShards
+       |                               ORDER BY h, doc_id, chunk_idx) AS BIGINT) AS position
+       |FROM hashed""".stripMargin
   }
 }

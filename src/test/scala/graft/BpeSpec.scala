@@ -54,6 +54,34 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq("aa", "a"))
   }
 
+  test("batched prefix-disjoint training equals one-at-a-time on the textbook corpus") {
+    val (seqM, _, seqRounds) = Bpe.trainRounds(corpus, nMerges = 5, batchB = 1)
+    val (batM, _, batRounds) = Bpe.trainRounds(corpus, nMerges = 5, batchB = 4)
+    assert(batM == seqM, "batched merge list must match sequential")
+    // round 3's leaderboard is (est,</w>) 9 then the disjoint (l,o) 7,
+    // so one batch applies both: 4 pair-count rounds instead of 5
+    assert(seqRounds == 5 && batRounds == 4)
+  }
+
+  test("disjoint leaderboard: one round applies the whole batch; lists agree") {
+    // 6 families with globally distinct characters; family i's hot
+    // pair (p_i,q_i) rides two words (counts 60-i and 50-i → 110-2i),
+    // so the top-6 leaderboard is 6 mutually disjoint pairs and every
+    // other pair counts ≤ 60 — the shape where batching pays ~B×.
+    val docs = (0 until 6).flatMap { i =>
+      val Seq(p, q, r, s) = (0 to 3).map(k => ('a' + 4 * i + k).toChar.toString)
+      Seq((2L * i, List.fill(60 - i)(p + q + r).mkString(" ")),
+          (2L * i + 1, List.fill(50 - i)(s + p + q).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val (seqM, _, seqRounds) = Bpe.trainRounds(docs, nMerges = 6, batchB = 1)
+    val (batM, _, batRounds) = Bpe.trainRounds(docs, nMerges = 6, batchB = 6)
+    assert(batM == seqM)
+    assert(seqM.map(m => (m.left, m.right)) == (0 until 6).map(i =>
+      (('a' + 4 * i).toChar.toString, ('a' + 4 * i + 1).toChar.toString)))
+    assert(seqRounds == 6 && batRounds == 1,
+      s"expected 6 sequential vs 1 batched round, got $seqRounds/$batRounds")
+  }
+
   test("encodeWords segments an unseen word with learned merges") {
     val (merges, _) = Bpe.train(corpus, nMerges = 5)
     val got = Bpe.encodeWords(Seq(Tuple1("lowest")).toDF("word"), merges)

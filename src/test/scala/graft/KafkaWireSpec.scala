@@ -100,4 +100,44 @@ class KafkaWireSpec extends AnyFunSuite {
       s"""{"window_start_ms":$base,"window_end_ms":${base + 60000},"event_type":"view","event_count":3,"user_count":2}""",
       s"""{"window_start_ms":${base + 60000},"window_end_ms":${base + 120000},"event_type":"purchase","event_count":1,"user_count":1}"""))
   }
+
+  test("at-least-once replay: consume-side dedup restores the exactly-once result") {
+    val values = Seq(
+      wireJson("e1", "view", "u1", "s1", 100L, base + 1000),
+      wireJson("e2", "view", "u2", "s1", 100L, base + 2000),
+      wireJson("e3", "purchase", "u3", "s2", 100L, base + 65000))
+    // the producer crashed after emitting, before committing: the whole
+    // batch replays at later offsets — every record delivered twice
+    val replayed = recordsDf(values ++ values)
+    val exactlyOnce = EventAggregator.aggregate(
+      EventWire.decodeKafka(recordsDf(values)), timeCol = "event_time")
+    val deduped = EventAggregator.aggregate(
+      graft.streaming.Idempotence.dedupOnRead(
+        EventWire.decodeKafka(replayed), keys = Seq("event_id")),
+      timeCol = "event_time")
+    assert(EventWire.encode(deduped).as[String].collect().toSet ==
+      EventWire.encode(exactlyOnce).as[String].collect().toSet,
+      "decode → dedup → agg must equal the exactly-once pipeline")
+    // without the dedup the duplication is visible (the gap being closed)
+    val naive = EventAggregator.aggregate(
+      EventWire.decodeKafka(replayed), timeCol = "event_time")
+    assert(EventWire.encode(naive).as[String].collect().toSet !=
+      EventWire.encode(exactlyOnce).as[String].collect().toSet)
+  }
+
+  test("aggregate-row replay: last-batch-wins on the (window, keys) identity") {
+    val rows = Seq(
+      (base, "view", 3L, 2L, 7L),  // batch 7's emission
+      (base, "view", 3L, 2L, 7L),  // ...delivered again (at-least-once)
+      (base, "view", 4L, 3L, 8L),  // batch 8 re-emits the window updated
+      (base + 60000L, "purchase", 1L, 1L, 7L))
+      .toDF("window_start_ms", "event_type", "event_count", "user_count", "batch_id")
+    val got = graft.streaming.Idempotence.dedupOnRead(
+        rows, keys = Seq("window_start_ms", "event_type"))
+      .orderBy("window_start_ms")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (base, "view", 4L, 3L, 8L),
+      (base + 60000L, "purchase", 1L, 1L, 7L)))
+  }
 }

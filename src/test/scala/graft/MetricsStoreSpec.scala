@@ -27,6 +27,26 @@ class MetricsStoreSpec extends AnyFunSuite {
     assert(rows.head == allMax)
   }
 
+  test("atLeastOnceReads absorbs duplicate landings; default read shows them") {
+    // a plain-append at-least-once writer lands batch 7's rows twice,
+    // then batch 8 re-emits one window updated
+    val dir = java.nio.file.Files.createTempDirectory("graft_alo").toString
+    Seq(
+      (1000L, "view", 3L, 2L, 7L),
+      (1000L, "view", 3L, 2L, 7L),
+      (1000L, "view", 4L, 3L, 8L),
+      (61000L, "purchase", 1L, 1L, 7L))
+      .toDF("window_start_ms", "event_type", "event_count", "user_count", "batch_id")
+      .write.parquet(s"$dir/event_metrics")
+    val deduped = new MetricsStore(spark, dir, atLeastOnceReads = true)
+      .eventMetrics.orderBy("window_start_ms", "event_type")
+      .select("window_start_ms", "event_type", "event_count", "batch_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(deduped == Seq((1000L, "view", 4L, 8L), (61000L, "purchase", 1L, 7L)))
+    // the exactly-once store path must NOT pay the dedup window
+    assert(new MetricsStore(spark, dir).eventMetrics.count() == 4)
+  }
+
   test("latest returns exactly the most recent window") {
     val l = store.latest.select("window_start_ms").as[Long].collect().toSeq
     assert(l.size == 1)

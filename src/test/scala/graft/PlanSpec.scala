@@ -226,6 +226,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), s"no aggregate expected:\n$plan")
   }
 
+  test("TrainingData.prepare: chunk-scale data never reaches a join") {
+    val df = graft.text.TrainingData.prepare(
+      Tables.documents(spark, sf), chunkTokens = 32, overlap = 4, nShards = 4)
+    val plan = df.queryExecution.optimizedPlan
+    // curation's own joins (LSH bands, drop list) sit BELOW the chunk
+    // explode; the chunk table itself must flow join-free into the
+    // epoch-order window — a join subtree mentioning chunk_text means
+    // the fused pipeline regressed to re-joining chunk-scale data
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.toString.contains("chunk_text") => j
+    }
+    assert(bad.isEmpty, s"chunk-scale data reaches a join:\n${bad.mkString("\n")}")
+    assert(plan.toString.contains("chunk_text"), "chunk stage missing from plan")
+  }
+
   test("mixture sample: inventory collapses before any corpus-wide work") {
     val plan = planOf(graft.operators.Sampling.mixtureSample(
       Tables.documents(spark, sf)))
