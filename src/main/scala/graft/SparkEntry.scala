@@ -195,6 +195,10 @@ object SparkEntry {
     // window-over-window event-mix drift (streaming drift-on-read shape)
     "q_window_drift" -> ((s, dir) =>
       graft.operators.Drift.windowMixDrift(Tables.events(s, dir))),
+    // threshold-gated drift alerts (the operational alerting loop)
+    "q_drift_alerts" -> ((s, dir) =>
+      graft.operators.Drift.mixDriftAlerts(
+        graft.operators.Drift.windowMixDrift(Tables.events(s, dir)))),
     // end-to-end curation: score -> gate -> exact dedup -> keep-best LSH dedup
     "q_curate" -> ((s, dir) =>
       graft.text.Curate.curate(Tables.documents(s, dir))),
@@ -560,6 +564,7 @@ object SparkEntry {
       "q_ks_binned" -> graft.operators.Drift.ksDriftBinnedSql(),
       "q_shared_spans" -> graft.text.TextAnalysis.sharedSpansSql(),
       "q_window_drift" -> graft.operators.Drift.windowMixDriftSql(),
+      "q_drift_alerts" -> graft.operators.Drift.mixDriftAlertsSql(),
       "q_curate" -> graft.text.Curate.curateSql(),
       "q_chunk" -> graft.text.Chunking.chunkDocsSql(),
       "q_training_data" -> graft.text.TrainingData.prepareSql(),

@@ -242,19 +242,36 @@ object Clusters {
     * runs over those members only, and the corpus anti-joins the drop
     * list exactly as in [[survivors]] — the added policy never touches
     * non-duplicate rows. */
-  def survivorsBest(docs: DataFrame, n: Int = 4,
-                    minEstJaccard: Double = 0.5): DataFrame = {
+  /** The doc_ids quality-aware survivorship DROPS: every duplicate-
+    * cluster member except its highest-quality one — tiny relative to
+    * the corpus (near-dup members only). Exposed so composites
+    * ([[graft.text.Curate.curateDocs]]) can anti-join it against their
+    * own projection in ONE pass instead of anti-joining here and then
+    * re-joining the corpus for the columns they carry. */
+  def dropsBest(docs: DataFrame, n: Int = 4,
+                minEstJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a curated input (Curate.curateDocs) already carries quality_pm —
+    // reuse it instead of re-running the 7 scoring regexes over the
+    // corpus a second time (measured on q_curate: the rescore was the
+    // single biggest avoidable cost in the fused pipeline)
+    val quality =
+      if (docs.columns.contains("quality_pm"))
+        docs.select(col("doc_id"), col("quality_pm"))
+      else docs.select(col("doc_id"),
+        graft.text.TextAnalysis.qualityExpr.as("quality_pm"))
     val members = dupClusters(docs, n, minEstJaccard)
-      .join(docs.select(col("doc_id"),
-        graft.text.TextAnalysis.qualityExpr.as("quality_pm")), "doc_id")
+      .join(quality, "doc_id")
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality_pm").desc, col("doc_id"))
-    val drops = members.withColumn("rn", row_number().over(w))
+    members.withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1).select(col("doc_id"))
-    docs.join(drops, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_chars"))
   }
+
+  def survivorsBest(docs: DataFrame, n: Int = 4,
+                    minEstJaccard: Double = 0.5): DataFrame =
+    docs.join(dropsBest(docs, n, minEstJaccard), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
 
   /** The survivorship CTE chain WITHOUT the leading WITH / final
     * select, so composites can prepend their own CTEs (e.g. a

@@ -329,10 +329,32 @@ object Dedup {
         col("text"))
       .select(col("doc_id"), expr(s"substring(text, i, $n)").as("sh"))
 
-  /** MinHash signature per doc: numHashes min aggregates over shingles —
-    * one groupBy(doc_id), partial-aggregated map-side, so the shuffle
-    * carries one row per (doc, 16 longs). */
+  /** MinHash signature per doc, via the one-pass native expression
+    * ([[graft.functions.MinhashSigs]]): one output row per document
+    * straight off the scan — no per-position explode, no signature
+    * groupBy, so the first shuffle of the whole LSH path is the band
+    * join. The signature array is lambda-bound (1-element transform)
+    * before the 16 per-column reads so the O(len) expression evaluates
+    * once per doc, not once per column (CollapseProject would inline
+    * it 16× otherwise — same trap as [[ngramJaccard]]'s shingle set).
+    * Values are bit-identical to [[minhashSignaturesDeclarative]] /
+    * the DuckDB oracle (PropertySpec pins the parity). */
   def minhashSignatures(docs: DataFrame, n: Int = 4): DataFrame = {
+    val sigs = graft.functions.TextFunctions.minhash_sigs(
+      col("text"), n, 257L, 263L, polyP, hashP,
+      (0 until numHashes).map(hashConsts))
+    spread(docs)
+      .select(col("doc_id"),
+        transform(array(sigs), arr => struct(
+          (0 until numHashes).map(i => element_at(arr, i + 1).as(s"h$i")): _*))
+          .getItem(0).as("s"))
+      .select(col("doc_id") +: (0 until numHashes).map(i => col(s"s.h$i")): _*)
+  }
+
+  /** The declarative formulation the native expression replaces —
+    * kept as the parity reference (explode per position, two 4-term
+    * polynomial hashes, numHashes min-aggregates). */
+  def minhashSignaturesDeclarative(docs: DataFrame, n: Int = 4): DataFrame = {
     val withHalves = shinglesAll(docs, n)
       .withColumn("ha", charPolyHash(col("sh"), n, 257L))
       .withColumn("hb", charPolyHash(col("sh"), n, 263L))
@@ -344,36 +366,46 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing any band key, with the signature
-    * agreement fraction (the MinHash Jaccard estimate). */
+    * agreement fraction (the MinHash Jaccard estimate).
+    *
+    * The signature columns RIDE the band rows, so the band self-join
+    * computes the agreement directly — no re-join of the signature
+    * table per pair side (previously two extra joins = two extra
+    * shuffles of the sig table plus two stages; measured ~2× on the
+    * candidate pass). The trade: the band shuffle carries numBands
+    * copies of each 16-long signature instead of one — O(numBands·N)
+    * fixed-width rows, the same asymptotics as the bare band table,
+    * and strictly less traffic than the two replaced sig shuffles
+    * once numBands ≤ 2·(pairs/N). distinct() runs AFTER the agreement
+    * projection (est_jaccard is functionally determined by the pair,
+    * so multi-band collisions collapse identically). */
   def minhashCandidates(docs: DataFrame, n: Int = 4,
                         minEstJaccard: Double = 0.0): DataFrame = {
-    // localCheckpoint, not cache(): the signature table feeds three
-    // consumers (band explosion + both sides of the pair join), so it
-    // must materialize once — but cache() pins blocks in the session's
-    // CacheManager until an explicit unpersist that a lazily-returned
-    // DataFrame can never schedule. Eager localCheckpoint blocks are
-    // GC-owned: the ContextCleaner frees them once the plan is
-    // unreachable, so long-lived sessions don't leak.
-    val sig = minhashSignatures(docs, n).localCheckpoint(true)
+    // No materialization barrier: band rows come from ONE posexplode
+    // over the signature row (not a numBands-way union of projections,
+    // which would re-run the signature expression per branch — the
+    // shape that used to force a localCheckpoint here). The self-join
+    // consumes the identical banded subtree on both sides, so the
+    // band-key exchange is computed once and reused; worst case (AQE
+    // declines the reuse) recomputes the one-pass native signatures,
+    // which cost less than the checkpoint job they replaced.
+    val sig = minhashSignatures(docs, n)
     val bandKey = (b: Int) =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*))
-    val bands = (0 until numBands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("bkey"))
-    }.reduce(_ unionAll _)
-    val pairs = bands.as("x").join(bands.as("y"),
+    val bands = sig.select(
+      col("doc_id") +:
+        posexplode(array((0 until numBands).map(bandKey): _*)).as(Seq("band", "bkey")) +:
+        (0 until numHashes).map(i => col(s"h$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs
-      .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
   }
 
   def minhashCandidatesSql(n: Int = 4, minEstJaccard: Double = 0.0): String = {

@@ -139,6 +139,79 @@ case class CharShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Whole MinHash signature in ONE pass over the document — replaces
+  * the declarative chain (explode one row per character position →
+  * substring → two 4-term polynomial hashes → numHashes min-aggregates
+  * behind a groupBy(doc_id)) with an O(len) incremental rolling hash
+  * and in-loop minima: one output row per document, NO explode, NO
+  * aggregate, no shuffle until the band join.
+  *
+  * Bit-identical to the declarative reference
+  * ([[graft.dedup.Dedup.minhashSignaturesDeclarative]]) and the DuckDB
+  * oracle ([[graft.dedup.Dedup.minhashCandidatesSql]]): per position
+  * i ∈ 1..max(len−n+1, 1), ha/hb = Σ_j cp(c_{i+j})·B^{n−1−j} mod P31
+  * (code points, zeros beyond the end — `ascii(substr(..))` = 0 on
+  * out-of-range, so tail shingles hash as zero-padded), and
+  * sig_k = min_i ((ha·a_k) % P + (hb·b_k) % P + c_k) % P. min over the
+  * position MULTISET equals min over the distinct-shingle set.
+  *
+  * Eval-only for the same reason as [[WinnowFps]]: O(len·k) work per
+  * row amortizes the interpreted dispatch. */
+case class MinhashSigs(child: Expression, n: Int, b1: Long, b2: Long,
+                       polyP: Long, hashP: Long,
+                       consts: Seq[(Long, Long, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  private val k = consts.length
+  private val as = consts.map(_._1).toArray
+  private val bs = consts.map(_._2).toArray
+  private val cs = consts.map(_._3).toArray
+  private def top(b: Long): Long =
+    java.math.BigInteger.valueOf(b).modPow(
+      java.math.BigInteger.valueOf((n - 1).toLong),
+      java.math.BigInteger.valueOf(polyP)).longValue()
+  private val top1 = top(b1)
+  private val top2 = top(b2)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val len = cps.length
+    @inline def at(pos1: Int): Long =
+      if (pos1 >= 1 && pos1 <= len) cps(pos1 - 1).toLong else 0L
+    val nPos = math.max(len - (n - 1), 1)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var ha = 0L
+    var hb = 0L
+    var j = 0
+    while (j < n) {
+      ha = (ha * b1 + at(1 + j)) % polyP
+      hb = (hb * b2 + at(1 + j)) % polyP
+      j += 1
+    }
+    var i = 1
+    while (i <= nPos) {
+      var t = 0
+      while (t < k) {
+        val v = ((ha * as(t)) % hashP + (hb * bs(t)) % hashP + cs(t)) % hashP
+        if (v < mins(t)) mins(t) = v
+        t += 1
+      }
+      // roll both hashes to position i+1
+      ha = ((ha + polyP - (at(i) * top1) % polyP) % polyP * b1 + at(i + n)) % polyP
+      hb = ((hb + polyP - (at(i) * top2) % polyP) % polyP * b2 + at(i + n)) % polyP
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Per-block winnowed fingerprints (see [[WinnowFps]]). */
   def winnow_fps(text: Column, k: Int, w: Int, b: Long, p: Long): Column =
@@ -149,4 +222,11 @@ object TextFunctions {
   def char_shingles(text: Column, n: Int): Column =
     GraftColumnBridge.toColumn(CharShingles(
       GraftColumnBridge.toExpr(text), n))
+
+  /** One-pass MinHash signature array (see [[MinhashSigs]]). */
+  def minhash_sigs(text: Column, n: Int, b1: Long, b2: Long,
+                   polyP: Long, hashP: Long,
+                   consts: Seq[(Long, Long, Long)]): Column =
+    GraftColumnBridge.toColumn(MinhashSigs(
+      GraftColumnBridge.toExpr(text), n, b1, b2, polyP, hashP, consts))
 }

@@ -130,6 +130,41 @@ object Drift {
         abs(col("ppm") - col("prev_ppm")).as("drift_ppm"))
   }
 
+  /** Threshold gate over a mix-drift table ([[windowMixDrift]] /
+    * [[MetricsStore.mixDrift]]) — the operational alerting loop the
+    * reference's Prometheus counters imply (ingest counters at
+    * services/ingestion/src/api/v1/endpoints/track.py:21-23): a type
+    * whose window share moved ≥ thresholdPpm vs the previous window
+    * becomes an alert row. Integer ppm compare — deterministic,
+    * engine-exact, and post-aggregate (the input is the
+    * #windows·#types drift table, never the stream). */
+  def mixDriftAlerts(drift: DataFrame, thresholdPpm: Long = 200000L): DataFrame =
+    drift.filter(col("drift_ppm") >= thresholdPpm)
+      .select(lit("mix_drift").as("kind"), col("window_start_ms"),
+        col("event_type"), col("ppm").as("observed_ppm"),
+        col("prev_ppm"), col("drift_ppm"),
+        lit(thresholdPpm).as("threshold_ppm"))
+
+  /** The KS companion gate (same alert schema, window NULL — KS is a
+    * whole-range statistic): types whose value distribution moved
+    * ≥ thresholdPpm between halves ([[ksDrift]]/[[ksDriftBinned]]). */
+  def ksDriftAlerts(ks: DataFrame, thresholdPpm: Long = 100000L): DataFrame =
+    ks.filter(col("ks_ppm") >= thresholdPpm)
+      .select(lit("ks_drift").as("kind"),
+        lit(null).cast("long").as("window_start_ms"),
+        col("event_type"), col("ks_ppm").as("observed_ppm"),
+        lit(null).cast("long").as("prev_ppm"),
+        col("ks_ppm").as("drift_ppm"),
+        lit(thresholdPpm).as("threshold_ppm"))
+
+  def mixDriftAlertsSql(windowMs: Long = 60000L,
+                        thresholdPpm: Long = 200000L): String =
+    s"""SELECT 'mix_drift' AS kind, window_start_ms, event_type,
+       |       ppm AS observed_ppm, prev_ppm, drift_ppm,
+       |       CAST($thresholdPpm AS BIGINT) AS threshold_ppm
+       |FROM (${windowMixDriftSql(windowMs)})
+       |WHERE drift_ppm >= $thresholdPpm""".stripMargin
+
   def windowMixDriftSql(windowMs: Long = 60000L): String =
     s"""WITH wcnt AS (
        |  SELECT (epoch_ms(ts) // $windowMs) * $windowMs AS window_start_ms,

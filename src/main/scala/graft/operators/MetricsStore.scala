@@ -68,6 +68,12 @@ class MetricsStore(spark: SparkSession, path: String,
       col("window_start_ms"), col("event_type"),
       col("event_count").as("cnt")))
 
+  /** Alert rows over the stored windows' mix drift — the threshold
+    * gate of the operational loop ([[Drift.mixDriftAlerts]]); served
+    * live at GET /metrics/alerts. */
+  def driftAlerts(thresholdPpm: Long = 200000L): DataFrame =
+    Drift.mixDriftAlerts(mixDrift, thresholdPpm)
+
   /** Cross-window distinct users from the sketch table written by
     * [[graft.streaming.Pipelines.startSketchSink]]: merge the stored HLL
     * sketches over any (time range × type set) and estimate — a

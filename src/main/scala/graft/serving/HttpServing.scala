@@ -36,14 +36,18 @@ import graft.operators.MetricsStore
   *   GET /metrics/overview                 → {"event_latest":…,"performance_latest":…}
   *   GET /metrics/drift?limit=N            → {"drift":[...]} (window-over-window
   *                                           mix drift, [[MetricsStore.mixDrift]])
+  *   GET /metrics/alerts?limit=N           → {"alerts":[...]} (threshold-gated
+  *                                           drift, [[MetricsStore.driftAlerts]])
   */
 private final case class Snapshot(eventWindows: Vector[String],
                                   perfWindows: Vector[String],
                                   overview: Option[String],
-                                  drift: Vector[String])
+                                  drift: Vector[String],
+                                  alerts: Vector[String])
 
 class MetricsHttpServer(store: MetricsStore, port: Int = 0,
-                        maxWindows: Int = 120) {
+                        maxWindows: Int = 120,
+                        alertThresholdPpm: Long = 200000L) {
 
   private val snap = new AtomicReference[Option[Snapshot]](None)
   @volatile private var server: HttpServer = _
@@ -71,7 +75,12 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
       .orderBy(org.apache.spark.sql.functions.col("window_start_ms").desc,
         org.apache.spark.sql.functions.col("event_type"))
       .limit(maxWindows).toJSON.collect().toVector)
-    if (ev.nonEmpty) snap.set(Some(Snapshot(ev, perf, ov, drift)))
+    // threshold-gated drift alerts (the page-an-operator subset)
+    val alerts = safe(store.driftAlerts(alertThresholdPpm)
+      .orderBy(org.apache.spark.sql.functions.col("window_start_ms").desc,
+        org.apache.spark.sql.functions.col("event_type"))
+      .limit(maxWindows).toJSON.collect().toVector)
+    if (ev.nonEmpty) snap.set(Some(Snapshot(ev, perf, ov, drift, alerts)))
   }
 
   private def respond(x: HttpExchange, code: Int, body: String): Unit = {
@@ -135,6 +144,11 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
     s.createContext("/metrics/drift", exact("/metrics/drift") { x => snap.get() match {
       case Some(sn) => respond(x, 200,
         sn.drift.take(limitParam(x, 20)).mkString("{\"drift\":[", ",", "]}"))
+      case None => respond(x, 503, "{}")
+    }})
+    s.createContext("/metrics/alerts", exact("/metrics/alerts") { x => snap.get() match {
+      case Some(sn) => respond(x, 200,
+        sn.alerts.take(limitParam(x, 20)).mkString("{\"alerts\":[", ",", "]}"))
       case None => respond(x, 503, "{}")
     }})
     s.createContext("/metrics/overview", exact("/metrics/overview") { x => snap.get() match {

@@ -55,9 +55,10 @@ object Curate {
       .withColumn("__rn", row_number().over(wMd5))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint()
-    graft.dedup.Clusters.survivorsBest(exact)
-      .join(exact.select(col("doc_id"), col("text"), col("lang_pred"),
-        col("quality_pm")), "doc_id")
+    // one anti-join against the tiny drop list, carrying every output
+    // column — survivorsBest + a re-join of `exact` would pay a second
+    // corpus-scale join for columns this plan already holds
+    exact.join(graft.dedup.Clusters.dropsBest(exact), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"), col("lang_pred"),
         col("quality_pm"), col("n_chars"))
   }

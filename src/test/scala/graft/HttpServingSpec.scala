@@ -63,6 +63,13 @@ class HttpServingSpec extends AnyFunSuite {
       assert(c5 == 200 && drift.startsWith("{\"drift\":["))
       assert(drift.contains("\"drift_ppm\""))
 
+      // alerts route serves the threshold-gated subset of the drift rows
+      val (c6, alerts) = get(port, "/metrics/alerts?limit=5")
+      assert(c6 == 200 && alerts.startsWith("{\"alerts\":["))
+      if (alerts != "{\"alerts\":[]}")
+        assert(alerts.contains("\"kind\":\"mix_drift\"") &&
+               alerts.contains("\"threshold_ppm\""))
+
       // prefix-matching must not alias routes (FastAPI 404 semantics)
       assert(get(port, "/metrics/event/latestXYZ")._1 == 404)
       assert(get(port, "/healthzz")._1 == 404)

@@ -57,4 +57,25 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(progress.filter(col("state_rows") > 0L).count() > 0L,
       "windowed aggregations must report state rows")
   }
+
+  test("injected mix shift raises exactly the expected alert rows") {
+    import spark.implicits._
+    // stored windows with a controlled shift: w0 has A 90% / B 10%,
+    // w1 has A 50% / B 50% — both types move 400000 ppm
+    val dir = java.nio.file.Files.createTempDirectory("graft_alert").toString
+    Seq(
+      (0L, "A", 900L, 1L), (0L, "B", 100L, 1L),
+      (60000L, "A", 500L, 1L), (60000L, "B", 500L, 1L))
+      .toDF("window_start_ms", "event_type", "event_count", "user_count")
+      .write.parquet(s"$dir/event_metrics")
+    val store = new MetricsStore(spark, dir)
+    val alerts = store.driftAlerts(thresholdPpm = 200000L)
+      .orderBy("event_type")
+      .as[(String, Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(alerts == Seq(
+      ("mix_drift", 60000L, "A", 500000L, 900000L, 400000L, 200000L),
+      ("mix_drift", 60000L, "B", 500000L, 100000L, 400000L, 200000L)))
+    // above the shift's magnitude the gate stays silent
+    assert(store.driftAlerts(thresholdPpm = 450000L).count() == 0L)
+  }
 }

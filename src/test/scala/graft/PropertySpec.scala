@@ -141,6 +141,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: native minhash signatures equal the declarative aggregates") {
+    check(forAll(genDocs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val fast = graft.dedup.Dedup.minhashSignatures(df)
+        .collect().map(_.toSeq).toSet
+      val ref = graft.dedup.Dedup.minhashSignaturesDeclarative(df)
+        .collect().map(_.toSeq).toSet
+      fast == ref
+    })
+  }
+
   test("property: native winnow equals the per-position reference") {
     check(forAll(genDocs) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
