@@ -57,6 +57,49 @@ object TrainingData {
         col("shard"), col("position"))
   }
 
+  /** Persist the epoch's training order as one manifest file per
+    * shard — the artifact boundary between corpus preparation and the
+    * training loop: a resumed run re-reads `shard-N.manifest` and
+    * replays the exact order without touching Spark, and a new salt
+    * ([[prepare]]) is a new epoch's permutation. Everything upstream
+    * is RNG-free salted hashing, so the same (corpus, salt) always
+    * serializes to BYTE-identical manifests — resume-safe by
+    * construction, and a cheap integrity check (diff the manifest)
+    * against a silently-changed corpus.
+    *
+    * Format: `<outDir>/shard-<shard>.manifest`, lines
+    * `position,doc_id,chunk_idx` in position order. Written
+    * executor-side (one streaming pass per shard partition, no
+    * collect): repartition on shard puts each shard wholly in one
+    * partition; rows arrive position-sorted and roll to a new file on
+    * shard change, so a partition holding several shards (hash
+    * collision) still writes one file per shard. */
+  def writeEpochManifest(prepared: DataFrame, outDir: String): Unit = {
+    prepared.select(col("shard"), col("position"), col("doc_id"),
+        col("chunk_idx"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "position")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(outDir), new org.apache.hadoop.conf.Configuration())
+        var curShard = Int.MinValue
+        var out: java.io.OutputStream = null
+        try {
+          it.foreach { r =>
+            val shard = r.getInt(0)
+            if (shard != curShard) {
+              if (out != null) out.close()
+              out = fs.create(new org.apache.hadoop.fs.Path(
+                s"$outDir/shard-$shard.manifest"), true)
+              curShard = shard
+            }
+            out.write(s"${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        } finally if (out != null) out.close()
+      }
+  }
+
   /** DuckDB twin of [[prepare]], composed from the same per-stage SQL
     * the stage queries are checked with: curation CTEs → chunk explode
     * over `kept` → salted-hash epoch order. */

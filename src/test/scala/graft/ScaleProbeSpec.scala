@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+object ScaleProbe extends Tag("graft.ScaleProbe")
+
+/** Synthetic 10×-sf0.1 scale probe (no sf1 testdata exists): generate
+  * corpora ten times the largest on-disk SF and assert the EXECUTED
+  * plan shapes the scale story depends on actually hold there — no
+  * BroadcastNestedLoopJoin / cartesian product sneaking in once AQE
+  * sees bigger stats, bounded cluster pair-joins via autoK + salt caps,
+  * the candidate/edge volume staying inside the gated driver
+  * union-find's limit, and partial/final aggregation on the event
+  * path. Deterministic generators (modular arithmetic, md5 words) with
+  * planted near-duplicates so the dedup operators have real work. */
+class ScaleProbeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ranPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def assertShapes(plan: String, tag: String): Unit = {
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$tag: BNLJ at 10× scale:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"$tag: cartesian product at 10× scale:\n${plan.take(4000)}")
+  }
+
+  // 50,000 documents (10× sf0.1), ~150 words each; every id ≡ 1 (mod 10)
+  // is a near-copy of its predecessor (same body, two extra words).
+  // Word seed is the STRING pair (base, j) — an arithmetic seed like
+  // base*37+j aliases across documents (37 < 150), silently making
+  // consecutive docs share a contiguous word run and chaining the whole
+  // corpus into duplicate clusters.
+  lazy val docs10x: DataFrame = graft.Tables.spread(
+    spark.range(50000).select(
+      col("id").as("doc_id"),
+      concat(
+        array_join(expr(
+          "transform(sequence(1, 150), j -> substr(md5(concat(CAST(CASE WHEN id % 10 = 1 THEN id - 1 ELSE id END AS STRING), ':', CAST(j AS STRING))), 1, 6))"), " "),
+        when(col("id") % 10 === 1, concat(lit(" xtra "), col("id") % 7))
+          .otherwise(lit(""))).as("text"))
+      .withColumn("n_chars", length(col("text"))))
+    .localCheckpoint()
+
+  test("dedup at 10×: LSH candidates bounded, no BNLJ, dups found",
+      ScaleProbe) {
+    val cand = graft.dedup.Dedup.minhashCandidates(docs10x, 4, 0.5)
+      .localCheckpoint()
+    val nCand = cand.count()
+    // 5,000 planted pairs; the candidate table must stay pair-shaped
+    // (≪ corpus², and far inside the 2M-edge driver union-find gate)
+    assert(nCand >= 4000L && nCand < 200000L, s"candidate volume $nCand")
+    assertShapes(ranPlan(cand), "minhashCandidates")
+  }
+
+  test("survivorship at 10×: cluster argmax + anti-join keep their shape",
+      ScaleProbe) {
+    val kept = graft.dedup.Clusters.survivorsBest(docs10x, 4, 0.5)
+    val plan = ranPlan(kept)
+    assertShapes(plan, "survivorsBest")
+    val n = kept.count()
+    // one survivor per planted near-dup pair → ~45k, never the full 50k
+    assert(n < 50000L && n > 40000L, s"survivors $n")
+  }
+
+  test("semantic dedup at 10×: autoK grows with n, pair join stays salted",
+      ScaleProbe) {
+    // 20,000 embeddings (10× sf0.1), 64-dim; every id ≡ 1 (mod 5)
+    // duplicates its predecessor exactly (cosine 1 near-dup)
+    val embs = spark.range(20000).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> CAST(((CASE WHEN id % 5 = 1 THEN id - 1 ELSE id END) * 31 + j * 7) % 1000 / 1000.0 - 0.5 AS FLOAT))")
+        .as("embedding"),
+      (col("id") % 10).cast("int").as("label")).localCheckpoint()
+    assert(graft.ann.KMeans.autoK(20000) > graft.ann.KMeans.autoK(2000),
+      "autoK must scale the cluster count with the corpus")
+    val dd = graft.ann.KMeans.semanticDedup(embs, iters = 1)
+    val plan = ranPlan(dd)
+    assertShapes(plan, "semanticDedup")
+    val drops = dd.filter(!col("kept")).count()
+    assert(drops >= 3000L, s"planted duplicates must be dropped, got $drops")
+  }
+
+  test("event aggregation at 10×: partial/final aggregate, no plan decay",
+      ScaleProbe) {
+    val events = spark.read.format("graft.sources.EventGen")
+      .option("totalRows", 1000000L).option("numPartitions", 32).load()
+    val agg = graft.operators.EventAggregator.aggregate(events)
+    val plan = ranPlan(agg)
+    assertShapes(plan, "eventAggregate")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"partial+final aggregation expected at 10×:\n${plan.take(4000)}")
+    // windowMixDrift's dense grid is the ONE sanctioned BNLJ: a
+    // crossJoin of two post-aggregate tables (#windows × #types, kB).
+    // At 10× only the cartesian trap is in scope.
+    val drift = graft.operators.Drift.windowMixDrift(events)
+    assert(!ranPlan(drift).contains("CartesianProduct"),
+      "windowMixDrift: cartesian product at 10× scale")
+  }
+}

@@ -29,6 +29,34 @@ class TrainingDataSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("epoch manifests: same salt byte-identical, new salt permutes") {
+    def manifestBytes(dir: String): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.endsWith(".manifest")).map { f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
+      }.toMap
+    }
+    val dirs = (1 to 3).map(_ =>
+      java.nio.file.Files.createTempDirectory("graft_manifest").toString)
+    graft.text.TrainingData.writeEpochManifest(out, dirs(0))
+    graft.text.TrainingData.writeEpochManifest(out, dirs(1))
+    val m0 = manifestBytes(dirs(0))
+    val m1 = manifestBytes(dirs(1))
+    assert(m0.nonEmpty && m0.keySet == (0 until 4).map(s => s"shard-$s.manifest").toSet)
+    assert(m0 == m1, "same (corpus, salt) must serialize byte-identically")
+    // a new salt is a new permutation: same chunk set, different order
+    val epoch1 = TrainingData.prepare(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      chunkTokens = 32, overlap = 4, nShards = 4, salt = "epoch1")
+    graft.text.TrainingData.writeEpochManifest(epoch1, dirs(2))
+    val m2 = manifestBytes(dirs(2))
+    assert(m0 != m2, "different salt must change the manifests")
+    def chunkSet(m: Map[String, Seq[Byte]]): Set[(String, String)] =
+      m.values.flatMap(b => new String(b.toArray, "UTF-8").split("\n"))
+        .map(_.split(",")).map(a => (a(1), a(2))).toSet
+    assert(chunkSet(m0) == chunkSet(m2), "same chunks across epochs")
+  }
+
   test("epoch order: positions are a 1..n sequence per shard; salt permutes") {
     val perShard = out.groupBy("shard")
       .agg(min("position").as("mn"), max("position").as("mx"),
