@@ -143,6 +143,12 @@ object GraftExtensions {
     registerFunction(spark, "winnow_fps",
       c => WinnowFps(c(0), intArg(c(1)), intArg(c(2)),
         longArg(c(3)), longArg(c(4))))
+    // minhash_sigs(text, n): the dedup family's signature constants
+    // are fixed engine-wide, so SQL callers only pick the shingle width
+    registerFunction(spark, "minhash_sigs",
+      c => MinhashSigs(c(0), intArg(c(1)), 257L, 263L,
+        graft.dedup.Dedup.polyP, graft.dedup.Dedup.hashP,
+        (0 until graft.dedup.Dedup.numHashes).map(graft.dedup.Dedup.hashConsts)))
   }
 
   /** Constant argument extraction for SQL-registered expressions whose

@@ -43,5 +43,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT size(winnow_fps(text, 5, 16, 257L, 1000003L)) AS n " +
       "FROM documents LIMIT 1").head().getInt(0)
     assert(wf > 0)
+    val mh = spark.sql(
+      "SELECT minhash_sigs(text, 4) AS s FROM documents LIMIT 1")
+      .head().getSeq[Long](0)
+    assert(mh.size == graft.dedup.Dedup.numHashes && mh.forall(_ >= 0L))
   }
 }
