@@ -323,6 +323,9 @@ object SparkEntry {
       graft.text.CorpusStats.corpusMix(Tables.documents(s, dir))),
     "q_lang_confusion" -> ((s, dir) =>
       graft.text.CorpusStats.langConfusion(Tables.documents(s, dir))),
+    // Okapi BM25 lexical retrieval (the ANN family's hybrid companion)
+    "q_bm25" -> ((s, dir) =>
+      graft.text.CorpusStats.bm25(Tables.documents(s, dir))),
     "q_scrub" -> ((s, dir) =>
       graft.text.CorpusStats.scrub(Tables.documents(s, dir))),
     "q_sample_strat" -> ((s, dir) =>
@@ -504,6 +507,7 @@ object SparkEntry {
       "q_repetition" -> graft.text.CorpusStats.repetitionSql,
       "q_corpus_mix" -> graft.text.CorpusStats.corpusMixSql,
       "q_lang_confusion" -> graft.text.CorpusStats.langConfusionSql,
+      "q_bm25" -> graft.text.CorpusStats.bm25Sql(),
       "q_scrub" -> graft.text.CorpusStats.scrubSql,
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
       "q_shuffle_order" -> Sampling.shuffleOrderSql(),

@@ -348,4 +348,87 @@ object CorpusStats {
        |       CAST(sum(ratio_fp) AS BIGINT) AS imp_score
        |FROM toks JOIN ratio USING (bucket)
        |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------ BM25 ranking
+  /** Okapi BM25 document ranking against a query term set — the
+    * standard lexical retrieval scorer (Robertson & Zaragoza 2009):
+    * score(d, Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene form —
+    * non-negative for any df). The retrieval companion to the ANN
+    * family: hybrid corpus search is ANN candidates ∪ BM25 candidates.
+    *
+    * Scale shape: ONE map-side tokenization with the doc length
+    * lambda-bound onto the exploded rows (no second scan for dl); the
+    * token filter to the query set happens BEFORE the (doc, term)
+    * aggregate, so the only corpus-wide shuffle carries query-term
+    * rows only; N / avgdl / df collapse to a ≤|Q|-row idf table that
+    * broadcasts into the scoring join. Doubles appear only in the
+    * final log/ratio, rounded to the 4 dp grid (same cross-engine
+    * contract as the surprisal family). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String] = Seq("spark", "join", "window", "hash"),
+           k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame = {
+    val w = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    // bind the token array once: dl rides every exploded row
+    val toks = spread(docs)
+      .select(col("doc_id"), explode(
+        transform(array(w), arr =>
+          transform(arr, t => struct(t.as("token"), size(arr).as("dl"))))
+          .getItem(0)).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"), col("p.dl").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(w)) / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    // ≤|Q| rows × 1 stats row: the sanctioned tiny-side cross join
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("token"),
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"),
+        col("avgdl"))
+    val wRank = Window.orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(idf), "token")
+      .select(col("doc_id"),
+        (col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(wRank).cast("int"))
+  }
+
+  def bm25Sql(queryTerms: Seq[String] = Seq("spark", "join", "window", "hash"),
+              k1: Double = 1.2, b: Double = 0.75, k: Int = 50): String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token,
+       |         len(regexp_extract_all(text, '\\S+')) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+       |           / count(*) AS avgdl
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+       |  FROM toks WHERE token IN ($terms) GROUP BY 1, 2),
+       |idf AS (
+       |  SELECT token,
+       |         ln((n_docs - CAST(count(*) AS DOUBLE) + 0.5)
+       |            / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf,
+       |         max(avgdl) AS avgdl
+       |  FROM tf CROSS JOIN stats GROUP BY token, n_docs),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         round(sum(idf.idf * (tf.tf * ${k1 + 1})
+       |               / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / idf.avgdl))), 4)
+       |           AS score
+       |  FROM tf JOIN idf USING (token) GROUP BY 1)
+       |SELECT doc_id, score,
+       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

@@ -12,6 +12,23 @@ class CorpusOpsSpec extends AnyFunSuite {
   def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("bm25 matches the hand-computed Okapi scores and ranking") {
+    // N=3, avgdl=3; both query terms have df=2 → idf = ln(1.6)
+    val d = docs((1L, "a a b"), (2L, "a c"), (3L, "c c c c"))
+    val got = CorpusStats.bm25(d, queryTerms = Seq("a", "c"), k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    val idf = math.log(1.6)
+    def term(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Seq(
+      (2L, r4(term(1, 2) + term(1, 2)), 1), // both terms, short doc
+      (3L, r4(term(4, 4)), 2),
+      (1L, r4(term(2, 3)), 3))
+    assert(got == expect)
+  }
+
   test("scrub redacts urls, emails, and long digit runs, in that order") {
     val d = docs(
       (1L, "see https://ex.com/a?b=1 or mail bob@ex.com code 1234567 end"),
