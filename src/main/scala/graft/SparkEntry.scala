@@ -326,6 +326,14 @@ object SparkEntry {
     // Okapi BM25 lexical retrieval (the ANN family's hybrid companion)
     "q_bm25" -> ((s, dir) =>
       graft.text.CorpusStats.bm25(Tables.documents(s, dir))),
+    // chunk-level BM25: retrieve over the context-window chunks the
+    // trainer consumes (the RAG read path: chunk -> index -> retrieve)
+    "q_chunk_search" -> ((s, dir) =>
+      graft.text.CorpusStats.bm25Units(
+        graft.text.Chunking.chunkDocs(
+          Tables.documents(s, dir).select("doc_id", "text")),
+        "chunk_text", Seq("doc_id", "chunk_idx"),
+        Seq("spark", "join", "window", "hash"))),
     "q_scrub" -> ((s, dir) =>
       graft.text.CorpusStats.scrub(Tables.documents(s, dir))),
     "q_sample_strat" -> ((s, dir) =>
@@ -508,6 +516,10 @@ object SparkEntry {
       "q_corpus_mix" -> graft.text.CorpusStats.corpusMixSql,
       "q_lang_confusion" -> graft.text.CorpusStats.langConfusionSql,
       "q_bm25" -> graft.text.CorpusStats.bm25Sql(),
+      "q_chunk_search" -> graft.text.CorpusStats.bm25UnitsSql(
+        graft.text.Chunking.chunkDocsSql(), "chunk_text",
+        Seq("doc_id", "chunk_idx"),
+        Seq("spark", "join", "window", "hash")),
       "q_scrub" -> graft.text.CorpusStats.scrubSql,
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
       "q_shuffle_order" -> Sampling.shuffleOrderSql(),

@@ -366,20 +366,30 @@ object CorpusStats {
     * final log/ratio, rounded to the 4 dp grid (same cross-engine
     * contract as the surprisal family). */
   def bm25(docs: DataFrame, queryTerms: Seq[String] = Seq("spark", "join", "window", "hash"),
-           k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame = {
-    val w = expr("regexp_extract_all(text, '\\\\S+', 0)")
+           k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame =
+    bm25Units(docs, "text", Seq("doc_id"), queryTerms, k1, b, k)
+
+  /** [[bm25]] over arbitrary retrieval units: `idCols` identifies a
+    * unit (a document, a (doc, chunk) pair, …), `textCol` its text —
+    * chunk-level retrieval IS the RAG read path (index the chunks the
+    * trainer consumes, not whole documents). Same plan shape. */
+  def bm25Units(units: DataFrame, textCol: String, idCols: Seq[String],
+                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                k: Int = 50): DataFrame = {
+    val ids = idCols.map(col)
+    val w = expr(s"regexp_extract_all($textCol, '\\\\S+', 0)")
     // bind the token array once: dl rides every exploded row
-    val toks = spread(docs)
-      .select(col("doc_id"), explode(
+    val toks = spread(units)
+      .select(ids :+ explode(
         transform(array(w), arr =>
           transform(arr, t => struct(t.as("token"), size(arr).as("dl"))))
-          .getItem(0)).as("p"))
-      .select(col("doc_id"), col("p.token").as("token"), col("p.dl").as("dl"))
-    val stats = docs.agg(
+          .getItem(0)).as("p"): _*)
+      .select(ids :+ col("p.token").as("token") :+ col("p.dl").as("dl"): _*)
+    val stats = units.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(size(w)) / count(lit(1))).as("avgdl"))
     val tf = toks.filter(col("token").isin(queryTerms: _*))
-      .groupBy("doc_id", "token")
+      .groupBy((ids :+ col("token")): _*)
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val df = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
     // ≤|Q| rows × 1 stats row: the sanctioned tiny-side cross join
@@ -387,34 +397,45 @@ object CorpusStats {
       .select(col("token"),
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"),
         col("avgdl"))
-    val wRank = Window.orderBy(col("score").desc, col("doc_id"))
+    val wRank = Window.orderBy(col("score").desc +: ids: _*)
     tf.join(broadcast(idf), "token")
-      .select(col("doc_id"),
+      .select(ids :+
         (col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("s"))
-      .groupBy("doc_id")
+          .as("s"): _*)
+      .groupBy(ids: _*)
       .agg(round(sum(col("s")), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score").desc +: ids: _*)
       .limit(k)
       .withColumn("rk", row_number().over(wRank).cast("int"))
   }
 
   def bm25Sql(queryTerms: Seq[String] = Seq("spark", "join", "window", "hash"),
-              k1: Double = 1.2, b: Double = 0.75, k: Int = 50): String = {
+              k1: Double = 1.2, b: Double = 0.75, k: Int = 50): String =
+    bm25UnitsSql("SELECT doc_id, text FROM documents", "text", Seq("doc_id"),
+      queryTerms, k1, b, k)
+
+  def bm25UnitsSql(sourceSql: String, textCol: String, idCols: Seq[String],
+                   queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                   k: Int = 50): String = {
     val terms = queryTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token,
-       |         len(regexp_extract_all(text, '\\S+')) AS dl
-       |  FROM documents),
+    val ids = idCols.mkString(", ")
+    val idsTf = idCols.map("tf." + _).mkString(", ")
+    s"""WITH units AS (
+       |$sourceSql
+       |),
+       |toks AS (
+       |  SELECT $ids, unnest(regexp_extract_all($textCol, '\\S+')) AS token,
+       |         len(regexp_extract_all($textCol, '\\S+')) AS dl
+       |  FROM units),
        |stats AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-       |         CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+       |         CAST(sum(len(regexp_extract_all($textCol, '\\S+'))) AS DOUBLE)
        |           / count(*) AS avgdl
-       |  FROM documents),
+       |  FROM units),
        |tf AS (
-       |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
-       |  FROM toks WHERE token IN ($terms) GROUP BY 1, 2),
+       |  SELECT $ids, token, count(*) AS tf, max(dl) AS dl
+       |  FROM toks WHERE token IN ($terms) GROUP BY $ids, token),
        |idf AS (
        |  SELECT token,
        |         ln((n_docs - CAST(count(*) AS DOUBLE) + 0.5)
@@ -422,13 +443,13 @@ object CorpusStats {
        |         max(avgdl) AS avgdl
        |  FROM tf CROSS JOIN stats GROUP BY token, n_docs),
        |scored AS (
-       |  SELECT tf.doc_id,
+       |  SELECT $idsTf,
        |         round(sum(idf.idf * (tf.tf * ${k1 + 1})
        |               / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / idf.avgdl))), 4)
        |           AS score
-       |  FROM tf JOIN idf USING (token) GROUP BY 1)
-       |SELECT doc_id, score,
-       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
-       |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+       |  FROM tf JOIN idf USING (token) GROUP BY $idsTf)
+       |SELECT $ids, score,
+       |       CAST(row_number() OVER (ORDER BY score DESC, $ids) AS INT) AS rk
+       |FROM scored ORDER BY score DESC, $ids LIMIT $k""".stripMargin
   }
 }
