@@ -208,6 +208,7 @@ object Similarity {
     Seq(
       "ivf" -> IvfKnn.ivfKnn(embs, queryMaxId, k),
       "lsh" -> lshKnn(embs, queryMaxId, k),
+      "pq" -> Pq.pqKnn(embs, queryMaxId, k),
       "quant" -> Quantize.quantKnn(embs, queryMaxId, k))
       .map { case (m, df) =>
         df.select(col("query_id"), col("vec_id"))
@@ -236,11 +237,17 @@ object Similarity {
        |m_quant AS (
        |${Quantize.quantKnnSql(queryMaxId, k)}
        |),
+       |m_pq AS (
+       |${Pq.pqKnnSql(queryMaxId, k)}
+       |),
        |hits AS (
        |  SELECT 'ivf' AS method, count(*) AS n_hits FROM m_ivf a
        |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
        |  UNION ALL
        |  SELECT 'lsh', count(*) FROM m_lsh a
+       |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+       |  UNION ALL
+       |  SELECT 'pq', count(*) FROM m_pq a
        |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
        |  UNION ALL
        |  SELECT 'quant', count(*) FROM m_quant a
