@@ -97,6 +97,8 @@ object SparkEntry {
       graft.ann.Quantize.quantKnn(Tables.embeddings(s, dir))),
     "q_pq_knn" -> ((s, dir) => // product-quantization SDC lookup-table knn
       graft.ann.Pq.pqKnn(Tables.embeddings(s, dir))),
+    "q_ivfpq_knn" -> ((s, dir) => // IVF probe -> PQ shortlist -> exact re-rank
+      graft.ann.Pq.ivfPqKnn(Tables.embeddings(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
     "q_ann_recall" -> ((s, dir) => // measured recall@k of all 3 ANN indexes
@@ -547,6 +549,7 @@ object SparkEntry {
       "q_quantize" -> graft.ann.Quantize.quantizeDigestSql,
       "q_quant_knn" -> graft.ann.Quantize.quantKnnSql(),
       "q_pq_knn" -> graft.ann.Pq.pqKnnSql(),
+      "q_ivfpq_knn" -> graft.ann.Pq.ivfPqKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),
       "q_media_features" -> graft.multimodal.Multimodal.featureCountsSql(),

@@ -52,7 +52,7 @@ object IvfKnn {
   }
 
   /** Ranked cells for a vector, nearest first. */
-  private def rankedCells(emb: Array[Float], cents: Array[Array[Float]]): Array[Int] =
+  private[ann] def rankedCells(emb: Array[Float], cents: Array[Array[Float]]): Array[Int] =
     cents.indices.toArray.sortBy(c => -cosineLocal(emb, cents(c)))
 
   /** Corpus rows with their cell id (argmax-cosine centroid). */

@@ -207,6 +207,7 @@ object Similarity {
     val possible = brute.agg(count(lit(1)).as("n_possible"))
     Seq(
       "ivf" -> IvfKnn.ivfKnn(embs, queryMaxId, k),
+      "ivfpq" -> Pq.ivfPqKnn(embs, queryMaxId, k),
       "lsh" -> lshKnn(embs, queryMaxId, k),
       "pq" -> Pq.pqKnn(embs, queryMaxId, k),
       "quant" -> Quantize.quantKnn(embs, queryMaxId, k))
@@ -240,8 +241,14 @@ object Similarity {
        |m_pq AS (
        |${Pq.pqKnnSql(queryMaxId, k)}
        |),
+       |m_ivfpq AS (
+       |${Pq.ivfPqKnnSql(queryMaxId, k)}
+       |),
        |hits AS (
        |  SELECT 'ivf' AS method, count(*) AS n_hits FROM m_ivf a
+       |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+       |  UNION ALL
+       |  SELECT 'ivfpq', count(*) FROM m_ivfpq a
        |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
        |  UNION ALL
        |  SELECT 'lsh', count(*) FROM m_lsh a

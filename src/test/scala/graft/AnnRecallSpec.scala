@@ -19,7 +19,7 @@ class AnnRecallSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall"))
       .toMap
     info(s"recall@5: $got")
-    assert(got.keySet == Set("ivf", "lsh", "pq", "quant"))
+    assert(got.keySet == Set("ivf", "ivfpq", "lsh", "pq", "quant"))
     // floors: measured at sf0.01 (quant 1.0, ivf 0.56, lsh 0.38,
     // pq 0.30) minus a safety notch — a refactor that degrades an
     // index below its floor fails here before the judge sees it.
@@ -34,6 +34,10 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(got("ivf") >= 0.5, s"ivf recall ${got("ivf")}")
     assert(got("lsh") >= 0.3, s"lsh recall ${got("lsh")}")
     assert(got("pq") >= 0.25, s"pq recall ${got("pq")}")
+    // ivfpq (probe → PQ shortlist → exact re-rank, measured 0.54)
+    // recovers nearly all of ivf's recall while reading only codes
+    // corpus-wide — the production recipe the pure layers compose into
+    assert(got("ivfpq") >= 0.45, s"ivfpq recall ${got("ivfpq")}")
   }
 
   test("recall arithmetic is consistent: hits <= possible, recall = hits/possible") {
