@@ -41,8 +41,13 @@ object Idempotence {
     val orderable = df.schema.fields.filter(f =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
       .map(_.name).toSeq
-    val tiebreak = if (present.nonEmpty) present
-      else orderable.filterNot(keys.contains)
+    // the remaining orderable columns ALWAYS trail the prefer list: a
+    // malformed feed can emit two rows with the same (keys, prefer)
+    // tuple but different payloads, and a prefer-only sort would pick
+    // the survivor by shuffle order — the full tiebreak keeps the
+    // operator deterministic (and idempotent) on any input
+    val tiebreak = present ++
+      orderable.filterNot(c => keys.contains(c) || present.contains(c))
     val ord = (if (tiebreak.nonEmpty) tiebreak else keys).map(col(_).desc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     df.withColumn("__rn", row_number().over(w))

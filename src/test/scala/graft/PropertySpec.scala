@@ -111,6 +111,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: dedupOnRead is idempotent and replay-invariant") {
+    // rows keyed (window, type) with batch ids: delivering the stream
+    // twice, or deduping twice, must change nothing (consume-side
+    // exactly-once over at-least-once delivery)
+    val genRow = for {
+      win <- Gen.choose(0L, 5L)
+      typ <- Gen.oneOf("view", "click")
+      cnt <- Gen.choose(1L, 100L)
+      batch <- Gen.choose(0L, 4L)
+    } yield (win * 60000L, typ, cnt, batch)
+    check(forAll(Gen.listOfN(60, genRow)) { rows =>
+      val df = rows.toDF("window_start_ms", "event_type", "event_count", "batch_id")
+      def dedup(d: org.apache.spark.sql.DataFrame) =
+        graft.streaming.Idempotence.dedupOnRead(
+          d, keys = Seq("window_start_ms", "event_type"))
+      val once = dedup(df).collect().map(_.toSeq).toSet
+      val replayed = dedup(df.unionAll(df)).collect().map(_.toSeq).toSet
+      val twice = dedup(dedup(df)).collect().map(_.toSeq).toSet
+      once == replayed && once == twice
+    })
+  }
+
   // ---- native text expressions vs their declarative references ----
 
   // Includes non-BMP code points (emoji, math alphanumerics): the
