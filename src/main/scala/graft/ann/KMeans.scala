@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  private def dist2(a: String, c: String) =
+  private[ann] def dist2(a: String, c: String) =
     graft.functions.VectorFunctions.dot_i(col(a), col(a)) +
       graft.functions.VectorFunctions.dot_i(col(c), col(c)) -
       lit(2L) * graft.functions.VectorFunctions.dot_i(col(a), col(c))

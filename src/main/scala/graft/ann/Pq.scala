@@ -27,10 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  private def d2(a: String, c: String): Column =
-    graft.functions.VectorFunctions.dot_i(col(a), col(a)) +
-      graft.functions.VectorFunctions.dot_i(col(c), col(c)) -
-      lit(2L) * graft.functions.VectorFunctions.dot_i(col(a), col(c))
+  // shared with the flat clustering (one definition to maintain)
+  private def d2(a: String, c: String): Column = KMeans.dist2(a, c)
 
   /** (vec_id, sub, svec): the quantized vector split into m equal
     * subvectors — one map-side explode, no shuffle. */
@@ -73,8 +71,15 @@ object Pq {
   /** PQ encoding: (vec_id, sub, code) — each subvector's nearest
     * codebook centroid (squared-distance argmin, cid tiebreak). */
   def encode(embs: DataFrame, m: Int = 8, k: Int = 16,
-             iters: Int = 2): DataFrame = {
-    val cb = codebooks(embs, m, k, iters)
+             iters: Int = 2): DataFrame =
+    encodeWith(embs, codebooks(embs, m, k, iters), m)
+
+  /** [[encode]] against an already-built codebook — search entry
+    * points build the codebook ONCE (materialized: it is m·k rows but
+    * its lineage is the whole Lloyd chain) and feed it to both the
+    * encoder and the distance tables, instead of re-planning the
+    * corpus-wide training per consumer. */
+  def encodeWith(embs: DataFrame, cb: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dd"), col("cid"))
     subvectors(embs, m).join(broadcast(cb), "sub")
@@ -88,8 +93,8 @@ object Pq {
     * Output: (query_id, vec_id, adist2, rank). */
   def pqKnn(embs: DataFrame, queryMaxId: Long = 10, topK: Int = 5,
             m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
-    val cb = codebooks(embs, m, k, iters)
-    val codes = encode(embs, m, k, iters)
+    val cb = codebooks(embs, m, k, iters).localCheckpoint()
+    val codes = encodeWith(embs, cb, m)
     val dt = subvectors(embs, m).filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
       .join(broadcast(cb), "sub")
@@ -131,8 +136,8 @@ object Pq {
       .flatMap { case (id, emb) =>
         IvfKnn.rankedCells(emb, cents).take(nprobe).map(c => (id, c)) }
       .toDF("query_id", "cell")
-    val cb = codebooks(embs, m, k, iters)
-    val codes = encode(embs, m, k, iters)
+    val cb = codebooks(embs, m, k, iters).localCheckpoint()
+    val codes = encodeWith(embs, cb, m)
     val dt = subvectors(embs, m).filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
       .join(broadcast(cb), "sub")

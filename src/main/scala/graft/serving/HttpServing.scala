@@ -70,16 +70,20 @@ class MetricsHttpServer(store: MetricsStore, port: Int = 0,
         org.apache.spark.sql.functions.col("category"))
       .limit(maxWindows).toJSON.collect().toVector)
     val ov = safe(store.overview.toJSON.collect().toVector).headOption
-    // newest windows' mix drift (drift-on-read over the stored table)
-    val drift = safe(store.mixDrift
-      .orderBy(org.apache.spark.sql.functions.col("window_start_ms").desc,
-        org.apache.spark.sql.functions.col("event_type"))
-      .limit(maxWindows).toJSON.collect().toVector)
-    // threshold-gated drift alerts (the page-an-operator subset)
-    val alerts = safe(store.driftAlerts(alertThresholdPpm)
-      .orderBy(org.apache.spark.sql.functions.col("window_start_ms").desc,
-        org.apache.spark.sql.functions.col("event_type"))
-      .limit(maxWindows).toJSON.collect().toVector)
+    // drift-on-read over the stored table, computed ONCE per refresh:
+    // the alerts view is a filter of the same drift table, and without
+    // the materialization every refresh would run the whole pipeline
+    // (scan, dense grid, two windows) twice
+    val driftAndAlerts = try {
+      val d = store.mixDrift.localCheckpoint()
+      val ord = Seq(
+        org.apache.spark.sql.functions.col("window_start_ms").desc,
+        org.apache.spark.sql.functions.col("event_type").asc)
+      (d.orderBy(ord: _*).limit(maxWindows).toJSON.collect().toVector,
+        graft.operators.Drift.mixDriftAlerts(d, alertThresholdPpm)
+          .orderBy(ord: _*).limit(maxWindows).toJSON.collect().toVector)
+    } catch { case _: Exception => (Vector.empty[String], Vector.empty[String]) }
+    val (drift, alerts) = driftAndAlerts
     if (ev.nonEmpty) snap.set(Some(Snapshot(ev, perf, ov, drift, alerts)))
   }
 

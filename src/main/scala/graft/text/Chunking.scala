@@ -30,6 +30,13 @@ object Chunking {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val stride = chunkTokens - overlap
     val meta = docs.columns.filter(c => c != "doc_id" && c != "text").toSeq
+    // the generated columns would silently shadow (or ambiguate) a
+    // same-named ride-along — reject up front rather than emit a frame
+    // whose col("n_tokens") throws AMBIGUOUS_REFERENCE downstream
+    val reserved = Set("w", "c", "chunk_idx", "chunk_text", "n_tokens")
+    val clash = meta.filter(reserved)
+    require(clash.isEmpty,
+      s"chunkDocs ride-along columns collide with generated names: ${clash.mkString(", ")}")
     val carry = (Seq("doc_id") ++ meta).map(col)
     graft.Tables.spread(docs)
       .select(carry :+ expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"): _*)

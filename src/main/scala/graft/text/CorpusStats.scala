@@ -418,7 +418,9 @@ object CorpusStats {
   def bm25UnitsSql(sourceSql: String, textCol: String, idCols: Seq[String],
                    queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                    k: Int = 50): String = {
-    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+    // escape quotes: the Spark side (`isin`) takes terms as values, so
+    // the SQL twin must survive the same inputs (o'brien)
+    val terms = queryTerms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     val ids = idCols.mkString(", ")
     val idsTf = idCols.map("tf." + _).mkString(", ")
     s"""WITH units AS (

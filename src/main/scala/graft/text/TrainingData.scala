@@ -75,27 +75,60 @@ object TrainingData {
     * shard change, so a partition holding several shards (hash
     * collision) still writes one file per shard. */
   def writeEpochManifest(prepared: DataFrame, outDir: String): Unit = {
+    // the session's Hadoop conf must reach the executors (fs impls,
+    // credentials, defaultFS come from spark.hadoop.*; a bare
+    // `new Configuration()` ignores them) — Configuration isn't
+    // serializable, so ship its entries and rebuild per partition
+    val confEntries: Array[(String, String)] = {
+      val c = prepared.sparkSession.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     prepared.select(col("shard"), col("position"), col("doc_id"),
         col("chunk_idx"))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "position")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(outDir), new org.apache.hadoop.conf.Configuration())
+          new java.net.URI(outDir), conf)
+        // write-to-temp + rename: a task that dies mid-write (or a
+        // speculative duplicate) must never leave a truncated file at
+        // the FINAL path — the resume contract reads it as a complete
+        // epoch order. The temp name is attempt-unique; rename is the
+        // commit (last attempt wins, both attempts wrote identical
+        // bytes by determinism).
+        val attempt = org.apache.spark.TaskContext.get() match {
+          case null => java.util.UUID.randomUUID().toString
+          case tc => s"${tc.partitionId()}-${tc.taskAttemptId()}"
+        }
         var curShard = Int.MinValue
         var out: java.io.OutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        def commit(): Unit = if (out != null) {
+          out.close(); out = null
+          val fin = new org.apache.hadoop.fs.Path(
+            s"$outDir/shard-$curShard.manifest")
+          fs.delete(fin, false)
+          fs.rename(tmp, fin)
+        }
         try {
           it.foreach { r =>
             val shard = r.getInt(0)
             if (shard != curShard) {
-              if (out != null) out.close()
-              out = fs.create(new org.apache.hadoop.fs.Path(
-                s"$outDir/shard-$shard.manifest"), true)
+              commit()
               curShard = shard
+              tmp = new org.apache.hadoop.fs.Path(
+                s"$outDir/.shard-$shard.manifest.$attempt.tmp")
+              out = fs.create(tmp, true)
             }
             out.write(s"${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}\n"
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           }
+          commit()
         } finally if (out != null) out.close()
       }
   }

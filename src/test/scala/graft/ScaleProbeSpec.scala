@@ -20,9 +20,15 @@ class ScaleProbeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // execute THIS DataFrame's own QueryExecution (a `.write` would plan
+  // a separate command, leaving df's adaptive plan unfinalized) so the
+  // inspected string is the plan AQE actually ran, not the initial one
   private def ranPlan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("isFinalPlan=false"),
+      "probe must assert on the FINAL adaptive plan")
+    plan
   }
 
   private def assertShapes(plan: String, tag: String): Unit = {
