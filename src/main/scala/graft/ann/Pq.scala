@@ -94,7 +94,14 @@ object Pq {
   def pqKnn(embs: DataFrame, queryMaxId: Long = 10, topK: Int = 5,
             m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     val cb = codebooks(embs, m, k, iters).localCheckpoint()
-    val codes = encodeWith(embs, cb, m)
+    pqKnnWith(embs, cb, encodeWith(embs, cb, m), queryMaxId, topK, m)
+  }
+
+  /** [[pqKnn]] against a prebuilt index (codebook + codes) — at scale
+    * those ARE the stored artifacts, and diagnostics that run several
+    * PQ searches ([[Similarity.annRecall]]) share one training. */
+  def pqKnnWith(embs: DataFrame, cb: DataFrame, codes: DataFrame,
+                queryMaxId: Long = 10, topK: Int = 5, m: Int = 8): DataFrame = {
     val dt = subvectors(embs, m).filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
       .join(broadcast(cb), "sub")
@@ -126,6 +133,16 @@ object Pq {
                kCells: Int = 16, nprobe: Int = 4,
                m: Int = 8, k: Int = 16, iters: Int = 2,
                refine: Int = 8): DataFrame = {
+    val cb = codebooks(embs, m, k, iters).localCheckpoint()
+    ivfPqKnnWith(embs, cb, encodeWith(embs, cb, m), queryMaxId, topK,
+      kCells, nprobe, m, refine)
+  }
+
+  /** [[ivfPqKnn]] against a prebuilt index (see [[pqKnnWith]]). */
+  def ivfPqKnnWith(embs: DataFrame, cb: DataFrame, codes: DataFrame,
+                   queryMaxId: Long = 10, topK: Int = 5,
+                   kCells: Int = 16, nprobe: Int = 4,
+                   m: Int = 8, refine: Int = 8): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val cents = IvfKnn.centroids(embs, kCells)
@@ -136,8 +153,6 @@ object Pq {
       .flatMap { case (id, emb) =>
         IvfKnn.rankedCells(emb, cents).take(nprobe).map(c => (id, c)) }
       .toDF("query_id", "cell")
-    val cb = codebooks(embs, m, k, iters).localCheckpoint()
-    val codes = encodeWith(embs, cb, m)
     val dt = subvectors(embs, m).filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
       .join(broadcast(cb), "sub")

@@ -205,11 +205,15 @@ object Similarity {
     val brute = knnBrute(embs, queryMaxId, k)
       .select(col("query_id"), col("vec_id"))
     val possible = brute.agg(count(lit(1)).as("n_possible"))
+    // the two PQ searches share ONE trained index (codebook + codes) —
+    // identical values, half the training work per recall run
+    val pqCb = Pq.codebooks(embs).localCheckpoint()
+    val pqCodes = Pq.encodeWith(embs, pqCb, 8).localCheckpoint()
     Seq(
       "ivf" -> IvfKnn.ivfKnn(embs, queryMaxId, k),
-      "ivfpq" -> Pq.ivfPqKnn(embs, queryMaxId, k),
+      "ivfpq" -> Pq.ivfPqKnnWith(embs, pqCb, pqCodes, queryMaxId, k),
       "lsh" -> lshKnn(embs, queryMaxId, k),
-      "pq" -> Pq.pqKnn(embs, queryMaxId, k),
+      "pq" -> Pq.pqKnnWith(embs, pqCb, pqCodes, queryMaxId, k),
       "quant" -> Quantize.quantKnn(embs, queryMaxId, k))
       .map { case (m, df) =>
         df.select(col("query_id"), col("vec_id"))
