@@ -107,6 +107,10 @@ object SparkEntry {
     "q_revenue_nation" -> ((s, dir) =>
       Relational.revenueByNation(Tables.lineitem(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q14 shape: conditional revenue share over the part dim
+    "q_promo_share" -> ((s, dir) =>
+      Relational.promoRevenueShare(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
     "q_top_customers" -> ((s, dir) =>
       Relational.topCustomers(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_late_orders" -> ((s, dir) =>
@@ -554,6 +558,7 @@ object SparkEntry {
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),
       "q_media_features" -> graft.multimodal.Multimodal.featureCountsSql(),
       "q_revenue_nation" -> Relational.revenueByNationSql,
+      "q_promo_share" -> Relational.promoRevenueShareSql,
       "q_top_customers" -> Relational.topCustomersSql(),
       "q_late_orders" -> Relational.lateOrdersSql,
       "q_range_join" -> RangeJoin.withinTimeCountsSql(),

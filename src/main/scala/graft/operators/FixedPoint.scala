@@ -27,4 +27,11 @@ object FixedPoint {
   /** DuckDB twin of [[sum4]]. */
   def sum4Sql(expr: String): String =
     s"round(CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4)"
+
+  /** The raw BIGINT fixed-point unit sum — for ratios computed AFTER
+    * exact summation (integer ppm shares: divide once, at the end). */
+  def sum4Units(c: Column): Column = sum(round(c * 10000).cast("long"))
+
+  def sum4UnitsSql(expr: String): String =
+    s"CAST(sum(CAST(round(($expr) * 10000) AS BIGINT)) AS BIGINT)"
 }

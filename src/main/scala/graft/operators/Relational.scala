@@ -39,6 +39,43 @@ object Relational {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q14 shape — promo revenue share per ship month: fact ⋈
+    * broadcast part dim, conditional fixed-point revenue aggregates,
+    * and the share as integer ppm of the exact unit sums (one division
+    * at the very end; DECIMAL(38,0)/HUGEINT headroom for the ×10⁶,
+    * the same wrap-proofing as the KS family). */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val promo = when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        FixedPoint.sum4(promo).as("promo_revenue"),
+        FixedPoint.sum4(disc).as("revenue"),
+        FixedPoint.sum4Units(promo).as("pfp"),
+        FixedPoint.sum4Units(disc).as("tfp"),
+        count(lit(1)).as("n_items"))
+      .select(col("ship_month"), col("promo_revenue"), col("revenue"),
+        expr("CAST(pfp AS DECIMAL(38,0)) * 1000000 div nullif(CAST(tfp AS DECIMAL(38,0)), 0)")
+          .as("promo_ppm"),
+        col("n_items"))
+  }
+
+  def promoRevenueShareSql: String = {
+    val disc = "l_extendedprice * (1.0 - l_discount)"
+    val promo = s"CASE WHEN p_type = 'PROMO' THEN $disc ELSE 0.0 END"
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |       ${FixedPoint.sum4Sql(promo)} AS promo_revenue,
+       |       ${FixedPoint.sum4Sql(disc)} AS revenue,
+       |       CAST(CAST(${FixedPoint.sum4UnitsSql(promo)} AS HUGEINT) * 1000000 //
+       |            nullif(CAST(${FixedPoint.sum4UnitsSql(disc)} AS HUGEINT), 0) AS BIGINT)
+       |         AS promo_ppm,
+       |       count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Top-N customers by spend (deterministic: rounded spend + key). */
   def topCustomers(orders: DataFrame, customer: DataFrame, n: Int = 10): DataFrame =
     orders
