@@ -44,7 +44,8 @@ object Bench {
         if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
     }
     Seq("q_dup_clusters", "q_dedup_best", "q_curate", "q_winnow", "q_simhash",
-        "q_quant_knn", "q_tfidf_top", "q_asof_join", "q_bpe_pairs").foreach { q =>
+        "q_quant_knn", "q_tfidf_top", "q_asof_join", "q_bpe_pairs",
+        "q_pq_knn", "q_bm25").foreach { q =>
       try SparkEntry.queries(q)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

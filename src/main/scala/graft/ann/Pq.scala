@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** The ONE source of truth for the subspace count — the `*With`
+    * search variants join codes on (sub, code), so an m that disagrees
+    * with the m the index was built at would silently sum a subset of
+    * the subspace distances; every caller (incl.
+    * [[Similarity.annRecall]]) takes m from here. */
+  val defaultM = 8
+
   // shared with the flat clustering (one definition to maintain)
   private def d2(a: String, c: String): Column = KMeans.dist2(a, c)
 
@@ -42,7 +49,7 @@ object Pq {
   /** Per-subspace codebooks after `iters` Lloyd rounds: (sub, cid,
     * cvec), seeded per subspace by the k lowest vec_ids' subvectors
     * (same deterministic convention as [[KMeans.assign]]). */
-  def codebooks(embs: DataFrame, m: Int = 8, k: Int = 16,
+  def codebooks(embs: DataFrame, m: Int = defaultM, k: Int = 16,
                 iters: Int = 2): DataFrame = {
     val subs = subvectors(embs, m)
     val wSeed = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
@@ -70,7 +77,7 @@ object Pq {
 
   /** PQ encoding: (vec_id, sub, code) — each subvector's nearest
     * codebook centroid (squared-distance argmin, cid tiebreak). */
-  def encode(embs: DataFrame, m: Int = 8, k: Int = 16,
+  def encode(embs: DataFrame, m: Int = defaultM, k: Int = 16,
              iters: Int = 2): DataFrame =
     encodeWith(embs, codebooks(embs, m, k, iters), m)
 
@@ -92,7 +99,7 @@ object Pq {
     * Σ_sub d²(query_subvec, centroid[code]) over the encoded corpus.
     * Output: (query_id, vec_id, adist2, rank). */
   def pqKnn(embs: DataFrame, queryMaxId: Long = 10, topK: Int = 5,
-            m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+            m: Int = defaultM, k: Int = 16, iters: Int = 2): DataFrame = {
     val cb = codebooks(embs, m, k, iters).localCheckpoint()
     pqKnnWith(embs, cb, encodeWith(embs, cb, m), queryMaxId, topK, m)
   }
@@ -101,7 +108,7 @@ object Pq {
     * those ARE the stored artifacts, and diagnostics that run several
     * PQ searches ([[Similarity.annRecall]]) share one training. */
   def pqKnnWith(embs: DataFrame, cb: DataFrame, codes: DataFrame,
-                queryMaxId: Long = 10, topK: Int = 5, m: Int = 8): DataFrame = {
+                queryMaxId: Long = 10, topK: Int = 5, m: Int = defaultM): DataFrame = {
     val dt = subvectors(embs, m).filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
       .join(broadcast(cb), "sub")
@@ -131,7 +138,7 @@ object Pq {
     * against broadcast probe lists and broadcast distance tables. */
   def ivfPqKnn(embs: DataFrame, queryMaxId: Long = 10, topK: Int = 5,
                kCells: Int = 16, nprobe: Int = 4,
-               m: Int = 8, k: Int = 16, iters: Int = 2,
+               m: Int = defaultM, k: Int = 16, iters: Int = 2,
                refine: Int = 8): DataFrame = {
     val cb = codebooks(embs, m, k, iters).localCheckpoint()
     ivfPqKnnWith(embs, cb, encodeWith(embs, cb, m), queryMaxId, topK,
@@ -142,7 +149,7 @@ object Pq {
   def ivfPqKnnWith(embs: DataFrame, cb: DataFrame, codes: DataFrame,
                    queryMaxId: Long = 10, topK: Int = 5,
                    kCells: Int = 16, nprobe: Int = 4,
-                   m: Int = 8, refine: Int = 8): DataFrame = {
+                   m: Int = defaultM, refine: Int = 8): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val cents = IvfKnn.centroids(embs, kCells)
@@ -192,7 +199,7 @@ object Pq {
     * its standalone oracle. */
   def ivfPqKnnSql(queryMaxId: Long = 10, topK: Int = 5,
                   kCells: Int = 16, nprobe: Int = 4,
-                  m: Int = 8, k: Int = 16, iters: Int = 2,
+                  m: Int = defaultM, k: Int = 16, iters: Int = 2,
                   refine: Int = 8): String = {
     require(iters == 2, "oracle spells out the iters=2 case")
     def cosSql(a: String, b: String) =
@@ -302,7 +309,7 @@ object Pq {
 
   /** DuckDB twin of [[pqKnn]] (iters=2 spelled out, like
     * [[KMeans.assignSql]]). */
-  def pqKnnSql(queryMaxId: Long = 10, topK: Int = 5, m: Int = 8,
+  def pqKnnSql(queryMaxId: Long = 10, topK: Int = 5, m: Int = defaultM,
                k: Int = 16, iters: Int = 2): String = {
     require(iters == 2, "oracle spells out the iters=2 case")
     s"""WITH q AS (

@@ -208,7 +208,7 @@ object Similarity {
     // the two PQ searches share ONE trained index (codebook + codes) —
     // identical values, half the training work per recall run
     val pqCb = Pq.codebooks(embs).localCheckpoint()
-    val pqCodes = Pq.encodeWith(embs, pqCb, 8).localCheckpoint()
+    val pqCodes = Pq.encodeWith(embs, pqCb, Pq.defaultM).localCheckpoint()
     Seq(
       "ivf" -> IvfKnn.ivfKnn(embs, queryMaxId, k),
       "ivfpq" -> Pq.ivfPqKnnWith(embs, pqCb, pqCodes, queryMaxId, k),

@@ -47,16 +47,20 @@ object Relational {
   def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val promo = when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))
+    // ONE aggregate per measure (the exact unit sum); the 4 dp display
+    // values derive from it in the final select — sum4 ≡
+    // round(sum4Units/10⁴, 4) by definition, so there is a single
+    // quantization expression to keep in sync per measure
     lineitem
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
-        FixedPoint.sum4(promo).as("promo_revenue"),
-        FixedPoint.sum4(disc).as("revenue"),
         FixedPoint.sum4Units(promo).as("pfp"),
         FixedPoint.sum4Units(disc).as("tfp"),
         count(lit(1)).as("n_items"))
-      .select(col("ship_month"), col("promo_revenue"), col("revenue"),
+      .select(col("ship_month"),
+        round(col("pfp").cast("double") / 10000.0, 4).as("promo_revenue"),
+        round(col("tfp").cast("double") / 10000.0, 4).as("revenue"),
         expr("CAST(pfp AS DECIMAL(38,0)) * 1000000 div nullif(CAST(tfp AS DECIMAL(38,0)), 0)")
           .as("promo_ppm"),
         col("n_items"))
@@ -65,15 +69,19 @@ object Relational {
   def promoRevenueShareSql: String = {
     val disc = "l_extendedprice * (1.0 - l_discount)"
     val promo = s"CASE WHEN p_type = 'PROMO' THEN $disc ELSE 0.0 END"
-    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-       |       ${FixedPoint.sum4Sql(promo)} AS promo_revenue,
-       |       ${FixedPoint.sum4Sql(disc)} AS revenue,
-       |       CAST(CAST(${FixedPoint.sum4UnitsSql(promo)} AS HUGEINT) * 1000000 //
-       |            nullif(CAST(${FixedPoint.sum4UnitsSql(disc)} AS HUGEINT), 0) AS BIGINT)
-       |         AS promo_ppm,
-       |       count(*) AS n_items
-       |FROM lineitem JOIN part ON l_partkey = p_partkey
-       |GROUP BY 1""".stripMargin
+    s"""SELECT ship_month,
+       |       round(CAST(pfp AS DOUBLE) / 10000.0, 4) AS promo_revenue,
+       |       round(CAST(tfp AS DOUBLE) / 10000.0, 4) AS revenue,
+       |       CAST(CAST(pfp AS HUGEINT) * 1000000 //
+       |            nullif(CAST(tfp AS HUGEINT), 0) AS BIGINT) AS promo_ppm,
+       |       n_items
+       |FROM (
+       |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |         ${FixedPoint.sum4UnitsSql(promo)} AS pfp,
+       |         ${FixedPoint.sum4UnitsSql(disc)} AS tfp,
+       |         count(*) AS n_items
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1)""".stripMargin
   }
 
   /** Top-N customers by spend (deterministic: rounded spend + key). */

@@ -31,6 +31,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("promo share: part dim broadcasts, single aggregate exchange") {
+    val plan = planOf(Relational.promoRevenueShare(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
   test("windowed aggregation is partial+final around one exchange") {
     val plan = planOf(EventAggregator.aggregate(Tables.events(spark, sf)))
     val nAggs = plan.linesIterator.count(_.contains("HashAggregate"))

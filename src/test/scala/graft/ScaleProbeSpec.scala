@@ -94,6 +94,19 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(drops >= 3000L, s"planted duplicates must be dropped, got $drops")
   }
 
+  test("PQ at 10×: codes-only corpus work, broadcast tables, no BNLJ",
+      ScaleProbe) {
+    val embs = spark.range(20000).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> CAST(((id * 13 + j * 17) % 997) / 997.0 - 0.5 AS FLOAT))")
+        .as("embedding"),
+      (col("id") % 10).cast("int").as("label")).localCheckpoint()
+    val knn = graft.ann.Pq.ivfPqKnn(embs, queryMaxId = 5, topK = 5)
+    val plan = ranPlan(knn)
+    assertShapes(plan, "ivfPqKnn")
+    assert(knn.count() == 25L, "5 queries × top-5 expected")
+  }
+
   test("event aggregation at 10×: partial/final aggregate, no plan decay",
       ScaleProbe) {
     val events = spark.read.format("graft.sources.EventGen")
