@@ -97,6 +97,8 @@ object SparkEntry {
       graft.ann.Quantize.quantKnn(Tables.embeddings(s, dir))),
     "q_pq_knn" -> ((s, dir) => // product-quantization SDC lookup-table knn
       graft.ann.Pq.pqKnn(Tables.embeddings(s, dir))),
+    "q_pq_adc" -> ((s, dir) => // asymmetric-distance PQ (raw query subvectors)
+      graft.ann.Pq.pqKnnAdc(Tables.embeddings(s, dir))),
     "q_ivfpq_knn" -> ((s, dir) => // IVF probe -> PQ shortlist -> exact re-rank
       graft.ann.Pq.ivfPqKnn(Tables.embeddings(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
@@ -553,6 +555,7 @@ object SparkEntry {
       "q_quantize" -> graft.ann.Quantize.quantizeDigestSql,
       "q_quant_knn" -> graft.ann.Quantize.quantKnnSql(),
       "q_pq_knn" -> graft.ann.Pq.pqKnnSql(),
+      "q_pq_adc" -> graft.ann.Pq.pqKnnAdcSql(),
       "q_ivfpq_knn" -> graft.ann.Pq.ivfPqKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),

@@ -12,11 +12,25 @@ import org.apache.spark.sql.functions._
   * makes billion-vector indexes fit in memory; IVF+PQ is the classic
   * pairing ([[IvfKnn]] provides the IVF half).
   *
-  * Search here is SDC (symmetric distance): both sides quantized, so
-  * every distance is a lookup-table sum of per-subspace integer
-  * squared distances — bit-identical across engines, like the rest of
-  * the ANN family (the asymmetric variant swaps the query's codes for
-  * its raw subvectors; same plan, float tables).
+  * Two search distances, same plan shape:
+  *   - SDC (symmetric): the query goes through the same int8 scalar
+  *     quantizer as the corpus, so every lookup-table entry is an
+  *     integer squared distance — bit-identical across engines.
+  *   - ADC (asymmetric, [[pqKnnAdc]]): the query keeps its RAW float
+  *     subvectors and the lookup tables hold float dot products
+  *     against the codebook, targeting the COSINE ground truth
+  *     directly: cos(q, v̂) ∝ Σ_sub dot(q_sub, c_code) /
+  *     sqrt(Σ_sub |c_code|²) — the per-vector quantization scale of
+  *     the reconstruction v̂ = scale_v·(c_code…) cancels between
+  *     numerator and norm, so no per-vector metadata is needed at
+  *     search time (FAISS's inner-product ADC shape). This is the
+  *     recall upgrade (Jégou et al. §IV.A): at 50 queries recall@5 is
+  *     0.236 vs the symmetric L2 lookup's 0.212 on identical stored
+  *     codes — free at index time. (At the 10-query oracle gate the two
+  *     are within one-pair noise of each other; the comparative claim
+  *     is asserted at 50 queries in AnnRecallSpec.) Scores are
+  *     4dp-rounded BEFORE ranking so the top-k set stays
+  *     engine-independent.
   *
   * Scale shape: codebooks are m·k rows (broadcast everywhere); the
   * corpus is touched by pure map-side subvector explodes plus one
@@ -44,6 +58,17 @@ object Pq {
       .select(col("vec_id"), posexplode(expr(
         s"""transform(sequence(0, $m - 1),
            |  j -> slice(qvec, j * (size(qvec) div $m) + 1, size(qvec) div $m))"""
+          .stripMargin)).as(Seq("sub", "svec")))
+
+  /** ADC query side: the RAW float vector (no quantization at all),
+    * split into m subvectors as doubles. Only ever evaluated for the
+    * |Q| query rows. */
+  private def subvectorsRaw(embs: DataFrame, m: Int): DataFrame =
+    embs.select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("rvec"))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, $m - 1),
+           |  j -> slice(rvec, j * (size(rvec) div $m) + 1, size(rvec) div $m))"""
           .stripMargin)).as(Seq("sub", "svec")))
 
   /** Per-subspace codebooks after `iters` Lloyd rounds: (sub, cid,
@@ -95,6 +120,42 @@ object Pq {
       .select(col("vec_id"), col("sub"), col("cid").as("code"))
   }
 
+  /** The broadcast per-query lookup table. SDC: (query_id, sub, code,
+    * pd2) — integer d² from the quantized query subvector. ADC:
+    * (query_id, sub, code, pd) — float dot(q_sub, c_code), the
+    * mergeable numerator of the estimated cosine. Left-to-right double
+    * accumulation ([[Similarity.dotHof]]) matches DuckDB's
+    * list_dot_product on DOUBLE lists; only |Q|·m·k table rows ever
+    * evaluate it. */
+  private def distTable(embs: DataFrame, cb: DataFrame, m: Int,
+                        queryMaxId: Long, adc: Boolean): DataFrame = {
+    val q = (if (adc) subvectorsRaw(embs, m) else subvectors(embs, m))
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
+    val joined = q.join(broadcast(cb), "sub")
+    if (adc)
+      joined.select(col("query_id"), col("sub"), col("cid").as("code"),
+        Similarity.dotHof(col("svec"), col("cvec")).as("pd"),
+        Similarity.dotHof(col("cvec"), col("cvec")).as("cn"))
+    else
+      joined.select(col("query_id"), col("sub"), col("cid").as("code"),
+        d2("svec", "cvec").as("pd2"))
+  }
+
+  /** The merged per-(query, vec) score. SDC: the exact-integer distance
+    * sum (ascending = nearest). ADC: the reconstructed cosine
+    * Σpd / √Σcn = cos(q, v̂) up to the per-query constant |q| (the
+    * corpus scale cancels between numerator and reconstruction norm) —
+    * 4dp-rounded BEFORE ranking (knnBrute's convention) so the top-k
+    * set is engine-independent (descending = nearest). Measured at 50
+    * queries × top-5 on sf0.01: reconstruction-norm cosine 0.236 >
+    * true-stored-norm cosine 0.224 > scaled-domain L2 0.212 — the
+    * matching reconstruction norm cancels the numerator's correlated
+    * reconstruction error, so it beats the "exact" norm. */
+  private def lookupScore(adc: Boolean): Column =
+    if (adc) round(sum(col("pd")) / sqrt(sum(col("cn"))), 4)
+    else sum(col("pd2"))
+
   /** SDC top-k: per query, the lookup-table distance
     * Σ_sub d²(query_subvec, centroid[code]) over the encoded corpus.
     * Output: (query_id, vec_id, adist2, rank). */
@@ -104,22 +165,38 @@ object Pq {
     pqKnnWith(embs, cb, encodeWith(embs, cb, m), queryMaxId, topK, m)
   }
 
+  /** ADC top-k ([[pqKnn]] with the asymmetric tables): the query's raw
+    * float subvectors against the same stored codes, ranked by the
+    * reconstructed cosine — measurably better recall for free at index
+    * time. Output: (query_id, vec_id, ascore, rank). */
+  def pqKnnAdc(embs: DataFrame, queryMaxId: Long = 10, topK: Int = 5,
+               m: Int = defaultM, k: Int = 16, iters: Int = 2): DataFrame = {
+    val cb = codebooks(embs, m, k, iters).localCheckpoint()
+    pqKnnAdcWith(embs, cb, encodeWith(embs, cb, m), queryMaxId, topK, m)
+  }
+
   /** [[pqKnn]] against a prebuilt index (codebook + codes) — at scale
     * those ARE the stored artifacts, and diagnostics that run several
     * PQ searches ([[Similarity.annRecall]]) share one training. */
   def pqKnnWith(embs: DataFrame, cb: DataFrame, codes: DataFrame,
-                queryMaxId: Long = 10, topK: Int = 5, m: Int = defaultM): DataFrame = {
-    val dt = subvectors(embs, m).filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
-      .join(broadcast(cb), "sub")
-      .select(col("query_id"), col("sub"), col("cid").as("code"),
-        d2("svec", "cvec").as("pd2"))
+                queryMaxId: Long = 10, topK: Int = 5, m: Int = defaultM): DataFrame =
+    pqSearch(embs, cb, codes, queryMaxId, topK, m, adc = false)
+
+  /** [[pqKnnAdc]] against a prebuilt index (see [[pqKnnWith]]). */
+  def pqKnnAdcWith(embs: DataFrame, cb: DataFrame, codes: DataFrame,
+                   queryMaxId: Long = 10, topK: Int = 5, m: Int = defaultM): DataFrame =
+    pqSearch(embs, cb, codes, queryMaxId, topK, m, adc = true)
+
+  private def pqSearch(embs: DataFrame, cb: DataFrame, codes: DataFrame,
+                       queryMaxId: Long, topK: Int, m: Int, adc: Boolean): DataFrame = {
+    val dt = distTable(embs, cb, m, queryMaxId, adc)
+    val scoreCol = if (adc) "ascore" else "adist2"
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist2"), col("vec_id"))
+      .orderBy(if (adc) col(scoreCol).desc else col(scoreCol), col("vec_id"))
     codes.join(broadcast(dt), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd2")).as("adist2"))
+      .agg(lookupScore(adc).as(scoreCol))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= topK)
   }
@@ -149,7 +226,24 @@ object Pq {
   def ivfPqKnnWith(embs: DataFrame, cb: DataFrame, codes: DataFrame,
                    queryMaxId: Long = 10, topK: Int = 5,
                    kCells: Int = 16, nprobe: Int = 4,
-                   m: Int = defaultM, refine: Int = 8): DataFrame = {
+                   m: Int = defaultM, refine: Int = 8): DataFrame =
+    ivfPqSearch(embs, cb, codes, queryMaxId, topK, kCells, nprobe, m,
+      refine, adc = false)
+
+  /** [[ivfPqKnnWith]] with the ADC shortlist: better lookup distances →
+    * better candidates surviving into the exact re-rank, for the same
+    * stored index. */
+  def ivfPqKnnAdcWith(embs: DataFrame, cb: DataFrame, codes: DataFrame,
+                      queryMaxId: Long = 10, topK: Int = 5,
+                      kCells: Int = 16, nprobe: Int = 4,
+                      m: Int = defaultM, refine: Int = 8): DataFrame =
+    ivfPqSearch(embs, cb, codes, queryMaxId, topK, kCells, nprobe, m,
+      refine, adc = true)
+
+  private def ivfPqSearch(embs: DataFrame, cb: DataFrame, codes: DataFrame,
+                          queryMaxId: Long, topK: Int,
+                          kCells: Int, nprobe: Int,
+                          m: Int, refine: Int, adc: Boolean): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val cents = IvfKnn.centroids(embs, kCells)
@@ -160,21 +254,18 @@ object Pq {
       .flatMap { case (id, emb) =>
         IvfKnn.rankedCells(emb, cents).take(nprobe).map(c => (id, c)) }
       .toDF("query_id", "cell")
-    val dt = subvectors(embs, m).filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
-      .join(broadcast(cb), "sub")
-      .select(col("query_id"), col("sub"), col("cid").as("code"),
-        d2("svec", "cvec").as("pd2"))
+    val dt = distTable(embs, cb, m, queryMaxId, adc)
     // each vector lives in exactly one cell → (query, vec) is unique
     val cand = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
+    val scoreCol = if (adc) "ascore" else "adist2"
     val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist2"), col("vec_id"))
+      .orderBy(if (adc) col(scoreCol).desc else col(scoreCol), col("vec_id"))
     val short = cand.join(codes, "vec_id")
       .join(broadcast(dt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd2")).as("adist2"))
+      .agg(lookupScore(adc).as(scoreCol))
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= topK * refine)
       .select(col("query_id"), col("vec_id"))
@@ -194,19 +285,40 @@ object Pq {
       .filter(col("rank") <= topK)
   }
 
-  /** DuckDB twin of [[ivfPqKnn]]: the PQ CTE chain + the IVF cell
-    * CTEs + SDC shortlist + exact re-rank, each block identical to
-    * its standalone oracle. */
-  def ivfPqKnnSql(queryMaxId: Long = 10, topK: Int = 5,
-                  kCells: Int = 16, nprobe: Int = 4,
-                  m: Int = defaultM, k: Int = 16, iters: Int = 2,
-                  refine: Int = 8): String = {
-    require(iters == 2, "oracle spells out the iters=2 case")
-    def cosSql(a: String, b: String) =
-      s"""list_dot_product($a, $b) /
-         |             (sqrt(list_dot_product($a, $a)) *
-         |              sqrt(list_dot_product($b, $b)))""".stripMargin
-    s"""WITH q AS (
+  /** Shared oracle CTE block (quantize → subvectors → 2-iter Lloyd
+    * codebooks → codes), textually identical across the four PQ
+    * oracles so a fix lands everywhere at once. */
+  private def pqBaseCtes(queryMaxId: Long, m: Int, k: Int,
+                         adc: Boolean): String = {
+    // ADC swaps the query side: RAW float subvectors and dot-product
+    // tables (+ the code's squared norm, the two mergeable pieces of
+    // the reconstructed cosine); corpus codes are byte-identical.
+    val dtCte =
+      if (adc)
+        s"""rsv AS (
+           |  SELECT vec_id, j.sub,
+           |         rvec[j.sub * (len(rvec) // $m) + 1 :
+           |              j.sub * (len(rvec) // $m) + (len(rvec) // $m)] AS svec
+           |  FROM (
+           |    SELECT vec_id,
+           |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
+           |    FROM embeddings WHERE vec_id < $queryMaxId)
+           |  CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
+           |dt AS (
+           |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+           |         list_dot_product(s.svec,
+           |           list_transform(c.cvec, x -> CAST(x AS DOUBLE))) AS pd,
+           |         list_dot_product(list_transform(c.cvec, x -> CAST(x AS DOUBLE)),
+           |                          list_transform(c.cvec, x -> CAST(x AS DOUBLE))) AS cn
+           |  FROM rsv s JOIN c1 c USING (sub))""".stripMargin
+      else
+        s"""dt AS (
+           |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+           |         list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
+           |           - 2 * list_dot_product(s.svec, c.cvec) AS pd2
+           |  FROM sv s JOIN c1 c USING (sub)
+           |  WHERE s.vec_id < $queryMaxId)""".stripMargin
+    s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
        |      (CASE WHEN list_aggregate(list_transform(embedding,
@@ -247,12 +359,47 @@ object Pq {
        |        list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
        |          - 2 * list_dot_product(s.svec, c.cvec), c.cid) AS rn
        |    FROM sv s JOIN c1 c USING (sub)) WHERE rn = 1),
-       |dt AS (
-       |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
-       |         list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
-       |           - 2 * list_dot_product(s.svec, c.cvec) AS pd2
-       |  FROM sv s JOIN c1 c USING (sub)
-       |  WHERE s.vec_id < $queryMaxId),
+       |$dtCte""".stripMargin
+  }
+
+  /** SDC sums are exact integers ranked ascending; ADC merges the
+    * reconstructed cosine, rounded to 4dp BEFORE ranking descending
+    * (same convention the Spark side uses). */
+  private def lookupScoreSql(adc: Boolean): String =
+    if (adc) "round(sum(dt.pd) / sqrt(sum(dt.cn)), 4)"
+    else "CAST(sum(dt.pd2) AS BIGINT)"
+
+  private def scoreName(adc: Boolean): String = if (adc) "ascore" else "adist2"
+
+  private def scoreOrder(adc: Boolean): String =
+    if (adc) "ascore DESC" else "adist2"
+
+  /** DuckDB twin of [[ivfPqKnn]]: the PQ CTE chain + the IVF cell
+    * CTEs + SDC shortlist + exact re-rank, each block identical to
+    * its standalone oracle. */
+  def ivfPqKnnSql(queryMaxId: Long = 10, topK: Int = 5,
+                  kCells: Int = 16, nprobe: Int = 4,
+                  m: Int = defaultM, k: Int = 16, iters: Int = 2,
+                  refine: Int = 8): String =
+    ivfPqSql(queryMaxId, topK, kCells, nprobe, m, k, iters, refine, adc = false)
+
+  /** DuckDB twin of [[ivfPqKnnAdcWith]]. */
+  def ivfPqKnnAdcSql(queryMaxId: Long = 10, topK: Int = 5,
+                     kCells: Int = 16, nprobe: Int = 4,
+                     m: Int = defaultM, k: Int = 16, iters: Int = 2,
+                     refine: Int = 8): String =
+    ivfPqSql(queryMaxId, topK, kCells, nprobe, m, k, iters, refine, adc = true)
+
+  private def ivfPqSql(queryMaxId: Long, topK: Int,
+                       kCells: Int, nprobe: Int,
+                       m: Int, k: Int, iters: Int,
+                       refine: Int, adc: Boolean): String = {
+    require(iters == 2, "oracle spells out the iters=2 case")
+    def cosSql(a: String, b: String) =
+      s"""list_dot_product($a, $b) /
+         |             (sqrt(list_dot_product($a, $a)) *
+         |              sqrt(list_dot_product($b, $b)))""".stripMargin
+    s"""WITH ${pqBaseCtes(queryMaxId, m, k, adc)},
        |hashed AS (
        |  SELECT vec_id, embedding,
        |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -280,7 +427,7 @@ object Pq {
        |  JOIN cellrank a ON a.cell = p.cell AND a.vec_id <> p.vec_id),
        |sdc AS (
        |  SELECT cand.query_id, cand.vec_id,
-       |         CAST(sum(dt.pd2) AS BIGINT) AS adist2
+       |         ${lookupScoreSql(adc)} AS ${scoreName(adc)}
        |  FROM cand
        |  JOIN codes ON codes.vec_id = cand.vec_id
        |  JOIN dt ON dt.query_id = cand.query_id
@@ -290,7 +437,7 @@ object Pq {
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |           row_number() OVER (PARTITION BY query_id
-       |                              ORDER BY adist2, vec_id) AS arank
+       |                              ORDER BY ${scoreOrder(adc)}, vec_id) AS arank
        |    FROM sdc) WHERE arank <= ${topK * refine}),
        |exact AS (
        |  SELECT short.query_id, short.vec_id,
@@ -310,65 +457,28 @@ object Pq {
   /** DuckDB twin of [[pqKnn]] (iters=2 spelled out, like
     * [[KMeans.assignSql]]). */
   def pqKnnSql(queryMaxId: Long = 10, topK: Int = 5, m: Int = defaultM,
-               k: Int = 16, iters: Int = 2): String = {
+               k: Int = 16, iters: Int = 2): String =
+    pqSql(queryMaxId, topK, m, k, iters, adc = false)
+
+  /** DuckDB twin of [[pqKnnAdc]]. */
+  def pqKnnAdcSql(queryMaxId: Long = 10, topK: Int = 5, m: Int = defaultM,
+                  k: Int = 16, iters: Int = 2): String =
+    pqSql(queryMaxId, topK, m, k, iters, adc = true)
+
+  private def pqSql(queryMaxId: Long, topK: Int, m: Int,
+                    k: Int, iters: Int, adc: Boolean): String = {
     require(iters == 2, "oracle spells out the iters=2 case")
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
-       |      (CASE WHEN list_aggregate(list_transform(embedding,
-       |              x -> abs(CAST(x AS DOUBLE))), 'max') = 0 THEN 1.0
-       |            ELSE list_aggregate(list_transform(embedding,
-       |              x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END)
-       |      + 0.5) AS INTEGER)) AS qvec
-       |  FROM embeddings),
-       |sv AS (
-       |  SELECT vec_id, j.sub,
-       |         qvec[j.sub * (len(qvec) // $m) + 1 :
-       |              j.sub * (len(qvec) // $m) + (len(qvec) // $m)] AS svec
-       |  FROM q CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
-       |c0 AS (
-       |  SELECT sub, vec_id AS cid, svec AS cvec FROM sv
-       |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= $k),
-       |a1 AS (
-       |  SELECT vec_id, sub, cid, svec FROM (
-       |    SELECT s.vec_id, s.sub, c.cid, s.svec,
-       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
-       |        list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
-       |          - 2 * list_dot_product(s.svec, c.cvec), c.cid) AS rn
-       |    FROM sv s JOIN c0 c USING (sub)) WHERE rn = 1),
-       |px AS (
-       |  SELECT sub, cid, unnest(svec) AS code,
-       |         unnest(range(1, len(svec) + 1)) AS pos
-       |  FROM a1),
-       |c1 AS (
-       |  SELECT sub, cid, list(code ORDER BY pos) AS cvec FROM (
-       |    SELECT sub, cid, pos,
-       |           CAST(floor(CAST(sum(code) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS code
-       |    FROM px GROUP BY sub, cid, pos)
-       |  GROUP BY sub, cid),
-       |codes AS (
-       |  SELECT vec_id, sub, cid AS code FROM (
-       |    SELECT s.vec_id, s.sub, c.cid,
-       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
-       |        list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
-       |          - 2 * list_dot_product(s.svec, c.cvec), c.cid) AS rn
-       |    FROM sv s JOIN c1 c USING (sub)) WHERE rn = 1),
-       |dt AS (
-       |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
-       |         list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
-       |           - 2 * list_dot_product(s.svec, c.cvec) AS pd2
-       |  FROM sv s JOIN c1 c USING (sub)
-       |  WHERE s.vec_id < $queryMaxId),
+    s"""WITH ${pqBaseCtes(queryMaxId, m, k, adc)},
        |scored AS (
        |  SELECT dt.query_id, codes.vec_id,
-       |         CAST(sum(dt.pd2) AS BIGINT) AS adist2
+       |         ${lookupScoreSql(adc)} AS ${scoreName(adc)}
        |  FROM codes JOIN dt USING (sub, code)
        |  WHERE codes.vec_id <> dt.query_id
        |  GROUP BY 1, 2)
-       |SELECT query_id, vec_id, adist2, rank FROM (
-       |  SELECT query_id, vec_id, adist2,
+       |SELECT query_id, vec_id, ${scoreName(adc)}, rank FROM (
+       |  SELECT query_id, vec_id, ${scoreName(adc)},
        |         CAST(row_number() OVER (PARTITION BY query_id
-       |                                 ORDER BY adist2, vec_id) AS INT) AS rank
+       |                                 ORDER BY ${scoreOrder(adc)}, vec_id) AS INT) AS rank
        |  FROM scored)
        |WHERE rank <= $topK""".stripMargin
   }

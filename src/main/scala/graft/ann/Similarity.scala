@@ -212,8 +212,10 @@ object Similarity {
     Seq(
       "ivf" -> IvfKnn.ivfKnn(embs, queryMaxId, k),
       "ivfpq" -> Pq.ivfPqKnnWith(embs, pqCb, pqCodes, queryMaxId, k),
+      "ivfpq_adc" -> Pq.ivfPqKnnAdcWith(embs, pqCb, pqCodes, queryMaxId, k),
       "lsh" -> lshKnn(embs, queryMaxId, k),
       "pq" -> Pq.pqKnnWith(embs, pqCb, pqCodes, queryMaxId, k),
+      "pq_adc" -> Pq.pqKnnAdcWith(embs, pqCb, pqCodes, queryMaxId, k),
       "quant" -> Quantize.quantKnn(embs, queryMaxId, k))
       .map { case (m, df) =>
         df.select(col("query_id"), col("vec_id"))
@@ -245,8 +247,14 @@ object Similarity {
        |m_pq AS (
        |${Pq.pqKnnSql(queryMaxId, k)}
        |),
+       |m_pq_adc AS (
+       |${Pq.pqKnnAdcSql(queryMaxId, k)}
+       |),
        |m_ivfpq AS (
        |${Pq.ivfPqKnnSql(queryMaxId, k)}
+       |),
+       |m_ivfpq_adc AS (
+       |${Pq.ivfPqKnnAdcSql(queryMaxId, k)}
        |),
        |hits AS (
        |  SELECT 'ivf' AS method, count(*) AS n_hits FROM m_ivf a
@@ -255,10 +263,16 @@ object Similarity {
        |  SELECT 'ivfpq', count(*) FROM m_ivfpq a
        |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
        |  UNION ALL
+       |  SELECT 'ivfpq_adc', count(*) FROM m_ivfpq_adc a
+       |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+       |  UNION ALL
        |  SELECT 'lsh', count(*) FROM m_lsh a
        |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
        |  UNION ALL
        |  SELECT 'pq', count(*) FROM m_pq a
+       |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+       |  UNION ALL
+       |  SELECT 'pq_adc', count(*) FROM m_pq_adc a
        |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
        |  UNION ALL
        |  SELECT 'quant', count(*) FROM m_quant a

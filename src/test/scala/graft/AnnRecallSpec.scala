@@ -19,7 +19,8 @@ class AnnRecallSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall"))
       .toMap
     info(s"recall@5: $got")
-    assert(got.keySet == Set("ivf", "ivfpq", "lsh", "pq", "quant"))
+    assert(got.keySet ==
+      Set("ivf", "ivfpq", "ivfpq_adc", "lsh", "pq", "pq_adc", "quant"))
     // floors: measured at sf0.01 (quant 1.0, ivf 0.56, lsh 0.38,
     // pq 0.30) minus a safety notch — a refactor that degrades an
     // index below its floor fails here before the judge sees it.
@@ -38,6 +39,37 @@ class AnnRecallSpec extends AnyFunSuite {
     // recovers nearly all of ivf's recall while reading only codes
     // corpus-wide — the production recipe the pure layers compose into
     assert(got("ivfpq") >= 0.45, s"ivfpq recall ${got("ivfpq")}")
+    // the ADC variants search the SAME stored index with asymmetric
+    // (raw-query, float) lookup tables; at this 10-query gate they sit
+    // within one-pair noise of their SDC twins — the statistically
+    // meaningful comparison is the 50-query test below
+    assert(got("pq_adc") >= 0.25, s"pq_adc recall ${got("pq_adc")}")
+    assert(got("ivfpq_adc") >= 0.45, s"ivfpq_adc recall ${got("ivfpq_adc")}")
+  }
+
+  test("ADC beats SDC at a statistically meaningful query count") {
+    // 50 queries × top-5 = 250 ground-truth pairs (the 10-query gate's
+    // 50 pairs make a one-pair difference ±0.02 — pure noise). Both
+    // searches run against ONE shared trained index, so this isolates
+    // the lookup metric: asymmetric reconstructed-cosine tables vs
+    // symmetric integer-L2 tables. Fully deterministic (fixed data,
+    // md5-seeded pipeline, 4dp-rounded scores), so an exact comparison,
+    // not a flaky statistical bound.
+    import graft.ann.Pq
+    val embs = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(embs, queryMaxId = 50)
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("vec_id"))
+    val cb = Pq.codebooks(embs).localCheckpoint()
+    val codes = Pq.encodeWith(embs, cb, Pq.defaultM).localCheckpoint()
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(org.apache.spark.sql.functions.col("query_id"),
+          org.apache.spark.sql.functions.col("vec_id"))
+        .join(brute, Seq("query_id", "vec_id")).count()
+    val sdc = hits(Pq.pqKnnWith(embs, cb, codes, queryMaxId = 50))
+    val adc = hits(Pq.pqKnnAdcWith(embs, cb, codes, queryMaxId = 50))
+    info(s"hits@250: sdc=$sdc adc=$adc")
+    assert(adc > sdc, s"ADC ($adc hits) should beat SDC ($sdc hits) at 250 pairs")
   }
 
   test("recall arithmetic is consistent: hits <= possible, recall = hits/possible") {
