@@ -338,12 +338,22 @@ object Dedup {
     * once per doc, not once per column (CollapseProject would inline
     * it 16× otherwise — same trap as [[ngramJaccard]]'s shingle set).
     * Values are bit-identical to [[minhashSignaturesDeclarative]] /
-    * the DuckDB oracle (PropertySpec pins the parity). */
+    * the DuckDB oracle (PropertySpec pins the parity, null and empty
+    * text included).
+    *
+    * Null-text docs are DROPPED before the expression: both
+    * formulations would otherwise emit an all-null signature row
+    * (empirically verified — `greatest` skips the null length, so the
+    * declarative explode emits one null-shingle row too), and every
+    * null-signature doc shares a band key downstream (concat_ws skips
+    * nulls), pairing all null docs as est_jaccard=0 candidates. Empty
+    * text keeps its well-defined signature (ascii('')=0 in both
+    * engines). */
   def minhashSignatures(docs: DataFrame, n: Int = 4): DataFrame = {
     val sigs = graft.functions.TextFunctions.minhash_sigs(
       col("text"), n, 257L, 263L, polyP, hashP,
       (0 until numHashes).map(hashConsts))
-    spread(docs)
+    spread(docs).filter(col("text").isNotNull)
       .select(col("doc_id"),
         transform(array(sigs), arr => struct(
           (0 until numHashes).map(i => element_at(arr, i + 1).as(s"h$i")): _*))
@@ -353,9 +363,10 @@ object Dedup {
 
   /** The declarative formulation the native expression replaces —
     * kept as the parity reference (explode per position, two 4-term
-    * polynomial hashes, numHashes min-aggregates). */
+    * polynomial hashes, numHashes min-aggregates). Same null-text drop
+    * as [[minhashSignatures]]. */
   def minhashSignaturesDeclarative(docs: DataFrame, n: Int = 4): DataFrame = {
-    val withHalves = shinglesAll(docs, n)
+    val withHalves = shinglesAll(docs.filter(col("text").isNotNull), n)
       .withColumn("ha", charPolyHash(col("sh"), n, 257L))
       .withColumn("hb", charPolyHash(col("sh"), n, 263L))
     val aggs = (0 until numHashes).map { i =>

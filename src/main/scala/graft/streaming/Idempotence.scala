@@ -36,19 +36,22 @@ object Idempotence {
                   prefer: Seq[String] = Seq("batch_id")): DataFrame = {
     require(keys.nonEmpty, "dedupOnRead needs at least one key column")
     val present = prefer.filter(df.columns.contains)
-    // map-typed columns (e.g. decoded event properties) have no sort
-    // order — exclude them from the fallback tiebreak
     val orderable = df.schema.fields.filter(f =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
-      .map(_.name).toSeq
-    // the remaining orderable columns ALWAYS trail the prefer list: a
+      .map(_.name).toSet
+    // ALL remaining columns trail the prefer list in the tiebreak: a
     // malformed feed can emit two rows with the same (keys, prefer)
     // tuple but different payloads, and a prefer-only sort would pick
-    // the survivor by shuffle order — the full tiebreak keeps the
-    // operator deterministic (and idempotent) on any input
-    val tiebreak = present ++
-      orderable.filterNot(c => keys.contains(c) || present.contains(c))
-    val ord = (if (tiebreak.nonEmpty) tiebreak else keys).map(col(_).desc)
+    // the survivor by shuffle order. Columns without a sort order
+    // (map-typed payloads, e.g. decoded event properties) enter via a
+    // deterministic rendered proxy (to_json of the stored value) —
+    // excluding them would leave two rows differing only in a map
+    // payload with an arbitrary survivor (ADVICE r5)
+    val rest = df.columns.toSeq
+      .filterNot(c => keys.contains(c) || present.contains(c))
+      .map(c => if (orderable(c)) col(c) else to_json(col(c)))
+    val tiebreak = present.map(col) ++ rest
+    val ord = (if (tiebreak.nonEmpty) tiebreak else keys.map(col)).map(_.desc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

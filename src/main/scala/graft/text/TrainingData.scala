@@ -113,7 +113,15 @@ object TrainingData {
           val fin = new org.apache.hadoop.fs.Path(
             s"$outDir/shard-$curShard.manifest")
           fs.delete(fin, false)
-          fs.rename(tmp, fin)
+          // rename IS the commit: on filesystems where it refuses an
+          // existing destination (a concurrent speculative attempt
+          // winning the delete/rename race) a false return would
+          // silently leave the manifest missing or stale — fail the
+          // task instead; determinism makes the retry safe
+          if (!fs.rename(tmp, fin))
+            throw new java.io.IOException(
+              s"manifest commit failed: rename $tmp -> $fin")
+          tmp = null
         }
         try {
           it.foreach { r =>
@@ -129,7 +137,15 @@ object TrainingData {
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           }
           commit()
-        } finally if (out != null) out.close()
+        } finally {
+          // abort path: close and remove this attempt's orphan tmp so a
+          // failed task leaves nothing behind (tmp is nulled on every
+          // successful rename, so it is non-null here exactly when an
+          // uncommitted attempt file exists; the retry uses a new
+          // attempt-unique name)
+          if (out != null) out.close()
+          if (tmp != null) fs.delete(tmp, false)
+        }
       }
   }
 

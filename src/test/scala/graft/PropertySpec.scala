@@ -164,14 +164,20 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: native minhash signatures equal the declarative aggregates") {
+    // every sample additionally carries a null-text and an empty-text
+    // doc: null docs must DROP (no signature row — an all-null row
+    // would band-collide with every other null doc), empty docs keep
+    // their well-defined ascii('')-based signature (ADVICE r5)
     check(forAll(genDocs) { texts =>
-      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        Seq((1000L, null.asInstanceOf[String]), (1001L, "")))
         .toDF("doc_id", "text")
       val fast = graft.dedup.Dedup.minhashSignatures(df)
         .collect().map(_.toSeq).toSet
       val ref = graft.dedup.Dedup.minhashSignaturesDeclarative(df)
         .collect().map(_.toSeq).toSet
-      fast == ref
+      fast == ref && !fast.exists(_.head == 1000L) &&
+        fast.exists(_.head == 1001L)
     })
   }
 
