@@ -79,12 +79,20 @@ object Bench {
       }
     }
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    // pass hygiene, run BEFORE every pass (r5 verdict: late passes
+    // showed ~1.5× bursts on a handful of queries). A single System.gc()
+    // is not enough: it only ENQUEUES dead broadcast/shuffle/checkpoint
+    // references — the ContextCleaner thread processes them
+    // asynchronously, so cleanup triggered after pass p can land its
+    // block/file deletions in the middle of pass p+1's timed queries.
+    // GC → drain window → GC (the JMH shape): the sleep lets the
+    // cleaner work through its reference queue outside any timed
+    // region, and the second GC sweeps what that processing freed.
+    def hygiene(): Unit = { System.gc(); Thread.sleep(2000); System.gc() }
     val byPass = (0 until nPasses).map { p =>
+      hygiene()
       val r = timeAll(p, nPasses)
       System.err.println(f"[bench] pass=$p total=${r.map(_._2).sum}%.2f")
-      // between-pass hygiene: surface dead shuffle/broadcast/checkpoint
-      // blocks to the ContextCleaner now, outside any timed region
-      System.gc()
       r
     }
     // headline stays min-of-N (steady state under host steal); the

@@ -101,9 +101,11 @@ object SparkEntry {
       graft.ann.Pq.pqKnnAdc(Tables.embeddings(s, dir))),
     "q_ivfpq_knn" -> ((s, dir) => // IVF probe -> PQ shortlist -> exact re-rank
       graft.ann.Pq.ivfPqKnn(Tables.embeddings(s, dir))),
+    "q_incr_index" -> ((s, dir) => // frozen-index shard append, search old+new
+      graft.ann.IncrementalIndex.incrIndexKnn(Tables.embeddings(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
-    "q_ann_recall" -> ((s, dir) => // measured recall@k of all 3 ANN indexes
+    "q_ann_recall" -> ((s, dir) => // measured recall@k of all 7 ANN search variants
       graft.ann.Similarity.annRecall(Tables.embeddings(s, dir))),
     // --- relational / joins over the star schema ---
     "q_revenue_nation" -> ((s, dir) =>
@@ -557,6 +559,7 @@ object SparkEntry {
       "q_pq_knn" -> graft.ann.Pq.pqKnnSql(),
       "q_pq_adc" -> graft.ann.Pq.pqKnnAdcSql(),
       "q_ivfpq_knn" -> graft.ann.Pq.ivfPqKnnSql(),
+      "q_incr_index" -> graft.ann.Pq.incrIndexKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),
       "q_media_features" -> graft.multimodal.Multimodal.featureCountsSql(),

@@ -244,10 +244,22 @@ object Pq {
                           queryMaxId: Long, topK: Int,
                           kCells: Int, nprobe: Int,
                           m: Int, refine: Int, adc: Boolean): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
     val cents = IvfKnn.centroids(embs, kCells)
     val assigned = IvfKnn.assign(embs, cents).select(col("vec_id"), col("cell"))
+    ivfPqPlan(embs, cb, codes, cents, assigned, queryMaxId, topK, nprobe,
+      m, refine, adc)
+  }
+
+  /** The probe → shortlist → re-rank plan against fully EXTERNAL index
+    * artifacts (codebook, codes, IVF centroids, cell assignments) —
+    * what [[IncrementalIndex]] searches after appending shards to a
+    * frozen index. */
+  private[ann] def ivfPqPlan(embs: DataFrame, cb: DataFrame, codes: DataFrame,
+                             cents: Array[Array[Float]], assigned: DataFrame,
+                             queryMaxId: Long, topK: Int, nprobe: Int,
+                             m: Int, refine: Int, adc: Boolean): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val probes = embs.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -286,10 +298,17 @@ object Pq {
   }
 
   /** Shared oracle CTE block (quantize → subvectors → 2-iter Lloyd
-    * codebooks → codes), textually identical across the four PQ
-    * oracles so a fix lands everywhere at once. */
+    * codebooks → codes), textually identical across the PQ oracles so
+    * a fix lands everywhere at once. `trainMaxId` restricts codebook
+    * TRAINING to vec_id < t (the incremental-index base corpus) while
+    * encoding everything — the frozen-codebook append semantics. */
   private def pqBaseCtes(queryMaxId: Long, m: Int, k: Int,
-                         adc: Boolean): String = {
+                         adc: Boolean,
+                         trainMaxId: Option[Long] = None): String = {
+    val trainSrc = if (trainMaxId.isDefined) "svt" else "sv"
+    val svtCte = trainMaxId
+      .map(t => s"svt AS (\n  SELECT * FROM sv WHERE vec_id < $t),\n")
+      .getOrElse("")
     // ADC swaps the query side: RAW float subvectors and dot-product
     // tables (+ the code's squared norm, the two mergeable pieces of
     // the reconstructed cosine); corpus codes are byte-identical.
@@ -332,8 +351,8 @@ object Pq {
        |         qvec[j.sub * (len(qvec) // $m) + 1 :
        |              j.sub * (len(qvec) // $m) + (len(qvec) // $m)] AS svec
        |  FROM q CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
-       |c0 AS (
-       |  SELECT sub, vec_id AS cid, svec AS cvec FROM sv
+       |${svtCte}c0 AS (
+       |  SELECT sub, vec_id AS cid, svec AS cvec FROM $trainSrc
        |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= $k),
        |a1 AS (
        |  SELECT vec_id, sub, cid, svec FROM (
@@ -341,7 +360,7 @@ object Pq {
        |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
        |        list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
        |          - 2 * list_dot_product(s.svec, c.cvec), c.cid) AS rn
-       |    FROM sv s JOIN c0 c USING (sub)) WHERE rn = 1),
+       |    FROM $trainSrc s JOIN c0 c USING (sub)) WHERE rn = 1),
        |px AS (
        |  SELECT sub, cid, unnest(svec) AS code,
        |         unnest(range(1, len(svec) + 1)) AS pos
@@ -390,16 +409,30 @@ object Pq {
                      refine: Int = 8): String =
     ivfPqSql(queryMaxId, topK, kCells, nprobe, m, k, iters, refine, adc = true)
 
+  /** DuckDB twin of [[IncrementalIndex.incrIndexKnn]]: the IVF+PQ
+    * oracle with codebook/centroid training restricted to the base
+    * corpus (vec_id < splitId) — encoding, assignment and search still
+    * cover everything, replaying the frozen-index append semantics. */
+  def incrIndexKnnSql(splitId: Long = 400, queryMaxId: Long = 10,
+                      topK: Int = 5, kCells: Int = 16, nprobe: Int = 4,
+                      m: Int = defaultM, k: Int = 16, iters: Int = 2,
+                      refine: Int = 8): String =
+    ivfPqSql(queryMaxId, topK, kCells, nprobe, m, k, iters, refine,
+      adc = false, trainMaxId = Some(splitId))
+
   private def ivfPqSql(queryMaxId: Long, topK: Int,
                        kCells: Int, nprobe: Int,
                        m: Int, k: Int, iters: Int,
-                       refine: Int, adc: Boolean): String = {
+                       refine: Int, adc: Boolean,
+                       trainMaxId: Option[Long] = None): String = {
     require(iters == 2, "oracle spells out the iters=2 case")
     def cosSql(a: String, b: String) =
       s"""list_dot_product($a, $b) /
          |             (sqrt(list_dot_product($a, $a)) *
          |              sqrt(list_dot_product($b, $b)))""".stripMargin
-    s"""WITH ${pqBaseCtes(queryMaxId, m, k, adc)},
+    val centSrc = trainMaxId.map(t => s"hashed WHERE vec_id < $t")
+      .getOrElse("hashed")
+    s"""WITH ${pqBaseCtes(queryMaxId, m, k, adc, trainMaxId)},
        |hashed AS (
        |  SELECT vec_id, embedding,
        |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -407,7 +440,7 @@ object Pq {
        |cents AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
        |         embedding AS c_emb
-       |  FROM hashed ORDER BY h, vec_id LIMIT $kCells),
+       |  FROM $centSrc ORDER BY h, vec_id LIMIT $kCells),
        |cellrank AS (
        |  SELECT e.vec_id, e.cell FROM (
        |    SELECT e.vec_id, c.cell,
