@@ -103,6 +103,12 @@ object SparkEntry {
       graft.ann.Pq.ivfPqKnn(Tables.embeddings(s, dir))),
     "q_incr_index" -> ((s, dir) => // frozen-index shard append, search old+new
       graft.ann.IncrementalIndex.incrIndexKnn(Tables.embeddings(s, dir))),
+    "q_media_phash" -> ((s, dir) => // perceptual image dHash per media row
+      graft.multimodal.Multimodal.phash(
+        graft.multimodal.Multimodal.synthesizeMedia(Tables.documents(s, dir)))
+        .toDF()),
+    "q_phash_pairs" -> ((s, dir) => // banded near-dup pairs, planted copies
+      graft.multimodal.Multimodal.plantedPhashPairs(Tables.documents(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
     "q_ann_recall" -> ((s, dir) => // measured recall@k of all 7 ANN search variants
@@ -561,6 +567,8 @@ object SparkEntry {
       "q_ivfpq_knn" -> graft.ann.Pq.ivfPqKnnSql(),
       "q_incr_index" -> graft.ann.Pq.incrIndexKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
+      "q_media_phash" -> graft.multimodal.Multimodal.phashSql,
+      "q_phash_pairs" -> graft.multimodal.Multimodal.plantedPhashPairsSql(),
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),
       "q_media_features" -> graft.multimodal.Multimodal.featureCountsSql(),
       "q_revenue_nation" -> Relational.revenueByNationSql,

@@ -205,6 +205,35 @@ object Multimodal {
         val n = (img.getWidth.toLong * img.getHeight).max(1L).toFloat
         Features(m.doc_id, hist.map(_ / n))
       }
+
+    /** PHashRows×PHashCols integer mean-luminance grid over decoded
+      * pixels (cell (r,c) averages the pixel block [r·H/rows,(r+1)·H/
+      * rows) × [c·W/cols,(c+1)·W/cols)) — the perceptual-hash input:
+      * invariant under rescaling because the grid averages whatever
+      * pixels land in each block. Integer arithmetic end-to-end (the
+      * same per-pixel integer luminance as [[luminanceHistogram]]). */
+    def lumGrid(m: MediaRow, rows: Int, cols: Int): Option[Array[Long]] =
+      read(m.media).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sum = new Array[Long](rows * cols)
+        val cnt = new Array[Long](rows * cols)
+        var y = 0
+        while (y < h) {
+          val r = y.toLong * rows / h
+          var x = 0
+          while (x < w) {
+            val c = x.toLong * cols / w
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            val i = (r * cols + c).toInt
+            sum(i) += lum; cnt(i) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(rows * cols)(i => if (cnt(i) == 0) 0L else sum(i) / cnt(i))
+      }
   }
 
   /** Resize: real bilinear rescale + PNG re-encode for decodable images
@@ -241,6 +270,125 @@ object Multimodal {
     })
   }
 
+  case class PHash(doc_id: Long, phash: Long)
+
+  /** Perceptual image hashing (dHash) for multimodal dedup — the image
+    * analog of [[graft.dedup.Dedup.simhash]]: a 63-bit gradient hash
+    * over a 9×8 integer mean-luminance grid (9 rows × 7 horizontal
+    * comparisons each = bits 0..62, deliberately one short of the sign
+    * bit so the hash stays a positive BIGINT in every engine). A
+    * resized copy of an image averages to (nearly) the same grid, so
+    * its hash sits within a few bits of the original; a different
+    * image diverges at ~half the bits.
+    *
+    * Decodable images hash their REAL pixel grid
+    * ([[ImagePixelCodec.lumGrid]]); other media fall back to the same
+    * grid arithmetic over the raw byte stream (byte p of n lands in
+    * cell p·72/n), which is what keeps the synthetic-corpus oracle
+    * exact — DuckDB replays it with ascii()/integer division. */
+  object PHashCodec {
+    val Rows = 9; val Cols = 8
+    val Bits: Int = Rows * (Cols - 1) // 63
+
+    def gridFromBytes(bytes: Array[Byte]): Array[Long] = {
+      val n = bytes.length
+      val cells = Rows * Cols
+      val sum = new Array[Long](cells)
+      val cnt = new Array[Long](cells)
+      var p = 0
+      while (p < n) {
+        val i = (p.toLong * cells / n).toInt
+        sum(i) += bytes(p) & 0xff; cnt(i) += 1
+        p += 1
+      }
+      Array.tabulate(cells)(i => if (cnt(i) == 0) 0L else sum(i) / cnt(i))
+    }
+
+    /** bit r·7+c = [cell(r,c+1) > cell(r,c)] — the horizontal
+      * brightness gradient, the classic dHash construction. */
+    def dhash(grid: Array[Long]): Long = {
+      var h = 0L
+      var r = 0
+      while (r < Rows) {
+        var c = 0
+        while (c < Cols - 1) {
+          if (grid(r * Cols + c + 1) > grid(r * Cols + c))
+            h |= 1L << (r * (Cols - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+    def of(m: MediaRow): PHash = PHash(m.doc_id,
+      dhash(ImagePixelCodec.lumGrid(m, Rows, Cols)
+        .getOrElse(gridFromBytes(m.media))))
+  }
+
+  /** (doc_id, phash) per media row — batch-shaped like the other
+    * decode stages. */
+  def phash(media: Dataset[MediaRow]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(PHashCodec.of))
+  }
+
+  /** The oracle-checked PAIR demo over the synthetic corpus: byte-grid
+    * hashes of distinct texts all sit ≥12 bits apart (measured at
+    * sf0.01 — the fallback grid is deliberately content-sensitive; the
+    * perceptual "resized copy" robustness belongs to the real pixel
+    * grid, MultimodalCodecSpec), so the corpus is augmented with
+    * planted media: an exact byte copy of every 20th doc (MUST pair at
+    * hamming 0) and a 5-byte-tail drift of every (20k+5)th doc (shifts
+    * every cell boundary — measured hamming ≥19, MUST be rejected).
+    * The surviving pairs are exactly the exact copies, in both
+    * engines. */
+  def plantedPhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val copies = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val drifted = d.filter(col("doc_id") % 20 === 5)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    phashPairs(synthesizeMedia(d.unionAll(copies).unionAll(drifted)),
+      maxHamming)
+  }
+
+  /** Near-duplicate image candidate pairs, banded like the MinHash LSH
+    * path: the 63-bit hash splits into 7 bands of 9 bits; a pair is a
+    * candidate when ANY band matches exactly, then the exact hamming
+    * distance gates the survivors. h differing bits can break at most
+    * h bands, so with maxHamming < nBands the banding is EXACT — every
+    * pair inside the gated radius shares at least one intact band
+    * (pigeonhole), no recall loss. Output: (a_id, b_id, hamming).
+    *
+    * Scale shape: identical to MinHash-LSH — the self-join touches
+    * band-key collisions only, never media × media; unrelated hashes
+    * collide on a 9-bit band with p ≈ 2⁻⁹ per band, so candidate
+    * volume tracks the true near-dup count (at 100 TB, widen bands /
+    * prepend a coarse grid-quantile key to sparsify further — the
+    * same knob MinHash banding exposes). */
+  def phashPairs(media: Dataset[MediaRow], maxHamming: Int = 6,
+                 nBands: Int = 7): DataFrame = {
+    val bandBits = PHashCodec.Bits / nBands
+    val mask = (1L << bandBits) - 1
+    val ph = phash(media).toDF()
+    val bands = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bval")))
+    val a = bands.select(col("doc_id").as("a_id"), col("phash").as("pa"),
+      col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("b_id"), col("phash").as("pb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(pa ^ pb)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   case class FeatureCount(doc_id: Long, dim: Int, cnt: Long, n_bytes: Long)
 
   /** Scalarized feature rows for the correctness gate: the byte-histogram
@@ -274,6 +422,70 @@ object Multimodal {
        |FROM documents d
        |CROSS JOIN (SELECT unnest(generate_series(0, ${dim - 1})) AS dim) dm
        |LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.dim = dm.dim""".stripMargin
+
+  /** The byte-grid dHash CTE chain (reads `documents`, ends in
+    * `ph(doc_id, phash)`): ascii()/integer division replay of
+    * [[PHashCodec.gridFromBytes]] (byte p of n → cell p·72/n, integer
+    * mean per cell) + dHash bits from right-neighbor comparisons. */
+  private def phashCtes: String = {
+    val cells = PHashCodec.Rows * PHashCodec.Cols
+    val cols = PHashCodec.Cols
+    s"""pos AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |         unnest(generate_series(1, length(text))) AS p
+       |  FROM documents WHERE length(text) > 0),
+       |cellsum AS (
+       |  SELECT doc_id, ((p - 1) * $cells) // n AS cell,
+       |         sum(ascii(substr(text, p, 1))) AS s, count(*) AS cnt
+       |  FROM pos GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.doc_id, c.cell, coalesce(cs.s // cs.cnt, 0) AS val
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${cells - 1})) AS cell) c
+       |  LEFT JOIN cellsum cs ON cs.doc_id = d.doc_id AND cs.cell = c.cell),
+       |ph AS (
+       |  SELECT a.doc_id,
+       |         CAST(coalesce(sum(CASE WHEN b.val > a.val
+       |           THEN 1::BIGINT << ((a.cell // $cols) * ${cols - 1} + (a.cell % $cols))
+       |           ELSE 0 END), 0) AS BIGINT) AS phash
+       |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
+       |  WHERE a.cell % $cols < ${cols - 1}
+       |  GROUP BY a.doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of [[phash]] over the synthetic corpus — the 500-row
+    * value check that locks the grid + dHash arithmetic. */
+  def phashSql: String =
+    s"""WITH $phashCtes
+       |SELECT doc_id, phash FROM ph""".stripMargin
+
+  /** DuckDB twin of [[plantedPhashPairs]]: the planted corpus as a
+    * `documents` CTE shadowing the base table (main.documents stays
+    * reachable — the [[graft.text.Curate]] oracle pattern), then the
+    * same band self-join and bit_count(xor) hamming gate. */
+  def plantedPhashPairsSql(maxHamming: Int = 6, nBands: Int = 7): String = {
+    val bandBits = PHashCodec.Bits / nBands
+    val mask = (1L << bandBits) - 1
+    s"""WITH documents AS (
+       |  SELECT doc_id, text FROM main.documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM main.documents WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || ' tail' FROM main.documents
+       |  WHERE doc_id % 20 = 5),
+       |$phashCtes,
+       |bands AS (
+       |  SELECT doc_id, phash, b.band,
+       |         (phash >> (b.band * $bandBits)) & $mask AS bval
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0, $nBands)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |         x.phash AS pa, y.phash AS pb
+       |  FROM bands x JOIN bands y
+       |    ON y.band = x.band AND y.bval = x.bval AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= $maxHamming""".stripMargin
+  }
 
   def mediaMetaSql: String =
     """SELECT doc_id,

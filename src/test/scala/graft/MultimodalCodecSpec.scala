@@ -87,6 +87,40 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(math.abs(feats.sum - 1.0f) < 1e-5, "histogram not L1-normalized")
   }
 
+  test("perceptual hash: resized copy is found as a near-dup, distinct image is not") {
+    import spark.implicits._
+    // smooth horizontal gradient — resizing averages the same ramp, so
+    // the 9×8 mean-luminance grid (and so the dHash) barely moves
+    def ramp(w: Int, h: Int, reversed: Boolean): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = ((if (reversed) w - 1 - x else x) * 255) / (w - 1)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val a = encode(ramp(320, 240, reversed = false), "png")
+    val aSmall = Multimodal.resize(
+      Seq(MediaRow(1L, "image/png", a)).toDS(), maxW = 80, maxH = 80)
+      .collect().head.media
+    val b = encode(ramp(320, 240, reversed = true), "png")
+    val media = Seq(
+      MediaRow(1L, "image/png", a),      // original
+      MediaRow(2L, "image/png", aSmall), // its resized copy (80×60)
+      MediaRow(3L, "image/png", b)).toDS() // reversed ramp: opposite gradients
+    val hashes = Multimodal.phash(media).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    // the gradient direction IS the dHash: original ≈ its resize,
+    // reversed ramp flips (almost) every comparison
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) <= 6,
+      s"resized copy drifted: ${hashes(1L)} vs ${hashes(2L)}")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 30,
+      s"distinct image too close: ${hashes(1L)} vs ${hashes(3L)}")
+    val pairs = Multimodal.phashPairs(media)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the planted pair: $pairs")
+  }
+
   test("extractMeta routes real images to the header codec, other bytes to FakeCodec") {
     import spark.implicits._
     val png = encode(rgb(64, 32), "png")
