@@ -193,4 +193,105 @@ object Bpe {
     merges.foldLeft(words.withColumn("syms", charSyms(col("word")))) {
       (df, m) => df.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
     }
+
+  /** Sennrich et al. 2016's worked example corpus ({low×5, lower×2,
+    * newest×6, widest×3}) as one document. */
+  def sennrichText: String =
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+
+  /** The first 8 merges [[train]] learns on [[sennrichText]] — pinned
+    * as the default production vocab for [[encode]] so the DuckDB twin
+    * can replay them as constants (BpeSpec asserts this constant IS
+    * the trainer's output, so it stays a trained artifact, not an
+    * arbitrary list). Matches the paper's worked example: (e,s),
+    * (es,t), (est,</w>), then the l-o-w and n-e-w families. */
+  def sennrichMerges: Seq[(String, String)] = Seq(
+    ("e", "s"), ("es", "t"), ("est", EOW), ("l", "o"),
+    ("lo", "w"), ("e", "w"), ("ew", "est" + EOW), ("n", "ewest" + EOW))
+
+  /** Per-word BPE token count as a pure map-side expression: each word
+    * runs the charSyms → chained-merge fold, then sizes. No join, no
+    * shuffle — what [[Chunking.chunkDocs]]'s bpeMerges flag plugs into
+    * the chunk explode (the chunk table must never shuffle for a
+    * join). */
+  def bpeTokenCount(words: Column, merges: Seq[(String, String)]): Column =
+    aggregate(
+      transform(words, w =>
+        size(merges.foldLeft(charSyms(w)) {
+          case (s, (l, r)) => applyMerge(s, l, r) })),
+      lit(0), (a, b) => a + b)
+
+  /** BPE-encode the corpus: (doc_id, n_bpe_tokens) under a trained
+    * merge list — the production tokenize step ([[train]] builds the
+    * vocab; this applies it). The corpus collapses to DISTINCT words
+    * first (the same 1000× reduction the trainer rides), each distinct
+    * word encodes once through the merge fold, and per-doc counts come
+    * from one (doc, word) ⋈ vocab join + groupBy — at 100 TB the fold
+    * runs over ~10⁸ vocab rows, not 10¹¹ running words. */
+  def encode(docs: DataFrame,
+             merges: Seq[(String, String)] = sennrichMerges): DataFrame = {
+    val dw = graft.Tables.spread(docs).select(col("doc_id"),
+      explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("word"))
+    val vocab = dw.select(col("word")).distinct()
+      .withColumn("syms", merges.foldLeft(charSyms(col("word"))) {
+        case (s, (l, r)) => applyMerge(s, l, r) })
+      .select(col("word"), size(col("syms")).as("n_syms"))
+    val cnt = dw.join(vocab, "word")
+      .groupBy("doc_id").agg(sum(col("n_syms")).as("n"))
+    docs.select(col("doc_id")).join(cnt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_bpe_tokens"))
+  }
+
+  /** DuckDB twin of [[encode]]: the greedy left-to-right merge fold
+    * replayed per merge with window functions — a match marks (sym,
+    * next)=(l,r); within each maximal run of consecutive matches the
+    * fold takes the odd-indexed ones (gaps-and-islands parity — [a,a,a]
+    * under (a,a) → [aa,a], the reference semantics); taken rows become
+    * the merged symbol and their right neighbor drops. One CTE block
+    * per merge, generated from the same pinned list the Spark side
+    * applies. */
+  def encodeSql(merges: Seq[(String, String)] = sennrichMerges): String = {
+    val mergeCtes = merges.zipWithIndex.map { case ((l, r), i) =>
+      val (t, prev) = (i + 1, s"s$i")
+      s"""mk$t AS (
+         |  SELECT word, p, sym,
+         |         CASE WHEN sym = '$l' AND
+         |                   lead(sym) OVER (PARTITION BY word ORDER BY p) = '$r'
+         |              THEN 1 ELSE 0 END AS m
+         |  FROM $prev),
+         |tk$t AS (
+         |  SELECT word, p, sym, m,
+         |         CASE WHEN m = 1 AND
+         |                   row_number() OVER (PARTITION BY word, grp, m
+         |                                      ORDER BY p) % 2 = 1
+         |              THEN 1 ELSE 0 END AS take
+         |  FROM (SELECT *, sum(1 - m) OVER (PARTITION BY word ORDER BY p
+         |                                   ROWS UNBOUNDED PRECEDING) AS grp
+         |        FROM mk$t)),
+         |s$t AS (
+         |  SELECT word, row_number() OVER (PARTITION BY word ORDER BY p) AS p,
+         |         CASE WHEN take = 1 THEN '${l + r}' ELSE sym END AS sym
+         |  FROM (SELECT *, coalesce(lag(take) OVER (PARTITION BY word
+         |                                           ORDER BY p), 0) AS ptake
+         |        FROM tk$t)
+         |  WHERE ptake = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+       |  FROM documents),
+       |s0 AS (
+       |  SELECT word, unnest(range(1, len(s) + 1)) AS p, unnest(s) AS sym
+       |  FROM (SELECT word, list_append(string_split(word, ''), '$EOW') AS s
+       |        FROM (SELECT DISTINCT word FROM dw))),
+       |$mergeCtes,
+       |wc AS (
+       |  SELECT word, count(*) AS n_syms FROM s${merges.size} GROUP BY word),
+       |cnt AS (
+       |  SELECT dw.doc_id, sum(wc.n_syms) AS n
+       |  FROM dw JOIN wc USING (word) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id""".stripMargin
+  }
 }

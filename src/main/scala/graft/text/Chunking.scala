@@ -25,8 +25,15 @@ object Chunking {
     * instead of re-joining the chunk table with the corpus afterwards;
     * at 100 TB chunks are the biggest table in the pipeline and that
     * re-join would be its largest avoidable shuffle. */
+  /** `bpeMerges`: when set, n_tokens reports the chunk's BPE token
+    * count under that trained merge list ([[Bpe.bpeTokenCount]] — a
+    * pure map-side expression over the chunk's words, so the
+    * zero-chunk-join plan shape is preserved even with the flag on).
+    * Chunk BOUNDARIES stay word-based either way: the window budget is
+    * a whitespace-token budget; only the reported count upgrades. */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 64,
-                overlap: Int = 8): DataFrame = {
+                overlap: Int = 8,
+                bpeMerges: Option[Seq[(String, String)]] = None): DataFrame = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val stride = chunkTokens - overlap
     val meta = docs.columns.filter(c => c != "doc_id" && c != "text").toSeq
@@ -50,7 +57,11 @@ object Chunking {
           .stripMargin)).as(Seq("chunk_idx", "c")): _*)
       .select(Seq(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"),
-        col("c.n_tokens").cast("long").as("n_tokens")) ++ meta.map(col): _*)
+        bpeMerges.fold(col("c.n_tokens").cast("long")) { ms =>
+          Bpe.bpeTokenCount(
+            expr("regexp_extract_all(c.chunk_text, '\\\\S+', 0)"), ms)
+            .cast("long")
+        }.as("n_tokens")) ++ meta.map(col): _*)
   }
 
   def chunkDocsSql(chunkTokens: Int = 64, overlap: Int = 8): String = {

@@ -89,6 +89,45 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq("low", "est</w>"))
   }
 
+  test("sennrichMerges IS the trainer's output on the paper corpus") {
+    // the pinned constant exists so the DuckDB twin can replay the
+    // merges as literals; this equality is what keeps it a TRAINED
+    // artifact rather than an arbitrary list
+    val docs = Seq((0L, Bpe.sennrichText)).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs, nMerges = 8)
+    assert(merges.map(m => (m.left, m.right)) == Bpe.sennrichMerges)
+  }
+
+  test("encode counts BPE tokens per doc under the pinned vocab") {
+    // hand-derived under sennrichMerges: low → [low,</w>] (2),
+    // lower → [low,e,r,</w>] (4), newest → [newest</w>] (1),
+    // widest → [w,i,d,est</w>] (4); empty doc → 0
+    val docs = Seq(
+      (0L, "low lower"), (1L, "newest widest newest"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 6L, 1L -> 6L, 2L -> 0L))
+  }
+
+  test("chunkDocs bpeMerges flag reports BPE-accurate n_tokens, same chunks") {
+    val docs = Seq((0L, Seq.fill(6)("newest low").mkString(" ")))
+      .toDF("doc_id", "text") // 12 words
+    val ws = graft.text.Chunking.chunkDocs(docs, chunkTokens = 8, overlap = 2)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    val bpe = graft.text.Chunking.chunkDocs(docs, chunkTokens = 8, overlap = 2,
+        bpeMerges = Some(Bpe.sennrichMerges))
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    // identical chunk boundaries and text — only the count upgrades
+    assert(ws.map(c => (c._1, c._2, c._3)).toSeq ==
+      bpe.map(c => (c._1, c._2, c._3)).toSeq)
+    // newest → 1 token, low → 2 tokens under the pinned vocab; each
+    // 8-word chunk alternates newest/low → 4·1 + 4·2 = 12
+    assert(ws.head._4 == 8 && bpe.head._4 == 12,
+      s"ws=${ws.head._4} bpe=${bpe.head._4}")
+  }
+
   test("topPairs is deterministically ranked with pair tiebreak") {
     val top = Bpe.topPairs(corpus, k = 3)
       .as[(String, String, Long, Int)].collect().toSeq
