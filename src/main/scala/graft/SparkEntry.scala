@@ -111,6 +111,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.plantedPhashPairs(Tables.documents(s, dir))),
     "q_bpe_encode" -> ((s, dir) => // apply the trained merge list (tokenize)
       graft.text.Bpe.encode(Tables.documents(s, dir))),
+    "q_approx_bounds" -> ((s, dir) => // sketch error bounds vs exact twins
+      ApproxBounds.bounds(Tables.events(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
     "q_ann_recall" -> ((s, dir) => // measured recall@k of all 7 ANN search variants
@@ -614,6 +616,7 @@ object SparkEntry {
       "q_mixture" -> graft.operators.Sampling.mixtureSampleSql(),
       "q_bpe_pairs" -> graft.text.Bpe.topPairsSql(),
       "q_bpe_encode" -> graft.text.Bpe.encodeSql(),
+      "q_approx_bounds" -> ApproxBounds.boundsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->
         """SELECT o_custkey, o_orderkey, o_totalprice FROM (
