@@ -30,12 +30,20 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     spread(docs).select(col("doc_id"), md5(normalize(col("text"))).as("fingerprint"))
 
-  /** Token / character / punctuation / stopword counts. */
-  def tokenStats(docs: DataFrame): DataFrame =
+  /** Token / character / punctuation / stopword counts. `bpeMerges`:
+    * when set, n_tokens upgrades from the whitespace count to the
+    * BPE token count under that trained merge list (the same map-side
+    * [[Bpe.bpeTokenCount]] expression [[Chunking.chunkDocs]]'s flag
+    * plugs in — still zero shuffles). */
+  def tokenStats(docs: DataFrame,
+                 bpeMerges: Option[Seq[(String, String)]] = None): DataFrame =
     spread(docs).select(
       col("doc_id"),
       length(col("text")).as("n_chars_calc"),
-      regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
+      bpeMerges.fold(regexp_count(col("text"), lit("\\S+"))) { ms =>
+        Bpe.bpeTokenCount(
+          expr("regexp_extract_all(text, '\\\\S+', 0)"), ms).cast("int")
+      }.as("n_tokens"),
       regexp_count(col("text"), lit("[.,!?;:]")).as("n_punct"),
       regexp_count(col("text"), lit("\\b(the|a)\\b")).as("n_stopwords"))
 

@@ -128,6 +128,15 @@ class BpeSpec extends AnyFunSuite {
       s"ws=${ws.head._4} bpe=${bpe.head._4}")
   }
 
+  test("tokenStats bpeMerges flag upgrades n_tokens, other columns unchanged") {
+    val docs = Seq((0L, "low lower")).toDF("doc_id", "text")
+    val ws = graft.text.TextAnalysis.tokenStats(docs)
+      .select("n_tokens", "n_chars_calc").as[(Int, Int)].head()
+    val bpe = graft.text.TextAnalysis.tokenStats(docs, Some(Bpe.sennrichMerges))
+      .select("n_tokens", "n_chars_calc").as[(Int, Int)].head()
+    assert(ws == ((2, 9)) && bpe == ((6, 9)), s"ws=$ws bpe=$bpe")
+  }
+
   test("topPairs is deterministically ranked with pair tiebreak") {
     val top = Bpe.topPairs(corpus, k = 3)
       .as[(String, String, Long, Int)].collect().toSeq
