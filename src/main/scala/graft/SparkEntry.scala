@@ -348,6 +348,10 @@ object SparkEntry {
     // Okapi BM25 lexical retrieval (the ANN family's hybrid companion)
     "q_bm25" -> ((s, dir) =>
       graft.text.CorpusStats.bm25(Tables.documents(s, dir))),
+    // hybrid retrieval: RRF fusion of the BM25 + cosine towers
+    "q_hybrid_search" -> ((s, dir) =>
+      graft.text.Hybrid.rrfSearch(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // chunk-level BM25: retrieve over the context-window chunks the
     // trainer consumes (the RAG read path: chunk -> index -> retrieve)
     "q_chunk_search" -> ((s, dir) =>
@@ -376,9 +380,15 @@ object SparkEntry {
     // --- relational: anti join ---
     "q_idle_customers" -> ((s, dir) =>
       Relational.idleCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // record linkage: blocked fuzzy join, bounded edit distance
+    "q_entity_match" -> ((s, dir) =>
+      Linkage.bestFuzzyMatch(Tables.part(s, dir))),
     // --- training-set assembly: packing + curriculum buckets ---
     "q_pack_shards" -> ((s, dir) =>
       Packing.packShards(Tables.documents(s, dir))),
+    "q_pack_bpe" -> ((s, dir) => // pack on BPE tokens (context-length budget)
+      Packing.packShards(Tables.documents(s, dir), tokenBudget = 256L,
+        bpeMerges = Some(graft.text.Bpe.sennrichMerges))),
     "q_quality_buckets" -> ((s, dir) =>
       Packing.qualityBuckets(Tables.documents(s, dir))),
     // --- hopping windows + anomaly scoring ---
@@ -538,6 +548,7 @@ object SparkEntry {
       "q_corpus_mix" -> graft.text.CorpusStats.corpusMixSql,
       "q_lang_confusion" -> graft.text.CorpusStats.langConfusionSql,
       "q_bm25" -> graft.text.CorpusStats.bm25Sql(),
+      "q_hybrid_search" -> graft.text.Hybrid.rrfSearchSql(),
       "q_chunk_search" -> graft.text.CorpusStats.bm25UnitsSql(
         graft.text.Chunking.chunkDocsSql(), "chunk_text",
         Seq("doc_id", "chunk_idx"),
@@ -550,7 +561,9 @@ object SparkEntry {
       "q_dup_clusters" -> graft.dedup.Clusters.dupClustersSql(),
       "q_profile" -> Profiler.profileEventsSql,
       "q_idle_customers" -> Relational.idleCustomersSql(),
+      "q_entity_match" -> Linkage.bestFuzzyMatchSql(),
       "q_pack_shards" -> Packing.packShardsSql(),
+      "q_pack_bpe" -> Packing.packShardsBpeSql(tokenBudget = 256L),
       "q_quality_buckets" -> Packing.qualityBucketsSql(),
       "q_hopping" -> Windows.hoppingCountsSql(),
       "q_anomalies" -> Windows.dailyAnomaliesSql,

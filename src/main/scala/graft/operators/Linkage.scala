@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution) as a blocked fuzzy join: each
+  * record's best fuzzy match under a bounded edit distance, candidates
+  * restricted to a shared blocking key — the classic dedup/linkage
+  * shape for catalogs, user records, and scraped-entity tables.
+  *
+  * Scale shape: the ONLY corpus-wide shuffle is the equi-join on the
+  * blocking key — never all-pairs. Within a block the pair set is
+  * |block|², so the block key is the scale lever (here the head noun of
+  * the name; at web scale a q-gram/soundex/LSH key, with multiple
+  * blocking passes unioned for recall — each pass is this same plan).
+  * The edit distance is threshold-bounded (Spark's 3-arg `levenshtein`
+  * early-exits at `maxDist` — O(maxDist·len) banded DP instead of
+  * O(len²), returning -1 past the bound), so a block of far-apart
+  * strings costs the band, not the full matrix. Skewed blocks are
+  * AQE's skew-join case; the best-match window sorts within the
+  * record's candidate partition only.
+  */
+object Linkage {
+
+  /** Best fuzzy match per record: block on `blockExpr`, keep pairs with
+    * non-identical names within `maxDist` edits, pick the (dist,
+    * match_key)-minimal candidate. Exact-identical names are exact
+    * dedup's job ([[graft.dedup.Dedup.exactDedup]]) and are excluded,
+    * so every emitted edge is a genuine fuzzy link. */
+  def bestFuzzyMatch(records: DataFrame, idCol: String = "p_partkey",
+                     nameCol: String = "p_name", maxDist: Int = 3,
+                     blockExpr: Column => Column =
+                       c => regexp_extract(c, "(\\S+)$", 1)): DataFrame = {
+    val base = graft.Tables.spread(records)
+      .select(col(idCol), col(nameCol), blockExpr(col(nameCol)).as("block"))
+    val cand = base.join(
+        base.select(col("block"), col(idCol).as("match_key"),
+          col(nameCol).as("match_name")),
+        Seq("block"))
+      .filter(col("match_key") =!= col(idCol) &&
+        col("match_name") =!= col(nameCol))
+      .select(col(idCol), col(nameCol), col("match_key"), col("match_name"),
+        levenshtein(col(nameCol), col("match_name"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // -1 = early-exited past the bound
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist"), col("match_key"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col(nameCol), col("match_key"), col("match_name"),
+        col("dist").cast("int").as("dist"))
+  }
+
+  /** DuckDB twin of [[bestFuzzyMatch]] over the part table (DuckDB's
+    * `levenshtein` is unbounded, so the twin filters post-hoc — same
+    * result set, the bound is a Spark-side efficiency). */
+  def bestFuzzyMatchSql(maxDist: Int = 3): String =
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_name,
+       |         regexp_extract(p_name, '(\\S+)$$', 1) AS block
+       |  FROM part),
+       |cand AS (
+       |  SELECT a.p_partkey, a.p_name,
+       |         b.p_partkey AS match_key, b.p_name AS match_name,
+       |         levenshtein(a.p_name, b.p_name) AS dist
+       |  FROM p a JOIN p b ON a.block = b.block
+       |  WHERE b.p_partkey <> a.p_partkey AND b.p_name <> a.p_name
+       |    AND levenshtein(a.p_name, b.p_name) <= $maxDist),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+       |                               ORDER BY dist, match_key) AS rn
+       |  FROM cand)
+       |SELECT p_partkey, p_name, match_key, match_name,
+       |       CAST(dist AS INT) AS dist
+       |FROM best WHERE rn = 1""".stripMargin
+}

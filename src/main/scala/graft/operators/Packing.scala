@@ -20,10 +20,20 @@ object Packing {
     * "concatenate the stream, cut every budget tokens" packing.
     * Scale: the window sorts WITHIN shard partitions only (one hash
     * shuffle on shard, no global sort); nShards scales with the
-    * cluster, budget is the model's context length. */
+    * cluster, budget is the model's context length.
+    *
+    * `bpeMerges`: when set, the running count packs BPE tokens under
+    * that trained merge list ([[graft.text.Bpe.bpeTokenCount]], a pure
+    * map-side fold — the budget then means model tokens, not
+    * whitespace words, which is what a context-length budget actually
+    * is). Same plan: the expression rides the existing shard shuffle. */
   def packShards(docs: DataFrame, nShards: Int = 8,
-                 tokenBudget: Long = 2048L): DataFrame = {
-    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
+                 tokenBudget: Long = 2048L,
+                 bpeMerges: Option[Seq[(String, String)]] = None): DataFrame = {
+    val nTokens = bpeMerges.fold(regexp_count(col("text"), lit("\\S+"))) { ms =>
+      graft.text.Bpe.bpeTokenCount(
+        expr("regexp_extract_all(text, '\\\\S+', 0)"), ms)
+    }.cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     graft.Tables.spread(docs)
@@ -39,6 +49,22 @@ object Packing {
        |  SELECT doc_id, doc_id % $nShards AS shard,
        |         len(regexp_extract_all(text, '\\S+')) AS n_tokens
        |  FROM documents)
+       |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+       |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |              AND 1 PRECEDING), 0) // $tokenBudget AS BIGINT) AS chunk
+       |FROM t""".stripMargin
+
+  /** DuckDB twin of [[packShards]] with `bpeMerges` set: the per-doc
+    * BPE count comes from [[graft.text.Bpe.encodeSql]]'s merge replay,
+    * embedded as a subquery, with the identical packing window on top. */
+  def packShardsBpeSql(nShards: Int = 8, tokenBudget: Long = 2048L,
+                       merges: Seq[(String, String)] =
+                         graft.text.Bpe.sennrichMerges): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |         n_bpe_tokens AS n_tokens
+       |  FROM (${graft.text.Bpe.encodeSql(merges)}))
        |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
        |       CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
        |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING

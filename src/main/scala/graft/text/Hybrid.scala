@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ann.Similarity
+
+/** Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and a
+  * dense (cosine-ANN) candidate list — the standard two-tower read
+  * path of a RAG / curation stack, run query-by-example: a seed
+  * document queries the corpus with its own rarest tokens (sparse
+  * tower) and its own embedding (dense tower), and RRF
+  * (Cormack et al., SIGIR'09: score = Σ_lists 1/(K + rank)) fuses the
+  * two rankings without any score calibration between them.
+  *
+  * Scale shape: both towers end in per-query top-nCand lists — the
+  * fusion join touches ≤ 2·|Q|·nCand rows total, never the corpus. The
+  * sparse tower prunes the corpus token stream to the ≤ |Q|·mTerms
+  * broadcast query vocabulary BEFORE its one shuffle (the (doc, token)
+  * aggregate); the dense tower is the [[Similarity.knnBrute]] shape
+  * (broadcast queries, map-side scores, partial top-k) whose 100 TB
+  * variant swaps in the IVF/PQ candidate generators — RRF only needs
+  * ranks, so any tower upgrade slots in unchanged. Query-term
+  * selection ranks by integer document frequency (df asc ≡ idf desc),
+  * keeping the tie order engine-exact.
+  */
+object Hybrid {
+
+  /** RRF-fused top-k per example doc (doc_id < qMaxId, embeddings
+    * aligned by vec_id = doc_id). `bm25_rk` / `cos_rk` are the
+    * per-tower ranks (null when outside that tower's top-nCand); the
+    * self-match is excluded from both towers. */
+  def rrfSearch(docs: DataFrame, embs: DataFrame, qMaxId: Long = 10,
+                mTerms: Int = 8, nCand: Int = 50, rrfK: Int = 60,
+                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // ---- sparse tower: BM25 with the seed doc's rarest tokens
+    val wArr = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    val toks = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(
+        transform(array(wArr), arr =>
+          transform(arr, t => struct(t.as("token"), size(arr).as("dl"))))
+          .getItem(0)).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"), col("p.dl").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(wArr)) / count(lit(1))).as("avgdl"))
+    val dfAll = toks.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df"), col("token"))
+    val qtoks = toks.filter(col("doc_id") < qMaxId)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+      .join(dfAll, "token")
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= mTerms)
+      .select(col("query_id"), col("token"), col("df"))
+    val tf = toks
+      .join(broadcast(qtoks.select("token").distinct()), "token")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val bm = tf.join(broadcast(qtoks), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats)) // 1-row stats: the sanctioned tiny side
+      .select(col("query_id"), col("doc_id"),
+        (idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("query_id", "doc_id").agg(round(sum(col("s")), 4).as("score"))
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val bmList = bm.withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= nCand)
+      .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
+    // ---- dense tower: knnBrute shape over the aligned embeddings
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val queries = corpus.filter(col("vec_id") < qMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    val cosList = broadcast(queries)
+      .join(corpus, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(Similarity.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(wc)).filter(col("rk") <= nCand)
+      .select(col("query_id"), col("doc_id"), col("rk").as("cos_rk"))
+    // ---- RRF fusion: ≤ 2 contributions/doc — order-independent sum
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    bmList.join(cosList, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("cos_rk")), lit(0.0)), 6)
+          .as("rrf_score"),
+        col("bm25_rk").cast("int").as("bm25_rk"),
+        col("cos_rk").cast("int").as("cos_rk"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[rrfSearch]] (composes the bm25 and knnBrute CTE
+    * shapes; score arithmetic mirrors the Spark expression tree
+    * term-for-term — the established cross-engine FP contract). */
+  def rrfSearchSql(qMaxId: Long = 10, mTerms: Int = 8, nCand: Int = 50,
+                   rrfK: Int = 60, k: Int = 10, k1: Double = 1.2,
+                   b: Double = 0.75): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token,
+       |         len(regexp_extract_all(text, '\\S+')) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+       |           / count(*) AS avgdl
+       |  FROM documents),
+       |df_all AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+       |qtoks AS (
+       |  SELECT query_id, token, df FROM (
+       |    SELECT t.doc_id AS query_id, t.token, d.df,
+       |           row_number() OVER (PARTITION BY t.doc_id
+       |                              ORDER BY d.df, t.token) AS rn
+       |    FROM (SELECT DISTINCT doc_id, token FROM toks
+       |          WHERE doc_id < $qMaxId) t
+       |    JOIN df_all d USING (token))
+       |  WHERE rn <= $mTerms),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+       |  FROM toks WHERE token IN (SELECT token FROM qtoks)
+       |  GROUP BY doc_id, token),
+       |bm AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         round(sum(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+       |               * (tf.tf * ${k1 + 1})
+       |               / (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl / s.avgdl))), 4)
+       |           AS score
+       |  FROM tf JOIN qtoks q USING (token) CROSS JOIN stats s
+       |  WHERE tf.doc_id <> q.query_id
+       |  GROUP BY q.query_id, tf.doc_id),
+       |bml AS (
+       |  SELECT query_id, doc_id, rk AS bm25_rk FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY score DESC, doc_id) AS rk
+       |    FROM bm) WHERE rk <= $nCand),
+       |cos AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |         round(list_dot_product(q.embedding, c.embedding) /
+       |               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+       |                sqrt(list_dot_product(c.embedding, c.embedding))), 4)
+       |           AS cos_sim
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $qMaxId),
+       |cosl AS (
+       |  SELECT query_id, doc_id, rk AS cos_rk FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, doc_id) AS rk
+       |    FROM cos) WHERE rk <= $nCand),
+       |fused AS (
+       |  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+       |         coalesce(b.doc_id, c.doc_id) AS doc_id,
+       |         round(coalesce(1.0 / ($rrfK + b.bm25_rk), 0) +
+       |               coalesce(1.0 / ($rrfK + c.cos_rk), 0), 6) AS rrf_score,
+       |         b.bm25_rk, c.cos_rk
+       |  FROM bml b FULL OUTER JOIN cosl c
+       |    ON b.query_id = c.query_id AND b.doc_id = c.doc_id)
+       |SELECT query_id, doc_id, rrf_score,
+       |       CAST(bm25_rk AS INT) AS bm25_rk, CAST(cos_rk AS INT) AS cos_rk,
+       |       CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY rrf_score DESC, doc_id)
+       |             AS rank
+       |      FROM fused)
+       |WHERE rank <= $k""".stripMargin
+}
