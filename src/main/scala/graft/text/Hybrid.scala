@@ -86,16 +86,20 @@ object Hybrid {
           (col("q_nrm") * col("nrm")), 4).as("cos_sim"))
       .withColumn("rk", row_number().over(wc)).filter(col("rk") <= nCand)
       .select(col("query_id"), col("doc_id"), col("rk").as("cos_rk"))
-    // ---- RRF fusion: ≤ 2 contributions/doc — order-independent sum
+    // ---- RRF fusion as union + groupBy: no join node at all (a full
+    // outer can't broadcast), ≤ 2 contributions/doc — the sum of two
+    // doubles is order-independent, and the shape generalizes to any
+    // number of towers
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_score").desc, col("doc_id"))
-    bmList.join(cosList, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        round(coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rk")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("cos_rk")), lit(0.0)), 6)
-          .as("rrf_score"),
-        col("bm25_rk").cast("int").as("bm25_rk"),
-        col("cos_rk").cast("int").as("cos_rk"))
+    bmList.select(col("query_id"), col("doc_id"), col("bm25_rk").as("rk"),
+        lit(true).as("is_bm"))
+      .unionByName(cosList.select(col("query_id"), col("doc_id"),
+        col("cos_rk").as("rk"), lit(false).as("is_bm")))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rk"))), 6).as("rrf_score"),
+        max(when(col("is_bm"), col("rk"))).cast("int").as("bm25_rk"),
+        max(when(!col("is_bm"), col("rk"))).cast("int").as("cos_rk"))
       .withColumn("rank", row_number().over(wf))
       .filter(col("rank") <= k)
   }
@@ -160,13 +164,14 @@ object Hybrid {
        |                              ORDER BY cos_sim DESC, doc_id) AS rk
        |    FROM cos) WHERE rk <= $nCand),
        |fused AS (
-       |  SELECT coalesce(b.query_id, c.query_id) AS query_id,
-       |         coalesce(b.doc_id, c.doc_id) AS doc_id,
-       |         round(coalesce(1.0 / ($rrfK + b.bm25_rk), 0) +
-       |               coalesce(1.0 / ($rrfK + c.cos_rk), 0), 6) AS rrf_score,
-       |         b.bm25_rk, c.cos_rk
-       |  FROM bml b FULL OUTER JOIN cosl c
-       |    ON b.query_id = c.query_id AND b.doc_id = c.doc_id)
+       |  SELECT query_id, doc_id,
+       |         round(sum(1.0 / ($rrfK + rk)), 6) AS rrf_score,
+       |         max(CASE WHEN is_bm THEN rk END) AS bm25_rk,
+       |         max(CASE WHEN NOT is_bm THEN rk END) AS cos_rk
+       |  FROM (SELECT query_id, doc_id, bm25_rk AS rk, true AS is_bm FROM bml
+       |        UNION ALL
+       |        SELECT query_id, doc_id, cos_rk AS rk, false AS is_bm FROM cosl)
+       |  GROUP BY query_id, doc_id)
        |SELECT query_id, doc_id, rrf_score,
        |       CAST(bm25_rk AS INT) AS bm25_rk, CAST(cos_rk AS INT) AS cos_rk,
        |       CAST(rank AS INT) AS rank

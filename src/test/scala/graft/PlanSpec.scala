@@ -256,4 +256,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"keep_n not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
+
+  test("hybrid RRF: query vocab broadcasts into the token stream, " +
+       "fusion never touches the corpus") {
+    val plan = planOf(graft.text.Hybrid.rrfSearch(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf)))
+    // the tf prune join and the scoring join must both be broadcasts —
+    // a SMJ there would shuffle the corpus token stream on `token`
+    assert(plan.contains("BroadcastHashJoin"), s"query vocab not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ in towers:\n$plan")
+    // dense tower keeps the knnBrute broadcast-NLJ-on-queries shape;
+    // the only nested loops allowed are the broadcast query side and
+    // the 1-row stats crossJoin
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n$plan")
+  }
+
+  test("linkage: one shuffle on the block key, threshold levenshtein in plan") {
+    val plan = planOf(graft.operators.Linkage.bestFuzzyMatch(
+      Tables.part(spark, sf)))
+    // blocked self-join: equi-join on block (either side), and the
+    // bounded 3-arg levenshtein (with its -1 sentinel filter) survives
+    // to the physical plan — the banded-DP early exit is the scale win
+    assert(plan.contains("levenshtein"), s"levenshtein not in plan:\n$plan")
+    assert(plan.contains("3)") || plan.contains(", 3"),
+      s"threshold form lost:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+  }
 }
