@@ -352,6 +352,10 @@ object SparkEntry {
     "q_hybrid_search" -> ((s, dir) =>
       graft.text.Hybrid.rrfSearch(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // incremental sparse index: build base + append shard, search sees
+    // the union — oracle is the BATCH bm25 (incremental ≡ batch, exact)
+    "q_incr_bm25" -> ((s, dir) =>
+      graft.text.SparseIndex.incrBm25(Tables.documents(s, dir))),
     // chunk-level BM25: retrieve over the context-window chunks the
     // trainer consumes (the RAG read path: chunk -> index -> retrieve)
     "q_chunk_search" -> ((s, dir) =>
@@ -549,6 +553,7 @@ object SparkEntry {
       "q_lang_confusion" -> graft.text.CorpusStats.langConfusionSql,
       "q_bm25" -> graft.text.CorpusStats.bm25Sql(),
       "q_hybrid_search" -> graft.text.Hybrid.rrfSearchSql(),
+      "q_incr_bm25" -> graft.text.CorpusStats.bm25Sql(),
       "q_chunk_search" -> graft.text.CorpusStats.bm25UnitsSql(
         graft.text.Chunking.chunkDocsSql(), "chunk_text",
         Seq("doc_id", "chunk_idx"),

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental sparse (BM25) index maintenance — the lexical-tower
+  * analog of [[graft.ann.IncrementalIndex]]: new documents arrive (a
+  * shard, or a streaming micro-batch), ONLY the shard is tokenized,
+  * and the index state grows by algebraic merge. Searches immediately
+  * see old+new documents.
+  *
+  * Where the dense index freezes its trained artifacts (codebook /
+  * centroids), the sparse index needs no freeze at all: every piece of
+  * BM25 state is a monoid — postings append, document-frequency tables
+  * merge by per-token sum, corpus stats (N, Σdl) merge by sum — so
+  * incremental maintenance is EXACT, not approximate. q_incr_bm25
+  * pins that claim: its oracle is the plain full-corpus
+  * [[CorpusStats.bm25Sql]], and the split-build-append-search result
+  * must hash-match it.
+  *
+  * Scale shape: an append tokenizes the arriving shard only (the base
+  * postings/df/stats are materialized artifacts — re-reads, not
+  * re-derivations; SparseIndexSpec asserts the EXECUTED append plan
+  * holds exactly one tokenization subtree). The df merge touches
+  * vocab-sized tables, the stats merge one row. Search reads postings
+  * pre-filtered to the ≤|Q| broadcast query vocabulary — the only
+  * corpus-wide state it touches is the posting rows for the query
+  * terms, exactly an inverted-index probe.
+  */
+object SparseIndex {
+
+  /** Append-only searchable state: postings (doc, token, tf, dl),
+    * per-token document frequencies, and 1-row corpus stats. */
+  final case class Index(postings: DataFrame, df: DataFrame, stats: DataFrame)
+
+  /** One tokenization: (doc_id, token, tf, dl) with the doc length
+    * lambda-bound onto the exploded rows (the [[CorpusStats.bm25Units]]
+    * trick — no second scan for dl). */
+  private def tokenize(docs: DataFrame): DataFrame = {
+    val wArr = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(
+        transform(array(wArr), arr =>
+          transform(arr, t => struct(t.as("token"), size(arr).as("dl"))))
+          .getItem(0)).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"), col("p.dl").as("dl"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
+  private def dfOf(postings: DataFrame): DataFrame =
+    postings.groupBy("token").agg(count(lit(1)).as("df"))
+
+  private def statsOf(docs: DataFrame): DataFrame = {
+    val wArr = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    docs.agg(count(lit(1)).as("n_docs"), sum(size(wArr)).as("sum_dl"))
+  }
+
+  /** Index the base corpus. The three state tables are materialized
+    * ([[org.apache.spark.sql.Dataset.localCheckpoint]]) — they ARE the
+    * stored artifacts; appends re-read them rather than re-tokenizing
+    * the base. */
+  def build(base: DataFrame): Index = {
+    val postings = tokenize(base).localCheckpoint()
+    Index(postings, dfOf(postings).localCheckpoint(),
+      statsOf(base).localCheckpoint())
+  }
+
+  /** Append a shard: tokenize the shard only, merge every state table
+    * algebraically (postings union; df per-token sum; stats 1-row
+    * sum). The base corpus is never read. */
+  def append(idx: Index, shard: DataFrame): Index = {
+    val p = tokenize(shard)
+    Index(
+      idx.postings.unionAll(p),
+      idx.df.unionAll(dfOf(p)).groupBy("token")
+        .agg(sum(col("df")).as("df")),
+      idx.stats.unionAll(statsOf(shard))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+  }
+
+  /** BM25 top-k over the index's current state — the
+    * [[CorpusStats.bm25]] scoring tail reading stored postings instead
+    * of re-tokenizing the corpus. Identical arithmetic, identical
+    * output schema: incremental ≡ batch, hash-checked. */
+  def search(idx: Index, queryTerms: Seq[String],
+             k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame = {
+    val tf = idx.postings.filter(col("token").isin(queryTerms: _*))
+    val idf = idx.df.filter(col("token").isin(queryTerms: _*))
+      .crossJoin(broadcast(idx.stats)) // ≤|Q| rows × 1 stats row
+      .select(col("token"),
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0).as("idf"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val wRank = Window.orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(idf), "token")
+      .select(col("doc_id"),
+        (col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(wRank).cast("int"))
+  }
+
+  /** The oracle-checked end-to-end shape (q_incr_bm25): docs below
+    * `splitId` are the originally-indexed base, the rest arrive as a
+    * shard and merge in; the search then sees the full corpus and must
+    * hash-match the batch [[CorpusStats.bm25Sql]] oracle. */
+  def incrBm25(docs: DataFrame, splitId: Long = 250,
+               queryTerms: Seq[String] = Seq("spark", "join", "window", "hash"),
+               k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame = {
+    val idx = build(docs.filter(col("doc_id") < splitId))
+    val grown = append(idx, docs.filter(col("doc_id") >= splitId))
+    search(grown, queryTerms, k1, b, k)
+  }
+}

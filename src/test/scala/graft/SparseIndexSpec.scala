@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{CorpusStats, SparseIndex}
+
+/** Incremental BM25 index: build + append must be EXACTLY the batch
+  * index (every piece of BM25 state is a monoid), and the executed
+  * append plan must tokenize only the arriving shard. */
+class SparseIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def corpus: org.apache.spark.sql.DataFrame = Seq(
+    (0L, "spark join window hash spark"),
+    (1L, "join join filler window"),
+    (2L, "hash hash hash spark window join"),
+    (3L, "unrelated words only here"),
+    (4L, "spark window"),
+    (5L, "hash join spark")).toDF("doc_id", "text")
+
+  test("incremental build+append ≡ batch bm25, row for row") {
+    val incr = SparseIndex.incrBm25(corpus, splitId = 3)
+      .as[(Long, Double, Int)].collect().toSeq
+    val batch = CorpusStats.bm25(corpus)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(incr == batch && incr.nonEmpty, s"incr=$incr batch=$batch")
+  }
+
+  test("merged df and stats equal batch-derived values") {
+    val idx = SparseIndex.append(
+      SparseIndex.build(corpus.filter($"doc_id" < 3)),
+      corpus.filter($"doc_id" >= 3))
+    val df = idx.df.as[(String, Long)].collect().toMap
+    assert(df("spark") == 4L && df("join") == 4L && df("hash") == 3L &&
+      df("window") == 4L && df("unrelated") == 1L, df.toString)
+    val st = idx.stats.as[(Long, Long)].head()
+    assert(st == ((6L, 5L + 4L + 6L + 4L + 2L + 3L)), st.toString)
+  }
+
+  test("executed append plan tokenizes the shard only") {
+    val idx = SparseIndex.build(corpus.filter($"doc_id" < 3))
+    val grown = SparseIndex.append(idx, corpus.filter($"doc_id" >= 3))
+    grown.postings.queryExecution.toRdd.count() // EXECUTED, not planned
+    // AQE prints Final + Initial plans; gate the FINAL one only
+    val plan = grown.postings.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // base postings re-read from the checkpoint artifact…
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"base not read from artifact:\n$plan")
+    // …so exactly one tokenization subtree (the shard's) may appear
+    val gens = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(gens == 1, s"expected 1 tokenization, got $gens:\n$plan")
+  }
+}
