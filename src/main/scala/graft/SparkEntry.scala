@@ -89,6 +89,8 @@ object SparkEntry {
       graft.ann.Similarity.knnBrute(Tables.embeddings(s, dir))),
     "q_embed_dedup" -> ((s, dir) =>
       graft.ann.Similarity.blockedDedup(Tables.embeddings(s, dir))),
+    "q_hard_negatives" -> ((s, dir) => // nearest wrong-label = contrastive negatives
+      graft.ann.Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "q_lsh_knn" -> ((s, dir) => // approximate recall, but deterministic → oracle-checked
       graft.ann.Similarity.lshKnn(Tables.embeddings(s, dir))),
     "q_quantize" -> ((s, dir) => // int8 codes: scalarized digest, oracle-checked
@@ -356,6 +358,11 @@ object SparkEntry {
     // the union — oracle is the BATCH bm25 (incremental ≡ batch, exact)
     "q_incr_bm25" -> ((s, dir) =>
       graft.text.SparseIndex.incrBm25(Tables.documents(s, dir))),
+    // CM-sketch join-size estimation gate (planner-side sketch use)
+    "q_joinsize_bounds" -> ((s, dir) =>
+      JoinEstimate.starJoinBounds(Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
     // chunk-level BM25: retrieve over the context-window chunks the
     // trainer consumes (the RAG read path: chunk -> index -> retrieve)
     "q_chunk_search" -> ((s, dir) =>
@@ -545,6 +552,7 @@ object SparkEntry {
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
+      "q_hard_negatives" -> graft.ann.Similarity.hardNegativesSql(),
       "q_embed_dedup" -> graft.ann.Similarity.blockedDedupSql(),
       "q_doc_freq" -> graft.text.CorpusStats.docFreqSql,
       "q_tfidf_top" -> graft.text.CorpusStats.tfidfTopSql(),
@@ -554,6 +562,7 @@ object SparkEntry {
       "q_bm25" -> graft.text.CorpusStats.bm25Sql(),
       "q_hybrid_search" -> graft.text.Hybrid.rrfSearchSql(),
       "q_incr_bm25" -> graft.text.CorpusStats.bm25Sql(),
+      "q_joinsize_bounds" -> JoinEstimate.starJoinBoundsSql,
       "q_chunk_search" -> graft.text.CorpusStats.bm25UnitsSql(
         graft.text.Chunking.chunkDocsSql(), "chunk_text",
         Seq("doc_id", "chunk_idx"),

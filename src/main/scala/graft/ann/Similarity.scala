@@ -76,6 +76,47 @@ object Similarity {
        |       CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector, the top-k nearest vectors with a DIFFERENT label — the
+    * nearest wrong-cluster items are exactly the hardest negatives a
+    * contrastive trainer wants (easy negatives teach nothing). Same
+    * broadcast-queries/map-side-score/partial-top-k shape as
+    * [[knnBrute]]; at scale the corpus side swaps in the IVF/PQ
+    * candidate generators and the label filter rides the shortlist. */
+  def hardNegatives(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
+    val corpus = embs.select(col("label"), col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val queries = corpus.filter(col("vec_id") < queryMaxId)
+      .select(col("label").as("q_label"), col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id"))
+    broadcast(queries)
+      .join(corpus, col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def hardNegativesSql(queryMaxId: Long = 10, k: Int = 5): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+       |         round(list_dot_product(q.embedding, c.embedding) /
+       |               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+       |                sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos_sim
+       |  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+       |  WHERE q.vec_id < $queryMaxId),
+       |ranked AS (
+       |  SELECT query_id, neg_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, neg_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, neg_id, cos_sim,
+       |       CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
   /** Blocked embedding near-dup pairs: candidates restricted to the same
     * block key (here `label` — at scale, an LSH bucket or IVF cell), then
     * exact cosine filter. The block join shuffles both sides on the key

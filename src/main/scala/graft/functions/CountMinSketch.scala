@@ -85,6 +85,26 @@ object CMS {
 
   def rowHashes(v: Any, dt: DataType): Array[Long] =
     Array.tabulate(D)(r => XxHash64Function.hash(v, dt, 1000003L * (r + 1)))
+
+  /** Inner-product estimate min_r Σ_w a[r][w]·b[r][w] — the CM
+    * join-size estimate (Cormode–Muthukrishnan §4.2): for the
+    * key-frequency sketches of two relations this estimates |A ⋈ B|.
+    * Deterministically ≥ the true size (collisions only add); the
+    * overcount is the collision mass, ≈ ‖a‖₁·‖b‖₁/W per row before
+    * the min. */
+  def innerProduct(a: Array[Byte], b: Array[Byte]): Long = {
+    checkLen(a); checkLen(b)
+    var mn = Long.MaxValue
+    var r = 0
+    while (r < D) {
+      var s = 0L
+      var c = 0
+      while (c < W) { s += get(a, r, c) * get(b, r, c); c += 1 }
+      if (s < mn) mn = s
+      r += 1
+    }
+    mn
+  }
 }
 
 /** `cm_sketch(col)`: values → CM sketch bytes. */
@@ -155,6 +175,17 @@ case class CmEstimate(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** `cm_inner(sk_a, sk_b)`: join-size / inner-product estimate (≥ true). */
+case class CmInnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cm_inner"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CMS.innerProduct(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object CmsFunctions {
   def cm_sketch(c: Column): Column =
     GraftColumnBridge.toColumn(
@@ -165,4 +196,7 @@ object CmsFunctions {
   def cm_estimate(sketch: Column, item: Column): Column =
     GraftColumnBridge.toColumn(CmEstimate(
       GraftColumnBridge.toExpr(sketch), GraftColumnBridge.toExpr(item)))
+  def cm_inner(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(CmInnerProduct(
+      GraftColumnBridge.toExpr(a), GraftColumnBridge.toExpr(b)))
 }

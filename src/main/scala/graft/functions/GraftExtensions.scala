@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmEstimate].getName, "cm_estimate"),
       (children: Seq[Expression]) => CmEstimate(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("cm_inner"),
+      new ExpressionInfo(classOf[CmInnerProduct].getName, "cm_inner"),
+      (children: Seq[Expression]) => CmInnerProduct(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("q_sketch"),
       new ExpressionInfo(classOf[QSketchAgg].getName, "q_sketch"),
       (children: Seq[Expression]) =>
@@ -123,6 +127,7 @@ object GraftExtensions {
     registerFunction(spark, "cm_merge",
       c => CmMergeAgg(c.head).toAggregateExpression())
     registerFunction(spark, "cm_estimate", c => CmEstimate(c(0), c(1)))
+    registerFunction(spark, "cm_inner", c => CmInnerProduct(c(0), c(1)))
     registerFunction(spark, "hll_sketch",
       c => HllSketchAgg(c.head).toAggregateExpression())
     registerFunction(spark, "hll_merge",

@@ -47,6 +47,31 @@ class CmsSpec extends AnyFunSuite {
     assert(hot == truth)
   }
 
+  test("cm_inner: join-size estimate exact at low load, >= always") {
+    // a: {x:2, y:1}, b: {x:1, y:2, z:1} → |a ⋈ b| = 2·1 + 1·2 = 4
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "y", "y", "z").toDF("k")
+    val est = graft.operators.JoinEstimate.estimateJoinSize(a, "k", b, "k")
+      .as[Long].head()
+    assert(est == 4L, s"est=$est") // 5 distinct keys in 1024 cols: no collision
+    // self inner product = F2 (second frequency moment): 2² + 1² = 5
+    val f2 = graft.operators.JoinEstimate.estimateJoinSize(a, "k", a, "k")
+      .as[Long].head()
+    assert(f2 == 5L, s"f2=$f2")
+  }
+
+  test("hardNegatives: same-label neighbors excluded, nearest wrong-label first") {
+    val embs = Seq(
+      (0L, Array(1f, 0f), 0),   // query
+      (1L, Array(1f, 0.01f), 0), // same label: excluded however close
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val out = graft.ann.Similarity.hardNegatives(embs, queryMaxId = 1)
+      .select("query_id", "neg_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(out == Seq((0L, 2L, 1), (0L, 3L, 2)), out.toString)
+  }
+
   test("SQL registration: cm_sketch/cm_estimate callable from spark.sql") {
     Tables.registerViews(spark, sf)
     val n = spark.sql(
