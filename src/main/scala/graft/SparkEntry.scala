@@ -207,6 +207,10 @@ object SparkEntry {
     // event-type mix drift between early/late halves of the time range
     "q_drift" -> ((s, dir) =>
       graft.operators.Drift.eventTypeDrift(Tables.events(s, dir))),
+    // Population Stability Index over the same half-split (the
+    // model-monitoring standard: <0.1 stable, >0.25 action)
+    "q_psi_drift" -> ((s, dir) =>
+      graft.operators.Drift.psiDrift(Tables.events(s, dir))),
     // exact two-sample KS distance of `value` between the halves
     "q_ks_drift" -> ((s, dir) =>
       graft.operators.Drift.ksDrift(Tables.events(s, dir))),
@@ -632,6 +636,7 @@ object SparkEntry {
       "q_ts_similar" -> graft.operators.TimeSeries.similarActivitySql(),
       "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),
       "q_drift" -> graft.operators.Drift.eventTypeDriftSql,
+      "q_psi_drift" -> graft.operators.Drift.psiDriftSql,
       "q_ks_drift" -> graft.operators.Drift.ksDriftSql,
       "q_ks_binned" -> graft.operators.Drift.ksDriftBinnedSql(),
       "q_shared_spans" -> graft.text.TextAnalysis.sharedSpansSql(),

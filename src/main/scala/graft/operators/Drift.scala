@@ -323,6 +323,39 @@ object Drift {
 
   /** DuckDB twin: epoch_ms ↔ unix_millis, `//` ↔ `div`, same nullif
     * guard; HUGEINT sums cast back to BIGINT for schema parity. */
+  /** Population Stability Index over the categorical event mix — the
+    * industry-standard drift score the model-monitoring world reports
+    * (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25 action): per
+    * category, (p_late − p_early)·ln(p_late/p_early), summed. Built on
+    * [[eventTypeDrift]]'s integer-ppm half-split table, so every ln
+    * input is an engine-exact integer; zero shares clamp to 1 ppm (the
+    * standard ε guard — a vanished category contributes a large finite
+    * score, not ±∞). Post-aggregate arithmetic over #categories rows —
+    * nothing here touches the corpus a second time. */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val pe = greatest(col("ppm_early"), lit(1L)).cast("double")
+    val pl = greatest(col("ppm_late"), lit(1L)).cast("double")
+    val contrib = ((col("ppm_late") - col("ppm_early")) / lit(1e6)) * log(pl / pe)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    eventTypeDrift(events)
+      .select(col("event_type"), col("ppm_early"), col("ppm_late"),
+        round(contrib, 6).as("psi_contrib"))
+      .withColumn("psi_total", round(sum(round(contrib, 6)).over(w), 4))
+  }
+
+  def psiDriftSql: String =
+    s"""WITH etd AS (${eventTypeDriftSql}),
+       |c AS (
+       |  SELECT event_type, ppm_early, ppm_late,
+       |         ((ppm_late - ppm_early) / 1e6) *
+       |           ln(CAST(greatest(ppm_late, 1) AS DOUBLE) /
+       |              CAST(greatest(ppm_early, 1) AS DOUBLE)) AS contrib
+       |  FROM etd)
+       |SELECT event_type, ppm_early, ppm_late,
+       |       round(contrib, 6) AS psi_contrib,
+       |       round(sum(round(contrib, 6)) OVER (), 4) AS psi_total
+       |FROM c""".stripMargin
+
   def eventTypeDriftSql: String =
     s"""WITH b AS (
        |  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events),

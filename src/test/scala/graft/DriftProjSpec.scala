@@ -13,6 +13,26 @@ class DriftProjSpec extends AnyFunSuite {
     rows.toDF("ms", "event_type")
       .select(timestamp_millis(col("ms")).as("ts"), col("event_type"))
 
+  test("psi: symmetric 3:1 swap scores 2·0.5·ln3, zero shares clamp") {
+    // early a,a,a,b | late a,b,b,b → each contributes 0.5·ln3=0.549306
+    val d = Drift.psiDrift(events(
+      (0L, "a"), (1L, "a"), (2L, "a"), (3L, "b"),
+      (999997L, "a"), (999998L, "b"), (999999L, "b"), (1000000L, "b")))
+      .orderBy("event_type")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(d == Seq(
+      ("a", 750000L, 250000L, 0.549306, 1.0986),
+      ("b", 250000L, 750000L, 0.549306, 1.0986)), d.toString)
+    // a category that vanishes entirely: ppm clamps to 1, finite score
+    val v = Drift.psiDrift(events(
+      (0L, "a"), (1L, "b"), (999999L, "a"), (1000000L, "a")))
+      .filter($"event_type" === "b")
+      .as[(String, Long, Long, Double, Double)].head()
+    // contrib = (0−500000)/1e6 · ln(1/500000) = 0.5·ln(5e5) ≈ 6.561182
+    assert(v._2 == 500000L && v._3 == 0L &&
+      math.abs(v._4 - 6.561182) < 1e-6, v.toString)
+  }
+
   test("drift: rates shift fully between halves") {
     // min=1000 max=9000 → mid=5000; A all early, B all late
     val d = Drift.eventTypeDrift(events(

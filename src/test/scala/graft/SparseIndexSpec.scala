@@ -37,6 +37,34 @@ class SparseIndexSpec extends AnyFunSuite {
     assert(st == ((6L, 5L + 4L + 6L + 4L + 2L + 3L)), st.toString)
   }
 
+  test("streaming micro-batches append through foreachBatch; search ≡ batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    var idx = SparseIndex.build(corpus.filter($"doc_id" < 2))
+    val arriving = corpus.filter($"doc_id" >= 2)
+      .as[(Long, String)].collect()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // each micro-batch merges in; checkpoint = the index-store write
+        val g = SparseIndex.append(idx, batch)
+        idx = SparseIndex.Index(g.postings.localCheckpoint(),
+          g.df.localCheckpoint(), g.stats.localCheckpoint())
+      }
+      .start()
+    try {
+      val (b1, b2) = arriving.splitAt(2)
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val incr = SparseIndex.search(idx, Seq("spark", "join", "window", "hash"))
+      .as[(Long, Double, Int)].collect().toSeq
+    val batch = CorpusStats.bm25(corpus).as[(Long, Double, Int)].collect().toSeq
+    assert(incr == batch && incr.nonEmpty, s"incr=$incr batch=$batch")
+  }
+
   test("executed append plan tokenizes the shard only") {
     val idx = SparseIndex.build(corpus.filter($"doc_id" < 3))
     val grown = SparseIndex.append(idx, corpus.filter($"doc_id" >= 3))
