@@ -80,6 +80,9 @@ object SparkEntry {
       graft.dedup.Dedup.simhash(Tables.documents(s, dir))),
     "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
       graft.dedup.Dedup.lineDedup(Tables.documents(s, dir))),
+    // Lee et al. ExactSubstr: cut repeated k-gram spans, keep the rest
+    "q_span_scrub" -> ((s, dir) =>
+      graft.dedup.SpanScrub.spanScrub(Tables.documents(s, dir))),
     "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
       // k pinned to the oracle's spelled-out case; production default
       // derives k from corpus size (KMeans.autoK)
@@ -554,6 +557,7 @@ object SparkEntry {
       "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
+      "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_hard_negatives" -> graft.ann.Similarity.hardNegativesSql(),

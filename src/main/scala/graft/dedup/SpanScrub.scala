@@ -1,0 +1,142 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Span-level surgical deduplication (the Lee et al. 2022
+  * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+  * operation, re-expressed relationally): instead of dropping whole
+  * near-duplicate documents, excise every character span whose k-gram
+  * already occurred earlier in the corpus — the FIRST occurrence (by
+  * (doc_id, position)) keeps its text, every later occurrence is cut,
+  * including self-repeats within one document. Whole-doc dedup
+  * ([[Dedup]]) removes redundant documents; this removes the redundant
+  * BYTES the whole-doc pass can't see (boilerplate headers, quoted
+  * replies, licence blocks) while keeping the surrounding novel text.
+  *
+  * Relational plan instead of the paper's suffix array: one
+  * per-position k-gram explode (the [[graft.text.TextAnalysis.winnowReference]]
+  * shape), a first-occurrence window over the gram key, overlapping cut
+  * ranges merged per doc by gaps-and-islands, and the survivor text
+  * rebuilt from the complement slices. Scale: the explode is O(total
+  * chars) rows and its ONE shuffle partitions by gram — at 100 TB the
+  * gram key becomes the 63-bit rolling hash ([[graft.functions.TextFunctions.winnow_fps]]
+  * family) so the exchange carries 8-byte keys, ubiquitous grams are
+  * df-capped exactly like [[graft.text.TextAnalysis.sharedSpans]]
+  * boilerplate, and everything downstream of the explode is
+  * island-count-sized (kB per doc). The oracle build keeps the exact
+  * substring key: collision-free by construction, and DuckDB replays
+  * it verbatim.
+  */
+object SpanScrub {
+
+  /** (doc_id, n_cut_spans, cut_chars, text_clean) for every document;
+    * untouched docs pass through with 0 cuts. */
+  def spanScrub(docs: DataFrame, k: Int = 40): DataFrame = {
+    val base = graft.Tables.spread(docs).select(col("doc_id"), col("text"))
+    // per-position grams; docs shorter than k produce none
+    val grams = base
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - ${k - 1})")).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substr(text, i, $k)").as("gram"))
+    // global first occurrence keeps; every later one is a cut range
+    val wG = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
+    val cuts = grams
+      .withColumn("rn", row_number().over(wG)).filter(col("rn") > 1)
+      .select(col("doc_id"), col("i").as("s"),
+        (col("i") + (k - 1)).as("e"))
+    // merge overlapping/adjacent ranges per doc (gaps-and-islands)
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val wRun = wD.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = cuts
+      .withColumn("pm", coalesce(max(col("e")).over(wRun), lit(0L)))
+      .withColumn("new_isl", when(col("s") > col("pm") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("new_isl")).over(
+        wD.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    // complement slices: before each island, plus the tail after the last
+    val withText = islands.join(base, "doc_id")
+    val mids = withText
+      .withColumn("pe", coalesce(lag(col("e"), 1).over(wD), lit(0L)))
+      .select(col("doc_id"), col("s"),
+        expr("substr(text, cast(pe + 1 as int), cast(s - pe - 1 as int))").as("piece"))
+    val tails = withText.groupBy(col("doc_id")).agg(max(col("e")).as("le"))
+      .join(base, "doc_id")
+      .select(col("doc_id"), (length(col("text")) + 1).cast("long").as("s"),
+        expr("substr(text, cast(le + 1 as int))").as("piece"))
+    val rebuilt = mids.unionByName(tails)
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("s"), col("piece")))),
+        p => p.getField("piece"))).as("text_clean"))
+    val stats = islands.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_cut_spans"),
+        sum(col("e") - col("s") + 1).as("cut_chars"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cut_spans"), lit(0)).as("n_cut_spans"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
+        coalesce(col("text_clean"), col("text")).as("text_clean"))
+  }
+
+  def spanScrubSql(k: Int = 40): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i, substring(text, i, $k) AS gram
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, length(text) - ${k - 1})) AS i
+       |        FROM documents WHERE length(text) >= $k)),
+       |cuts AS (
+       |  SELECT doc_id, i AS s, i + ${k - 1} AS e
+       |  FROM (SELECT doc_id, i,
+       |          row_number() OVER (PARTITION BY gram
+       |                             ORDER BY doc_id, i) AS rn
+       |        FROM grams)
+       |  WHERE rn > 1),
+       |marked AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+       |                ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+       |                AND 1 PRECEDING), 0) + 1
+       |              THEN 1 ELSE 0 END AS new_isl
+       |  FROM cuts),
+       |islands AS (
+       |  SELECT doc_id, grp, min(s) AS s, max(e) AS e
+       |  FROM (SELECT doc_id, s, e,
+       |          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+       |            ROWS UNBOUNDED PRECEDING) AS grp
+       |        FROM marked)
+       |  GROUP BY doc_id, grp),
+       |mids AS (
+       |  SELECT i.doc_id, i.s,
+       |         substring(d.text, CAST(coalesce(lag(i.e) OVER (
+       |             PARTITION BY i.doc_id ORDER BY i.s), 0) + 1 AS INT),
+       |           CAST(i.s - coalesce(lag(i.e) OVER (
+       |             PARTITION BY i.doc_id ORDER BY i.s), 0) - 1 AS INT)) AS piece
+       |  FROM islands i JOIN documents d ON d.doc_id = i.doc_id),
+       |tails AS (
+       |  SELECT t.doc_id, length(d.text) + 1 AS s,
+       |         substring(d.text, CAST(t.le + 1 AS INT)) AS piece
+       |  FROM (SELECT doc_id, max(e) AS le FROM islands GROUP BY doc_id) t
+       |  JOIN documents d ON d.doc_id = t.doc_id),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(piece, '' ORDER BY s) AS text_clean
+       |  FROM (SELECT * FROM mids UNION ALL SELECT * FROM tails)
+       |  GROUP BY doc_id),
+       |stats AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_cut_spans,
+       |         CAST(sum(e - s + 1) AS BIGINT) AS cut_chars
+       |  FROM islands GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(st.n_cut_spans, 0) AS n_cut_spans,
+       |       CAST(coalesce(st.cut_chars, 0) AS BIGINT) AS cut_chars,
+       |       coalesce(r.text_clean, d.text) AS text_clean
+       |FROM documents d
+       |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+       |LEFT JOIN stats st ON st.doc_id = d.doc_id""".stripMargin
+}
