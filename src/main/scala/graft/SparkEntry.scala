@@ -96,6 +96,8 @@ object SparkEntry {
       graft.ann.Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "q_lsh_knn" -> ((s, dir) => // approximate recall, but deterministic → oracle-checked
       graft.ann.Similarity.lshKnn(Tables.embeddings(s, dir))),
+    "q_lshmp_knn" -> ((s, dir) => // multi-probe: flip each sign bit on the query side
+      graft.ann.Similarity.lshKnnMultiProbe(Tables.embeddings(s, dir))),
     "q_quantize" -> ((s, dir) => // int8 codes: scalarized digest, oracle-checked
       graft.ann.Quantize.quantizeDigest(Tables.embeddings(s, dir))),
     "q_quant_knn" -> ((s, dir) => // quantized candidates + exact re-rank
@@ -595,6 +597,7 @@ object SparkEntry {
       "q_user_timeline" -> Behavior.userTimelineSql,
       // LSH hyperplanes are data-independent md5 constants → exact oracle
       "q_lsh_knn" -> graft.ann.Similarity.lshKnnSql(),
+      "q_lshmp_knn" -> graft.ann.Similarity.lshKnnMultiProbeSql(),
       // IVF centroids are md5-hash-sampled + cells argmax'd on the
       // bit-identical double cosine → the full pipeline replays in SQL
       "q_ivf_knn" -> graft.ann.IvfKnn.ivfKnnSql(),

@@ -20,7 +20,7 @@ class AnnRecallSpec extends AnyFunSuite {
       .toMap
     info(s"recall@5: $got")
     assert(got.keySet ==
-      Set("ivf", "ivfpq", "ivfpq_adc", "lsh", "pq", "pq_adc", "quant"))
+      Set("ivf", "ivfpq", "ivfpq_adc", "lsh", "lsh_mp", "pq", "pq_adc", "quant"))
     // floors: measured at sf0.01 (quant 1.0, ivf 0.56, lsh 0.38,
     // pq 0.30) minus a safety notch — a refactor that degrades an
     // index below its floor fails here before the judge sees it.
@@ -34,6 +34,13 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(got("quant") >= 0.9, s"quant recall ${got("quant")}")
     assert(got("ivf") >= 0.5, s"ivf recall ${got("ivf")}")
     assert(got("lsh") >= 0.3, s"lsh recall ${got("lsh")}")
+    // multi-probe (Hamming-1 bucket flips on the query side only)
+    // recovers the one-plane-wrong misses: measured 0.96 vs lsh's
+    // 0.38 on the SAME index — it must stay strictly above lsh's
+    // ceiling, not just above a floor
+    assert(got("lsh_mp") >= 0.8, s"lsh_mp recall ${got("lsh_mp")}")
+    assert(got("lsh_mp") > got("lsh"), s"multi-probe ${got("lsh_mp")} " +
+      s"should beat single-probe ${got("lsh")}")
     assert(got("pq") >= 0.25, s"pq recall ${got("pq")}")
     // ivfpq (probe → PQ shortlist → exact re-rank, measured 0.54)
     // recovers nearly all of ivf's recall while reading only codes
