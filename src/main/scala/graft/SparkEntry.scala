@@ -122,8 +122,10 @@ object SparkEntry {
       ApproxBounds.bounds(Tables.events(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
       graft.ann.IvfKnn.ivfKnn(Tables.embeddings(s, dir))),
-    "q_ann_recall" -> ((s, dir) => // measured recall@k of all 7 ANN search variants
+    "q_ann_recall" -> ((s, dir) => // measured recall@k of all 8 ANN search variants
       graft.ann.Similarity.annRecall(Tables.embeddings(s, dir))),
+    "q_ivf_curve" -> ((s, dir) => // recall-vs-nprobe tuning curve, 1.0 anchor
+      graft.ann.IvfKnn.recallCurve(Tables.embeddings(s, dir))),
     // --- relational / joins over the star schema ---
     "q_revenue_nation" -> ((s, dir) =>
       Relational.revenueByNation(Tables.lineitem(s, dir),
@@ -601,6 +603,7 @@ object SparkEntry {
       // IVF centroids are md5-hash-sampled + cells argmax'd on the
       // bit-identical double cosine → the full pipeline replays in SQL
       "q_ivf_knn" -> graft.ann.IvfKnn.ivfKnnSql(),
+      "q_ivf_curve" -> graft.ann.IvfKnn.recallCurveSql(),
       "q_ann_recall" -> graft.ann.Similarity.annRecallSql(),
       "q_quantize" -> graft.ann.Quantize.quantizeDigestSql,
       "q_quant_knn" -> graft.ann.Quantize.quantKnnSql(),

@@ -102,6 +102,55 @@ object IvfKnn {
     * same property [[Similarity.lshKnnSql]] relies on for hyperplane
     * signs), ties broken by cell index, matching the stable sortBy in
     * [[rankedCells]]. */
+  /** Recall-vs-nprobe tuning curve: the same index searched at each
+    * probe width, measured against the exact brute baseline — the
+    * evidence behind "nprobe is the recall/cost knob". At
+    * nprobe = kCells the probe set is every cell and recall must hit
+    * 1.0 (the curve's built-in sanity anchor, spec-gated); production
+    * picks the smallest nprobe meeting its recall SLO, and shares one
+    * trained index across the sweep via the [[IncrementalIndex]]
+    * artifacts (here each point re-derives the md5-seeded centroid
+    * pick — cheap by construction, and it keeps every point the exact
+    * query the standalone q_ivf_knn oracle pins). */
+  def recallCurve(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5,
+                  kCells: Int = 16,
+                  probes: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit, round}
+    val brute = graft.ann.Similarity.knnBrute(embs, queryMaxId, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val possible = brute.agg(count(lit(1)).as("n_possible"))
+    probes.map { np =>
+      ivfKnn(embs, queryMaxId, k, kCells, np)
+        .select(col("query_id"), col("vec_id"))
+        .join(broadcast(brute), Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(possible))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_possible"), 4))
+  }
+
+  def recallCurveSql(queryMaxId: Long = 10, k: Int = 5, kCells: Int = 16,
+                     probes: Seq[Int] = Seq(2, 4, 8, 16)): String = {
+    val cte = probes.map(np =>
+      s"m_np$np AS (\n${ivfKnnSql(queryMaxId, k, kCells, np)}\n)").mkString(",\n")
+    val rows = probes.map(np =>
+      s"""SELECT $np AS nprobe, count(*) AS n_hits FROM m_np$np a
+         |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id"""
+        .stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH brute AS (
+       |${graft.ann.Similarity.knnBruteSql(queryMaxId, k)}
+       |),
+       |$cte,
+       |hits AS (
+       |  $rows),
+       |poss AS (SELECT count(*) AS n_possible FROM brute)
+       |SELECT CAST(nprobe AS INT) AS nprobe, n_hits, n_possible,
+       |       round(CAST(n_hits AS DOUBLE) / n_possible, 4) AS recall
+       |FROM hits CROSS JOIN poss""".stripMargin
+  }
+
   def ivfKnnSql(queryMaxId: Long = 10, k: Int = 5,
                 kCells: Int = 16, nprobe: Int = 4): String = {
     def cosSql(a: String, b: String) =

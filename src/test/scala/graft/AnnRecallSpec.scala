@@ -13,6 +13,18 @@ class AnnRecallSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("ivf recall curve is monotone in nprobe and anchors at 1.0") {
+    val curve = graft.ann.IvfKnn.recallCurve(Tables.embeddings(spark, sf))
+      .collect()
+      .map(r => r.getAs[Int]("nprobe") -> r.getAs[Double]("recall"))
+      .sortBy(_._1)
+    info(s"recall vs nprobe: ${curve.toSeq}")
+    assert(curve.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
+      s"non-monotone: ${curve.toSeq}")
+    // probing every cell IS the exhaustive search: exact by definition
+    assert(curve.last == ((16, 1.0)), s"anchor: ${curve.last}")
+  }
+
   test("every approximate index clears its recall@5 floor") {
     val got = Similarity.annRecall(Tables.embeddings(spark, sf))
       .collect()
