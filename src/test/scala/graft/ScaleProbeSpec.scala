@@ -123,4 +123,41 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(!ranPlan(drift).contains("CartesianProduct"),
       "windowMixDrift: cartesian product at 10× scale")
   }
+
+  test("span scrub at scale: planted copies cut, originals intact, no BNLJ",
+      ScaleProbe) {
+    // 5k docs (~5M gram positions); ids ≡ 1 (mod 10) share their
+    // predecessor's full body → the copy must lose most of its bytes,
+    // the predecessor (global first occurrence) must keep ALL of its
+    val sub = docs10x.filter($"doc_id" < 5000).localCheckpoint()
+    val out = graft.dedup.SpanScrub.spanScrub(sub)
+    val plan = ranPlan(out)
+    assertShapes(plan, "spanScrub")
+    val cut = out.filter($"doc_id" % 10 === 1)
+      .agg(avg(length($"text_clean")), count(lit(1))).head()
+    val kept = out.filter($"doc_id" % 10 === 0)
+      .join(sub, "doc_id")
+      .filter($"text_clean" =!= $"text").count()
+    assert(cut.getLong(1) == 500L && cut.getDouble(0) < 200.0,
+      s"copies should lose ~everything: $cut")
+    assert(kept == 0L, s"$kept first-occurrence docs were damaged")
+  }
+
+  test("linkage at scale: distance work on the name vocab, records never shuffle",
+      ScaleProbe) {
+    // 100k records share 100 distinct names in 5 blocks: the pair join
+    // must be vocab-sized and reach records as a broadcast probe
+    val recs = spark.range(100000).select(
+      col("id").as("p_partkey"),
+      concat(expr("concat('adj', CAST(id % 17 AS STRING))"), lit(" "),
+        expr("element_at(array('bolt','gear','ring','anvil','gizmo'), CAST(id % 5 AS INT) + 1)"))
+        .as("p_name")).localCheckpoint()
+    val out = graft.operators.Linkage.bestFuzzyMatch(recs)
+    val plan = ranPlan(out)
+    assertShapes(plan, "linkage")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-name best should broadcast back to records:\n${plan.take(4000)}")
+    // every record whose name has a ≤3-edit neighbor links; key-min tiebreak
+    assert(out.count() > 0L)
+  }
 }
