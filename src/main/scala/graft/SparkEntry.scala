@@ -83,6 +83,9 @@ object SparkEntry {
     // Lee et al. ExactSubstr: cut repeated k-gram spans, keep the rest
     "q_span_scrub" -> ((s, dir) =>
       graft.dedup.SpanScrub.spanScrub(Tables.documents(s, dir))),
+    // FineWeb ordering: scrub repeated bytes FIRST, then score/gate/dedup
+    "q_curate_scrub" -> ((s, dir) =>
+      graft.text.Curate.curateScrubbed(Tables.documents(s, dir))),
     "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
       // k pinned to the oracle's spelled-out case; production default
       // derives k from corpus size (KMeans.autoK)
@@ -562,6 +565,7 @@ object SparkEntry {
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),
+      "q_curate_scrub" -> graft.text.Curate.curateScrubbedSql(),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_hard_negatives" -> graft.ann.Similarity.hardNegativesSql(),

@@ -85,12 +85,12 @@ object SpanScrub {
         coalesce(col("text_clean"), col("text")).as("text_clean"))
   }
 
-  def spanScrubSql(k: Int = 40): String =
+  def spanScrubSql(k: Int = 40, source: String = "documents"): String =
     s"""WITH grams AS (
        |  SELECT doc_id, i, substring(text, i, $k) AS gram
        |  FROM (SELECT doc_id, text,
        |          unnest(generate_series(1, length(text) - ${k - 1})) AS i
-       |        FROM documents WHERE length(text) >= $k)),
+       |        FROM $source WHERE length(text) >= $k)),
        |cuts AS (
        |  SELECT doc_id, i AS s, i + ${k - 1} AS e
        |  FROM (SELECT doc_id, i,
@@ -118,12 +118,12 @@ object SpanScrub {
        |             PARTITION BY i.doc_id ORDER BY i.s), 0) + 1 AS INT),
        |           CAST(i.s - coalesce(lag(i.e) OVER (
        |             PARTITION BY i.doc_id ORDER BY i.s), 0) - 1 AS INT)) AS piece
-       |  FROM islands i JOIN documents d ON d.doc_id = i.doc_id),
+       |  FROM islands i JOIN $source d ON d.doc_id = i.doc_id),
        |tails AS (
        |  SELECT t.doc_id, length(d.text) + 1 AS s,
        |         substring(d.text, CAST(t.le + 1 AS INT)) AS piece
        |  FROM (SELECT doc_id, max(e) AS le FROM islands GROUP BY doc_id) t
-       |  JOIN documents d ON d.doc_id = t.doc_id),
+       |  JOIN $source d ON d.doc_id = t.doc_id),
        |rebuilt AS (
        |  SELECT doc_id, string_agg(piece, '' ORDER BY s) AS text_clean
        |  FROM (SELECT * FROM mids UNION ALL SELECT * FROM tails)
@@ -136,7 +136,7 @@ object SpanScrub {
        |       coalesce(st.n_cut_spans, 0) AS n_cut_spans,
        |       CAST(coalesce(st.cut_chars, 0) AS BIGINT) AS cut_chars,
        |       coalesce(r.text_clean, d.text) AS text_clean
-       |FROM documents d
+       |FROM $source d
        |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
        |LEFT JOIN stats st ON st.doc_id = d.doc_id""".stripMargin
 }

@@ -74,14 +74,15 @@ object Curate {
     * n_chars) — so composites ([[TrainingData.prepareSql]]) can chain
     * their own stages onto the survivors, mirroring [[curateDocs]]. */
   def curateCtes(minQualityPm: Long = 600,
-                 langs: Seq[String] = Seq("en", "de")): String = {
+                 langs: Seq[String] = Seq("en", "de"),
+                 source: String = "main.documents"): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
     s"""gated AS (
        |  SELECT * FROM (
        |    SELECT doc_id, text, n_chars,
        |           ${TextAnalysis.qualityPmSql} AS quality_pm,
        |           ${TextAnalysis.langPredSql} AS lang_pred
-       |    FROM main.documents)
+       |    FROM $source)
        |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
        |documents AS (
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
@@ -97,5 +98,32 @@ object Curate {
   def curateSql(minQualityPm: Long = 600,
                 langs: Seq[String] = Seq("en", "de")): String =
     s"""WITH ${curateCtes(minQualityPm, langs)}
+       |SELECT doc_id, lang_pred, quality_pm, n_chars FROM kept""".stripMargin
+
+  /** Curation with span-level surgical dedup as stage 0: the corpus is
+    * [[graft.dedup.SpanScrub.spanScrub]]-cleaned FIRST (repeated-byte
+    * removal), then scored/gated/deduped on the CLEANED text — the
+    * FineWeb ordering, where boilerplate removal precedes quality
+    * scoring so that boilerplate neither inflates nor masks a page's
+    * quality signal. n_chars is recomputed from the cleaned text.
+    * Same plan downstream; the scrub stage's one gram shuffle happens
+    * before the gate (it must: the gate reads cleaned text). */
+  def curateScrubbed(docs: DataFrame, minQualityPm: Long = 600,
+                     langs: Seq[String] = Seq("en", "de")): DataFrame =
+    curate(graft.dedup.SpanScrub.spanScrub(docs)
+      .select(col("doc_id"), col("text_clean").as("text"),
+        length(col("text_clean")).cast("long").as("n_chars")),
+      minQualityPm, langs)
+
+  def curateScrubbedSql(minQualityPm: Long = 600,
+                        langs: Seq[String] = Seq("en", "de")): String =
+    s"""WITH scrub AS (
+       |${graft.dedup.SpanScrub.spanScrubSql(source = "main.documents")}
+       |),
+       |scrubbed AS (
+       |  SELECT doc_id, text_clean AS text,
+       |         CAST(length(text_clean) AS BIGINT) AS n_chars
+       |  FROM scrub),
+       |${curateCtes(minQualityPm, langs, source = "scrubbed")}
        |SELECT doc_id, lang_pred, quality_pm, n_chars FROM kept""".stripMargin
 }

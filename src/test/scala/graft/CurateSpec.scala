@@ -61,4 +61,18 @@ class CurateSpec extends AnyFunSuite {
       assert(r.getAs[String]("lang_pred") == "en")
     }
   }
+
+  test("scrub-first curation: text only shrinks, floor still holds") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curate.curateScrubbed(base).collect()
+    assert(out.nonEmpty)
+    val orig = base.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      // the scrub stage can only remove bytes, never add them
+      assert(r.getAs[Long]("n_chars") <= orig(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} grew after scrubbing")
+      assert(r.getAs[Long]("quality_pm") >= 600L)
+    }
+  }
 }
