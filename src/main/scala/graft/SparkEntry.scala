@@ -221,6 +221,9 @@ object SparkEntry {
     // model-monitoring standard: <0.1 stable, >0.25 action)
     "q_psi_drift" -> ((s, dir) =>
       graft.operators.Drift.psiDrift(Tables.events(s, dir))),
+    // one PSI per window vs its predecessor (the dashboard series)
+    "q_window_psi" -> ((s, dir) =>
+      graft.operators.Drift.windowPsi(Tables.events(s, dir))),
     // exact two-sample KS distance of `value` between the halves
     "q_ks_drift" -> ((s, dir) =>
       graft.operators.Drift.ksDrift(Tables.events(s, dir))),
@@ -651,6 +654,7 @@ object SparkEntry {
       "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),
       "q_drift" -> graft.operators.Drift.eventTypeDriftSql,
       "q_psi_drift" -> graft.operators.Drift.psiDriftSql,
+      "q_window_psi" -> graft.operators.Drift.windowPsiSql(),
       "q_ks_drift" -> graft.operators.Drift.ksDriftSql,
       "q_ks_binned" -> graft.operators.Drift.ksDriftBinnedSql(),
       "q_shared_spans" -> graft.text.TextAnalysis.sharedSpansSql(),

@@ -50,6 +50,19 @@ object IncrementalIndex {
       cells = idx.cells.unionAll(
         IvfKnn.assign(shard, idx.cents).select(col("vec_id"), col("cell"))))
 
+  /** [[append]] under at-least-once delivery: a replayed micro-batch
+    * must not land twice (duplicate code rows double-count a vector in
+    * every search). Already-indexed ids are anti-joined out against
+    * the CELLS table — vec_id-count-sized, the small side of the index
+    * state — before the shard encodes, so a full replay is a no-op
+    * that never reaches the encoder. The streaming-consume twin of
+    * [[graft.streaming.Idempotence.dedupOnRead]], for index state. */
+  def appendIdempotent(idx: Index, shard: DataFrame,
+                       m: Int = Pq.defaultM): Index =
+    append(idx,
+      shard.join(idx.cells.select(col("vec_id")), Seq("vec_id"), "left_anti"),
+      m)
+
   /** IVF probe → PQ shortlist → exact re-rank over the index's current
     * state (old + appended shards). `embs` supplies the query vectors
     * and the re-rank's raw vectors (at scale: point lookups of

@@ -130,6 +130,32 @@ object Drift {
         abs(col("ppm") - col("prev_ppm")).as("drift_ppm"))
   }
 
+  /** Window-over-window PSI: [[psiDrift]]'s score computed per
+    * tumbling window against the previous window, from the SAME dense
+    * count grid [[windowMixDrift]] reads — one number per window for
+    * the monitoring dashboard ("PSI crossed 0.25 at 14:03"), where the
+    * per-type mix table is the drill-down. Post-aggregate arithmetic
+    * over the #windows·#types grid; at scale this reads the stored
+    * metric table ([[MetricsStore.mixDrift]] path), never the stream. */
+  def windowPsi(events: DataFrame, windowMs: Long = 60000L): DataFrame = {
+    val contrib = ((col("ppm") - col("prev_ppm")) / lit(1e6)) *
+      log(greatest(col("ppm"), lit(1L)).cast("double") /
+        greatest(col("prev_ppm"), lit(1L)).cast("double"))
+    windowMixDrift(events, windowMs)
+      .groupBy("window_start_ms")
+      .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+        count(lit(1)).cast("int").as("n_types"))
+  }
+
+  def windowPsiSql(windowMs: Long = 60000L): String =
+    s"""SELECT window_start_ms,
+       |       round(sum(round(((ppm - prev_ppm) / 1e6) *
+       |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
+       |            CAST(greatest(prev_ppm, 1) AS DOUBLE)), 6)), 4) AS psi,
+       |       CAST(count(*) AS INT) AS n_types
+       |FROM (${windowMixDriftSql(windowMs)})
+       |GROUP BY window_start_ms""".stripMargin
+
   /** Threshold gate over a mix-drift table ([[windowMixDrift]] /
     * [[MetricsStore.mixDrift]]) — the operational alerting loop the
     * reference's Prometheus counters imply (ingest counters at

@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
 object SparseIndex {
 
   /** Append-only searchable state: postings (doc, token, tf, dl),
-    * per-token document frequencies, and 1-row corpus stats. */
-  final case class Index(postings: DataFrame, df: DataFrame, stats: DataFrame)
+    * per-token document frequencies, 1-row corpus stats, and the
+    * doc-id inventory (the replay guard's small side — kept as its own
+    * artifact so idempotence never scans the postings table). */
+  final case class Index(postings: DataFrame, df: DataFrame,
+                         stats: DataFrame, docIds: DataFrame)
 
   /** One tokenization: (doc_id, token, tf, dl) with the doc length
     * lambda-bound onto the exploded rows (the [[CorpusStats.bm25Units]]
@@ -64,7 +67,8 @@ object SparseIndex {
   def build(base: DataFrame): Index = {
     val postings = tokenize(base).localCheckpoint()
     Index(postings, dfOf(postings).localCheckpoint(),
-      statsOf(base).localCheckpoint())
+      statsOf(base).localCheckpoint(),
+      base.select(col("doc_id")).localCheckpoint())
   }
 
   /** Append a shard: tokenize the shard only, merge every state table
@@ -77,8 +81,19 @@ object SparseIndex {
       idx.df.unionAll(dfOf(p)).groupBy("token")
         .agg(sum(col("df")).as("df")),
       idx.stats.unionAll(statsOf(shard))
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")),
+      idx.docIds.unionAll(shard.select(col("doc_id"))))
   }
+
+  /** [[append]] under at-least-once delivery: a replayed micro-batch
+    * must not merge twice (postings would double tf, df, N, Σdl — every
+    * score silently inflates). Already-indexed doc ids are anti-joined
+    * out against the doc-id inventory artifact before tokenization; a
+    * full replay is a no-op that never reaches the tokenizer. The
+    * streaming-consume twin of
+    * [[graft.streaming.Idempotence.dedupOnRead]], for index state. */
+  def appendIdempotent(idx: Index, shard: DataFrame): Index =
+    append(idx, shard.join(idx.docIds, Seq("doc_id"), "left_anti"))
 
   /** BM25 top-k over the index's current state — the
     * [[CorpusStats.bm25]] scoring tail reading stored postings instead

@@ -44,6 +44,20 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(grown.cents eq idx.cents)
   }
 
+  test("appendIdempotent: replayed shard is a no-op, new ids still land") {
+    val embs = Tables.embeddings(spark, sf).localCheckpoint()
+    val idx = IncrementalIndex.build(embs.filter($"vec_id" < 100))
+    val shard = embs.filter($"vec_id" >= 100 && $"vec_id" < 150)
+    val once = IncrementalIndex.append(idx, shard)
+    val replayed = IncrementalIndex.appendIdempotent(once, shard)
+    assert(replayed.codes.count() == once.codes.count(),
+      "replayed shard doubled the codes table")
+    assert(replayed.cells.count() == once.cells.count())
+    val fresh = IncrementalIndex.appendIdempotent(once,
+      embs.filter($"vec_id" >= 150 && $"vec_id" < 160))
+    assert(fresh.cells.count() == once.cells.count() + 10)
+  }
+
   test("search after append equals the monolithically-encoded index") {
     val embs = Tables.embeddings(spark, sf)
     val base = embs.filter($"vec_id" < 400)

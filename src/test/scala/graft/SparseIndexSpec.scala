@@ -51,7 +51,8 @@ class SparseIndexSpec extends AnyFunSuite {
         // each micro-batch merges in; checkpoint = the index-store write
         val g = SparseIndex.append(idx, batch)
         idx = SparseIndex.Index(g.postings.localCheckpoint(),
-          g.df.localCheckpoint(), g.stats.localCheckpoint())
+          g.df.localCheckpoint(), g.stats.localCheckpoint(),
+          g.docIds.localCheckpoint())
       }
       .start()
     try {
@@ -63,6 +64,25 @@ class SparseIndexSpec extends AnyFunSuite {
       .as[(Long, Double, Int)].collect().toSeq
     val batch = CorpusStats.bm25(corpus).as[(Long, Double, Int)].collect().toSeq
     assert(incr == batch && incr.nonEmpty, s"incr=$incr batch=$batch")
+  }
+
+  test("appendIdempotent: a replayed shard is a no-op, scores unchanged") {
+    val shard = corpus.filter($"doc_id" >= 3)
+    val once = SparseIndex.append(SparseIndex.build(corpus.filter($"doc_id" < 3)), shard)
+    // replay the SAME shard through the idempotent path
+    val replayed = SparseIndex.appendIdempotent(once, shard)
+    assert(replayed.postings.count() == once.postings.count())
+    assert(replayed.stats.as[(Long, Long)].head() ==
+      once.stats.as[(Long, Long)].head())
+    val a = SparseIndex.search(replayed, Seq("spark", "join", "window", "hash"))
+      .as[(Long, Double, Int)].collect().toSeq
+    val b = SparseIndex.search(once, Seq("spark", "join", "window", "hash"))
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // while a genuinely-new doc still gets through the guard
+    val grown = SparseIndex.appendIdempotent(once,
+      Seq((99L, "spark spark")).toDF("doc_id", "text"))
+    assert(grown.docIds.count() == once.docIds.count() + 1)
   }
 
   test("executed append plan tokenizes the shard only") {
