@@ -200,12 +200,26 @@ object Similarity {
     * broadcasts the (tiny) query band table; candidate dedup and the
     * scoring joins touch candidate rows only, never corpus × queries. */
   def lshKnn(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5,
-             dim: Int = 64, nBands: Int = 12, planesPerBand: Int = 6): DataFrame = {
-    val sig = withLshBandSignatures(embs, dim, nBands, planesPerBand)
+             dim: Int = 64, nBands: Int = 12, planesPerBand: Int = 6): DataFrame =
+    lshSearch(embs, withLshBandSignatures(embs, dim, nBands, planesPerBand),
+      queryMaxId, k, probeBits = 0, planesPerBand)
+
+  /** The shared LSH search tail over a prebuilt signature table —
+    * index once, search with either probing policy ([[annRecall]]
+    * builds ONE signature table for both recall rows). `probeBits`=0
+    * probes only each band's own bucket; >0 additionally probes every
+    * bucket within that Hamming distance (1 = the standard multi-probe,
+    * planesPerBand extra keys per query band). */
+  def lshSearch(embs: DataFrame, sig: DataFrame, queryMaxId: Long, k: Int,
+                probeBits: Int, planesPerBand: Int): DataFrame = {
     val bands = sig.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("band", "bsig")))
+    val probes =
+      if (probeBits == 0) col("bsig")
+      else explode(array(col("bsig") +: (0 until planesPerBand)
+        .map(j => col("bsig").bitwiseXOR(lit(1L << j))): _*))
     val qbands = bands.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("band"), col("bsig"))
+      .select(col("vec_id").as("query_id"), col("band"), probes.as("bsig"))
     // collide per band, then dedup (query, candidate): a pair colliding
     // in several bands is scored once
     val candIds = broadcast(qbands)
@@ -239,33 +253,9 @@ object Similarity {
     * the INDEX instead. */
   def lshKnnMultiProbe(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5,
                        dim: Int = 64, nBands: Int = 12,
-                       planesPerBand: Int = 6): DataFrame = {
-    val sig = withLshBandSignatures(embs, dim, nBands, planesPerBand)
-    val bands = sig.select(col("vec_id"),
-      posexplode(col("sigs")).as(Seq("band", "bsig")))
-    val probes = array(col("bsig") +: (0 until planesPerBand)
-      .map(j => col("bsig").bitwiseXOR(lit(1L << j))): _*)
-    val qbands = bands.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("band"),
-        explode(probes).as("bsig"))
-    val candIds = broadcast(qbands)
-      .join(bands, Seq("band", "bsig"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
-    val corpus = embs.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    val queries = corpus.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    val scored = corpus.join(broadcast(candIds), "vec_id")
-      .join(broadcast(queries), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 4)
-          .as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+                       planesPerBand: Int = 6): DataFrame =
+    lshSearch(embs, withLshBandSignatures(embs, dim, nBands, planesPerBand),
+      queryMaxId, k, probeBits = 1, planesPerBand)
 
   /** DuckDB oracle for [[lshKnnMultiProbe]]: collision = per-band
     * signature Hamming distance ≤ 1 (the theta form — equivalent to
@@ -299,16 +289,18 @@ object Similarity {
     val brute = knnBrute(embs, queryMaxId, k)
       .select(col("query_id"), col("vec_id"))
     val possible = brute.agg(count(lit(1)).as("n_possible"))
-    // the two PQ searches share ONE trained index (codebook + codes) —
-    // identical values, half the training work per recall run
+    // the two PQ searches share ONE trained index (codebook + codes),
+    // and the two LSH rows share ONE signature table — identical
+    // values, half the index-build work per recall run
     val pqCb = Pq.codebooks(embs).localCheckpoint()
     val pqCodes = Pq.encodeWith(embs, pqCb, Pq.defaultM).localCheckpoint()
+    val lshSig = withLshBandSignatures(embs, 64, 12, 6).localCheckpoint()
     Seq(
       "ivf" -> IvfKnn.ivfKnn(embs, queryMaxId, k),
       "ivfpq" -> Pq.ivfPqKnnWith(embs, pqCb, pqCodes, queryMaxId, k),
       "ivfpq_adc" -> Pq.ivfPqKnnAdcWith(embs, pqCb, pqCodes, queryMaxId, k),
-      "lsh" -> lshKnn(embs, queryMaxId, k),
-      "lsh_mp" -> lshKnnMultiProbe(embs, queryMaxId, k),
+      "lsh" -> lshSearch(embs, lshSig, queryMaxId, k, 0, 6),
+      "lsh_mp" -> lshSearch(embs, lshSig, queryMaxId, k, 1, 6),
       "pq" -> Pq.pqKnnWith(embs, pqCb, pqCodes, queryMaxId, k),
       "pq_adc" -> Pq.pqKnnAdcWith(embs, pqCb, pqCodes, queryMaxId, k),
       "quant" -> Quantize.quantKnn(embs, queryMaxId, k))
