@@ -119,6 +119,13 @@ object SparkEntry {
         .toDF()),
     "q_phash_pairs" -> ((s, dir) => // banded near-dup pairs, planted copies
       graft.multimodal.Multimodal.plantedPhashPairs(Tables.documents(s, dir))),
+    // real RIFF/WAVE codec over genuine synthesized PCM bytes
+    "q_audio_meta" -> ((s, dir) =>
+      graft.multimodal.Audio.extractMeta(
+        graft.multimodal.Audio.synthesizeWav(Tables.documents(s, dir))).toDF()),
+    "q_audio_energy" -> ((s, dir) => // per-frame Σ(s−128)² over the PCM tail
+      graft.multimodal.Audio.frameEnergy(
+        graft.multimodal.Audio.synthesizeWav(Tables.documents(s, dir))).toDF()),
     "q_bpe_encode" -> ((s, dir) => // apply the trained merge list (tokenize)
       graft.text.Bpe.encode(Tables.documents(s, dir))),
     "q_approx_bounds" -> ((s, dir) => // sketch error bounds vs exact twins
@@ -619,6 +626,8 @@ object SparkEntry {
       "q_ivfpq_knn" -> graft.ann.Pq.ivfPqKnnSql(),
       "q_incr_index" -> graft.ann.Pq.incrIndexKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
+      "q_audio_meta" -> graft.multimodal.Audio.audioMetaSql,
+      "q_audio_energy" -> graft.multimodal.Audio.frameEnergySql(),
       "q_media_phash" -> graft.multimodal.Multimodal.phashSql,
       "q_phash_pairs" -> graft.multimodal.Multimodal.plantedPhashPairsSql(),
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),

@@ -142,4 +142,31 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val fake4 = Multimodal.FakeCodec.decode(rows(3))
     assert(got(4L) == fake4)
   }
+
+  test("wav codec: synth→parse round-trip, chunk walk, frame energy") {
+    import graft.multimodal.Audio
+    import spark.implicits._
+    val docs = Seq((7L, "abcd")).toDF("doc_id", "text")
+    val wav = Audio.synthesizeWav(docs).collect().head
+    val meta = Audio.decode(wav).get
+    assert(meta == Audio.AudioMeta(7L, 8000, 1, 8, 4L, 0L), meta.toString)
+    // a LIST chunk between fmt and data must not derail the walk
+    val bytes = wav.media
+    val withList = java.nio.ByteBuffer
+      .allocate(bytes.length + 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(bytes, 0, 36) // RIFF..fmt chunk end
+      .put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))
+      .put(bytes, 36, bytes.length - 36).array()
+    assert(Audio.decode(MediaRow(7L, "audio/wav", withList)).contains(meta))
+    // malformed: not RIFF
+    assert(Audio.decode(MediaRow(8L, "audio/wav", "xxxx".getBytes)).isEmpty)
+    // energy: 'a'=97 → d=-31; 4 samples / 4 frames → one sample each
+    val en = Audio.frameEnergy(Audio.synthesizeWav(docs))
+      .collect().sortBy(_.frame).toSeq
+    assert(en == Seq(
+      Audio.FrameEnergy(7L, 0, 1, 31L * 31), Audio.FrameEnergy(7L, 1, 1, 30L * 30),
+      Audio.FrameEnergy(7L, 2, 1, 29L * 29), Audio.FrameEnergy(7L, 3, 1, 28L * 28)),
+      en.toString)
+  }
 }
