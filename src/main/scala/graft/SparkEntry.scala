@@ -81,6 +81,8 @@ object SparkEntry {
     "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
       graft.dedup.Dedup.lineDedup(Tables.documents(s, dir))),
     // Lee et al. ExactSubstr: cut repeated k-gram spans, keep the rest
+    "q_span_scrub_fp" -> ((s, dir) => // 8-byte rolling-hash gram key, parity-pinned
+      graft.dedup.SpanScrub.spanScrubFp(Tables.documents(s, dir))),
     "q_span_scrub" -> ((s, dir) =>
       graft.dedup.SpanScrub.spanScrub(Tables.documents(s, dir))),
     // FineWeb ordering: scrub repeated bytes FIRST, then score/gate/dedup
@@ -123,9 +125,14 @@ object SparkEntry {
     "q_audio_meta" -> ((s, dir) =>
       graft.multimodal.Audio.extractMeta(
         graft.multimodal.Audio.synthesizeWav(Tables.documents(s, dir))).toDF()),
-    "q_audio_energy" -> ((s, dir) => // per-frame Σ(s−128)² over the PCM tail
+    "q_audio_energy" -> ((s, dir) => // per-frame Σ(s−128)² over the PCM payload
       graft.multimodal.Audio.frameEnergy(
         graft.multimodal.Audio.synthesizeWav(Tables.documents(s, dir))).toDF()),
+    "q_audio_fp" -> ((s, dir) => // 63-bit energy-gradient acoustic fingerprint
+      graft.multimodal.Audio.audioFp(
+        graft.multimodal.Audio.synthesizeWav(Tables.documents(s, dir))).toDF()),
+    "q_audio_pairs" -> ((s, dir) => // banded audio near-dups, planted exact copies
+      graft.multimodal.Audio.plantedAudioPairs(Tables.documents(s, dir))),
     "q_bpe_encode" -> ((s, dir) => // apply the trained merge list (tokenize)
       graft.text.Bpe.encode(Tables.documents(s, dir))),
     "q_approx_bounds" -> ((s, dir) => // sketch error bounds vs exact twins
@@ -575,6 +582,9 @@ object SparkEntry {
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),
+      // parity pin: the fp-keyed variant must reproduce the exact-key
+      // result bit-for-bit — a gram-hash collision would mismatch here
+      "q_span_scrub_fp" -> graft.dedup.SpanScrub.spanScrubSql(),
       "q_curate_scrub" -> graft.text.Curate.curateScrubbedSql(),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
@@ -628,6 +638,8 @@ object SparkEntry {
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
       "q_audio_meta" -> graft.multimodal.Audio.audioMetaSql,
       "q_audio_energy" -> graft.multimodal.Audio.frameEnergySql(),
+      "q_audio_fp" -> graft.multimodal.Audio.audioFpSql,
+      "q_audio_pairs" -> graft.multimodal.Audio.plantedAudioPairsSql(),
       "q_media_phash" -> graft.multimodal.Multimodal.phashSql,
       "q_phash_pairs" -> graft.multimodal.Multimodal.plantedPhashPairsSql(),
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),

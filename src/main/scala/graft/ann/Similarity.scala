@@ -212,6 +212,10 @@ object Similarity {
     * planesPerBand extra keys per query band). */
   def lshSearch(embs: DataFrame, sig: DataFrame, queryMaxId: Long, k: Int,
                 probeBits: Int, planesPerBand: Int): DataFrame = {
+    // Only Hamming radius 1 is implemented (single-bit flips); a larger
+    // probeBits would silently degrade to radius 1, so reject it.
+    require(probeBits <= 1,
+      s"probeBits=$probeBits: only Hamming radius 0/1 probing is implemented")
     val bands = sig.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("band", "bsig")))
     val probes =
@@ -267,6 +271,10 @@ object Similarity {
     val orCollide = (0 until nBands).map(b => s"q.b$b = c.b$b").mkString(" OR ")
     val orProbe = (0 until nBands)
       .map(b => s"bit_count(xor(q.b$b, c.b$b)) <= 1").mkString(" OR ")
+    // A silent no-op replace would degrade this oracle to single-probe
+    // and only surface later as a confusing verify mismatch.
+    require(base.contains(orCollide),
+      "collision predicate not found in lshKnnSql — builders drifted apart")
     base.replace(orCollide, orProbe)
   }
 

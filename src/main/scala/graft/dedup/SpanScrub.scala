@@ -20,19 +20,21 @@ import org.apache.spark.sql.functions._
   * shape), a first-occurrence window over the gram key, overlapping cut
   * ranges merged per doc by gaps-and-islands, and the survivor text
   * rebuilt from the complement slices. Scale: the explode is O(total
-  * chars) rows and its ONE shuffle partitions by gram — at 100 TB the
-  * gram key becomes the 63-bit rolling hash ([[graft.functions.TextFunctions.winnow_fps]]
-  * family) so the exchange carries 8-byte keys, ubiquitous grams are
-  * df-capped exactly like [[graft.text.TextAnalysis.sharedSpans]]
-  * boilerplate, and everything downstream of the explode is
-  * island-count-sized (kB per doc). The oracle build keeps the exact
-  * substring key: collision-free by construction, and DuckDB replays
-  * it verbatim.
+  * chars) rows and its ONE shuffle partitions by gram — [[spanScrubFp]]
+  * is the 100 TB variant whose exchange carries the 63-bit
+  * [[graft.functions.GramFps]] rolling hash (8-byte keys instead of
+  * k-char strings), ubiquitous grams are df-capped exactly like
+  * [[graft.text.TextAnalysis.sharedSpans]] boilerplate, and everything
+  * downstream of the explode is island-count-sized (kB per doc). The
+  * oracle keeps the exact substring key: collision-free by
+  * construction, DuckDB replays it verbatim, and the fp variant is
+  * parity-pinned against it (q_span_scrub_fp).
   */
 object SpanScrub {
 
   /** (doc_id, n_cut_spans, cut_chars, text_clean) for every document;
-    * untouched docs pass through with 0 cuts. */
+    * untouched docs pass through with 0 cuts. Gram key = the exact
+    * k-char substring (collision-free; what DuckDB replays verbatim). */
   def spanScrub(docs: DataFrame, k: Int = 40): DataFrame = {
     val base = graft.Tables.spread(docs).select(col("doc_id"), col("text"))
     // per-position grams; docs shorter than k produce none
@@ -43,6 +45,34 @@ object SpanScrub {
         col("text"))
       .select(col("doc_id"), col("i"),
         expr(s"substr(text, i, $k)").as("gram"))
+    scrubByGram(base, grams, k)
+  }
+
+  /** [[spanScrub]] with the promised 100 TB wire shape: the gram key is
+    * the 63-bit [[graft.functions.GramFps]] rolling hash, so the ONE
+    * corpus-scale exchange (hashpartitioning on `gram`) carries 8-byte
+    * Longs instead of k-char strings — ~5× narrower at k = 40. Same
+    * explode volume, same windows, same rebuild; only the key narrows.
+    * Correctness story: q_span_scrub_fp parity-pins this variant against
+    * the exact-substring oracle — a hash collision (p ≈ n²/2⁶² per
+    * corpus) would cut a span the exact key keeps and surface as a hash
+    * mismatch, so "collision-free on this corpus" is a checked fact, not
+    * an assumption. */
+  def spanScrubFp(docs: DataFrame, k: Int = 40): DataFrame = {
+    val base = graft.Tables.spread(docs).select(col("doc_id"), col("text"))
+    val grams = base
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.gram_fps(col("text"), k))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"), col("gram"))
+    scrubByGram(base, grams, k)
+  }
+
+  /** Shared tail: first-occurrence window over the gram key (string or
+    * fingerprint), gaps-and-islands merge, complement-slice rebuild. */
+  private def scrubByGram(base: DataFrame, grams: DataFrame,
+                          k: Int): DataFrame = {
     // global first occurrence keeps; every later one is a cut range
     val wG = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
     val cuts = grams

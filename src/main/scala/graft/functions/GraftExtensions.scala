@@ -96,6 +96,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => WinnowFps(children(0),
         GraftExtensions.intArg(children(1)), GraftExtensions.intArg(children(2)),
         GraftExtensions.longArg(children(3)), GraftExtensions.longArg(children(4)))))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_fps"),
+      new ExpressionInfo(classOf[GramFps].getName, "gram_fps"),
+      (children: Seq[Expression]) =>
+        GramFps(children(0), GraftExtensions.intArg(children(1)))))
     // opt-in approx mode: COUNT(DISTINCT) -> HLL++ under
     // spark.graft.approxDistinct=true (no query-code changes)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
@@ -148,6 +153,8 @@ object GraftExtensions {
     registerFunction(spark, "winnow_fps",
       c => WinnowFps(c(0), intArg(c(1)), intArg(c(2)),
         longArg(c(3)), longArg(c(4))))
+    registerFunction(spark, "gram_fps",
+      c => GramFps(c(0), intArg(c(1))))
     // minhash_sigs(text, n): the dedup family's signature constants
     // are fixed engine-wide, so SQL callers only pick the shingle width
     registerFunction(spark, "minhash_sigs",

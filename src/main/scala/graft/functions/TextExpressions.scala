@@ -139,6 +139,75 @@ case class CharShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-position k-gram rolling-hash fingerprints — the wire-width
+  * companion to [[graft.dedup.SpanScrub]]: one 61-bit fingerprint per
+  * gram position (array index i ⇔ 1-based position i+1), so the span
+  * dedup's ONE gram-key shuffle carries an 8-byte Long instead of the
+  * k-char substring (~5× narrower exchange at k=40). Hash: the
+  * Rabin-Karp polynomial Σ_j cp(c_{i+j})·B^{k−1−j} mod M₆₁
+  * (M₆₁ = 2⁶¹−1, a Mersenne prime — reduction is two shifts, no
+  * division; B = 131), computed incrementally like [[WinnowFps]].
+  * Values stay in [0, 2⁶¹) — positive in every engine's BIGINT, the
+  * established sign-bit discipline. Two distinct grams collide with
+  * p ≈ n²/2⁶² per corpus (~10⁻⁶ at a million grams): the q_span_scrub_fp
+  * oracle parity-pins the fp variant against the exact-substring key,
+  * which is what turns "negligible" into a checked fact.
+  *
+  * Docs shorter than k emit an empty array (the span pipeline filters
+  * them out anyway). Eval-only for the [[WinnowFps]] reason: O(len)
+  * work per row amortizes the interpreted dispatch. */
+case class GramFps(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_fps"
+
+  private val M = (1L << 61) - 1
+  private val B = 131L
+  // B^(k-1) mod M, for the rolling subtraction
+  private val powTop: Long =
+    java.math.BigInteger.valueOf(B).modPow(
+      java.math.BigInteger.valueOf((k - 1).toLong),
+      java.math.BigInteger.valueOf(M)).longValue()
+
+  // (a·b) mod 2⁶¹−1 via 128-bit product: 2⁶⁴ ≡ 2³ and 2⁶¹ ≡ 1
+  @inline private def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & M) + (lo >>> 61) + (hi << 3)
+    r = (r & M) + (r >>> 61)
+    if (r >= M) r - M else r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val len = cps.length
+    if (len < k) return new GenericArrayData(Array.empty[Any])
+    val nPos = len - k + 1
+    val fps = new Array[Any](nPos)
+    var h = 0L
+    var j = 0
+    while (j < k) {
+      h = (mulmod(h, B) + cps(j)) % M
+      j += 1
+    }
+    fps(0) = Long.box(h)
+    var i = 1
+    while (i < nPos) {
+      // roll: drop cp(i-1), shift, add cp(i-1+k)
+      h = (mulmod((h + M - mulmod(cps(i - 1).toLong, powTop)) % M, B)
+        + cps(i - 1 + k)) % M
+      fps(i) = Long.box(h)
+      i += 1
+    }
+    new GenericArrayData(fps)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Whole MinHash signature in ONE pass over the document — replaces
   * the declarative chain (explode one row per character position →
   * substring → two 4-term polynomial hashes → numHashes min-aggregates
@@ -222,6 +291,11 @@ object TextFunctions {
   def char_shingles(text: Column, n: Int): Column =
     GraftColumnBridge.toColumn(CharShingles(
       GraftColumnBridge.toExpr(text), n))
+
+  /** Per-position k-gram rolling-hash fingerprints (see [[GramFps]]). */
+  def gram_fps(text: Column, k: Int): Column =
+    GraftColumnBridge.toColumn(GramFps(
+      GraftColumnBridge.toExpr(text), k))
 
   /** One-pass MinHash signature array (see [[MinhashSigs]]). */
   def minhash_sigs(text: Column, n: Int, b1: Long, b2: Long,

@@ -345,14 +345,29 @@ object Multimodal {
     * engines. */
   def plantedPhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
+    val off = plantedIdOffset(docs)
     val copies = d.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
     val drifted = d.filter(col("doc_id") % 20 === 5)
-      .select((col("doc_id") + 200000L).as("doc_id"),
+      .select((col("doc_id") + 2 * off).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text"))
     phashPairs(synthesizeMedia(d.unionAll(copies).unionAll(drifted)),
       maxHamming)
   }
+
+  /** Planted-id offset guaranteed disjoint from real doc_ids at ANY
+    * scale factor: the next multiple of 100 000 past max(doc_id). At
+    * sf≤0.1 (max id < 100 000) this is exactly the historical 100 000,
+    * so existing oracle hashes are unchanged. Bounded 1-row collect. */
+  private[graft] def plantedIdOffset(docs: DataFrame): Long = {
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    (maxId / 100000L + 1L) * 100000L
+  }
+
+  /** SQL twin of [[plantedIdOffset]] — a scalar subquery both planted
+    * CTEs share. */
+  private[graft] val plantedIdOffsetSql: String =
+    "(SELECT (max(doc_id) // 100000 + 1) * 100000 FROM main.documents)"
 
   /** Near-duplicate image candidate pairs, banded like the MinHash LSH
     * path: the 63-bit hash splits into 7 bands of 9 bits; a pair is a
@@ -469,10 +484,11 @@ object Multimodal {
     s"""WITH documents AS (
        |  SELECT doc_id, text FROM main.documents
        |  UNION ALL
-       |  SELECT doc_id + 100000, text FROM main.documents WHERE doc_id % 20 = 0
+       |  SELECT doc_id + $plantedIdOffsetSql, text FROM main.documents
+       |  WHERE doc_id % 20 = 0
        |  UNION ALL
-       |  SELECT doc_id + 200000, text || ' tail' FROM main.documents
-       |  WHERE doc_id % 20 = 5),
+       |  SELECT doc_id + 2 * $plantedIdOffsetSql, text || ' tail'
+       |  FROM main.documents WHERE doc_id % 20 = 5),
        |$phashCtes,
        |bands AS (
        |  SELECT doc_id, phash, b.band,

@@ -169,4 +169,60 @@ class MultimodalCodecSpec extends AnyFunSuite {
       Audio.FrameEnergy(7L, 2, 1, 29L * 29), Audio.FrameEnergy(7L, 3, 1, 28L * 28)),
       en.toString)
   }
+
+  test("wav codec: hostile containers never hang, crash, or misread") {
+    import graft.multimodal.Audio
+    import spark.implicits._
+    val docs = Seq((7L, "abcd")).toDF("doc_id", "text")
+    val good = Audio.synthesizeWav(docs).collect().head
+    val meta = Audio.decode(good).get
+    def patched(f: java.nio.ByteBuffer => Unit): Multimodal.MediaRow = {
+      val bb = java.nio.ByteBuffer.wrap(good.media.clone())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f(bb); Multimodal.MediaRow(9L, "audio/wav", bb.array())
+    }
+    // u32 chunk size 0xFFFFFFF8: with i32 truncation the advance would
+    // be 0 (infinite loop) — must terminate and reject
+    assert(Audio.decode(patched(_.putInt(16, 0xFFFFFFF8))).isEmpty)
+    // size that would push the cursor negative under i32 math
+    assert(Audio.decode(patched(_.putInt(16, 0x80000000))).isEmpty)
+    // bits-per-sample < 8 → bytes-per-sample 0 → must not divide by zero
+    assert(Audio.decode(patched(_.putShort(34, 4.toShort))).isEmpty)
+    // data-size header larger than the payload: clamp, don't overrun
+    val oversized = patched(_.putInt(40, 1000))
+    assert(Audio.decode(oversized).get.n_samples == 4L)
+    assert(Audio.frameEnergy(Seq(oversized).toDS()).collect().nonEmpty)
+    // a trailing chunk AFTER data: energies must come from the data
+    // chunk's offset, not the blob tail
+    val tailed = {
+      val b = good.media
+      val bb = java.nio.ByteBuffer.allocate(b.length + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(b).put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("zzzz".getBytes("US-ASCII"))
+      Multimodal.MediaRow(7L, "audio/wav", bb.array())
+    }
+    assert(Audio.decode(tailed).contains(meta))
+    val enGood = Audio.frameEnergy(Seq(good).toDS()).collect().toSet
+    val enTailed = Audio.frameEnergy(Seq(tailed).toDS()).collect().toSet
+    assert(enGood == enTailed, s"tail chunk skewed energies: $enTailed")
+  }
+
+  test("audio fingerprint: exact copies pair at hamming 0, drift rejected") {
+    import graft.multimodal.Audio
+    import spark.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, s"doc $i " + ("lorem ipsum dolor sit amet " * 8) + i.toString))
+    val docs = base.toDF("doc_id", "text")
+    val pairs = Audio.plantedAudioPairs(docs).collect()
+    val copyIds = base.map(_._1).filter(_ % 20 == 0)
+      .map(i => (i, i + 100000L)).toSet
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(copyIds.subsetOf(got), s"planted copies missing: $got")
+    // exact copies fingerprint identically
+    assert(pairs.filter(r => copyIds((r.getLong(0), r.getLong(1))))
+      .forall(_.getInt(2) == 0))
+    // the 5-char drifts (ids +200000) must NOT pair with their source
+    assert(!got.exists { case (_, b) => b >= 200000L && b < 300000L })
+  }
 }

@@ -143,6 +143,25 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(kept == 0L, s"$kept first-occurrence docs were damaged")
   }
 
+  test("span scrub fp at scale: exchange carries the 8-byte key, result identical",
+      ScaleProbe) {
+    val sub = docs10x.filter($"doc_id" < 5000).localCheckpoint()
+    val out = graft.dedup.SpanScrub.spanScrubFp(sub)
+    val plan = ranPlan(out)
+    assertShapes(plan, "spanScrubFp")
+    // the gram-key shuffle must partition on a bigint fp (attribute
+    // printed as gram#NL), never the k-char substring (gram#N, no L)
+    val gramParts = "hashpartitioning\\(gram#\\d+L?".r
+      .findAllIn(plan).toList
+    assert(gramParts.nonEmpty, s"no gram-key exchange found:\n${plan.take(4000)}")
+    assert(gramParts.forall(_.endsWith("L")),
+      s"gram exchange carries a string key, not the fp: $gramParts")
+    // and the scrub itself must agree with the exact-key variant
+    val exact = graft.dedup.SpanScrub.spanScrub(sub)
+    assert(out.exceptAll(exact).isEmpty && exact.exceptAll(out).isEmpty,
+      "fp-keyed scrub diverged from the exact-key scrub at 5k docs")
+  }
+
   test("linkage at scale: distance work on the name vocab, records never shuffle",
       ScaleProbe) {
     // 100k records share 100 distinct names in 5 blocks: the pair join
