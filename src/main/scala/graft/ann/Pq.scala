@@ -73,7 +73,9 @@ object Pq {
 
   /** Per-subspace codebooks after `iters` Lloyd rounds: (sub, cid,
     * cvec), seeded per subspace by the k lowest vec_ids' subvectors
-    * (same deterministic convention as [[KMeans.assign]]). */
+    * (same deterministic convention as [[KMeans.assign]]). For the
+    * codebook-quality sweep (larger k, more iters, kmeans++ init) see
+    * [[codebooksSampled]] — the q_pq_curve training path. */
   def codebooks(embs: DataFrame, m: Int = defaultM, k: Int = 16,
                 iters: Int = 2): DataFrame = {
     val subs = subvectors(embs, m)
@@ -81,12 +83,18 @@ object Pq {
     var cents = subs.withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= k)
       .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
-    val wAsg = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dd"), col("cid"))
     for (_ <- 1 until iters) {
+      // argmin-by-(dd, cid) as a partial-aggregable min(struct) rather
+      // than a row_number window: the map side combines the N·m·k
+      // scored rows down to N·m BEFORE the exchange (k× less shuffle
+      // volume — the difference between k=16 and k=256 being usable).
+      // (dd, cid) is a unique prefix, so svec rides along uncompared.
       val assigned = subs.join(broadcast(cents), "sub")
         .withColumn("dd", d2("svec", "cvec"))
-        .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dd"), col("cid"), col("svec"))).as("best"))
+        .select(col("vec_id"), col("sub"),
+          col("best.cid").as("cid"), col("best.svec").as("svec"))
       cents = assigned
         .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "code")))
         .groupBy(col("sub"), col("cid"), col("pos"))
@@ -100,6 +108,134 @@ object Pq {
     cents
   }
 
+  /** Pool width for sample-trained codebooks: max(16k, 256) vectors —
+    * ~16 points per centroid to mean over, bounded regardless of
+    * corpus size (FAISS-style sample training). */
+  def poolSize(k: Int): Int = math.max(16 * k, 256)
+
+  /** The bounded hash-ranked training pool: the `maxP` VECTORS with
+    * the smallest [[IvfKnn.centroidHash]] (the scalable global
+    * orderBy+limit shape of [[IvfKnn.centroids]] — never a per-sub
+    * window over the corpus), split into subvectors. Deterministic and
+    * hash-spread, so the pool is bit-identical in the DuckDB oracle.
+    * One collect of ≤ m·maxP small int arrays (driver metadata, the
+    * IvfKnn.centroids exception). Rows come back
+    * (sub, vec_id, svec, hashRank) with hashRank shared across subs. */
+  private[ann] def trainPool(embs: DataFrame, m: Int,
+                             maxP: Int): Array[(Int, Long, Array[Int], Int)] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val poolVecs = embs
+      .orderBy(IvfKnn.centroidHash(col("vec_id")), col("vec_id"))
+      .limit(maxP)
+    val wH = Window.partitionBy(col("sub")) // ≤ maxP rows per sub here
+      .orderBy(IvfKnn.centroidHash(col("vec_id")), col("vec_id"))
+    subvectors(poolVecs, m)
+      .withColumn("hr", row_number().over(wH))
+      .select(col("sub"), col("vec_id"), col("svec"), col("hr"))
+      .as[(Int, Long, Array[Int], Int)].collect()
+  }
+
+  private def d2i(a: Array[Int], b: Array[Int]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = (a(i) - b(i)).toLong; s += d * d; i += 1 }
+    s
+  }
+
+  /** kmeans++-style init (deterministic farthest-first traversal,
+    * Gonzalez 1985 — the derandomized form of Arthur & Vassilvitskii's
+    * D² seeding): start from the pool's first hash-ranked point, then
+    * repeatedly add the point farthest (squared L2, vec_id tiebreak)
+    * from every seed chosen so far. Input rows must be one subspace's
+    * pool sorted by hash rank; fewer than k distinct points end the
+    * traversal early. */
+  private[ann] def seedsFromPool(pts: Array[(Long, Array[Int])],
+                                 k: Int): Seq[(Long, Array[Int])] = {
+    val mind = Array.fill(pts.length)(Long.MaxValue)
+    val chosen = Seq.newBuilder[(Long, Array[Int])]
+    var seed = pts(0)
+    chosen += seed
+    var nChosen = 1
+    var done = false
+    while (nChosen < k && !done) {
+      // fold the newest seed into every point's min-distance, then
+      // argmax (mind DESC, vec_id ASC) over still-distinct points —
+      // the exact order the SQL twin's window uses
+      var bi = -1
+      var i = 0
+      while (i < pts.length) {
+        val d = math.min(mind(i), d2i(pts(i)._2, seed._2))
+        mind(i) = d
+        if (d > 0 && (bi < 0 || d > mind(bi) ||
+          (d == mind(bi) && pts(i)._1 < pts(bi)._1))) bi = i
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        seed = pts(bi)
+        chosen += seed
+        nChosen += 1
+      }
+    }
+    chosen.result()
+  }
+
+  /** Local integer Lloyd over one subspace's pool, bit-identical to
+    * the distributed loop in [[codebooks]] (argmin by (d², cid);
+    * new code = floor(mean + 0.5); centroids that attract no points
+    * vanish). */
+  private[ann] def lloydLocal(pts: Array[(Long, Array[Int])],
+                              seeds: Seq[(Long, Array[Int])],
+                              iters: Int): Seq[(Long, Array[Int])] = {
+    var cents = seeds
+    for (_ <- 1 until iters) {
+      val byCid = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (Array[Long], Long)]
+      for ((_, svec) <- pts) {
+        var bc = -1L; var bd = Long.MaxValue
+        for ((cid, cvec) <- cents) {
+          val d = d2i(svec, cvec)
+          if (d < bd || (d == bd && cid < bc)) { bd = d; bc = cid }
+        }
+        val (s, _) = byCid.getOrElseUpdate(bc, (new Array[Long](pts(0)._2.length), 0L))
+        var i = 0
+        while (i < svec.length) { s(i) += svec(i); i += 1 }
+        byCid(bc) = (s, byCid(bc)._2 + 1)
+      }
+      cents = byCid.toSeq.sortBy(_._1).map { case (cid, (s, n)) =>
+        (cid, s.map(v => math.floor(v.toDouble / n + 0.5).toInt))
+      }
+    }
+    cents
+  }
+
+  /** Sample-trained codebooks — the q_pq_curve training path and the
+    * production shape (FAISS trains codebooks on a bounded sample, not
+    * the corpus): kmeans++-style seeds + `iters` Lloyd rounds over the
+    * hash-ranked pool of [[trainPool]], all on the driver (the pool is
+    * kB-sized; the sequential seeding is O(pool·k) integer ops), then
+    * the corpus-side encode/search run distributed exactly as with
+    * [[codebooks]]. Deterministic end-to-end, so the whole chain —
+    * pool, traversal, Lloyd, search — is DuckDB-replayable. */
+  def codebooksSampled(embs: DataFrame, m: Int = defaultM, k: Int = 16,
+                       iters: Int = 2,
+                       sharedPool: Option[Array[(Int, Long, Array[Int], Int)]] = None): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val p = poolSize(k)
+    val pool = sharedPool.getOrElse(trainPool(embs, m, p))
+    val cents = pool.groupBy(_._1).toSeq.flatMap { case (sub, rowsU) =>
+      // a shared (wider) pool restricts to this config's prefix, so the
+      // result is identical to collecting at exactly poolSize(k)
+      val pts = rowsU.filter(_._4 <= p).sortBy(_._4)
+        .map(r => (r._2, r._3))
+      lloydLocal(pts, seedsFromPool(pts, k), iters)
+        .map { case (cid, cvec) => (sub, cid, cvec) }
+    }
+    cents.toDF("sub", "cid", "cvec")
+  }
+
+
   /** PQ encoding: (vec_id, sub, code) — each subvector's nearest
     * codebook centroid (squared-distance argmin, cid tiebreak). */
   def encode(embs: DataFrame, m: Int = defaultM, k: Int = 16,
@@ -111,14 +247,20 @@ object Pq {
     * its lineage is the whole Lloyd chain) and feed it to both the
     * encoder and the distance tables, instead of re-planning the
     * corpus-wide training per consumer. */
-  def encodeWith(embs: DataFrame, cb: DataFrame, m: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dd"), col("cid"))
-    subvectors(embs, m).join(broadcast(cb), "sub")
+  def encodeWith(embs: DataFrame, cb: DataFrame, m: Int): DataFrame =
+    encodeSubs(subvectors(embs, m), cb)
+
+  /** [[encodeWith]] over an already-split subvector frame — callers
+    * running several encodes ([[pqRecallCurve]]) share one quantize+
+    * explode. Same argmin-as-aggregate shape as the Lloyd assignment:
+    * map-side combine collapses the k candidate rows per (vec, sub)
+    * pre-shuffle. */
+  private[ann] def encodeSubs(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "sub")
       .withColumn("dd", d2("svec", "cvec"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("cid").as("code"))
-  }
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dd"), col("cid"))).getField("cid").as("code"))
+      .select(col("vec_id"), col("sub"), col("code"))
 
   /** The broadcast per-query lookup table. SDC: (query_id, sub, code,
     * pd2) — integer d² from the quantized query subvector. ADC:
@@ -295,6 +437,215 @@ object Pq {
           (col("q_nrm") * col("nrm")), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(wE).cast("int"))
       .filter(col("rank") <= topK)
+  }
+
+  /** The recall-vs-codebook tuning grid for [[pqRecallCurve]]: the
+    * full (k, iters) cross — codebook size is one axis, Lloyd budget
+    * the other; every cell trains with the kmeans++-style init over
+    * the sampled pool. */
+  val curveCfgs: Seq[(Int, Int, String)] = Seq(
+    (16, 2, "k16_i2"), (16, 8, "k16_i8"),
+    (64, 2, "k64_i2"), (64, 8, "k64_i8"),
+    (256, 2, "k256_i2"), (256, 8, "k256_i8"))
+
+  /** Recall-vs-codebook-quality curve — [[IvfKnn.recallCurve]]'s
+    * counterpart for the PQ half: the same ADC search run against
+    * [[codebooksSampled]] codebooks at each (k, iters) grid cell,
+    * measured against the exact brute baseline, with the exhaustive
+    * anchor row (brute ∩ brute = 1.0) pinning the gauge. r6 measured
+    * that ADC vs SDC moves recall only 0.224→0.236 while the ceiling
+    * sat at ~0.24-0.30 — the CODEBOOK, not the lookup metric, is the
+    * limiter; this curve is the measured basis for choosing its budget
+    * against a recall SLO (at sf0.01: k=16 ≈ 0.19-0.24, k=64 ≈ 0.40,
+    * k=256 ≈ 0.68 — size dominates, extra Lloyd rounds fine-tune).
+    *
+    * Scale shape: training cost is driver-side kB work per cell; each
+    * cell's corpus cost is the standard PQ encode+search plan (map-side
+    * subvector explodes, codes against broadcast tables). The curve
+    * never multiplies corpus-pair work. */
+  def pqRecallCurve(embs: DataFrame, queryMaxId: Long = 50, topK: Int = 5,
+                    m: Int = defaultM): DataFrame = {
+    val maxP = curveCfgs.map(c => poolSize(c._1)).max
+    val pool = trainPool(embs, m, maxP)
+    val brute = Similarity.knnBrute(embs, queryMaxId, topK)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    // the corpus-side quantize+explode and the raw query subvectors are
+    // config-independent — materialize once, share across all 6 cells
+    // (the "consumed >1×" rule; each cell only swaps its codebook in)
+    val subs = subvectors(embs, m).localCheckpoint()
+    val rawQ = subvectorsRaw(embs, m).filter(col("vec_id") < queryMaxId)
+      .localCheckpoint()
+    val possible = brute.agg(count(lit(1)).as("n_possible"))
+    val rows = curveCfgs.map { case (k, iters, label) =>
+      val cb = codebooksSampled(embs, m, k, iters, Some(pool))
+      val codes = encodeSubs(subs, cb)
+      val dt = rawQ.select(col("vec_id").as("query_id"), col("sub"), col("svec"))
+        .join(broadcast(cb), "sub")
+        .select(col("query_id"), col("sub"), col("cid").as("code"),
+          Similarity.dotHof(col("svec"), col("cvec")).as("pd"),
+          Similarity.dotHof(col("cvec"), col("cvec")).as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("ascore").desc, col("vec_id"))
+      codes.join(broadcast(dt), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(lookupScore(adc = true).as("ascore"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("vec_id"))
+        .join(broadcast(brute), Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(label).as("cfg"), col("n_hits"))
+    } :+ brute.agg(count(lit(1)).as("n_hits"))
+      .select(lit("exhaustive").as("cfg"), col("n_hits"))
+    rows.reduce(_ unionAll _)
+      .crossJoin(broadcast(possible))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_possible"), 4))
+  }
+
+  private def d2Sql(a: String, b: String): String =
+    s"list_dot_product($a, $a) + list_dot_product($b, $b) - 2 * list_dot_product($a, $b)"
+
+  /** One curve cell's full DuckDB query (pool → recursive
+    * farthest-first seeds → unrolled Lloyd → encode → ADC top-k),
+    * self-contained so [[pqRecallCurveSql]] can nest one per config.
+    * The recursive `ff` CTE replays [[seedsFromPool]] exactly: the
+    * working set carries every pool point's min-distance-to-chosen, the
+    * per-step window argmax (mind DESC, vec_id ASC) IS the next seed,
+    * and steps with no positive distance left contribute nothing (the
+    * traversal's early stop). */
+  private def pqSampledCfgSql(queryMaxId: Long, topK: Int, m: Int,
+                              k: Int, iters: Int): String = {
+    val p = poolSize(k)
+    val hashExpr =
+      "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    val lloyd = (1 until iters).map { it =>
+      val prev = if (it == 1) "seeds" else s"c${it - 1}"
+      s"""a$it AS (
+         |  SELECT vec_id, sub, cid, svec FROM (
+         |    SELECT s.vec_id, s.sub, c.cid, s.svec,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        ${d2Sql("s.svec", "c.cvec")}, c.cid) AS rn
+         |    FROM pool s JOIN $prev c USING (sub)) WHERE rn = 1),
+         |px$it AS (
+         |  SELECT sub, cid, unnest(svec) AS code,
+         |         unnest(range(1, len(svec) + 1)) AS pos
+         |  FROM a$it),
+         |c$it AS (
+         |  SELECT sub, cid, list(code ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, cid, pos,
+         |           CAST(floor(CAST(sum(code) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS code
+         |    FROM px$it GROUP BY sub, cid, pos)
+         |  GROUP BY sub, cid),""".stripMargin
+    }.mkString("\n")
+    val cLast = if (iters > 1) s"c${iters - 1}" else "seeds"
+    s"""WITH RECURSIVE
+       |q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+       |      (CASE WHEN list_aggregate(list_transform(embedding,
+       |              x -> abs(CAST(x AS DOUBLE))), 'max') = 0 THEN 1.0
+       |            ELSE list_aggregate(list_transform(embedding,
+       |              x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END)
+       |      + 0.5) AS INTEGER)) AS qvec
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, j.sub,
+       |         qvec[j.sub * (len(qvec) // $m) + 1 :
+       |              j.sub * (len(qvec) // $m) + (len(qvec) // $m)] AS svec
+       |  FROM q CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
+       |poolv AS (
+       |  SELECT vec_id, hr FROM (
+       |    SELECT vec_id,
+       |           row_number() OVER (ORDER BY $hashExpr, vec_id) AS hr
+       |    FROM embeddings) WHERE hr <= $p),
+       |pool AS (
+       |  SELECT s.sub, s.vec_id, s.svec, v.hr
+       |  FROM sv s JOIN poolv v USING (vec_id)),
+       |ff AS (
+       |  SELECT 1 AS step, p.sub, p.vec_id, p.svec,
+       |         ${d2Sql("p.svec", "s.svec")} AS mind
+       |  FROM pool p JOIN (SELECT sub, svec FROM pool WHERE hr = 1) s
+       |    USING (sub)
+       |  UNION ALL
+       |  SELECT f.step + 1, f.sub, f.vec_id, f.svec,
+       |         least(f.mind, ${d2Sql("f.svec", "f.ns")})
+       |  FROM (
+       |    SELECT f.*, first_value(f.svec) OVER (
+       |             PARTITION BY f.sub ORDER BY f.mind DESC, f.vec_id) AS ns
+       |    FROM ff f) f
+       |  WHERE f.step < ${k - 1}),
+       |seeds AS (
+       |  SELECT DISTINCT sub, vec_id AS cid, svec AS cvec FROM (
+       |    SELECT sub, vec_id, svec FROM pool WHERE hr = 1
+       |    UNION ALL
+       |    SELECT sub, vec_id, svec FROM (
+       |      SELECT sub, vec_id, svec,
+       |             row_number() OVER (PARTITION BY sub, step
+       |               ORDER BY mind DESC, vec_id) AS rn
+       |      FROM ff WHERE mind > 0) WHERE rn = 1)),
+       |$lloyd
+       |codes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT s.vec_id, s.sub, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+       |        ${d2Sql("s.svec", "c.cvec")}, c.cid) AS rn
+       |    FROM sv s JOIN $cLast c USING (sub)) WHERE rn = 1),
+       |rsv AS (
+       |  SELECT vec_id, j.sub,
+       |         rvec[j.sub * (len(rvec) // $m) + 1 :
+       |              j.sub * (len(rvec) // $m) + (len(rvec) // $m)] AS svec
+       |  FROM (
+       |    SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
+       |    FROM embeddings WHERE vec_id < $queryMaxId)
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
+       |dt AS (
+       |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+       |         list_dot_product(s.svec,
+       |           list_transform(c.cvec, x -> CAST(x AS DOUBLE))) AS pd,
+       |         list_dot_product(list_transform(c.cvec, x -> CAST(x AS DOUBLE)),
+       |                          list_transform(c.cvec, x -> CAST(x AS DOUBLE))) AS cn
+       |  FROM rsv s JOIN $cLast c USING (sub)),
+       |scored AS (
+       |  SELECT dt.query_id, codes.vec_id,
+       |         round(sum(dt.pd) / sqrt(sum(dt.cn)), 4) AS ascore
+       |  FROM codes JOIN dt USING (sub, code)
+       |  WHERE codes.vec_id <> dt.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY ascore DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+  }
+
+  /** DuckDB twin of [[pqRecallCurve]]: one nested self-contained query
+    * per grid cell, hit counts against the shared brute CTE, the
+    * exhaustive anchor, one recall arithmetic tail. */
+  def pqRecallCurveSql(queryMaxId: Long = 50, topK: Int = 5,
+                       m: Int = defaultM): String = {
+    val cfgCtes = curveCfgs.map { case (k, iters, label) =>
+      s"cfg_$label AS (\n${pqSampledCfgSql(queryMaxId, topK, m, k, iters)}\n)"
+    }.mkString(",\n")
+    val hitRows = (curveCfgs.map { case (_, _, label) =>
+      s"""SELECT '$label' AS cfg, count(*) AS n_hits FROM cfg_$label a
+         |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id"""
+        .stripMargin
+    } :+ "SELECT 'exhaustive' AS cfg, count(*) AS n_hits FROM brute")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH brute AS (
+       |${Similarity.knnBruteSql(queryMaxId, topK)}
+       |),
+       |$cfgCtes,
+       |hits AS (
+       |  $hitRows),
+       |poss AS (SELECT count(*) AS n_possible FROM brute)
+       |SELECT cfg, n_hits, n_possible,
+       |       round(CAST(n_hits AS DOUBLE) / n_possible, 4) AS recall
+       |FROM hits CROSS JOIN poss""".stripMargin
   }
 
   /** Shared oracle CTE block (quantize → subvectors → 2-iter Lloyd

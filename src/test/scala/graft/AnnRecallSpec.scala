@@ -91,6 +91,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(adc > sdc, s"ADC ($adc hits) should beat SDC ($sdc hits) at 250 pairs")
   }
 
+  test("pq curve: codebook budget is the recall lever, best cell >= 2x the old floor") {
+    val curve = graft.ann.Pq.pqRecallCurve(Tables.embeddings(spark, sf))
+      .collect()
+      .map(r => r.getAs[String]("cfg") -> r.getAs[Double]("recall"))
+      .toMap
+    info(s"recall vs codebook: $curve")
+    assert(curve("exhaustive") == 1.0, "anchor must be exact")
+    // the r6 verdict's measured claim, now spec-gated: the k16 ceiling
+    // (~0.24-0.30 across metrics/seeds) is the CODEBOOK's fault — grow
+    // it and recall more than doubles (measured 0.68 at k256_i8 vs the
+    // 0.30 SDC floor of the k16 era)
+    assert(curve("k256_i8") >= 0.6,
+      s"best cell must clear 2x the old 0.30 floor: ${curve("k256_i8")}")
+    // size axis: recall rises monotonically in k at fixed iters=8
+    assert(curve("k16_i8") < curve("k64_i8") &&
+      curve("k64_i8") < curve("k256_i8"), s"k must be the lever: $curve")
+  }
+
   test("recall arithmetic is consistent: hits <= possible, recall = hits/possible") {
     val rows = Similarity.annRecall(Tables.embeddings(spark, sf)).collect()
     rows.foreach { r =>
