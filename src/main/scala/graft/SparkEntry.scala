@@ -387,6 +387,11 @@ object SparkEntry {
     "q_hybrid_search" -> ((s, dir) =>
       graft.text.Hybrid.rrfSearch(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // hybrid over MAINTAINED indexes: split-build-append both towers,
+    // search reads postings + codes only (raw vectors: re-rank rows)
+    "q_hybrid_incr" -> ((s, dir) =>
+      graft.text.Hybrid.hybridIncr(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // incremental sparse index: build base + append shard, search sees
     // the union — oracle is the BATCH bm25 (incremental ≡ batch, exact)
     "q_incr_bm25" -> ((s, dir) =>
@@ -599,6 +604,7 @@ object SparkEntry {
       "q_lang_confusion" -> graft.text.CorpusStats.langConfusionSql,
       "q_bm25" -> graft.text.CorpusStats.bm25Sql(),
       "q_hybrid_search" -> graft.text.Hybrid.rrfSearchSql(),
+      "q_hybrid_incr" -> graft.text.Hybrid.hybridIncrSql(),
       "q_incr_bm25" -> graft.text.CorpusStats.bm25Sql(),
       "q_joinsize_bounds" -> JoinEstimate.starJoinBoundsSql,
       "q_chunk_search" -> graft.text.CorpusStats.bm25UnitsSql(

@@ -104,13 +104,108 @@ object Hybrid {
       .filter(col("rank") <= k)
   }
 
-  /** DuckDB twin of [[rrfSearch]] (composes the bm25 and knnBrute CTE
-    * shapes; score arithmetic mirrors the Spark expression tree
-    * term-for-term — the established cross-engine FP contract). */
-  def rrfSearchSql(qMaxId: Long = 10, mTerms: Int = 8, nCand: Int = 50,
-                   rrfK: Int = 60, k: Int = 10, k1: Double = 1.2,
-                   b: Double = 0.75): String =
-    s"""WITH toks AS (
+  /** [[rrfSearch]] over MAINTAINED index artifacts — the production
+    * read path: the sparse tower reads postings/df/stats (the query
+    * doc's tokens come from the postings themselves — nothing is
+    * tokenized at search time), the dense tower is the IVF-PQ
+    * candidate generator over the frozen codebook + codes (raw base
+    * vectors touched only by the exact re-rank's ≤ nCand·refine rows
+    * per query), and the RRF fusion is byte-identical to
+    * [[rrfSearch]]'s — rank-only coupling is what makes the towers
+    * swappable, exactly as this module's doc promised. */
+  def rrfSearchIndexed(embs: DataFrame, sparse: SparseIndex.Index,
+                       dense: graft.ann.IncrementalIndex.Index,
+                       qMaxId: Long = 10, mTerms: Int = 8, nCand: Int = 50,
+                       rrfK: Int = 60, k: Int = 10, nprobe: Int = 4,
+                       refine: Int = 2, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    // ---- sparse tower: artifacts only. Query terms = the query docs'
+    // rarest tokens straight from the postings (df asc ≡ idf desc).
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df"), col("token"))
+    val qtoks = sparse.df
+      .join(broadcast(sparse.postings.filter(col("doc_id") < qMaxId)
+        .select(col("doc_id").as("query_id"), col("token"))), "token")
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= mTerms)
+      .select(col("query_id"), col("token"), col("df"))
+    val tf = sparse.postings
+      .join(broadcast(qtoks.select("token").distinct()), "token")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val bm = tf.join(broadcast(qtoks), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(sparse.stats)) // 1-row stats: sanctioned tiny side
+      .select(col("query_id"), col("doc_id"),
+        (idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+            (col("sum_dl").cast("double") / col("n_docs")))))
+          .as("s"))
+      .groupBy("query_id", "doc_id").agg(round(sum(col("s")), 4).as("score"))
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val bmList = bm.withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= nCand)
+      .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rk"))
+    // ---- dense tower: IVF probe → PQ shortlist → exact re-rank, all
+    // against the frozen artifacts; rank depth = nCand
+    val cosList = graft.ann.IncrementalIndex
+      .search(embs, dense, qMaxId, nCand, nprobe, refine = refine)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("cos_rk"))
+    fuse(bmList, cosList, rrfK, k)
+  }
+
+  /** The shared RRF tail (union + groupBy — no join node; ≤ 2
+    * contributions per doc). */
+  private def fuse(bmList: DataFrame, cosList: DataFrame,
+                   rrfK: Int, k: Int): DataFrame = {
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    bmList.select(col("query_id"), col("doc_id"), col("bm25_rk").as("rk"),
+        lit(true).as("is_bm"))
+      .unionByName(cosList.select(col("query_id"), col("doc_id"),
+        col("cos_rk").as("rk"), lit(false).as("is_bm")))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rk"))), 6).as("rrf_score"),
+        max(when(col("is_bm"), col("rk"))).cast("int").as("bm25_rk"),
+        max(when(!col("is_bm"), col("rk"))).cast("int").as("cos_rk"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+  }
+
+  /** The oracle-checked end-to-end shape (q_hybrid_incr): both towers
+    * build on docs/vecs below `splitId`, the rest arrives as a shard
+    * and merges/appends in, and the fused search sees the full corpus.
+    * The sparse merge is exact (monoid), the dense appends against the
+    * frozen base-trained artifacts — so the DuckDB twin is the batch
+    * sparse tower + the incremental-index dense oracle. */
+  def hybridIncr(docs: DataFrame, embs: DataFrame, splitId: Long = 250,
+                 qMaxId: Long = 10, mTerms: Int = 8, nCand: Int = 50,
+                 rrfK: Int = 60, k: Int = 10, nprobe: Int = 4,
+                 refine: Int = 2): DataFrame = {
+    // materialize the grown state (what a serving stack stores): the
+    // search fans each artifact into several consumers — postings feed
+    // qtoks AND tf — so an unmaterialized shard would re-tokenize per
+    // consumer (the repo's measured consumed->1x trap)
+    val sp0 = SparseIndex.append(
+      SparseIndex.build(docs.filter(col("doc_id") < splitId)),
+      docs.filter(col("doc_id") >= splitId))
+    val sp = sp0.copy(postings = sp0.postings.localCheckpoint(),
+      df = sp0.df.localCheckpoint(), stats = sp0.stats.localCheckpoint())
+    val dn0 = graft.ann.IncrementalIndex.append(
+      graft.ann.IncrementalIndex.build(embs.filter(col("vec_id") < splitId)),
+      embs.filter(col("vec_id") >= splitId))
+    val dn = dn0.copy(codes = dn0.codes.localCheckpoint(),
+      cells = dn0.cells.localCheckpoint())
+    rrfSearchIndexed(embs, sp, dn, qMaxId, mTerms, nCand, rrfK, k,
+      nprobe, refine)
+  }
+
+  /** The sparse-tower CTE chain (`toks` … `bml`), shared by both
+    * oracle twins. */
+  private def sparseCtesSql(qMaxId: Long, mTerms: Int, nCand: Int,
+                            k1: Double, b: Double): String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token,
        |         len(regexp_extract_all(text, '\\S+')) AS dl
        |  FROM documents),
@@ -148,22 +243,12 @@ object Hybrid {
        |    SELECT query_id, doc_id,
        |           row_number() OVER (PARTITION BY query_id
        |                              ORDER BY score DESC, doc_id) AS rk
-       |    FROM bm) WHERE rk <= $nCand),
-       |cos AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-       |         round(list_dot_product(q.embedding, c.embedding) /
-       |               (sqrt(list_dot_product(q.embedding, q.embedding)) *
-       |                sqrt(list_dot_product(c.embedding, c.embedding))), 4)
-       |           AS cos_sim
-       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $qMaxId),
-       |cosl AS (
-       |  SELECT query_id, doc_id, rk AS cos_rk FROM (
-       |    SELECT query_id, doc_id,
-       |           row_number() OVER (PARTITION BY query_id
-       |                              ORDER BY cos_sim DESC, doc_id) AS rk
-       |    FROM cos) WHERE rk <= $nCand),
-       |fused AS (
+       |    FROM bm) WHERE rk <= $nCand)""".stripMargin
+
+  /** The RRF fusion tail (`fused` + final select), shared by both
+    * oracle twins. */
+  private def fusionSql(rrfK: Int, k: Int): String =
+    s"""fused AS (
        |  SELECT query_id, doc_id,
        |         round(sum(1.0 / ($rrfK + rk)), 6) AS rrf_score,
        |         max(CASE WHEN is_bm THEN rk END) AS bm25_rk,
@@ -180,4 +265,45 @@ object Hybrid {
        |             AS rank
        |      FROM fused)
        |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB twin of [[rrfSearch]] (composes the bm25 and knnBrute CTE
+    * shapes; score arithmetic mirrors the Spark expression tree
+    * term-for-term — the established cross-engine FP contract). */
+  def rrfSearchSql(qMaxId: Long = 10, mTerms: Int = 8, nCand: Int = 50,
+                   rrfK: Int = 60, k: Int = 10, k1: Double = 1.2,
+                   b: Double = 0.75): String =
+    s"""WITH ${sparseCtesSql(qMaxId, mTerms, nCand, k1, b)},
+       |cos AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |         round(list_dot_product(q.embedding, c.embedding) /
+       |               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+       |                sqrt(list_dot_product(c.embedding, c.embedding))), 4)
+       |           AS cos_sim
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $qMaxId),
+       |cosl AS (
+       |  SELECT query_id, doc_id, rk AS cos_rk FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, doc_id) AS rk
+       |    FROM cos) WHERE rk <= $nCand),
+       |${fusionSql(rrfK, k)}""".stripMargin
+
+  /** DuckDB twin of [[hybridIncr]]: the batch sparse tower (the monoid
+    * merge makes incremental ≡ batch exactly — q_incr_bm25's pinned
+    * claim) + the incremental-index dense oracle (codebook/centroids
+    * trained on vec_id < splitId, everything encoded and searched) +
+    * the shared fusion tail. */
+  def hybridIncrSql(splitId: Long = 250, qMaxId: Long = 10,
+                    mTerms: Int = 8, nCand: Int = 50, rrfK: Int = 60,
+                    k: Int = 10, nprobe: Int = 4, refine: Int = 2,
+                    k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${sparseCtesSql(qMaxId, mTerms, nCand, k1, b)},
+       |densel AS (
+       |${graft.ann.Pq.incrIndexKnnSql(splitId, qMaxId, nCand, 16, nprobe,
+          graft.ann.Pq.defaultM, 16, 2, refine)}
+       |),
+       |cosl AS (
+       |  SELECT query_id, vec_id AS doc_id, rank AS cos_rk FROM densel),
+       |${fusionSql(rrfK, k)}""".stripMargin
 }

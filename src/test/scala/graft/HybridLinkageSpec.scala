@@ -32,6 +32,51 @@ class HybridLinkageSpec extends AnyFunSuite {
       (0L, 3L, 0.016393, None, Some(1), 3)), out.toString)
   }
 
+  test("rrfSearchIndexed: stored artifacts only — no tokenization, raw vectors re-rank-only") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    // stored-state scenario: both towers' artifacts materialized (the
+    // grown state after an append), as a serving stack would hold them
+    val sp0 = graft.text.SparseIndex.build(docs.filter($"doc_id" < 25))
+    val spG = {
+      val g = graft.text.SparseIndex.append(sp0, docs.filter($"doc_id" >= 25))
+      g.copy(postings = g.postings.localCheckpoint(),
+        df = g.df.localCheckpoint(), stats = g.stats.localCheckpoint(),
+        docIds = g.docIds.localCheckpoint())
+    }
+    val dn0 = graft.ann.IncrementalIndex.build(embs.filter($"vec_id" < 25))
+    val dnG = {
+      val g = graft.ann.IncrementalIndex.append(dn0, embs.filter($"vec_id" >= 25))
+      g.copy(codes = g.codes.localCheckpoint(), cells = g.cells.localCheckpoint())
+    }
+    val out = Hybrid.rrfSearchIndexed(embs, spG, dnG, qMaxId = 5)
+    out.queryExecution.toRdd.count()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("isFinalPlan=false"), "must gate the FINAL plan")
+    // the search must tokenize NOTHING — query terms come from postings
+    assert(!plan.contains("regexp_extract_all"),
+      s"search re-tokenized the corpus:\n${plan.take(4000)}")
+    // the 1-row stats crossJoin is the ONE sanctioned BNLJ (broadcast
+    // side is a single aggregate row); anything more is pair-shaped
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1 &&
+      !plan.contains("CartesianProduct"), s"pair-shaped plan:\n${plan.take(4000)}")
+    // artifacts are read as materialized state, not re-derived
+    assert(plan.contains("ExistingRDD"), s"artifacts not read:\n${plan.take(2000)}")
+    // raw embedding scans: every one except the exact re-rank's lookup
+    // side must carry the query-id pushdown (≤ topK·refine rows reach
+    // the unfiltered side through the shortlist join)
+    val embScans = plan.linesIterator
+      .filter(l => l.contains("parquet") && l.contains("embeddings")).toList
+    val unfiltered = embScans.filterNot(_.contains("LessThan(vec_id"))
+    assert(embScans.nonEmpty, s"dense tower lost its query source:\n$plan")
+    assert(unfiltered.size <= 1,
+      s"raw base vectors read outside the re-rank:\n${unfiltered.mkString("\n")}")
+    // and the fused result still ranks k rows per query
+    assert(out.count() == 5 * 10)
+  }
+
   test("bestFuzzyMatch links within block, bounded distance, min tiebreak") {
     val recs = Seq(
       (1L, "red widget"), (2L, "rad widget"), (3L, "bluexyz widget"),
