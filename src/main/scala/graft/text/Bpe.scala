@@ -231,6 +231,11 @@ object Bpe {
     * runs over ~10⁸ vocab rows, not 10¹¹ running words. */
   def encode(docs: DataFrame,
              merges: Seq[(String, String)] = sennrichMerges): DataFrame = {
+    // dw feeds both the vocab distinct and the count join; measured at
+    // sf0.1, materializing it does NOT pay (checkpoint cost ≥ the
+    // second regexp scan), so the lineage stays lazy — and at scale a
+    // checkpoint of the exploded words table would be a write
+    // amplification, not a save
     val dw = graft.Tables.spread(docs).select(col("doc_id"),
       explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("word"))
     val vocab = dw.select(col("word")).distinct()
