@@ -86,6 +86,8 @@ object SparkEntry {
     "q_span_scrub" -> ((s, dir) =>
       graft.dedup.SpanScrub.spanScrub(Tables.documents(s, dir))),
     // FineWeb ordering: scrub repeated bytes FIRST, then score/gate/dedup
+    "q_curate_full" -> ((s, dir) => // + benchmark-contamination gate (stage 5)
+      graft.text.Curate.curateFull(Tables.documents(s, dir))),
     "q_curate_scrub" -> ((s, dir) =>
       graft.text.Curate.curateScrubbed(Tables.documents(s, dir))),
     "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
@@ -593,6 +595,7 @@ object SparkEntry {
       // result bit-for-bit — a gram-hash collision would mismatch here
       "q_span_scrub_fp" -> graft.dedup.SpanScrub.spanScrubSql(),
       "q_curate_scrub" -> graft.text.Curate.curateScrubbedSql(),
+      "q_curate_full" -> graft.text.Curate.curateFullSql(),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_hard_negatives" -> graft.ann.Similarity.hardNegativesSql(),

@@ -126,4 +126,84 @@ object Curate {
        |  FROM scrub),
        |${curateCtes(minQualityPm, langs, source = "scrubbed")}
        |SELECT doc_id, lang_pred, quality_pm, n_chars FROM kept""".stripMargin
+
+  /** The FULL composed recipe: [[curateScrubbed]] + the benchmark-
+    * contamination gate as the final stage — FineWeb/C4 stage 5
+    * (eval-leakage removal), the one curation stage the pipeline had
+    * as a standalone operator ([[graft.dedup.Dedup.contamination]])
+    * but not in the composed recipe. A survivor is dropped when the
+    * FRACTION of its distinct character n-grams that also appear in
+    * the held-out benchmark set reaches `maxContamPm` per-mille (the
+    * PaLM/GPT-3-style overlap-ratio criterion; an absolute shared-gram
+    * count is useless on self-similar corpora — measured here: every
+    * sf0.01 doc shares ≥21 raw 8-grams with the 20-doc benchmark
+    * stand-in, so ANY-overlap would drop 118 of 125 survivors). The
+    * ratio is integer per-mille arithmetic (the quality_pm pattern) so
+    * both engines compare exactly. Benchmark grams come from the RAW
+    * text (a real benchmark is external and never scrubbed);
+    * stand-in docs themselves pass through on their curation merits.
+    *
+    * Scale shape: the benchmark gram set is tiny and broadcast (the
+    * q_contamination plan), the corpus side shingles only the CURATED
+    * SURVIVORS (every earlier gate already pruned), shared/total gram
+    * counts come from ONE aggregation over a broadcast-left-join mark
+    * (not two shuffles), and the final anti-join touches the
+    * contaminated-id list — survivor-count-sized at most. */
+  def curateFull(docs: DataFrame, minQualityPm: Long = 600,
+                 langs: Seq[String] = Seq("en", "de"),
+                 n: Int = 8, benchMaxId: Long = 20,
+                 maxContamPm: Long = 800): DataFrame = {
+    val scrubbed = graft.dedup.SpanScrub.spanScrub(docs)
+      .select(col("doc_id"), col("text_clean").as("text"),
+        length(col("text_clean")).cast("long").as("n_chars"))
+    val kept = curateDocs(scrubbed, minQualityPm, langs)
+    val bench = graft.dedup.Dedup.shingles(
+        docs.filter(col("doc_id") < benchMaxId), n)
+      .select(col("sh")).distinct()
+    val contaminated = graft.dedup.Dedup.shingles(kept, n)
+      .filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tot"), count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") * lit(1000L) >= col("n_tot") * lit(maxContamPm))
+      .select("doc_id")
+    kept.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+  }
+
+  /** DuckDB twin of [[curateFull]]: the [[curateScrubbedSql]] chain +
+    * the q_contamination shingle CTEs over `kept` / `main.documents`,
+    * ratio via count(hit)/count(*) per doc, anti-joined in the
+    * established NOT EXISTS shape. */
+  def curateFullSql(minQualityPm: Long = 600,
+                    langs: Seq[String] = Seq("en", "de"),
+                    n: Int = 8, benchMaxId: Long = 20,
+                    maxContamPm: Long = 800): String =
+    s"""WITH scrub AS (
+       |${graft.dedup.SpanScrub.spanScrubSql(source = "main.documents")}
+       |),
+       |scrubbed AS (
+       |  SELECT doc_id, text_clean AS text,
+       |         CAST(length(text_clean) AS BIGINT) AS n_chars
+       |  FROM scrub),
+       |${curateCtes(minQualityPm, langs, source = "scrubbed")},
+       |bsh AS (
+       |  SELECT DISTINCT substr(text, i, $n) AS sh
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
+       |        FROM main.documents WHERE doc_id < $benchMaxId)),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
+       |        FROM kept)),
+       |contaminated AS (
+       |  SELECT s.doc_id FROM csh s LEFT JOIN bsh b ON s.sh = b.sh
+       |  WHERE s.doc_id >= $benchMaxId
+       |  GROUP BY 1
+       |  HAVING count(b.sh) * 1000 >= count(*) * $maxContamPm)
+       |SELECT doc_id, lang_pred, quality_pm, n_chars FROM kept k
+       |WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+       |                  WHERE c.doc_id = k.doc_id)""".stripMargin
 }

@@ -62,6 +62,49 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("full recipe: contamination ratio gate drops only high-overlap docs") {
+    // doc 1 is the "benchmark" (benchMaxId = 2): a LONG eval set of
+    // distinct sentences. doc 10 leaks a contiguous slice of it —
+    // every one of its 8-grams appears in the benchmark (ratio ~1)
+    // while its Jaccard vs the full benchmark is low (|slice|/|set|),
+    // so near-dedup does NOT collapse the pair and only the ratio
+    // gate can catch it. doc 20 is distinct prose → kept; the
+    // benchmark stand-in itself passes through on its own merits.
+    val sentences = Seq(
+      "the cat saw the dog near the old bridge and the sun rose slowly",
+      "a ship sailed over the quiet sea while the wind pushed the sails",
+      "the miller ground the grain and the baker made the bread at dawn",
+      "a small bird flew over the green field and sang in the tall tree",
+      "the river ran past the stone mill and turned the ancient wheel",
+      "the farmer walked the long road to the market with a heavy cart",
+      "a child read the worn book under the lamp while the rain fell",
+      "the clock on the tower struck nine and the town went to sleep")
+    val benchText = sentences.mkString(". ") + "."
+    // 5-word (~28-char) chunks of 3 benchmark sentences, re-ordered:
+    // no shared contiguous span reaches the k=40 span-scrub threshold
+    // (each junction is novel — reversed order never reproduces an
+    // original adjacency), so stage 0 leaves the doc intact, while
+    // ~3/4 of its distinct 8-grams still come from the benchmark
+    val chunks = sentences.take(3).flatMap(
+      _.split(" ").grouped(5).map(_.mkString(" ")))
+    val leaked = chunks.reverse.mkString(" ") + "."
+    val d = docs(
+      (1L, benchText),
+      (10L, leaked),
+      (20L, "completely different prose about a harbor and a whale " +
+        "where the captain told the crew a story of the deep cold water " +
+        "and the first mate wrote the log while the lighthouse burned"))
+    val full = Curate.curateFull(d, benchMaxId = 2, maxContamPm = 700)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full.contains(20L), s"clean doc dropped: $full")
+    assert(!full.contains(10L), s"leaked doc survived: $full")
+    assert(full.contains(1L), "benchmark stand-in should pass on its merits")
+    // the gate, not an earlier dedup stage, is what removed doc 10
+    val scrub = Curate.curateScrubbed(d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scrub.contains(10L), "leaked doc must survive the gate-free recipe")
+  }
+
   test("scrub-first curation: text only shrinks, floor still holds") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Curate.curateScrubbed(base).collect()
