@@ -139,6 +139,10 @@ object SparkEntry {
       graft.multimodal.Audio.plantedAudioPairs(Tables.documents(s, dir))),
     "q_bpe_encode" -> ((s, dir) => // apply the trained merge list (tokenize)
       graft.text.Bpe.encode(Tables.documents(s, dir))),
+    "q_bpe_train" -> ((s, dir) => { // learn the merge table from the corpus
+      val (merges, _) = graft.text.Bpe.train(Tables.documents(s, dir), nMerges = 8)
+      graft.text.Bpe.mergesDf(s, merges)
+    }),
     "q_approx_bounds" -> ((s, dir) => // sketch error bounds vs exact twins
       ApproxBounds.bounds(Tables.events(s, dir))),
     "q_ivf_knn" -> ((s, dir) => // approximate recall, deterministic → oracle-checked
@@ -699,6 +703,7 @@ object SparkEntry {
       "q_mixture" -> graft.operators.Sampling.mixtureSampleSql(),
       "q_bpe_pairs" -> graft.text.Bpe.topPairsSql(),
       "q_bpe_encode" -> graft.text.Bpe.encodeSql(),
+      "q_bpe_train" -> graft.text.Bpe.trainSql(nMerges = 8),
       "q_approx_bounds" -> ApproxBounds.boundsSql(),
       "q_dedup_keep" -> graft.dedup.Clusters.survivorsSql(),
       "q_latest_order" ->

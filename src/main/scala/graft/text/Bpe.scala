@@ -249,39 +249,56 @@ object Bpe {
         coalesce(col("n"), lit(0L)).cast("long").as("n_bpe_tokens"))
   }
 
-  /** DuckDB twin of [[encode]]: the greedy left-to-right merge fold
-    * replayed per merge with window functions — a match marks (sym,
+  /** One merge round as a mk/tk/s CTE block: a match marks (sym,
     * next)=(l,r); within each maximal run of consecutive matches the
     * fold takes the odd-indexed ones (gaps-and-islands parity — [a,a,a]
     * under (a,a) → [aa,a], the reference semantics); taken rows become
-    * the merged symbol and their right neighbor drops. One CTE block
-    * per merge, generated from the same pinned list the Spark side
-    * applies. */
+    * the merged symbol and their right neighbor drops. `lSql`/`rSql`/
+    * `mergedSql` are SQL expressions — constants for [[encodeSql]]
+    * (pinned vocab) or scalar subqueries over the round's argmax pick
+    * for [[trainSql]]; `carry` is extra per-word state columns (the
+    * trainer threads `freq` through every round). Shared builder so
+    * the two twins cannot drift apart. */
+  private def mergeBlockSql(t: Int, lSql: String, rSql: String,
+                            mergedSql: String, carry: String = "",
+                            materialized: Boolean = false): String = {
+    // The trainer references each round's state twice (pair counts +
+    // rewrite) and its pick four times; without MATERIALIZED, DuckDB
+    // inlines the CTE per reference and the plan re-expands the whole
+    // prefix 2^rounds times (observed: fd exhaustion on the base scan
+    // before any row is produced). The encode chain is linear and
+    // needs no hint.
+    val m = if (materialized) "MATERIALIZED " else ""
+    s"""mk$t AS (
+       |  SELECT word$carry, p, sym,
+       |         CASE WHEN sym = $lSql AND
+       |                   lead(sym) OVER (PARTITION BY word ORDER BY p) = $rSql
+       |              THEN 1 ELSE 0 END AS m
+       |  FROM s${t - 1}),
+       |tk$t AS (
+       |  SELECT word$carry, p, sym, m,
+       |         CASE WHEN m = 1 AND
+       |                   row_number() OVER (PARTITION BY word, grp, m
+       |                                      ORDER BY p) % 2 = 1
+       |              THEN 1 ELSE 0 END AS take
+       |  FROM (SELECT *, sum(1 - m) OVER (PARTITION BY word ORDER BY p
+       |                                   ROWS UNBOUNDED PRECEDING) AS grp
+       |        FROM mk$t)),
+       |s$t AS $m(
+       |  SELECT word$carry, row_number() OVER (PARTITION BY word ORDER BY p) AS p,
+       |         CASE WHEN take = 1 THEN $mergedSql ELSE sym END AS sym
+       |  FROM (SELECT *, coalesce(lag(take) OVER (PARTITION BY word
+       |                                           ORDER BY p), 0) AS ptake
+       |        FROM tk$t)
+       |  WHERE ptake = 0)""".stripMargin
+  }
+
+  /** DuckDB twin of [[encode]]: the merge fold replayed per pinned
+    * merge — one [[mergeBlockSql]] block per merge, generated from the
+    * same list the Spark side applies. */
   def encodeSql(merges: Seq[(String, String)] = sennrichMerges): String = {
     val mergeCtes = merges.zipWithIndex.map { case ((l, r), i) =>
-      val (t, prev) = (i + 1, s"s$i")
-      s"""mk$t AS (
-         |  SELECT word, p, sym,
-         |         CASE WHEN sym = '$l' AND
-         |                   lead(sym) OVER (PARTITION BY word ORDER BY p) = '$r'
-         |              THEN 1 ELSE 0 END AS m
-         |  FROM $prev),
-         |tk$t AS (
-         |  SELECT word, p, sym, m,
-         |         CASE WHEN m = 1 AND
-         |                   row_number() OVER (PARTITION BY word, grp, m
-         |                                      ORDER BY p) % 2 = 1
-         |              THEN 1 ELSE 0 END AS take
-         |  FROM (SELECT *, sum(1 - m) OVER (PARTITION BY word ORDER BY p
-         |                                   ROWS UNBOUNDED PRECEDING) AS grp
-         |        FROM mk$t)),
-         |s$t AS (
-         |  SELECT word, row_number() OVER (PARTITION BY word ORDER BY p) AS p,
-         |         CASE WHEN take = 1 THEN '${l + r}' ELSE sym END AS sym
-         |  FROM (SELECT *, coalesce(lag(take) OVER (PARTITION BY word
-         |                                           ORDER BY p), 0) AS ptake
-         |        FROM tk$t)
-         |  WHERE ptake = 0)""".stripMargin
+      mergeBlockSql(i + 1, s"'$l'", s"'$r'", s"'${l + r}'")
     }.mkString(",\n")
     s"""WITH dw AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
@@ -298,5 +315,49 @@ object Bpe {
        |  FROM dw JOIN wc USING (word) GROUP BY 1)
        |SELECT d.doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[trainRounds]] (batchB = 1): nMerges unrolled
+    * rounds, each one = frequency-weighted pair counts over the
+    * current symbol state, a deterministic argmax `pick` (count desc,
+    * pair asc — the trainer's exact ordering), and a [[mergeBlockSql]]
+    * rewrite whose merge symbols are scalar subqueries over that pick.
+    * The oracle RE-LEARNS the vocabulary from scratch — a trainer bug
+    * (wrong weighting, wrong tie-break, wrong fold semantics) lands as
+    * a hash mismatch on whichever round first diverges, and every
+    * later round amplifies it (state is cumulative). An exhausted
+    * corpus (no pairs left at round t) yields an empty pick whose
+    * NULL-comparing rewrite is a no-op and whose output row vanishes
+    * from the UNION — mirroring the trainer's early stop. */
+  def trainSql(nMerges: Int = 8): String = {
+    val rounds = (1 to nMerges).map { t =>
+      s"""pc$t AS (
+         |  SELECT freq, sym AS l,
+         |         lead(sym) OVER (PARTITION BY word ORDER BY p) AS r
+         |  FROM s${t - 1}),
+         |cnt$t AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM pc$t WHERE r IS NOT NULL GROUP BY 1, 2),
+         |pick$t AS MATERIALIZED (
+         |  SELECT l, r, n FROM cnt$t ORDER BY n DESC, l, r LIMIT 1),
+         |${mergeBlockSql(t, s"(SELECT l FROM pick$t)", s"(SELECT r FROM pick$t)",
+                          s"(SELECT l || r FROM pick$t)", carry = ", freq",
+                          materialized = true)}""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map { t =>
+      s"""SELECT CAST($t AS INT) AS rank, l AS "left", r AS "right",
+         |       l || r AS merged, n FROM pick$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+       |        FROM documents) GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq, unnest(range(1, len(s) + 1)) AS p, unnest(s) AS sym
+       |  FROM (SELECT word, freq,
+       |               list_append(string_split(word, ''), '$EOW') AS s
+       |        FROM wf)),
+       |$rounds
+       |$out""".stripMargin
   }
 }
