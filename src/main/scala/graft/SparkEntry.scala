@@ -115,6 +115,8 @@ object SparkEntry {
       graft.ann.Pq.pqKnnAdc(Tables.embeddings(s, dir))),
     "q_ivfpq_knn" -> ((s, dir) => // IVF probe -> PQ shortlist -> exact re-rank
       graft.ann.Pq.ivfPqKnn(Tables.embeddings(s, dir))),
+    "q_ivfpq_res" -> ((s, dir) => // PQ over residuals v - centroid (FAISS IVFPQ)
+      graft.ann.Pq.ivfPqResKnn(Tables.embeddings(s, dir))),
     "q_pq_curve" -> ((s, dir) => // recall vs codebook budget (k x iters grid)
       graft.ann.Pq.pqRecallCurve(Tables.embeddings(s, dir))),
     "q_incr_index" -> ((s, dir) => // frozen-index shard append, search old+new
@@ -649,6 +651,7 @@ object SparkEntry {
       "q_pq_knn" -> graft.ann.Pq.pqKnnSql(),
       "q_pq_adc" -> graft.ann.Pq.pqKnnAdcSql(),
       "q_ivfpq_knn" -> graft.ann.Pq.ivfPqKnnSql(),
+      "q_ivfpq_res" -> graft.ann.Pq.ivfPqResKnnSql(),
       "q_pq_curve" -> graft.ann.Pq.pqRecallCurveSql(),
       "q_incr_index" -> graft.ann.Pq.incrIndexKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,

@@ -423,6 +423,15 @@ object Pq {
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= topK * refine)
       .select(col("query_id"), col("vec_id"))
+    exactRerank(embs, short, queryMaxId, topK)
+  }
+
+  /** The exact-cosine re-rank tail every two-stage search ends with:
+    * score the (query, vec) shortlist against the RAW float vectors,
+    * 4dp-rounded before ranking (knnBrute's convention). Queries
+    * broadcast; the corpus side touches shortlist rows only. */
+  private[ann] def exactRerank(embs: DataFrame, short: DataFrame,
+                               queryMaxId: Long, topK: Int): DataFrame = {
     val full = embs.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
     val qFull = full.filter(col("vec_id") < queryMaxId)
@@ -437,6 +446,119 @@ object Pq {
           (col("q_nrm") * col("nrm")), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(wE).cast("int"))
       .filter(col("rank") <= topK)
+  }
+
+  /** Fixed-point grid for the cell-mean anchors: sums of
+    * floor(x·2²⁰ + ½) are exact integers in ANY summation order, so
+    * both engines derive bit-identical anchors — the float-summation
+    * order trap (Σ of doubles is order-dependent) never opens. */
+  private val anchorFp = 1048576.0
+
+  /** Per-cell per-dim mean on the 2⁻²⁰ fixed-point grid:
+    * floor(Σ floor(x·2²⁰ + ½) / n) / 2²⁰. Exact-integer sums → the
+    * result is a pure function of the SET of cell members. */
+  private[ann] def cellAnchors(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * anchorFp + 0.5).cast("long")))
+          .as(Seq("pos", "xi")))
+      .groupBy("cell", "pos")
+      .agg((floor(sum(col("xi")).cast("double") / count(lit(1))) / anchorFp)
+        .as("a"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("a"))))
+        .getField("a").as("a_emb"))
+
+  /** IVF-PQ with RESIDUAL codes — the Jégou et al. 2011 §IV design
+    * (what FAISS's IndexIVFPQ stores under its L2 metric): the PQ
+    * codebook learns r = v − anchor(cell(v)) instead of v itself,
+    * where the anchor is the cell's MEAN vector ([[cellAnchors]] —
+    * the md5-seeded probe centroids are corpus VECTORS, and residuals
+    * against a random member are not small: measured on sf0.01 that
+    * variant scores 0.292 recall@5×50q vs the mean anchor's 0.368).
+    * Probing still ranks the md5 centroids (unchanged IVF).
+    *
+    * MEASURED DISPOSITION (the reason this is shipped as the L2
+    * building block, not as the default cosine search): under this
+    * engine's scaled-domain SDC — per-vector max-|x| int8 scales, the
+    * cross-engine-exact integer design — residual codes LOWER cosine
+    * recall vs plain IVF-PQ (0.368 vs 0.456 at 50 queries, identical
+    * index bytes). Per-vector scaling already angle-normalizes FULL
+    * vectors (that is exactly why plain scaled-domain SDC tracks the
+    * cosine ground truth), while residual magnitudes — and therefore
+    * residual scales — vary far more across vectors, so the scale
+    * mismatch between quantized residuals adds more shortlist error
+    * than the finer residual granularity removes. FAISS reaches the
+    * same conclusion from the other side: by_residual defaults OFF
+    * for inner-product indexes. For a true-L2 corpus the residual
+    * variant is the right half to reach for; the recall comparison is
+    * executable in AnnRecallSpec and the full story lives in
+    * SCALING.md.
+    *
+    * Search needs one twist vs [[ivfPqKnn]]: the query's lookup table
+    * is PER PROBED CELL (the query residual q − anchor_c differs per
+    * cell), so the broadcast distance table is |Q|·nprobe·m·k rows
+    * instead of |Q|·m·k — still trivially broadcastable — and the
+    * shortlist join keys on (query, cell, sub, code), where each
+    * candidate's one true cell came with it from the IVF assignment.
+    * All residual arithmetic is float(double(v) − anchor) in BOTH
+    * engines (anchors exact by construction, one IEEE rounding), so
+    * the quantized-integer SDC lookups stay bit-identical; the exact
+    * cosine re-rank over the RAW vectors is unchanged. */
+  def ivfPqResKnn(embs: DataFrame, queryMaxId: Long = 10, topK: Int = 5,
+                  kCells: Int = 16, nprobe: Int = 4,
+                  m: Int = defaultM, k: Int = 16, iters: Int = 2,
+                  refine: Int = 8): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = IvfKnn.centroids(embs, kCells)
+    val assigned = IvfKnn.assign(embs, cents)
+    val centDf = cellAnchors(assigned).localCheckpoint()
+    val resid = zip_with(col("embedding"), col("a_emb"),
+      (v, a) => (v.cast("double") - a).cast("float"))
+    // corpus residuals: one broadcast join, map-side subtract; the PQ
+    // training + encode paths below are byte-identical to the plain
+    // variant, just fed residual vectors
+    val rEmb = assigned.join(broadcast(centDf), "cell")
+      .select(col("vec_id"), lit("").as("label"), resid.as("embedding"))
+    val cb = codebooks(rEmb, m, k, iters).localCheckpoint()
+    val codes = encodeWith(rEmb, cb, m)
+    val probes = embs.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        IvfKnn.rankedCells(emb, cents).take(nprobe).map(c => (id, c)) }
+      .toDF("query_id", "cell")
+    // per-(query, probed cell) residual → quantize → subvectors → SDC
+    // lookup table rows against the broadcast codebook
+    val qres = probes
+      .join(broadcast(embs.filter(col("vec_id") < queryMaxId)
+        .select(col("vec_id").as("query_id"), col("embedding"))), "query_id")
+      .join(broadcast(centDf), "cell")
+      .select(col("query_id"), col("cell"),
+        graft.functions.VectorFunctions.quantize_codes(resid)
+          .getField("qvec").as("qvec"))
+    val qsv = qres.select(col("query_id"), col("cell"), posexplode(expr(
+      s"""transform(sequence(0, $m - 1),
+         |  j -> slice(qvec, j * (size(qvec) div $m) + 1, size(qvec) div $m))"""
+        .stripMargin)).as(Seq("sub", "svec")))
+    val dt = qsv.join(broadcast(cb), "sub")
+      .select(col("query_id"), col("cell"), col("sub"),
+        col("cid").as("code"), d2("svec", "cvec").as("pd2"))
+    val cand = broadcast(probes).join(assigned.select("vec_id", "cell"), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist2"), col("vec_id"))
+    val short = cand.join(codes, "vec_id")
+      .join(broadcast(dt), Seq("query_id", "cell", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adist2"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= topK * refine)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(embs, short, queryMaxId, topK)
   }
 
   /** The recall-vs-codebook tuning grid for [[pqRecallCurve]]: the
@@ -653,9 +775,22 @@ object Pq {
     * a fix lands everywhere at once. `trainMaxId` restricts codebook
     * TRAINING to vec_id < t (the incremental-index base corpus) while
     * encoding everything — the frozen-codebook append semantics. */
+  /** The int8 quantize expression over a DuckDB list column — ONE
+    * definition shared by the corpus `q` CTE and the residual query
+    * tables, so the two can't drift. */
+  private def qvecSql(src: String): String =
+    s"""list_transform($src, x -> CAST(floor(CAST(x AS DOUBLE) /
+       |      (CASE WHEN list_aggregate(list_transform($src,
+       |              x -> abs(CAST(x AS DOUBLE))), 'max') = 0 THEN 1.0
+       |            ELSE list_aggregate(list_transform($src,
+       |              x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END)
+       |      + 0.5) AS INTEGER))""".stripMargin
+
   private def pqBaseCtes(queryMaxId: Long, m: Int, k: Int,
                          adc: Boolean,
-                         trainMaxId: Option[Long] = None): String = {
+                         trainMaxId: Option[Long] = None,
+                         source: String = "embeddings",
+                         dtOverride: Option[String] = None): String = {
     val trainSrc = if (trainMaxId.isDefined) "svt" else "sv"
     val svtCte = trainMaxId
       .map(t => s"svt AS (\n  SELECT * FROM sv WHERE vec_id < $t),\n")
@@ -663,7 +798,7 @@ object Pq {
     // ADC swaps the query side: RAW float subvectors and dot-product
     // tables (+ the code's squared norm, the two mergeable pieces of
     // the reconstructed cosine); corpus codes are byte-identical.
-    val dtCte =
+    val dtCte = dtOverride.getOrElse(
       if (adc)
         s"""rsv AS (
            |  SELECT vec_id, j.sub,
@@ -687,16 +822,11 @@ object Pq {
            |         list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
            |           - 2 * list_dot_product(s.svec, c.cvec) AS pd2
            |  FROM sv s JOIN c1 c USING (sub)
-           |  WHERE s.vec_id < $queryMaxId)""".stripMargin
+           |  WHERE s.vec_id < $queryMaxId)""".stripMargin)
     s"""q AS (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
-       |      (CASE WHEN list_aggregate(list_transform(embedding,
-       |              x -> abs(CAST(x AS DOUBLE))), 'max') = 0 THEN 1.0
-       |            ELSE list_aggregate(list_transform(embedding,
-       |              x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END)
-       |      + 0.5) AS INTEGER)) AS qvec
-       |  FROM embeddings),
+       |    ${qvecSql("embedding")} AS qvec
+       |  FROM $source),
        |sv AS (
        |  SELECT vec_id, j.sub,
        |         qvec[j.sub * (len(qvec) // $m) + 1 :
@@ -822,6 +952,123 @@ object Pq {
        |    SELECT query_id, vec_id,
        |           row_number() OVER (PARTITION BY query_id
        |                              ORDER BY ${scoreOrder(adc)}, vec_id) AS arank
+       |    FROM sdc) WHERE arank <= ${topK * refine}),
+       |exact AS (
+       |  SELECT short.query_id, short.vec_id,
+       |         round(list_dot_product(qe.embedding, ce.embedding) /
+       |               (sqrt(list_dot_product(qe.embedding, qe.embedding)) *
+       |                sqrt(list_dot_product(ce.embedding, ce.embedding))), 4) AS cos_sim
+       |  FROM short
+       |  JOIN embeddings qe ON qe.vec_id = short.query_id
+       |  JOIN embeddings ce ON ce.vec_id = short.vec_id)
+       |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM exact) WHERE rank <= $topK""".stripMargin
+  }
+
+  /** DuckDB twin of [[ivfPqResKnn]]: the ivfPq cell CTEs + the
+    * fixed-point cell-mean anchors + a residual corpus CTE feeding
+    * the SHARED PQ train/encode chain ([[pqBaseCtes]] with
+    * `source = res`) + the per-(query, probed cell) residual lookup
+    * tables + the cell-keyed shortlist join + the standard exact
+    * re-rank. Anchor sums are exact integers (any order), residuals
+    * are CAST(double − anchor AS FLOAT) — the same one-IEEE-rounding
+    * arithmetic the Spark side's zip_with performs. res/cellrank/
+    * anchors are MATERIALIZED: the PQ chain references the residual
+    * corpus three times (seed, assign, encode) and each reference
+    * would otherwise re-expand the kCells cross-join underneath. */
+  def ivfPqResKnnSql(queryMaxId: Long = 10, topK: Int = 5,
+                     kCells: Int = 16, nprobe: Int = 4,
+                     m: Int = defaultM, k: Int = 16, iters: Int = 2,
+                     refine: Int = 8): String = {
+    require(iters == 2, "oracle spells out the iters=2 case")
+    def cosSql(a: String, b: String) =
+      s"""list_dot_product($a, $b) /
+         |             (sqrt(list_dot_product($a, $a)) *
+         |              sqrt(list_dot_product($b, $b)))""".stripMargin
+    def residSql(a: String, b: String) =
+      s"""list_transform(range(1, len($a) + 1),
+         |           i -> CAST(CAST($a[i] AS DOUBLE) -
+         |                     CAST($b[i] AS DOUBLE) AS FLOAT))""".stripMargin
+    val dtRes =
+      s"""qres AS (
+         |  SELECT p.vec_id AS query_id, p.cell,
+         |         ${qvecSql(residSql("e.embedding", "am.a_emb"))} AS qvec
+         |  FROM (SELECT vec_id, cell FROM proberank WHERE rn <= $nprobe) p
+         |  JOIN embeddings e ON e.vec_id = p.vec_id
+         |  JOIN amap am USING (cell)),
+         |qsv AS (
+         |  SELECT query_id, cell, j.sub,
+         |         qvec[j.sub * (len(qvec) // $m) + 1 :
+         |              j.sub * (len(qvec) // $m) + (len(qvec) // $m)] AS svec
+         |  FROM qres CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
+         |dt AS (
+         |  SELECT s.query_id, s.cell, s.sub, c.cid AS code,
+         |         list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
+         |           - 2 * list_dot_product(s.svec, c.cvec) AS pd2
+         |  FROM qsv s JOIN c1 c USING (sub))""".stripMargin
+    s"""WITH hashed AS (
+       |  SELECT vec_id, embedding,
+       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM embeddings),
+       |cents AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+       |         embedding AS c_emb
+       |  FROM hashed ORDER BY h, vec_id LIMIT $kCells),
+       |cellrank AS MATERIALIZED (
+       |  SELECT e.vec_id, e.cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) e
+       |  WHERE e.rn = 1),
+       |proberank AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN cents c
+       |  WHERE e.vec_id < $queryMaxId),
+       |anchors AS MATERIALIZED (
+       |  SELECT cell, pos,
+       |         floor(CAST(CAST(sum(xi) AS BIGINT) AS DOUBLE) / count(*))
+       |           / 1048576.0 AS a
+       |  FROM (
+       |    SELECT a.cell,
+       |           unnest(range(1, len(e.embedding) + 1)) AS pos,
+       |           unnest(list_transform(e.embedding,
+       |             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+       |                       AS BIGINT))) AS xi
+       |    FROM cellrank a JOIN embeddings e ON e.vec_id = a.vec_id)
+       |  GROUP BY 1, 2),
+       |amap AS MATERIALIZED (
+       |  SELECT cell, list(a ORDER BY pos) AS a_emb FROM anchors GROUP BY cell),
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |         ${residSql("e.embedding", "am.a_emb")} AS embedding
+       |  FROM cellrank a
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN amap am USING (cell)),
+       |${pqBaseCtes(queryMaxId, m, k, adc = false, source = "res",
+                     dtOverride = Some(dtRes))},
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, p.cell, a.vec_id
+       |  FROM (SELECT vec_id, cell FROM proberank WHERE rn <= $nprobe) p
+       |  JOIN cellrank a ON a.cell = p.cell AND a.vec_id <> p.vec_id),
+       |sdc AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         CAST(sum(dt.pd2) AS BIGINT) AS adist2
+       |  FROM cand
+       |  JOIN codes ON codes.vec_id = cand.vec_id
+       |  JOIN dt ON dt.query_id = cand.query_id AND dt.cell = cand.cell
+       |         AND dt.sub = codes.sub AND dt.code = codes.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY adist2, vec_id) AS arank
        |    FROM sdc) WHERE arank <= ${topK * refine}),
        |exact AS (
        |  SELECT short.query_id, short.vec_id,
