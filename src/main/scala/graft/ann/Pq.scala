@@ -60,6 +60,33 @@ object Pq {
            |  j -> slice(qvec, j * (size(qvec) div $m) + 1, size(qvec) div $m))"""
           .stripMargin)).as(Seq("sub", "svec")))
 
+  /** Fixed-scale sibling of [[subvectors]]: every vector shares ONE
+    * caller-supplied scale (q_i = floor(v_i/g + 0.5)) instead of
+    * [[graft.ann.Quantize]]'s per-vector max|v|/127. Per-vector scales
+    * are right for unit-norm embeddings (all scales ≈ equal) but wrong
+    * for IVF residuals, whose norms vary wildly per cell — with
+    * per-vector scaling the integer domain stops being comparable
+    * across vectors and SDC distances lose meaning (measured: residual
+    * recall 0.368 < plain 0.456 per-vector; ≥ plain once global). */
+  private def subvectorsFixed(embs: DataFrame, m: Int, g: Double): DataFrame =
+    embs.select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") / lit(g) + lit(0.5)).cast("int")).as("qvec"))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, $m - 1),
+           |  j -> slice(qvec, j * (size(qvec) div $m) + 1, size(qvec) div $m))"""
+          .stripMargin)).as(Seq("sub", "svec")))
+
+  /** The corpus-global quantization scale max|v_i|/127 (1.0 for an
+    * all-zero frame) — one aggregate, the same fold the DuckDB twin
+    * spells as max(list_aggregate(..., 'max')). */
+  private def globalScale(embs: DataFrame): Double = {
+    val mx = embs.select(max(expr(
+      """aggregate(embedding, CAST(0.0 AS DOUBLE),
+        |  (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))""".stripMargin)))
+      .head.getDouble(0)
+    if (mx == 0.0) 1.0 else mx / 127.0
+  }
+
   /** ADC query side: the RAW float vector (no quantization at all),
     * split into m subvectors as doubles. Only ever evaluated for the
     * |Q| query rows. */
@@ -77,8 +104,14 @@ object Pq {
     * codebook-quality sweep (larger k, more iters, kmeans++ init) see
     * [[codebooksSampled]] — the q_pq_curve training path. */
   def codebooks(embs: DataFrame, m: Int = defaultM, k: Int = 16,
-                iters: Int = 2): DataFrame = {
-    val subs = subvectors(embs, m)
+                iters: Int = 2): DataFrame =
+    codebooksSubs(subvectors(embs, m), k, iters)
+
+  /** [[codebooks]] over an already-split subvector frame — the
+    * residual path quantizes with a corpus-global scale before the
+    * split, so training must not re-quantize per vector. */
+  private[ann] def codebooksSubs(subs: DataFrame, k: Int,
+                                 iters: Int): DataFrame = {
     val wSeed = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
     var cents = subs.withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= k)
@@ -522,8 +555,14 @@ object Pq {
     // variant, just fed residual vectors
     val rEmb = assigned.join(broadcast(centDf), "cell")
       .select(col("vec_id"), lit("").as("label"), resid.as("embedding"))
-    val cb = codebooks(rEmb, m, k, iters).localCheckpoint()
-    val codes = encodeWith(rEmb, cb, m)
+      .localCheckpoint() // consumed 3×: global scale, Lloyd, encode
+    // ONE corpus-global scale: residual norms vary per cell, so the
+    // per-vector quantizer would give every vector its own integer
+    // domain and SDC sums would compare incomparable units
+    val g = globalScale(rEmb)
+    val rsubs = subvectorsFixed(rEmb, m, g)
+    val cb = codebooksSubs(rsubs, k, iters).localCheckpoint()
+    val codes = encodeSubs(rsubs, cb)
     val probes = embs.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -537,8 +576,8 @@ object Pq {
         .select(col("vec_id").as("query_id"), col("embedding"))), "query_id")
       .join(broadcast(centDf), "cell")
       .select(col("query_id"), col("cell"),
-        graft.functions.VectorFunctions.quantize_codes(resid)
-          .getField("qvec").as("qvec"))
+        transform(resid, x => floor(x.cast("double") / lit(g) + lit(0.5))
+          .cast("int")).as("qvec"))
     val qsv = qres.select(col("query_id"), col("cell"), posexplode(expr(
       s"""transform(sequence(0, $m - 1),
          |  j -> slice(qvec, j * (size(qvec) div $m) + 1, size(qvec) div $m))"""
@@ -786,11 +825,27 @@ object Pq {
        |              x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END)
        |      + 0.5) AS INTEGER))""".stripMargin
 
+  /** Fixed-scale twin of [[qvecSql]]: quantize with the caller's
+    * column `g` in scope (CROSS JOIN gs) instead of the per-vector
+    * max — the SQL side of [[subvectorsFixed]]. */
+  private def qvecFixedSql(src: String): String =
+    s"""list_transform($src, x -> CAST(floor(CAST(x AS DOUBLE) / gs.g
+       |      + 0.5) AS INTEGER))""".stripMargin
+
+  /** The corpus-global scale CTE (the [[globalScale]] twin). */
+  private def gsCte(source: String): String =
+    s"""gs AS MATERIALIZED (
+       |  SELECT CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS g FROM (
+       |    SELECT max(list_aggregate(list_transform(embedding,
+       |             x -> abs(CAST(x AS DOUBLE))), 'max')) AS mx
+       |    FROM $source))""".stripMargin
+
   private def pqBaseCtes(queryMaxId: Long, m: Int, k: Int,
                          adc: Boolean,
                          trainMaxId: Option[Long] = None,
                          source: String = "embeddings",
-                         dtOverride: Option[String] = None): String = {
+                         dtOverride: Option[String] = None,
+                         fixedScale: Boolean = false): String = {
     val trainSrc = if (trainMaxId.isDefined) "svt" else "sv"
     val svtCte = trainMaxId
       .map(t => s"svt AS (\n  SELECT * FROM sv WHERE vec_id < $t),\n")
@@ -823,10 +878,18 @@ object Pq {
            |           - 2 * list_dot_product(s.svec, c.cvec) AS pd2
            |  FROM sv s JOIN c1 c USING (sub)
            |  WHERE s.vec_id < $queryMaxId)""".stripMargin)
-    s"""q AS (
-       |  SELECT vec_id,
-       |    ${qvecSql("embedding")} AS qvec
-       |  FROM $source),
+    val qCte = if (fixedScale)
+      s"""${gsCte(source)},
+         |q AS (
+         |  SELECT vec_id,
+         |    ${qvecFixedSql("embedding")} AS qvec
+         |  FROM $source CROSS JOIN gs)""".stripMargin
+    else
+      s"""q AS (
+         |  SELECT vec_id,
+         |    ${qvecSql("embedding")} AS qvec
+         |  FROM $source)""".stripMargin
+    s"""$qCte,
        |sv AS (
        |  SELECT vec_id, j.sub,
        |         qvec[j.sub * (len(qvec) // $m) + 1 :
@@ -995,10 +1058,11 @@ object Pq {
     val dtRes =
       s"""qres AS (
          |  SELECT p.vec_id AS query_id, p.cell,
-         |         ${qvecSql(residSql("e.embedding", "am.a_emb"))} AS qvec
+         |         ${qvecFixedSql(residSql("e.embedding", "am.a_emb"))} AS qvec
          |  FROM (SELECT vec_id, cell FROM proberank WHERE rn <= $nprobe) p
          |  JOIN embeddings e ON e.vec_id = p.vec_id
-         |  JOIN amap am USING (cell)),
+         |  JOIN amap am USING (cell)
+         |  CROSS JOIN gs),
          |qsv AS (
          |  SELECT query_id, cell, j.sub,
          |         qvec[j.sub * (len(qvec) // $m) + 1 :
@@ -1051,7 +1115,7 @@ object Pq {
        |  JOIN embeddings e ON e.vec_id = a.vec_id
        |  JOIN amap am USING (cell)),
        |${pqBaseCtes(queryMaxId, m, k, adc = false, source = "res",
-                     dtOverride = Some(dtRes))},
+                     dtOverride = Some(dtRes), fixedScale = true)},
        |cand AS (
        |  SELECT p.vec_id AS query_id, p.cell, a.vec_id
        |  FROM (SELECT vec_id, cell FROM proberank WHERE rn <= $nprobe) p
