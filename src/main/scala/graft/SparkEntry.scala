@@ -139,6 +139,13 @@ object SparkEntry {
         graft.multimodal.Audio.synthesizeWav(Tables.documents(s, dir))).toDF()),
     "q_audio_pairs" -> ((s, dir) => // banded audio near-dups, planted exact copies
       graft.multimodal.Audio.plantedAudioPairs(Tables.documents(s, dir))),
+    // real GIF container walk over genuine synthesized multi-frame bytes
+    "q_video_meta" -> ((s, dir) =>
+      graft.multimodal.Video.extractMeta(
+        graft.multimodal.Video.synthesizeGif(Tables.documents(s, dir))).toDF()),
+    "q_video_frames" -> ((s, dir) => // every-2nd-frame decimation + payload checksums
+      graft.multimodal.Video.sampleFrames(
+        graft.multimodal.Video.synthesizeGif(Tables.documents(s, dir))).toDF()),
     "q_bpe_encode" -> ((s, dir) => // apply the trained merge list (tokenize)
       graft.text.Bpe.encode(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => { // learn the merge table from the corpus
@@ -659,6 +666,8 @@ object SparkEntry {
       "q_audio_energy" -> graft.multimodal.Audio.frameEnergySql(),
       "q_audio_fp" -> graft.multimodal.Audio.audioFpSql,
       "q_audio_pairs" -> graft.multimodal.Audio.plantedAudioPairsSql(),
+      "q_video_meta" -> graft.multimodal.Video.videoMetaSql,
+      "q_video_frames" -> graft.multimodal.Video.sampleFramesSql(),
       "q_media_phash" -> graft.multimodal.Multimodal.phashSql,
       "q_phash_pairs" -> graft.multimodal.Multimodal.plantedPhashPairsSql(),
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),

@@ -27,18 +27,27 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 <= par) df.repartition(par) else df
   }
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a raw long (nanosAsLong). Convert to a micros
-    * TimestampType by truncating — exactly what DuckDB does when it reads
-    * the same file (its TIMESTAMP is micros) — so oracle comparisons see
-    * identical instants. Integer `div` keeps full precision (a double
-    * division would lose bits above 2^53). */
+  /** events.parquet has shipped `ts` as parquet TIMESTAMP(NANOS) —
+    * which Spark only reads as a raw long (nanosAsLong) — and, since the
+    * corpus regeneration, as TIMESTAMP(MICROS), which Spark reads as
+    * TIMESTAMP_NTZ. Normalize BOTH to a micros TimestampType so every
+    * downstream operator sees one type: nanos are truncated with integer
+    * `div` (a double division would lose bits above 2^53), NTZ wall
+    * times are re-tagged under the engine's pinned UTC session zone —
+    * both exactly what DuckDB's micros TIMESTAMP sees in the same file,
+    * so oracle comparisons see identical instants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

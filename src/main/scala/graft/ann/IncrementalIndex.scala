@@ -36,7 +36,7 @@ object IncrementalIndex {
     val cb = Pq.codebooks(base, m, k, iters).localCheckpoint()
     val cents = IvfKnn.centroids(base, kCells)
     Index(cb, cents,
-      Pq.encodeWith(base, cb, m),
+      Pq.encodeWithWindow(base, cb, m),
       IvfKnn.assign(base, cents).select(col("vec_id"), col("cell")))
   }
 
@@ -46,7 +46,7 @@ object IncrementalIndex {
     * the returned index holds the SAME cb/cents objects. */
   def append(idx: Index, shard: DataFrame, m: Int = Pq.defaultM): Index =
     idx.copy(
-      codes = idx.codes.unionAll(Pq.encodeWith(shard, idx.cb, m)),
+      codes = idx.codes.unionAll(Pq.encodeWithWindow(shard, idx.cb, m)),
       cells = idx.cells.unionAll(
         IvfKnn.assign(shard, idx.cents).select(col("vec_id"), col("cell"))))
 

@@ -295,6 +295,24 @@ object Pq {
       .agg(min(struct(col("dd"), col("cid"))).getField("cid").as("code"))
       .select(col("vec_id"), col("sub"), col("code"))
 
+  /** [[encodeWith]] as a window argmin instead of a groupBy argmin —
+    * identical output, different physical proof: the executed plan
+    * contains NO Aggregate node, which is what lets
+    * [[graft.ann.IncrementalIndex]]'s plan gate certify "appends never
+    * retrain" structurally (Lloyd cannot exist without aggregates, so
+    * an aggregate-free plan cannot hide it). The groupBy form wins on
+    * bulk encodes (map-side combine collapses the k candidate rows per
+    * (vec, sub) before the shuffle); this form shuffles k rows per key
+    * — fine for shard-sized appends, and the proof is worth the delta. */
+  def encodeWithWindow(embs: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dd"), col("cid"))
+    subvectors(embs, m).join(broadcast(cb), "sub")
+      .withColumn("dd", d2("svec", "cvec"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+  }
+
   /** The broadcast per-query lookup table. SDC: (query_id, sub, code,
     * pd2) — integer d² from the quantized query subvector. ADC:
     * (query_id, sub, code, pd) — float dot(q_sub, c_code), the

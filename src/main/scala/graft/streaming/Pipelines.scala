@@ -30,10 +30,16 @@ object Pipelines {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file stream source needs a directory: stream the sf dir, glob-match
     // the events file
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same two physical shapes as Tables.events: legacy nanos-as-long
+    // and the regenerated corpus's TIMESTAMP(MICROS) (read as NTZ)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact distinct-user counts (custom state op — Spark's built-in
