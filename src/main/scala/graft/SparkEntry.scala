@@ -330,6 +330,11 @@ object SparkEntry {
     // per-user lag window -> global bigram counts (Markov transitions)
     "q_transitions" -> ((s, dir) =>
       Windows.transitions(Tables.events(s, dir))),
+    // integer PageRank over the customer<->supplier bipartite graph:
+    // edges stay partitioned, ranks broadcast each iteration
+    "q_pagerank" -> ((s, dir) =>
+      graft.operators.PageRank.supplierRank(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // eval-leakage gate: exact n-gram overlap vs a broadcast benchmark set
     "q_contamination" -> ((s, dir) =>
       graft.dedup.Dedup.contamination(Tables.documents(s, dir))),
@@ -428,6 +433,8 @@ object SparkEntry {
       graft.text.CorpusStats.scrub(Tables.documents(s, dir))),
     "q_sample_strat" -> ((s, dir) =>
       Sampling.stratifiedByHash(Tables.documents(s, dir))),
+    "q_weighted_sample" -> ((s, dir) => // length-biased deterministic sample
+      Sampling.weightedSample(Tables.documents(s, dir))),
     "q_shuffle_order" -> ((s, dir) => // deterministic epoch permutation
       Sampling.shuffleOrder(Tables.documents(s, dir))),
     // --- set operations (SURVEY §2.8) ---
@@ -629,6 +636,7 @@ object SparkEntry {
         Seq("spark", "join", "window", "hash")),
       "q_scrub" -> graft.text.CorpusStats.scrubSql,
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
+      "q_weighted_sample" -> Sampling.weightedSampleSql(),
       "q_shuffle_order" -> Sampling.shuffleOrderSql(),
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
@@ -734,6 +742,7 @@ object SparkEntry {
       "q_bloom_semi" -> BloomJoin.urgentRevenueSql,
       "q_moving_avg" -> Windows.movingRevenueSql(),
       "q_transitions" -> Windows.transitionsSql,
+      "q_pagerank" -> graft.operators.PageRank.supplierRankSql(),
       "q_contamination" -> graft.dedup.Dedup.contaminationSql(),
       "q_topk_events" ->
         """SELECT event_type, event_id, value FROM (

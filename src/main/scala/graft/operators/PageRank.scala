@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration weighted PageRank over the customer↔supplier
+  * bipartite graph (orders ⋈ lineitem: who buys from whom, edge weight
+  * = lineitem count, both directions) — the graph-centrality signal a
+  * curation pipeline uses to weight sources (CommonCrawl-style domain
+  * ranking) and an analytics engine uses for entity importance. The
+  * reference has no graph operator; this extends §2 per the brief's
+  * training-data-pipeline mandate.
+  *
+  * All arithmetic is scaled-integer (rank in units of `scale` = 10¹²,
+  * damping as a percentage, per-edge contribution `pr·w div out_w`
+  * truncated BEFORE the sum): identical operation order in Spark and
+  * DuckDB, so the result is bit-exact and hash-matched — no float
+  * summation-order hazard across 5 iterations. Truncation leaks a few
+  * units of mass per edge per iteration (bounded by |E|·iters, ~10⁻⁶
+  * of total at 10¹² scale) — deterministic, identical in both engines,
+  * and irrelevant to ranking order.
+  *
+  * Scale shape: the edge list is built once (one orders⋈lineitem
+  * shuffle), materialized, and never re-shuffled; every iteration is
+  * edges ⋈ broadcast(ranks) + one groupBy(dst). The rank table is one
+  * row per NODE — million-node graphs broadcast in MBs while the
+  * billion-row EDGE table stays partitioned in place, which is the
+  * iteration shape that survives 100 TB (Pregel's insight, expressed
+  * relationally). Driver work is one bounded count (|V|).
+  */
+object PageRank {
+
+  /** (node, pr) after `iters` damped iterations; node is namespaced
+    * ("c:<custkey>" / "s:<suppkey>"), pr is in units of 1/`scale`. */
+  def supplierRank(orders: DataFrame, lineitem: DataFrame,
+                   iters: Int = 5, scale: Long = 1000000000000L,
+                   dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val fwd = pairs.select(concat(lit("c:"), col("c")).as("src"),
+      concat(lit("s:"), col("s")).as("dst"), col("w"))
+    val rev = pairs.select(concat(lit("s:"), col("s")).as("src"),
+      concat(lit("c:"), col("c")).as("dst"), col("w"))
+    val und = fwd.unionAll(rev)
+    val outw = und.groupBy("src").agg(sum("w").as("ow"))
+    // consumed `iters`× — materialize once, the measured "consumed >1×"
+    // rule (bipartite both-direction edges also mean no dangling nodes:
+    // every node with an in-edge has an out-edge, no leaked mass term)
+    val edges = und.join(outw, "src").localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val n = nodes.count() // bounded driver action: |V|
+    val r0 = scale / n
+    val baseTerm = r0 * (100 - dampingPct) / 100
+    var ranks = nodes.select(col("node"), lit(r0).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("pr * w div ow").as("cb"))
+        .groupBy("dst").agg(sum("cb").as("cs"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), (lit(baseTerm) +
+          expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("pr"))
+    }
+    ranks
+  }
+
+  /** DuckDB twin: the same integer recurrence with the iterations
+    * unrolled as CTEs r1..rN (generated, like every SQL builder here —
+    * DuckDB's recursive CTEs disallow the aggregate the contribution
+    * sum needs). `//` on positive BIGINTs is the same truncation as
+    * Spark's `div`; the final CAST pins BIGINT against DuckDB's
+    * HUGEINT sum widening. */
+  def supplierRankSql(iters: Int = 5, scale: Long = 1000000000000L,
+                      dampingPct: Int = 85): String = {
+    val base =
+      s"""WITH pairs AS (
+         |  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |und AS (
+         |  SELECT 'c:' || c AS src, 's:' || s AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT 's:' || s, 'c:' || c, w FROM pairs),
+         |outw AS (SELECT src, sum(w) AS ow FROM und GROUP BY 1),
+         |e AS (SELECT und.src, und.dst, und.w, outw.ow
+         |      FROM und JOIN outw ON outw.src = und.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM und),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, (SELECT $scale // n FROM nn) AS pr
+         |       FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, CAST(
+         |      (SELECT ($scale // n) * ${100 - dampingPct} // 100 FROM nn)
+         |      + ($dampingPct * coalesce(sum((r.pr * e.w) // e.ow), 0)) // 100
+         |    AS BIGINT) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }
+    (base +: iterCtes).mkString(",\n") +
+      s"\nSELECT node, pr FROM r$iters"
+  }
+}

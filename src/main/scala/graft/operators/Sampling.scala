@@ -44,6 +44,41 @@ object Sampling {
        |  FROM documents)
        |WHERE rk <= $cap""".stripMargin
 
+  /** Weight-biased deterministic sampling: per stratum keep the `cap`
+    * smallest integer priorities h div w, where h is the seeded 60-bit
+    * hash and w = max(n_chars, 1). Doubling a document's weight halves
+    * its expected priority, so selection probability grows with weight
+    * — the integer surrogate of Efraimidis–Spirakis exponential keys
+    * (u^(1/w)), chosen over the exact form because it needs no RNG and
+    * no libm: both engines compute the identical integer division, so
+    * the weighted sample stays bit-reproducible (the file's invariant),
+    * where ln/pow would drift in the last ulp between runtimes.
+    * Same WindowGroupLimit shape as [[stratifiedByHash]]: the exchange
+    * carries O(strata·cap) rows at any corpus size. */
+  def weightedSample(docs: DataFrame, stratum: String = "lang",
+                     cap: Int = 25, seed: Int = 11): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(col("priority"), col("doc_id"))
+    docs.select(col(stratum), col("doc_id"), col("n_chars"),
+        idHash(seed).as("h"))
+      .withColumn("priority", expr("h div greatest(n_chars, 1)"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= cap)
+      .select(col(stratum), col("doc_id"), col("priority"), col("rk"))
+  }
+
+  def weightedSampleSql(stratum: String = "lang", cap: Int = 25,
+                        seed: Int = 11): String =
+    s"""SELECT $stratum, doc_id, priority, CAST(rk AS INT) AS rk FROM (
+       |  SELECT $stratum, doc_id, priority,
+       |         row_number() OVER (PARTITION BY $stratum
+       |                            ORDER BY priority, doc_id) AS rk
+       |  FROM (SELECT $stratum, doc_id,
+       |          (('0x' || substr(md5($seed || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+       |            // greatest(n_chars, 1) AS priority
+       |        FROM documents))
+       |WHERE rk <= $cap""".stripMargin
+
   /** Deterministic global shuffle for training order: every doc gets a
     * (shard, position) from a salted hash — a new salt is a new epoch
     * permutation, reproducible across runs, partitionings, and engines

@@ -87,6 +87,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s3.map(_._2).toSet != rows.map(_._2).toSet)
   }
 
+  test("weighted sample is length-biased, capped, deterministic") {
+    val d = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", (if (i <= 4) 0L else i)))
+      .toDF("doc_id", "lang", "n_chars")
+    val s1 = Sampling.weightedSample(d, cap = 20)
+      .as[(String, Long, Long, Int)].collect()
+    assert(s1.groupBy(_._1).view.mapValues(_.length).toMap
+      == Map("en" -> 20, "de" -> 20))
+    // bit-reproducible: the file's invariant
+    val s2 = Sampling.weightedSample(d, cap = 20)
+      .as[(String, Long, Long, Int)].collect()
+    assert(s1.sortBy(r => (r._1, r._4)).toSeq == s2.sortBy(r => (r._1, r._4)).toSeq)
+    // length bias: sampled docs average materially longer than the corpus
+    val sampledMean = s1.map(_._2).map(i => if (i <= 4) 0L else i).sum.toDouble / s1.length
+    val corpusMean = (1L to 200L).map(i => if (i <= 4) 0L else i).sum.toDouble / 200
+    assert(sampledMean > corpusMean * 1.2,
+      s"no weight bias: sampled mean $sampledMean vs corpus $corpusMean")
+    // zero-weight docs are floored to w=1, not divided by zero
+    assert(s1.forall(_._3 >= 0L))
+  }
+
   test("set ops: except on user-days, intersect on user sets") {
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
     val d0 = ts("2024-01-01T10:00:00Z"); val d1 = ts("2024-01-02T10:00:00Z")

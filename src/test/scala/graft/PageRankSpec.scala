@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** Graph-centrality operator: integer PageRank must hit the
+  * hand-computed fixed point on a minimal graph, conserve (almost all)
+  * rank mass on the real corpus, keep every node at least the base
+  * term, and iterate as edges ⋈ broadcast(ranks) — never a cartesian. */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("two-node symmetric graph reaches the computed fixed point") {
+    val orders = Seq((1L, 10L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 7L), (1L, 7L)).toDF("l_orderkey", "l_suppkey")
+    val scale = 1000000000000L
+    val ranks = PageRank.supplierRank(orders, lineitem, iters = 3,
+      scale = scale).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set("c:10", "s:7"))
+    // n=2, w=ow=2 both ways: contribution passes the full rank across,
+    // so r_{t+1} = base + 85·r_t/100 for BOTH nodes symmetrically
+    val r0 = scale / 2
+    val base = r0 * 15 / 100
+    val expected = (1 to 3).foldLeft(r0)((r, _) => base + 85 * r / 100)
+    assert(ranks("c:10") == expected)
+    assert(ranks("s:7") == expected)
+  }
+
+  test("real corpus: mass conserved within truncation slack, floor holds") {
+    val ranks = PageRank.supplierRank(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf), iters = 5)
+      .collect().map(_.getLong(1))
+    val scale = 1000000000000L
+    val n = ranks.length
+    val total = ranks.sum
+    // per-edge truncation leaks < 1 unit per (edge, iteration); the
+    // damped series bounds total leakage far under n·iters·100 units
+    assert(total <= scale)
+    assert(total >= scale - 100L * n * 5,
+      s"lost ${scale - total} units across $n nodes")
+    val base = (scale / n) * 15 / 100
+    assert(ranks.forall(_ >= base), "a node fell below the teleport floor")
+  }
+
+  test("iteration joins broadcast the rank table; no cartesian anywhere") {
+    val df = PageRank.supplierRank(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf), iters = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("higher weighted degree wins under symmetric structure") {
+    // supplier 1 serves three customers, supplier 2 serves one; all
+    // edge weights equal — more in-links must mean more rank
+    val orders = Seq((1L, 10L), (2L, 11L), (3L, 12L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 1L), (2L, 1L), (3L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ranks = PageRank.supplierRank(orders, lineitem, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("s:1") > ranks("s:2"))
+  }
+}
