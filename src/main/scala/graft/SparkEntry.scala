@@ -435,6 +435,8 @@ object SparkEntry {
       Sampling.stratifiedByHash(Tables.documents(s, dir))),
     "q_weighted_sample" -> ((s, dir) => // length-biased deterministic sample
       Sampling.weightedSample(Tables.documents(s, dir))),
+    "q_temp_mixture" -> ((s, dir) => // sqrt-flattened mixture (alpha = 1/2)
+      Sampling.temperatureMixture(Tables.documents(s, dir))),
     "q_shuffle_order" -> ((s, dir) => // deterministic epoch permutation
       Sampling.shuffleOrder(Tables.documents(s, dir))),
     // --- set operations (SURVEY §2.8) ---
@@ -637,6 +639,7 @@ object SparkEntry {
       "q_scrub" -> graft.text.CorpusStats.scrubSql,
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
       "q_weighted_sample" -> Sampling.weightedSampleSql(),
+      "q_temp_mixture" -> Sampling.temperatureMixtureSql(),
       "q_shuffle_order" -> Sampling.shuffleOrderSql(),
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,

@@ -149,6 +149,65 @@ object Sampling {
       .select(col(stratum), col("doc_id"), col("rk"), col("keep_n"))
   }
 
+  /** Temperature-flattened mixture (α = ½): target share per stratum
+    * ∝ isqrt(count) — the multilingual "temperature sampling" recipe
+    * (dominant strata down-weighted, small ones kept whole-r), with
+    * the exponent fixed at ½ because that is the α whose weight is
+    * integer-exact: isqrt is floor(sqrt) plus a ±1 integer correction,
+    * so both engines agree regardless of libm rounding, where a
+    * general pow(n, α) would drift in the last ulp. Data-derived
+    * weights, fully relational — the stratum table never hits the
+    * driver; [[mixtureSample]]'s fill mechanism does the rest.
+    * Scale shape: counts is one groupBy to #strata rows; the window
+    * passes run over that tiny frame; docs join broadcast(keep_n). */
+  def temperatureMixture(docs: DataFrame, stratum: String = "lang",
+                         seed: Int = 11): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val keepN = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(n as double))) as bigint)"))
+      .withColumn("w", expr(
+        "case when s0*s0 > n then s0-1 " +
+          "when (s0+1)*(s0+1) <= n then s0+1 else s0 end"))
+      .withColumn("sw", sum(col("w")).over(wAll))
+      .withColumn("ppm", expr("(1000000 * w) div sw"))
+      .withColumn("t", min(expr("(n * 1000000) div ppm")).over(wAll))
+      .select(col(stratum), expr("(t * ppm) div 1000000").as("keep_n"))
+    val wRank = Window.partitionBy(col(stratum))
+      .orderBy(idHash(seed), col("doc_id"))
+    docs.select(col(stratum), col("doc_id"))
+      .join(broadcast(keepN), stratum)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= col("keep_n"))
+      .select(col(stratum), col("doc_id"), col("rk"), col("keep_n"))
+  }
+
+  def temperatureMixtureSql(stratum: String = "lang",
+                            seed: Int = 11): String =
+    s"""WITH cnt AS (SELECT $stratum, count(*) AS n FROM documents GROUP BY 1),
+       |iw AS (
+       |  SELECT $stratum, n,
+       |         CASE WHEN s0*s0 > n THEN s0-1
+       |              WHEN (s0+1)*(s0+1) <= n THEN s0+1 ELSE s0 END AS w
+       |  FROM (SELECT $stratum, n,
+       |          CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+       |        FROM cnt)),
+       |pp AS (SELECT $stratum, n,
+       |         (1000000 * w) // sum(w) OVER () AS ppm FROM iw),
+       |keepn AS (
+       |  SELECT $stratum, CAST((t * ppm) // 1000000 AS BIGINT) AS keep_n
+       |  FROM (SELECT $stratum, ppm,
+       |          min((n * 1000000) // ppm) OVER () AS t FROM pp)),
+       |ranked AS (
+       |  SELECT d.$stratum, d.doc_id,
+       |         CAST(row_number() OVER (PARTITION BY d.$stratum ORDER BY
+       |           ('0x' || substr(md5($seed || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+       |           d.doc_id) AS BIGINT) AS rk
+       |  FROM documents d JOIN keepn k USING ($stratum))
+       |SELECT r.$stratum, r.doc_id, r.rk, k.keep_n
+       |FROM ranked r JOIN keepn k USING ($stratum)
+       |WHERE r.rk <= k.keep_n""".stripMargin
+
   def mixtureSampleSql(stratum: String = "lang",
                        weightsPpm: Seq[(String, Long)] = defaultMixture,
                        seed: Int = 11): String = {

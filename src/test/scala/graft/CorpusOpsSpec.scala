@@ -108,6 +108,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s1.forall(_._3 >= 0L))
   }
 
+  test("temperature mixture flattens the stratum ratio to its sqrt") {
+    val d = ((1L to 160L).map(i => (i, "en")) ++
+      (161L to 200L).map(i => (i, "de"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMixture(d)
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    // hand-computed: isqrt weights 12/6 → ppm 666666/333333 → fill
+    // t = min(240, 120) = 120 → keep 79 en, 39 de: corpus ratio 4
+    // flattened to ≈ 2 (the sqrt), small stratum nearly whole
+    assert(byLang == Map("en" -> 79, "de" -> 39))
+    assert(kept.forall(r => r._3 <= r._4)) // rk never exceeds keep_n
+  }
+
   test("set ops: except on user-days, intersect on user sets") {
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
     val d0 = ts("2024-01-01T10:00:00Z"); val d1 = ts("2024-01-02T10:00:00Z")
