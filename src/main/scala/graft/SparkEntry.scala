@@ -335,6 +335,9 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.operators.PageRank.supplierRank(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_ppr" -> ((s, dir) => // seed-teleport personalized rank (related entities)
+      graft.operators.PageRank.personalizedRank(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // eval-leakage gate: exact n-gram overlap vs a broadcast benchmark set
     "q_contamination" -> ((s, dir) =>
       graft.dedup.Dedup.contamination(Tables.documents(s, dir))),
@@ -746,6 +749,7 @@ object SparkEntry {
       "q_moving_avg" -> Windows.movingRevenueSql(),
       "q_transitions" -> Windows.transitionsSql,
       "q_pagerank" -> graft.operators.PageRank.supplierRankSql(),
+      "q_ppr" -> graft.operators.PageRank.personalizedRankSql(),
       "q_contamination" -> graft.dedup.Dedup.contaminationSql(),
       "q_topk_events" ->
         """SELECT event_type, event_id, value FROM (

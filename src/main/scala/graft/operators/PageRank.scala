@@ -30,12 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** (node, pr) after `iters` damped iterations; node is namespaced
-    * ("c:<custkey>" / "s:<suppkey>"), pr is in units of 1/`scale`. */
-  def supplierRank(orders: DataFrame, lineitem: DataFrame,
-                   iters: Int = 5, scale: Long = 1000000000000L,
-                   dampingPct: Int = 85): DataFrame = {
-    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+  /** The checkpointed (edges, nodes) pair for the customer↔supplier
+    * graph. Edges are consumed once per iteration — materialize once,
+    * the measured "consumed >1×" rule (bipartite both-direction edges
+    * also mean no dangling nodes: every node with an in-edge has an
+    * out-edge, no leaked mass term). */
+  private def buildGraph(orders: DataFrame,
+                         lineitem: DataFrame): (DataFrame, DataFrame) = {
     val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -47,34 +48,75 @@ object PageRank {
       concat(lit("c:"), col("c")).as("dst"), col("w"))
     val und = fwd.unionAll(rev)
     val outw = und.groupBy("src").agg(sum("w").as("ow"))
-    // consumed `iters`× — materialize once, the measured "consumed >1×"
-    // rule (bipartite both-direction edges also mean no dangling nodes:
-    // every node with an in-edge has an out-edge, no leaked mass term)
     val edges = und.join(outw, "src").localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
-    val n = nodes.count() // bounded driver action: |V|
-    val r0 = scale / n
-    val baseTerm = r0 * (100 - dampingPct) / 100
-    // the iteration chain stays LAZY: no action fires until the caller's,
-    // so the whole recurrence is ONE DAG in which each iteration's
-    // subtree executes exactly once (no O(iters²) re-derivation — only
-    // the EDGE frame above needed pinning, it appears in every
-    // iteration's join). Checkpointing per iteration was measured
-    // slower (3.5 → 3.8 s at sf0.1): four extra materialization
-    // barriers for lineage nothing re-reads. At iters ≫ 10 truncate
-    // every ~10 rounds to keep Catalyst's analysis of the growing plan
-    // cheap.
-    var ranks = nodes.select(col("node"), lit(r0).as("pr"))
+    (edges, nodes)
+  }
+
+  /** The shared damped recurrence: r' = teleport + d·Σ contrib, with
+    * caller-supplied init and per-iteration teleport columns (global
+    * rank spreads both uniformly; personalized rank concentrates both
+    * on the seed). The iteration chain stays LAZY: no action fires
+    * until the caller's, so the whole recurrence is ONE DAG in which
+    * each iteration's subtree executes exactly once (no O(iters²)
+    * re-derivation — only the EDGE frame needed pinning, it appears in
+    * every iteration's join). Checkpointing per iteration was measured
+    * slower (3.5 → 3.8 s at sf0.1): four extra materialization
+    * barriers for lineage nothing re-reads. At iters ≫ 10 truncate
+    * every ~10 rounds to keep Catalyst's analysis of the growing plan
+    * cheap. */
+  private def iterate(edges: DataFrame, nodes: DataFrame,
+                      init: org.apache.spark.sql.Column,
+                      teleport: org.apache.spark.sql.Column,
+                      iters: Int, dampingPct: Int): DataFrame = {
+    var ranks = nodes.select(col("node"), init.as("pr"))
     for (_ <- 1 to iters) {
       val contrib = edges.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), expr("pr * w div ow").as("cb"))
         .groupBy("dst").agg(sum("cb").as("cs"))
       ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"), (lit(baseTerm) +
+        .select(col("node"), (teleport +
           expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("pr"))
     }
     ranks
+  }
+
+  /** (node, pr) after `iters` damped iterations; node is namespaced
+    * ("c:<custkey>" / "s:<suppkey>"), pr is in units of 1/`scale`. */
+  def supplierRank(orders: DataFrame, lineitem: DataFrame,
+                   iters: Int = 5, scale: Long = 1000000000000L,
+                   dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val (edges, nodes) = buildGraph(orders, lineitem)
+    val n = nodes.count() // bounded driver action: |V|
+    val r0 = scale / n
+    val baseTerm = r0 * (100 - dampingPct) / 100
+    iterate(edges, nodes, lit(r0), lit(baseTerm), iters, dampingPct)
+  }
+
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed
+    * node, so rank measures proximity TO THE SEED through the weighted
+    * graph — the graph-native "related entities" retrieval primitive
+    * (recommendations, related-suppliers-of-a-customer). Same integer
+    * recurrence, same edge/broadcast iteration shape; only the init
+    * and teleport columns change, which is the PPR definition. */
+  def personalizedRank(orders: DataFrame, lineitem: DataFrame,
+                       seed: String = "", iters: Int = 5,
+                       scale: Long = 1000000000000L,
+                       dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // empty seed = the minimum ordering customer — guaranteed a graph
+    // node at every scale factor (a literal custkey might not order).
+    // Bounded driver action (one min), same value the SQL twin's
+    // scalar subquery resolves.
+    val seedNode = if (seed.nonEmpty) seed
+      else "c:" + orders.agg(min(col("o_custkey"))).head.getLong(0)
+    val (edges, nodes) = buildGraph(orders, lineitem)
+    val baseTerm = scale * (100 - dampingPct) / 100
+    val init = when(col("node") === seedNode, lit(scale)).otherwise(lit(0L))
+    val tp = when(col("node") === seedNode, lit(baseTerm)).otherwise(lit(0L))
+    iterate(edges, nodes, init, tp, iters, dampingPct)
   }
 
   /** DuckDB twin: the same integer recurrence with the iterations
@@ -105,6 +147,46 @@ object PageRank {
       s"""r$i AS (
          |  SELECT n.node, CAST(
          |      (SELECT ($scale // n) * ${100 - dampingPct} // 100 FROM nn)
+         |      + ($dampingPct * coalesce(sum((r.pr * e.w) // e.ow), 0)) // 100
+         |    AS BIGINT) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }
+    (base +: iterCtes).mkString(",\n") +
+      s"\nSELECT node, pr FROM r$iters"
+  }
+
+  /** DuckDB twin of [[personalizedRank]]: identical graph CTEs, seed-
+    * conditional init and teleport (the PPR delta, nothing else). */
+  def personalizedRankSql(seed: String = "", iters: Int = 5,
+                          scale: Long = 1000000000000L,
+                          dampingPct: Int = 85): String = {
+    val baseTerm = scale * (100 - dampingPct) / 100
+    val seedExpr = if (seed.nonEmpty) s"'$seed'"
+      else "('c:' || (SELECT min(o_custkey) FROM orders))"
+    val base =
+      s"""WITH pairs AS (
+         |  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |und AS (
+         |  SELECT 'c:' || c AS src, 's:' || s AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT 's:' || s, 'c:' || c, w FROM pairs),
+         |outw AS (SELECT src, sum(w) AS ow FROM und GROUP BY 1),
+         |e AS (SELECT und.src, und.dst, und.w, outw.ow
+         |      FROM und JOIN outw ON outw.src = und.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM und),
+         |r0 AS (SELECT node,
+         |         CAST(CASE WHEN node = $seedExpr THEN $scale ELSE 0 END
+         |           AS BIGINT) AS pr
+         |       FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, CAST(
+         |      CASE WHEN n.node = $seedExpr THEN $baseTerm ELSE 0 END
          |      + ($dampingPct * coalesce(sum((r.pr * e.w) // e.ow), 0)) // 100
          |    AS BIGINT) AS pr
          |  FROM nodes n

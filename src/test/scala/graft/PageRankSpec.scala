@@ -56,6 +56,30 @@ class PageRankSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("personalized rank concentrates mass at and around the seed") {
+    val ranks = PageRank.personalizedRank(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seedId = Tables.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.min($"o_custkey")).head.getLong(0)
+    val seed = s"c:$seedId"
+    // the seed holds the teleport mass: strictly the maximum rank
+    assert(ranks(seed) == ranks.values.max)
+    // suppliers the seed buys from outrank the median non-seed node
+    val seedSuppliers = Tables.orders(spark, sf)
+      .filter($"o_custkey" === seedId)
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey").distinct().collect().map(r => s"s:${r.getLong(0)}")
+    val nonSeed = ranks.filterNot(_._1 == seed).values.toSeq.sorted
+    val median = nonSeed(nonSeed.size / 2)
+    assert(seedSuppliers.nonEmpty)
+    assert(seedSuppliers.forall(s => ranks(s) >= median),
+      "a direct neighbor of the seed fell below the median rank")
+    // far mass decays: some node holds zero (teleport never reaches it
+    // with full weight) or at least the min is far below the seed
+    assert(nonSeed.head < ranks(seed) / 10)
+  }
+
   test("higher weighted degree wins under symmetric structure") {
     // supplier 1 serves three customers, supplier 2 serves one; all
     // edge weights equal — more in-links must mean more rank
