@@ -110,7 +110,39 @@ object Bench {
     }.mkString("{", ",", "}")
     val passTotals = byPass.map(r => f"${r.map(_._2).sum}%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    // The harness that archives stdout keeps only its LAST 2000 chars,
+    // and ~140 query names alone exceed that — a full per-query JSON on
+    // stdout gets its head truncated (r7 lost every query before
+    // ~q_overview). Split the artifact:
+    //   stdout — ONE complete, parseable JSON line under the 2000-char
+    //     tail: totals, pass totals, and the slowest queries (the only
+    //     ones whose regressions are gradable) up to a strict char
+    //     budget, plus how many were omitted and where the rest live.
+    //   BENCH_FULL.json (repo-kept, committed each round) — every
+    //     query's min AND per-pass array, machine-diffable round over
+    //     round.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_FULL.json")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full artifact write failed: ${e.getMessage}")
+    }
+    val slowestFirst = results.sortBy { case (_, v) => (-v, "") }
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","pass_totals":$passTotals,"full":"$fullPath","queries_total":${results.size},"""
+    val budget = 1950 - header.length - 60 // room for the closing fields
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entryLen = k.length + 10 // "k":v.vvv,
+      if (used + entryLen <= budget) { picked += ((k, v)); used += entryLen }
+    }
+    val qsTop = picked.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(header +
+      s""""queries_omitted":${results.size - picked.size},"queries":$qsTop}""")
     spark.stop()
   }
 }

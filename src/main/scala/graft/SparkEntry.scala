@@ -146,6 +146,9 @@ object SparkEntry {
     "q_video_frames" -> ((s, dir) => // every-2nd-frame decimation + payload checksums
       graft.multimodal.Video.sampleFrames(
         graft.multimodal.Video.synthesizeGif(Tables.documents(s, dir))).toDF()),
+    "q_video_features" -> ((s, dir) => // real LZW decode → per-frame luminance features
+      graft.multimodal.Video.frameFeatures(
+        graft.multimodal.Video.synthesizePixelGif(Tables.documents(s, dir))).toDF()),
     "q_bpe_encode" -> ((s, dir) => // apply the trained merge list (tokenize)
       graft.text.Bpe.encode(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => { // learn the merge table from the corpus
@@ -682,6 +685,7 @@ object SparkEntry {
       "q_audio_pairs" -> graft.multimodal.Audio.plantedAudioPairsSql(),
       "q_video_meta" -> graft.multimodal.Video.videoMetaSql,
       "q_video_frames" -> graft.multimodal.Video.sampleFramesSql(),
+      "q_video_features" -> graft.multimodal.Video.videoFeaturesSql,
       "q_media_phash" -> graft.multimodal.Multimodal.phashSql,
       "q_phash_pairs" -> graft.multimodal.Multimodal.plantedPhashPairsSql(),
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),

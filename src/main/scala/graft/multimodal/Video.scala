@@ -19,11 +19,19 @@ import graft.multimodal.Multimodal.MediaRow
   * payloads are the document text's octets sliced frame-by-frame
   * (byte i of n lands in frame i·nFrames/n — the [[Audio]] grid rule),
   * so every parsed field and every per-frame checksum is replayable by
-  * the DuckDB oracle from `documents.text` alone. Pixel-level LZW
-  * decode is deliberately out of scope (the stubbed step the brief
-  * prescribes — this container has no image libs); the block walk,
-  * schema, partitioning and batch shape are real and tested, which is
-  * exactly what carries over when a JNI decoder is dropped in.
+  * the DuckDB oracle from `documents.text` alone.
+  *
+  * Pixel level: [[synthesizePixelGif]] writes fully valid GIFs — gray
+  * global color table, REAL variable-width LZW frame streams
+  * ([[GifLzw]], the Appendix-F codec) at 2 bits (4 colors, even
+  * doc_id) or 4 bits (16 colors, odd doc_id) — whose pixels follow a
+  * deterministic arithmetic rule, and [[frameFeatures]] decodes those
+  * streams back and computes per-frame luminance features from the
+  * DECODED indices. The oracle restates the features from the pixel
+  * rule alone, so a hash match proves the whole
+  * synthesize→container→LZW-encode→LZW-decode→feature chain is
+  * faithful; VideoSpec additionally cross-checks both codec directions
+  * against the JVM's own independent GIF implementation (javax.imageio).
   *
   * Scale shape: synthesis, parse, and frame sampling are all
   * mapPartitions batches over the media column — no shuffle, no
@@ -99,7 +107,9 @@ object Video {
   private def u16le(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
-  private case class ParsedFrame(idx: Int, delay: Int, bytes: Long, sum: Long)
+  private case class ParsedFrame(idx: Int, delay: Int, bytes: Long, sum: Long,
+                                 mcs: Int = 0, payload: Array[Byte] = null,
+                                 interlaced: Boolean = false)
   private case class Parsed(meta: VideoMeta, frames: List[ParsedFrame])
 
   /** Strict GIF block walk — GIF87a/89a magic, screen descriptor,
@@ -111,7 +121,8 @@ object Video {
     * every advance is bounds-checked and > 0, sub-block lengths can't
     * run past the buffer, unknown blocks are malformed (None), and any
     * residual surprise lands in the catch-all None. */
-  private def parse(m: MediaRow): Option[Parsed] = try {
+  private def parse(m: MediaRow,
+                    wantPixels: Boolean = false): Option[Parsed] = try {
     val b = m.media
     if (b.length < 14) return None
     val magic = new String(b, 0, 6, "US-ASCII")
@@ -125,8 +136,11 @@ object Video {
     var frames = List.empty[ParsedFrame]
     var nFrames = 0
     var done = false
-    // skip length-prefixed sub-blocks from `o`, folding (count, sum)
-    def subBlocks(from: Int, fold: Boolean): Option[(Int, Long, Long)] = {
+    // skip length-prefixed sub-blocks from `o`, folding (count, sum);
+    // `collect` additionally concatenates payload octets (pixel path)
+    def subBlocks(from: Int, fold: Boolean,
+                  collect: java.io.ByteArrayOutputStream = null
+                 ): Option[(Int, Long, Long)] = {
       var p = from
       var cnt = 0L
       var sum = 0L
@@ -138,6 +152,7 @@ object Video {
           while (i < p + 1 + len) { sum += (b(i) & 0xff); i += 1 }
           cnt += len
         }
+        if (collect != null) collect.write(b, p + 1, len)
         p += 1 + len
       }
       if (p >= b.length) None else Some((p + 1, cnt, sum))
@@ -169,10 +184,15 @@ object Video {
           var p = o + 10
           if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 0x07) + 1))
           if (p + 1 > b.length) return None
-          p += 1 // LZW minimum code size
-          subBlocks(p, fold = true) match {
+          val mcs = b(p) & 0xff
+          p += 1 // past the LZW minimum code size byte
+          val collect =
+            if (wantPixels) new java.io.ByteArrayOutputStream() else null
+          subBlocks(p, fold = true, collect) match {
             case Some((next, cnt, sum)) =>
-              frames ::= ParsedFrame(nFrames, pendingDelay, cnt, sum)
+              frames ::= ParsedFrame(nFrames, pendingDelay, cnt, sum, mcs,
+                if (collect == null) null else collect.toByteArray,
+                interlaced = (ipacked & 0x40) != 0)
               nFrames += 1; pendingDelay = 0; o = next
             case None => return None
           }
@@ -248,4 +268,333 @@ object Video {
        |FROM grid g
        |LEFT JOIN bysum b ON b.doc_id = g.doc_id AND b.f = g.frame_idx
        |WHERE g.frame_idx % $every = 0""".stripMargin
+
+  // ── pixel-true leg: real LZW streams and decoded-pixel features ──
+
+  case class VideoFeat(doc_id: Long, frame_idx: Int, sum_lum: Long,
+                       b0: Long, b1: Long, b2: Long, b3: Long,
+                       delta_prev: Long)
+
+  /** Colors per pixel-GIF: 4 (2-bit) for even ids, 16 (4-bit) for odd —
+    * both sub-byte LZW widths exercised. min code size = log2(nc). */
+  private def colorsOf(id: Long): Int = if (id % 2 == 0) 4 else 16
+
+  /** The SQL-replayable pixel rule: palette index of (x, y) in frame f
+    * = (x + 2y + 3f + doc_id + n) mod nc, n = payload octet count.
+    * Linear in every axis so the oracle computes features on a
+    * generate_series grid with no decoder. */
+  private def pixelOf(id: Long, n: Int, f: Int, x: Int, y: Int,
+                      nc: Int): Byte =
+    ((x + 2L * y + 3L * f + id + n) % nc).toByte
+
+  /** Fully valid GIF89a: gray GLOBAL color table (level i·255/(nc−1)),
+    * NETSCAPE loop, per frame a graphic control + image descriptor +
+    * genuine LZW-encoded pixel stream from [[pixelOf]]. Same
+    * width/height/frame-count/delay/loop arithmetic as
+    * [[synthesizeGif]], so the metadata oracles stay shared. */
+  def synthesizePixelGif(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val n = text.getBytes("UTF-8").length
+        val nf = framesOf(n)
+        val w = widthOf(id); val h = heightOf(id)
+        val nc = colorsOf(id)
+        val mcs = Integer.numberOfTrailingZeros(nc) // 4→2, 16→4
+        val out = new java.io.ByteArrayOutputStream(64 + nf * (16 + w * h))
+        def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        out.write("GIF89a".getBytes("US-ASCII"))
+        u16(w); u16(h)
+        // GCT present, 8-bit color resolution, size field = mcs-1
+        out.write(0x80 | 0x70 | (mcs - 1)); out.write(0x00); out.write(0x00)
+        var c = 0
+        while (c < nc) { // gray palette: the luminance IS the index scaled
+          val g = c * 255 / (nc - 1)
+          out.write(g); out.write(g); out.write(g)
+          c += 1
+        }
+        out.write(0x21); out.write(0xFF); out.write(11)
+        out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+        out.write(3); out.write(1); u16(loopOf(id)); out.write(0x00)
+        var f = 0
+        while (f < nf) {
+          out.write(0x21); out.write(0xF9); out.write(4)
+          out.write(0x00); u16(delayOf(f)); out.write(0x00); out.write(0x00)
+          out.write(0x2C)
+          u16(0); u16(0); u16(w); u16(h); out.write(0x00)
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = pixelOf(id, n, f, x, y, nc); x += 1 }
+            y += 1
+          }
+          val lzw = GifLzw.encode(mcs, px)
+          out.write(mcs)
+          var p = 0
+          while (p < lzw.length) {
+            val len = math.min(255, lzw.length - p)
+            out.write(len); out.write(lzw, p, len)
+            p += len
+          }
+          out.write(0x00)
+          f += 1
+        }
+        out.write(0x3B)
+        MediaRow(id, "image/gif", out.toByteArray)
+      })
+  }
+
+  /** Per-frame luminance features from the DECODED pixel indices:
+    * luminance sum, 4-bucket histogram (lum div 64), and the
+    * frame-to-frame absolute-luminance delta (the video-dedup /
+    * scene-cut signal; 0 for frame 0). Colors-per-pixel comes from the
+    * container's LZW min code size, luminance from the gray palette law
+    * idx·255/(nc−1) — everything downstream of the real decoder, so a
+    * container whose LZW stream doesn't decode to exactly w·h pixels
+    * contributes nothing (hostile-input discipline, like [[parse]]).
+    * Scale shape: mapPartitions, no shuffle, one decode pass per blob;
+    * prev-frame state is one w·h int array per in-flight doc. */
+  def frameFeatures(media: Dataset[MediaRow]): Dataset[VideoFeat] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      parse(m, wantPixels = true) match {
+        case None => Iterator.empty[VideoFeat]
+        case Some(p) =>
+          val w = p.meta.width; val h = p.meta.height
+          val rows = scala.collection.mutable.ArrayBuffer.empty[VideoFeat]
+          var prevLum: Array[Int] = null
+          var ok = true
+          for (fr <- p.frames if ok) {
+            decodedPixels(p, fr) match {
+              case None => ok = false
+              case Some(px) =>
+                val nc = 1 << fr.mcs
+                val lum = new Array[Int](px.length)
+                var sum = 0L; var delta = 0L
+                val b = new Array[Long](4)
+                var i = 0
+                while (i < px.length) {
+                  val l = (px(i) & 0xff) * 255 / (nc - 1)
+                  lum(i) = l
+                  sum += l
+                  b(l / 64) += 1
+                  if (prevLum != null) delta += math.abs(l - prevLum(i))
+                  i += 1
+                }
+                rows += VideoFeat(m.doc_id, fr.idx, sum,
+                  b(0), b(1), b(2), b(3), if (prevLum == null) 0L else delta)
+                prevLum = lum
+            }
+          }
+          if (ok) rows.iterator else Iterator.empty[VideoFeat]
+      }
+    })
+  }
+
+  /** Decoded palette-index frames of a pixel GIF, in frame order —
+    * spec surface for cross-checking the LZW decoder against foreign
+    * codecs (javax.imageio) byte-for-byte. None if the container or
+    * any frame's stream is malformed. */
+  /** GIF interlace row order (passes 8/8/4/2 starting 0/4/2/1): map
+    * file-order rows back to display order. Our writer never
+    * interlaces, but foreign encoders (the JVM's included) do. */
+  private def deinterlace(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](px.length)
+    var src = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+         y <- start until h by step) {
+      System.arraycopy(px, src * w, out, y * w, w); src += 1
+    }
+    out
+  }
+
+  private def decodedPixels(p: Parsed, f: ParsedFrame): Option[Array[Byte]] = {
+    val w = p.meta.width; val h = p.meta.height
+    GifLzw.decode(f.mcs, f.payload, w * h)
+      .map(px => if (f.interlaced) deinterlace(px, w, h) else px)
+  }
+
+  private[graft] def decodeFrames(m: MediaRow): Option[Seq[Array[Byte]]] =
+    parse(m, wantPixels = true).flatMap { p =>
+      val fs = p.frames.map(f => decodedPixels(p, f))
+      if (fs.forall(_.isDefined)) Some(fs.map(_.get)) else None
+    }
+
+  /** Oracle twin of synthesizePixelGif → [[frameFeatures]]: the pixel
+    * rule replayed on a doc × frame × y × x generate_series grid —
+    * integer-exact luminance (c·255 // (nc−1)), the same div-64
+    * buckets, and the f−1 pixel recomputed in place for the delta. */
+  def videoFeaturesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, length(text) AS n,
+       |         16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+       |         1 + length(text) % 6 AS nf,
+       |         CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 16 END AS nc
+       |  FROM documents),
+       |px AS (
+       |  SELECT d.doc_id, ff.f, d.nc,
+       |         (xx.x + 2*yy.y + 3*ff.f + d.doc_id + d.n) % d.nc AS c,
+       |         (xx.x + 2*yy.y + 3*(ff.f-1) + d.doc_id + d.n) % d.nc AS cp
+       |  FROM d
+       |  CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(0, d.nf - 1)) AS f) ff
+       |  CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(0, d.h - 1)) AS y) yy
+       |  CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(0, d.w - 1)) AS x) xx)
+       |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       |       CAST(sum((c * 255) // (nc - 1)) AS BIGINT) AS sum_lum,
+       |       CAST(sum(CASE WHEN ((c * 255) // (nc - 1)) // 64 = 0
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       |       CAST(sum(CASE WHEN ((c * 255) // (nc - 1)) // 64 = 1
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       |       CAST(sum(CASE WHEN ((c * 255) // (nc - 1)) // 64 = 2
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       |       CAST(sum(CASE WHEN ((c * 255) // (nc - 1)) // 64 = 3
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+       |       CAST(sum(CASE WHEN f = 0 THEN 0
+       |                ELSE abs((c * 255) // (nc - 1)
+       |                       - (cp * 255) // (nc - 1)) END)
+       |         AS BIGINT) AS delta_prev
+       |FROM px GROUP BY 1, 2""".stripMargin
+}
+
+/** GIF-wire LZW (GIF89a spec Appendix F): variable-width codes
+  * starting at minCodeSize+1 bits growing to 12, LSB-first bit
+  * packing, CLEAR = 2^mcs and EOI = CLEAR+1, encoder leading with
+  * CLEAR and resetting the table when it fills. Both directions are
+  * here because the synthesis path needs the encoder and the feature
+  * path the decoder; VideoSpec proves interop against javax.imageio's
+  * independent implementation in both directions. */
+private[graft] object GifLzw {
+
+  /** Encode palette indices at `mcs` minimum code size. The width-bump
+    * rule is one add AHEAD of the decoder's (next == 2^w + 1 vs the
+    * decoder's next == 2^w) because the encoder registers its table
+    * entry at the emission that tells the decoder to register its own —
+    * the standard symmetric schedule. */
+  def encode(mcs: Int, px: Array[Byte]): Array[Byte] = {
+    require(mcs >= 2 && mcs <= 8, s"LZW min code size $mcs out of range")
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(px.length)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = mcs + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    if (px.nonEmpty) {
+      var prefix: Int = px(0) & 0xff
+      var i = 1
+      while (i < px.length) {
+        val k = px(i) & 0xff
+        val key = Integer.valueOf((prefix << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          emit(prefix)
+          if (next == 4096) { // table full: clear and restart
+            emit(clear)
+            dict.clear(); next = eoi + 1; codeSize = mcs + 1
+          } else {
+            dict.put(key, Integer.valueOf(next)); next += 1
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          }
+          prefix = k
+        }
+        i += 1
+      }
+      emit(prefix)
+    }
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Decode a frame's concatenated sub-block payload expecting exactly
+    * `expected` pixels; None on ANY malformation (short stream, code
+    * beyond the table, over-long output, chain corruption) — never a
+    * throw, never a loop, the [[Video.parse]] hostile-input contract. */
+  def decode(mcs: Int, data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    if (mcs < 2 || mcs > 8) return None
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val prefixArr = new Array[Int](4096)
+    val tailArr = new Array[Byte](4096)
+    var next = eoi + 1
+    var codeSize = mcs + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    def read(): Int = {
+      while (bitCnt < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; pos += 1; bitCnt += 8
+      }
+      if (bitCnt < codeSize) -1
+      else {
+        val c = (bitBuf & ((1L << codeSize) - 1)).toInt
+        bitBuf >>>= codeSize; bitCnt -= codeSize; c
+      }
+    }
+    val tmp = new Array[Byte](4096)
+    // write code c's string; composite codes chain through prefixArr
+    def emitCode(c: Int): Boolean = {
+      var nTmp = 0; var cur = c
+      while (cur >= clear) { // composite entries all sit above EOI
+        if (nTmp >= 4096 || cur < eoi + 1) return false
+        tmp(nTmp) = tailArr(cur); nTmp += 1; cur = prefixArr(cur)
+      }
+      tmp(nTmp) = cur.toByte; nTmp += 1
+      var i = nTmp - 1
+      while (i >= 0) { out.write(tmp(i) & 0xff); i -= 1 }
+      true
+    }
+    def firstOf(c: Int): Int = {
+      var cur = c
+      while (cur >= eoi + 1) cur = prefixArr(cur)
+      cur
+    }
+    var prev = -1
+    var finished = false
+    while (!finished) {
+      val c = read()
+      if (c < 0) return None
+      if (c == clear) {
+        next = eoi + 1; codeSize = mcs + 1; prev = -1
+      } else if (c == eoi) {
+        finished = true
+      } else if (prev == -1) { // first code after clear must be a root
+        if (c >= clear) return None
+        out.write(c)
+        prev = c
+      } else {
+        if (c > next || c == next && next >= 4096) return None
+        if (c == next) { // the K-case: prev's string + its own first char
+          prefixArr(next) = prev; tailArr(next) = firstOf(prev).toByte
+          if (!emitCode(next)) return None
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        } else {
+          if (!emitCode(c)) return None
+          if (next < 4096) {
+            prefixArr(next) = prev; tailArr(next) = firstOf(c).toByte
+            next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+        }
+        prev = c
+      }
+      if (out.size > expected) return None
+    }
+    if (out.size != expected) None else Some(out.toByteArray)
+  }
 }

@@ -65,14 +65,28 @@ object PageRank {
     * slower (3.5 → 3.8 s at sf0.1): four extra materialization
     * barriers for lineage nothing re-reads. At iters ≫ 10 truncate
     * every ~10 rounds to keep Catalyst's analysis of the growing plan
-    * cheap. */
+    * cheap.
+    *
+    * `broadcastRanks` is the size gate (same hybrid shape as
+    * `Clusters.connectedComponents`): below the node threshold the rank
+    * table ships as a broadcast (MBs for million-node graphs — one
+    * exchange-free map join per iteration); above it the hint is
+    * dropped and the join runs as a shuffle join against the edge
+    * table, whose `buildGraph` partitioning on `src` is exactly the
+    * join key — only the (small) rank side moves. Billion-node graphs
+    * make the rank table GBs; 5 iterations of a GB broadcast is the
+    * plan that dies at scale, the shuffle join is the one that
+    * survives. Both paths run the identical integer arithmetic, so the
+    * output is bit-equal (spec-asserted). */
   private def iterate(edges: DataFrame, nodes: DataFrame,
                       init: org.apache.spark.sql.Column,
                       teleport: org.apache.spark.sql.Column,
-                      iters: Int, dampingPct: Int): DataFrame = {
+                      iters: Int, dampingPct: Int,
+                      broadcastRanks: Boolean): DataFrame = {
     var ranks = nodes.select(col("node"), init.as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(broadcast(ranks), col("src") === col("node"))
+      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
+      val contrib = edges.join(rankSide, col("src") === col("node"))
         .select(col("dst"), expr("pr * w div ow").as("cb"))
         .groupBy("dst").agg(sum("cb").as("cs"))
       ranks = nodes.join(contrib, col("node") === col("dst"), "left")
@@ -82,17 +96,25 @@ object PageRank {
     ranks
   }
 
+  /** Node-count gate for the rank broadcast: ~10⁷ nodes ≈ low hundreds
+    * of MBs serialized (node string + long), the edge of what a per-
+    * iteration broadcast should carry. Overridable per call so specs
+    * can force the shuffle path on small data. */
+  val DefaultBroadcastMaxNodes: Long = 10000000L
+
   /** (node, pr) after `iters` damped iterations; node is namespaced
     * ("c:<custkey>" / "s:<suppkey>"), pr is in units of 1/`scale`. */
   def supplierRank(orders: DataFrame, lineitem: DataFrame,
                    iters: Int = 5, scale: Long = 1000000000000L,
-                   dampingPct: Int = 85): DataFrame = {
+                   dampingPct: Int = 85,
+                   broadcastMaxNodes: Long = DefaultBroadcastMaxNodes): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val (edges, nodes) = buildGraph(orders, lineitem)
     val n = nodes.count() // bounded driver action: |V|
     val r0 = scale / n
     val baseTerm = r0 * (100 - dampingPct) / 100
-    iterate(edges, nodes, lit(r0), lit(baseTerm), iters, dampingPct)
+    iterate(edges, nodes, lit(r0), lit(baseTerm), iters, dampingPct,
+      broadcastRanks = n <= broadcastMaxNodes)
   }
 
   /** Personalized PageRank: the teleport mass lands ONLY on the seed
@@ -101,22 +123,36 @@ object PageRank {
     * (recommendations, related-suppliers-of-a-customer). Same integer
     * recurrence, same edge/broadcast iteration shape; only the init
     * and teleport columns change, which is the PPR definition. */
+  /** Node-id shape every seed must satisfy — also what makes the SQL
+    * twin's string literal injection-proof (no quotes can appear). */
+  private val SeedShape = "[cs]:[0-9]+".r
+
   def personalizedRank(orders: DataFrame, lineitem: DataFrame,
                        seed: String = "", iters: Int = 5,
                        scale: Long = 1000000000000L,
-                       dampingPct: Int = 85): DataFrame = {
+                       dampingPct: Int = 85,
+                       broadcastMaxNodes: Long = DefaultBroadcastMaxNodes): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    require(seed.isEmpty || SeedShape.matches(seed),
+      s"seed must match ${SeedShape.regex}: '$seed'")
     // empty seed = the minimum ordering customer — guaranteed a graph
     // node at every scale factor (a literal custkey might not order).
     // Bounded driver action (one min), same value the SQL twin's
-    // scalar subquery resolves.
-    val seedNode = if (seed.nonEmpty) seed
-      else "c:" + orders.agg(min(col("o_custkey"))).head.getLong(0)
+    // scalar subquery resolves. cast + isNullAt: survives a testdata
+    // regeneration that ships o_custkey as INT32 (events.ts already
+    // changed physical type once) and an empty orders table.
+    val seedNode = if (seed.nonEmpty) seed else {
+      val row = orders.agg(min(col("o_custkey")).cast("long")).head
+      require(!row.isNullAt(0), "personalizedRank: orders is empty, no default seed")
+      "c:" + row.getLong(0)
+    }
     val (edges, nodes) = buildGraph(orders, lineitem)
+    val n = nodes.count() // bounded driver action: |V|
     val baseTerm = scale * (100 - dampingPct) / 100
     val init = when(col("node") === seedNode, lit(scale)).otherwise(lit(0L))
     val tp = when(col("node") === seedNode, lit(baseTerm)).otherwise(lit(0L))
-    iterate(edges, nodes, init, tp, iters, dampingPct)
+    iterate(edges, nodes, init, tp, iters, dampingPct,
+      broadcastRanks = n <= broadcastMaxNodes)
   }
 
   /** DuckDB twin: the same integer recurrence with the iterations
@@ -163,6 +199,12 @@ object PageRank {
   def personalizedRankSql(seed: String = "", iters: Int = 5,
                           scale: Long = 1000000000000L,
                           dampingPct: Int = 85): String = {
+    // same shape gate as the Spark twin: a seed that can't contain a
+    // quote can't malform (or inject into) the interpolated literal,
+    // and an off-shape seed fails loudly HERE instead of silently
+    // diverging between engines.
+    require(seed.isEmpty || SeedShape.matches(seed),
+      s"seed must match ${SeedShape.regex}: '$seed'")
     val baseTerm = scale * (100 - dampingPct) / 100
     val seedExpr = if (seed.nonEmpty) s"'$seed'"
       else "('c:' || (SELECT min(o_custkey) FROM orders))"

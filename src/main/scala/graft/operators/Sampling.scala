@@ -170,7 +170,11 @@ object Sampling {
         "case when s0*s0 > n then s0-1 " +
           "when (s0+1)*(s0+1) <= n then s0+1 else s0 end"))
       .withColumn("sw", sum(col("w")).over(wAll))
-      .withColumn("ppm", expr("(1000000 * w) div sw"))
+      // clamp to 1: under extreme skew (sum of isqrt weights > 10⁶·w)
+      // the div truncates to 0, and `x div 0` is NULL in Spark but an
+      // error in DuckDB — the twins would diverge (silent stratum drop
+      // vs oracle crash). Same clamp CorpusStats uses for idf floors.
+      .withColumn("ppm", expr("greatest((1000000 * w) div sw, 1L)"))
       .withColumn("t", min(expr("(n * 1000000) div ppm")).over(wAll))
       .select(col(stratum), expr("(t * ppm) div 1000000").as("keep_n"))
     val wRank = Window.partitionBy(col(stratum))
@@ -193,7 +197,7 @@ object Sampling {
        |          CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
        |        FROM cnt)),
        |pp AS (SELECT $stratum, n,
-       |         (1000000 * w) // sum(w) OVER () AS ppm FROM iw),
+       |         greatest((1000000 * w) // sum(w) OVER (), 1) AS ppm FROM iw),
        |keepn AS (
        |  SELECT $stratum, CAST((t * ppm) // 1000000 AS BIGINT) AS keep_n
        |  FROM (SELECT $stratum, ppm,

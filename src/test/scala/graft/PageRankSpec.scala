@@ -61,7 +61,8 @@ class PageRankSpec extends AnyFunSuite {
       Tables.orders(spark, sf), Tables.lineitem(spark, sf), iters = 5)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val seedId = Tables.orders(spark, sf)
-      .agg(org.apache.spark.sql.functions.min($"o_custkey")).head.getLong(0)
+      .agg(org.apache.spark.sql.functions.min($"o_custkey").cast("long"))
+      .head.getLong(0)
     val seed = s"c:$seedId"
     // the seed holds the teleport mass: strictly the maximum rank
     assert(ranks(seed) == ranks.values.max)
@@ -78,6 +79,45 @@ class PageRankSpec extends AnyFunSuite {
     // far mass decays: some node holds zero (teleport never reaches it
     // with full weight) or at least the min is far below the seed
     assert(nonSeed.head < ranks(seed) / 10)
+  }
+
+  test("size-gated fallback: shuffle path bit-equal, broadcast-free plan") {
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    // broadcastMaxNodes = 0 forces the large-graph path on small data
+    val viaB = PageRank.supplierRank(orders, lineitem, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaS = PageRank.supplierRank(orders, lineitem, iters = 3,
+      broadcastMaxNodes = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaB == viaS, "fallback path diverged from the broadcast path")
+    val pprB = PageRank.personalizedRank(orders, lineitem, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pprS = PageRank.personalizedRank(orders, lineitem, iters = 3,
+      broadcastMaxNodes = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pprB == pprS, "personalized fallback diverged")
+    // plan gate: with Catalyst's own size-based broadcasting disabled
+    // (what a billion-node rank table looks like to the planner), the
+    // fallback plan must contain NO broadcast join anywhere
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = PageRank.supplierRank(orders, lineitem, iters = 2,
+        broadcastMaxNodes = 0L)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), "rank table still broadcast")
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("CartesianProduct"))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
+      saved._2.foreach(v =>
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+    }
   }
 
   test("higher weighted degree wins under symmetric structure") {

@@ -93,6 +93,120 @@ class VideoSpec extends AnyFunSuite {
       unknown :+ 0x3B.toByte)).isEmpty)
   }
 
+  test("LZW round-trips arbitrary index streams at 2-bit and 4-bit") {
+    val rnd = new scala.util.Random(42)
+    for (mcs <- Seq(2, 4); len <- Seq(1, 7, 255, 256, 1000)) {
+      val nc = 1 << mcs
+      val px = Array.fill(len)(rnd.nextInt(nc).toByte)
+      val enc = graft.multimodal.GifLzw.encode(mcs, px)
+      val dec = graft.multimodal.GifLzw.decode(mcs, enc, len)
+        .getOrElse(fail(s"decode failed mcs=$mcs len=$len"))
+      assert(dec.toSeq == px.toSeq, s"roundtrip mismatch mcs=$mcs len=$len")
+      // wrong expected length must be rejected, not padded/truncated
+      assert(graft.multimodal.GifLzw.decode(mcs, enc, len + 1).isEmpty)
+      if (len > 1) assert(graft.multimodal.GifLzw.decode(mcs, enc, len - 1).isEmpty)
+      // truncated streams must be rejected
+      assert(graft.multimodal.GifLzw.decode(mcs, enc.take(enc.length / 2), len).isEmpty
+        || len <= 2) // tiny streams may still complete at half length
+    }
+  }
+
+  test("JVM's own GIF reader decodes our pixel GIFs to the rule's pixels") {
+    // even id → 4 colors (2-bit), odd id → 16 colors (4-bit)
+    val docs = docsDf(Seq((2L, "a" * 23), (5L, "b" * 40)))
+    val media = Video.synthesizePixelGif(docs).collect().map(m => m.doc_id -> m).toMap
+    for ((id, text) <- Seq((2L, "a" * 23), (5L, "b" * 40))) {
+      val n = text.getBytes("UTF-8").length
+      val nc = if (id % 2 == 0) 4 else 16
+      val (w, h, nf) = (16 + (id % 8).toInt, 8 + (id % 5).toInt, 1 + n % 6)
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media(id).media))
+      val readers = ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, "JVM carries no GIF reader")
+      val reader = readers.next()
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == nf)
+      for (f <- 0 until nf) {
+        val img = reader.read(f)
+        assert((img.getWidth, img.getHeight) == (w, h))
+        for (y <- 0 until h; x <- 0 until w) {
+          val idx = ((x + 2L * y + 3L * f + id + n) % nc).toInt
+          val g = idx * 255 / (nc - 1)
+          val expected = 0xFF000000 | (g << 16) | (g << 8) | g
+          assert(img.getRGB(x, y) == expected,
+            s"id=$id f=$f ($x,$y): got ${img.getRGB(x, y).toHexString}, want gray $g")
+        }
+      }
+      reader.dispose()
+    }
+  }
+
+  test("our LZW decoder reads the JVM encoder's stream byte-for-byte") {
+    val img = new BufferedImage(21, 11, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 21; y <- 0 until 11)
+      img.setRGB(x, y, (x * 53 + y * 17) & 0xffffff)
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "gif", bos), "JVM carries no GIF writer")
+    val bytes = bos.toByteArray
+    val frames = Video.decodeFrames(MediaRow(1L, "image/gif", bytes))
+      .getOrElse(fail("foreign LZW stream not decoded"))
+    assert(frames.size == 1 && frames.head.length == 21 * 11)
+    // referee: the JVM's decode of its own file; our indices mapped
+    // through the file's global color table must agree pixel-for-pixel
+    val gctSize = 1 << ((bytes(10) & 0x07) + 1)
+    val palette = (0 until gctSize).map { i =>
+      val o = 13 + 3 * i
+      0xFF000000 | ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) |
+        (bytes(o + 2) & 0xff)
+    }
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 11; x <- 0 until 21) {
+      val idx = frames.head(y * 21 + x) & 0xff
+      assert(idx < gctSize)
+      assert(palette(idx) == ref.getRGB(x, y), s"pixel ($x,$y) diverges")
+    }
+  }
+
+  test("frameFeatures equals the hand-computed pixel rule") {
+    val docs = docsDf(Seq((4L, "hello!"), (9L, "0123456789ab")))
+    val feats = Video.frameFeatures(Video.synthesizePixelGif(docs))
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    for ((id, text) <- Seq((4L, "hello!"), (9L, "0123456789ab"))) {
+      val n = text.getBytes("UTF-8").length
+      val nc = if (id % 2 == 0) 4 else 16
+      val (w, h, nf) = (16 + (id % 8).toInt, 8 + (id % 5).toInt, 1 + n % 6)
+      def lum(f: Int, x: Int, y: Int) =
+        (((x + 2L * y + 3L * f + id + n) % nc).toInt * 255) / (nc - 1)
+      for (f <- 0 until nf) {
+        val ft = feats.getOrElse((id, f), fail(s"missing frame $id/$f"))
+        val ls = for (y <- 0 until h; x <- 0 until w) yield lum(f, x, y)
+        assert(ft.sum_lum == ls.map(_.toLong).sum)
+        assert(Seq(ft.b0, ft.b1, ft.b2, ft.b3) ==
+          (0 until 4).map(b => ls.count(_ / 64 == b).toLong))
+        val wantDelta = if (f == 0) 0L
+          else (for (y <- 0 until h; x <- 0 until w)
+            yield math.abs(lum(f, x, y) - lum(f - 1, x, y)).toLong).sum
+        assert(ft.delta_prev == wantDelta, s"delta $id/$f")
+      }
+      assert((0 until nf).forall(f => feats.contains((id, f))))
+    }
+  }
+
+  test("corpus is ASCII: octet length equals char length (oracle twins rely on it)") {
+    // videoMetaSql/sampleFramesSql/videoFeaturesSql restate byte counts
+    // via length(text); synthesis slices UTF-8 octets. This gate turns
+    // the comment-level assumption into a checked invariant — if a
+    // regenerated corpus ever ships non-ASCII text, THIS fails instead
+    // of a silent oracle divergence.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, sf)
+      val nonAscii = docs
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii == 0L, s"$sf: $nonAscii non-ASCII documents")
+    }
+  }
+
   test("comment extension from a foreign writer is skipped, not fatal") {
     val base = Video.synthesizeGif(docsDf(Seq((4L, "abcdef"))))
       .collect().head.media
