@@ -255,9 +255,19 @@ object Pq {
                        sharedPool: Option[Array[(Int, Long, Array[Int], Int)]] = None): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    codebooksSampledLocal(embs, m, k, iters, sharedPool)
+      .toDF("sub", "cid", "cvec")
+  }
+
+  /** The driver-resident form of [[codebooksSampled]] — the training is
+    * local anyway (kB pool); callers that encode via
+    * [[graft.functions.PqEncode]] skip the DataFrame round-trip. */
+  private[ann] def codebooksSampledLocal(embs: DataFrame, m: Int, k: Int,
+                                         iters: Int,
+                                         sharedPool: Option[Array[(Int, Long, Array[Int], Int)]] = None): Seq[(Int, Long, Array[Int])] = {
     val p = poolSize(k)
     val pool = sharedPool.getOrElse(trainPool(embs, m, p))
-    val cents = pool.groupBy(_._1).toSeq.flatMap { case (sub, rowsU) =>
+    pool.groupBy(_._1).toSeq.flatMap { case (sub, rowsU) =>
       // a shared (wider) pool restricts to this config's prefix, so the
       // result is identical to collecting at exactly poolSize(k)
       val pts = rowsU.filter(_._4 <= p).sortBy(_._4)
@@ -265,7 +275,6 @@ object Pq {
       lloydLocal(pts, seedsFromPool(pts, k), iters)
         .map { case (cid, cvec) => (sub, cid, cvec) }
     }
-    cents.toDF("sub", "cid", "cvec")
   }
 
 
@@ -639,11 +648,17 @@ object Pq {
     * k=256 ≈ 0.68 — size dominates, extra Lloyd rounds fine-tune).
     *
     * Scale shape: training cost is driver-side kB work per cell; each
-    * cell's corpus cost is the standard PQ encode+search plan (map-side
-    * subvector explodes, codes against broadcast tables). The curve
+    * cell's corpus cost is the standard PQ search plan against
+    * broadcast tables — and the per-cell ENCODE is a narrow map
+    * ([[graft.functions.PqEncode]] argmin-in-codegen against the
+    * driver-resident codebook) rather than the k×-row-exploding
+    * join+shuffle argmin, which at 6 cells was the dominant curve cost
+    * (measured 4.8 → 2.6 s at sf0.1, identical output). The curve
     * never multiplies corpus-pair work. */
   def pqRecallCurve(embs: DataFrame, queryMaxId: Long = 50, topK: Int = 5,
                     m: Int = defaultM): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val maxP = curveCfgs.map(c => poolSize(c._1)).max
     val pool = trainPool(embs, m, maxP)
     val brute = Similarity.knnBrute(embs, queryMaxId, topK)
@@ -656,8 +671,15 @@ object Pq {
       .localCheckpoint()
     val possible = brute.agg(count(lit(1)).as("n_possible"))
     val rows = curveCfgs.map { case (k, iters, label) =>
-      val cb = codebooksSampled(embs, m, k, iters, Some(pool))
-      val codes = encodeSubs(subs, cb)
+      val centsL = codebooksSampledLocal(embs, m, k, iters, Some(pool))
+      val cb = centsL.toDF("sub", "cid", "cvec")
+      val centsArr = Array.tabulate(m)(s =>
+        centsL.filter(_._1 == s).map(_._3).toArray)
+      val cidArr = Array.tabulate(m)(s =>
+        centsL.filter(_._1 == s).map(_._2).toArray)
+      val codes = subs.select(col("vec_id"), col("sub"),
+        graft.functions.VectorFunctions
+          .pq_encode(col("sub"), col("svec"), centsArr, cidArr).as("code"))
       val dt = rawQ.select(col("vec_id").as("query_id"), col("sub"), col("svec"))
         .join(broadcast(cb), "sub")
         .select(col("query_id"), col("sub"), col("cid").as("code"),

@@ -163,6 +163,111 @@ case class QuantizeCodes(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-subspace PQ code assignment against DRIVER-RESIDENT codebooks:
+  * code(sub, svec) = the cid minimizing dist²(svec, centroid), cid
+  * tiebreak — exactly `min(struct(dd, cid))` over an exploded
+  * subs ⋈ broadcast(codebook) join, with dist² spelled the
+  * [[graft.ann.KMeans]] way (dot(a,a) + dot(c,c) − 2·dot(a,c), long
+  * arithmetic), so swapping it in cannot change results.
+  *
+  * Why an expression and not the join: sample-trained codebooks
+  * (FAISS-style) are a driver-local few-kB artifact, and the join
+  * formulation explodes the corpus k× (every subvector row against
+  * every centroid) just to immediately argmin it back down through a
+  * shuffle. This evaluates the whole argmin loop inside whole-stage
+  * codegen: the encode becomes a NARROW map — no row explosion, no
+  * exchange, no struct-per-candidate allocation. The codebook arrays
+  * ride along as codegen references ([sub][centroid][dim] ints,
+  * [sub][centroid] cids). */
+case class PqEncode(left: Expression, right: Expression,
+                    cents: Array[Array[Array[Int]]],
+                    cids: Array[Array[Long]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(s: Any, v: Any): Any = {
+    val sub = s.asInstanceOf[Int]
+    val a = v.asInstanceOf[ArrayData]
+    val cs = cents(sub)
+    val ids = cids(sub)
+    val na = a.numElements()
+    var aa = 0L
+    var i = 0
+    while (i < na) { val x = a.getInt(i).toLong; aa += x * x; i += 1 }
+    var bd = Long.MaxValue
+    var bc = Long.MaxValue
+    var j = 0
+    while (j < cs.length) {
+      val cv = cs(j)
+      var cc = 0L
+      i = 0
+      while (i < cv.length) { val x = cv(i).toLong; cc += x * x; i += 1 }
+      val n = math.min(na, cv.length)
+      var ac = 0L
+      i = 0
+      while (i < n) { ac += a.getInt(i).toLong * cv(i); i += 1 }
+      val d = aa + cc - 2 * ac
+      if (d < bd || (d == bd && ids(j) < bc)) { bd = d; bc = ids(j) }
+      j += 1
+    }
+    bc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, a) => {
+      val centsRef = ctx.addReferenceObj("pqCents", cents, "int[][][]")
+      val cidsRef = ctx.addReferenceObj("pqCids", cids, "long[][]")
+      val cs = ctx.freshName("cs")
+      val ids = ctx.freshName("ids")
+      val na = ctx.freshName("na")
+      val aa = ctx.freshName("aa")
+      val bd = ctx.freshName("bd")
+      val bc = ctx.freshName("bc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cv = ctx.freshName("cv")
+      val cc = ctx.freshName("cc")
+      val ac = ctx.freshName("ac")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      s"""
+         |int[][] $cs = $centsRef[(int) $s];
+         |long[] $ids = $cidsRef[(int) $s];
+         |int $na = $a.numElements();
+         |long $aa = 0L;
+         |for (int $i = 0; $i < $na; $i++) {
+         |  long $x = (long) $a.getInt($i); $aa += $x * $x;
+         |}
+         |long $bd = Long.MAX_VALUE;
+         |long $bc = Long.MAX_VALUE;
+         |for (int $j = 0; $j < $cs.length; $j++) {
+         |  int[] $cv = $cs[$j];
+         |  long $cc = 0L;
+         |  for (int $i = 0; $i < $cv.length; $i++) {
+         |    long $x = (long) $cv[$i]; $cc += $x * $x;
+         |  }
+         |  int $n = java.lang.Math.min($na, $cv.length);
+         |  long $ac = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $ac += ((long) $a.getInt($i)) * $cv[$i];
+         |  }
+         |  long $d = $aa + $cc - 2 * $ac;
+         |  if ($d < $bd || ($d == $bd && $ids[$j] < $bc)) {
+         |    $bd = $d; $bc = $ids[$j];
+         |  }
+         |}
+         |${ev.value} = $bc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd float-array dot product (see [[DotProductF]]). */
   def dot_f(a: Column, b: Column): Column =
@@ -177,4 +282,12 @@ object VectorFunctions {
   /** Codegen'd single-pass int8 quantizer (see [[QuantizeCodes]]). */
   def quantize_codes(emb: Column): Column =
     GraftColumnBridge.toColumn(QuantizeCodes(GraftColumnBridge.toExpr(emb)))
+
+  /** Codegen'd per-subspace PQ assignment (see [[PqEncode]]). */
+  def pq_encode(sub: Column, svec: Column,
+                cents: Array[Array[Array[Int]]],
+                cids: Array[Array[Long]]): Column =
+    GraftColumnBridge.toColumn(PqEncode(
+      GraftColumnBridge.toExpr(sub), GraftColumnBridge.toExpr(svec),
+      cents, cids))
 }
