@@ -179,4 +179,58 @@ class ScaleProbeSpec extends AnyFunSuite {
     // every record whose name has a ≤3-edit neighbor links; key-min tiebreak
     assert(out.count() > 0L)
   }
+
+  test("graph at 10×: rank iterations broadcast small, shuffle large, no BNLJ",
+      ScaleProbe) {
+    // 150k orders × 600k lineitem → ~22k-node bipartite graph: the
+    // iterate() shape that must hold when the EDGE table is billions
+    val orders = spark.range(150000).select(
+      col("id").as("o_orderkey"), (col("id") % 20000).as("o_custkey"))
+      .localCheckpoint()
+    val lineitem = spark.range(600000).select(
+      (col("id") % 150000).as("l_orderkey"), (col("id") % 2000).as("l_suppkey"))
+      .localCheckpoint()
+    val pr = graft.operators.PageRank.supplierRank(orders, lineitem, iters = 2)
+    val planB = ranPlan(pr)
+    assertShapes(planB, "supplierRank")
+    assert(planB.contains("BroadcastHashJoin"),
+      "small-graph path should broadcast the rank table into the edge join")
+    val ppr = graft.operators.PageRank.personalizedRank(orders, lineitem,
+      iters = 2)
+    assertShapes(ranPlan(ppr), "personalizedRank")
+    // the billion-node shape: forced fallback + no size-based broadcast
+    // anywhere (what a GB rank table looks like to the planner)
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val prS = graft.operators.PageRank.supplierRank(orders, lineitem,
+        iters = 2, broadcastMaxNodes = 0L)
+      val planS = ranPlan(prS)
+      assertShapes(planS, "supplierRank-fallback")
+      assert(!planS.contains("BroadcastHashJoin"),
+        s"rank table still broadcast on the forced-large path:\n${planS.take(4000)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
+  test("sampling at 10×: stratum tables broadcast into the corpus, no BNLJ",
+      ScaleProbe) {
+    val docsL = docs10x.withColumn("lang",
+      concat(lit("l"), col("doc_id") % 5))
+    val tm = graft.operators.Sampling.temperatureMixture(docsL)
+    val planT = ranPlan(tm)
+    assertShapes(planT, "temperatureMixture")
+    assert(planT.contains("BroadcastExchange"),
+      s"keep_n should broadcast into the corpus join:\n${planT.take(4000)}")
+    assert(tm.count() > 0L)
+    val mx = graft.operators.Sampling.mixtureSample(docsL,
+      weightsPpm = Seq(("l0", 400000L), ("l1", 300000L), ("l2", 300000L)))
+    val planM = ranPlan(mx)
+    assertShapes(planM, "mixtureSample")
+    assert(planM.contains("BroadcastExchange"))
+  }
 }
