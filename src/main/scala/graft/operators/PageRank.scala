@@ -36,12 +36,21 @@ object PageRank {
     * also mean no dangling nodes: every node with an in-edge has an
     * out-edge, no leaked mass term). */
   private def buildGraph(orders: DataFrame,
-                         lineitem: DataFrame): (DataFrame, DataFrame) = {
-    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+                         lineitem: DataFrame): (DataFrame, DataFrame) =
+    graphFromPairs(weightedPairs(orders, lineitem))
+
+  /** The (customer, supplier, weight) edge aggregate the graph is built
+    * from — also the unit the STREAMING leg accumulates per micro-batch
+    * (weights are counts, a monoid: per-batch deltas summed at refresh
+    * time equal this batch aggregate exactly). */
+  def weightedPairs(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("w"))
+
+  private def graphFromPairs(pairs: DataFrame): (DataFrame, DataFrame) = {
     val fwd = pairs.select(concat(lit("c:"), col("c")).as("src"),
       concat(lit("s:"), col("s")).as("dst"), col("w"))
     val rev = pairs.select(concat(lit("s:"), col("s")).as("src"),
@@ -107,9 +116,20 @@ object PageRank {
   def supplierRank(orders: DataFrame, lineitem: DataFrame,
                    iters: Int = 5, scale: Long = 1000000000000L,
                    dampingPct: Int = 85,
-                   broadcastMaxNodes: Long = DefaultBroadcastMaxNodes): DataFrame = {
+                   broadcastMaxNodes: Long = DefaultBroadcastMaxNodes): DataFrame =
+    rankFromPairs(weightedPairs(orders, lineitem), iters, scale,
+      dampingPct, broadcastMaxNodes)
+
+  /** [[supplierRank]] from an already-aggregated (c, s, w) pair table —
+    * the entry the streaming leg refreshes through (its edge state IS
+    * this aggregate, maintained incrementally); identical plan from the
+    * pair table onward, so batch and streaming ranks are bit-equal. */
+  def rankFromPairs(pairs: DataFrame,
+                    iters: Int = 5, scale: Long = 1000000000000L,
+                    dampingPct: Int = 85,
+                    broadcastMaxNodes: Long = DefaultBroadcastMaxNodes): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val (edges, nodes) = buildGraph(orders, lineitem)
+    val (edges, nodes) = graphFromPairs(pairs)
     val n = nodes.count() // bounded driver action: |V|
     val r0 = scale / n
     val baseTerm = r0 * (100 - dampingPct) / 100
