@@ -149,6 +149,11 @@ object SparkEntry {
     "q_video_features" -> ((s, dir) => // real LZW decode → per-frame luminance features
       graft.multimodal.Video.frameFeatures(
         graft.multimodal.Video.synthesizePixelGif(Tables.documents(s, dir))).toDF()),
+    "q_video_fp" -> ((s, dir) => // 63-bit spatio-temporal hash from decoded pixels
+      graft.multimodal.Video.videoFp(
+        graft.multimodal.Video.synthesizePixelGif(Tables.documents(s, dir))).toDF()),
+    "q_video_pairs" -> ((s, dir) => // banded video near-dups, planted exact copies
+      graft.multimodal.Video.plantedVideoPairs(Tables.documents(s, dir))),
     "q_bpe_encode" -> ((s, dir) => // apply the trained merge list (tokenize)
       graft.text.Bpe.encode(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => { // learn the merge table from the corpus
@@ -686,6 +691,8 @@ object SparkEntry {
       "q_video_meta" -> graft.multimodal.Video.videoMetaSql,
       "q_video_frames" -> graft.multimodal.Video.sampleFramesSql(),
       "q_video_features" -> graft.multimodal.Video.videoFeaturesSql,
+      "q_video_fp" -> graft.multimodal.Video.videoFpSql,
+      "q_video_pairs" -> graft.multimodal.Video.plantedVideoPairsSql(),
       "q_media_phash" -> graft.multimodal.Multimodal.phashSql,
       "q_phash_pairs" -> graft.multimodal.Multimodal.plantedPhashPairsSql(),
       "q_media_frames" -> graft.multimodal.Multimodal.framesSql(),

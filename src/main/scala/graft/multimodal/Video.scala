@@ -280,12 +280,20 @@ object Video {
   private def colorsOf(id: Long): Int = if (id % 2 == 0) 4 else 16
 
   /** The SQL-replayable pixel rule: palette index of (x, y) in frame f
-    * = (x + 2y + 3f + doc_id + n) mod nc, n = payload octet count.
-    * Linear in every axis so the oracle computes features on a
-    * generate_series grid with no decoder. */
+    * = (x + 2y + 3f + doc_id + n + t) mod nc, where n is the payload
+    * octet count and t the text byte at offset (f·w + x + y) mod n
+    * (0 for empty text) — CONTENT-dependent, so the perceptual hash
+    * family downstream has real entropy (without t, pixels depended on
+    * the document only through a handful of id/length-derived
+    * parameters and near-dup demos paired mostly unrelated docs).
+    * Still closed-form for the oracle: one ascii(substr(...)) per grid
+    * cell, no decoder. */
   private def pixelOf(id: Long, n: Int, f: Int, x: Int, y: Int,
-                      nc: Int): Byte =
-    ((x + 2L * y + 3L * f + id + n) % nc).toByte
+                      nc: Int, w: Int, bytes: Array[Byte]): Byte = {
+    val t = if (n == 0) 0L
+      else (bytes(((f.toLong * w + x + y) % n).toInt) & 0xff).toLong
+    ((x + 2L * y + 3L * f + id + n + t) % nc).toByte
+  }
 
   /** Fully valid GIF89a: gray GLOBAL color table (level i·255/(nc−1)),
     * NETSCAPE loop, per frame a graphic control + image descriptor +
@@ -297,7 +305,8 @@ object Video {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val n = text.getBytes("UTF-8").length
+        val textBytes = text.getBytes("UTF-8")
+        val n = textBytes.length
         val nf = framesOf(n)
         val w = widthOf(id); val h = heightOf(id)
         val nc = colorsOf(id)
@@ -327,7 +336,10 @@ object Video {
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { px(y * w + x) = pixelOf(id, n, f, x, y, nc); x += 1 }
+            while (x < w) {
+              px(y * w + x) = pixelOf(id, n, f, x, y, nc, w, textBytes)
+              x += 1
+            }
             y += 1
           }
           val lzw = GifLzw.encode(mcs, px)
@@ -422,21 +434,209 @@ object Video {
       if (fs.forall(_.isDefined)) Some(fs.map(_.get)) else None
     }
 
+  case class VideoFp(doc_id: Long, vfp: Long)
+
+  /** 63-bit perceptual video hash from DECODED pixels — the
+    * [[Audio.AudioFpCodec]] shape lifted to the spatio-temporal grid:
+    * 64 slots sweep frame and column together (slot j reads column
+    * (j·w) div 64 of frame (j·nf) div 64), each slot's value is that
+    * column's luminance sum, and bit j compares slot j+1 against slot
+    * j (gradient bits — level-invariant, like every acoustic
+    * fingerprint). An exact re-encode of the same frames hashes
+    * identically; shifting content by even a few pixels or re-timing
+    * frames scrambles roughly half the comparisons.
+    *
+    * On THIS synthetic corpus the pixel rule gives the codec less
+    * entropy than real video would (pixels depend on the doc only
+    * through (w, h, nf, nc, (doc_id+n) mod nc) — a few thousand
+    * classes), so incidental hamming-0 collisions between same-class
+    * docs are expected alongside the planted pairs; the codec itself
+    * is content-driven and the plumbing (decode → slots → bands →
+    * gated join) is exactly what real footage needs. */
+  object VideoFpCodec {
+    val Slots = 64
+    val Bits: Int = Slots - 1 // 63
+  }
+
+  /** (doc_id, vfp) per decodable pixel GIF; containers whose LZW
+    * streams don't decode drop out (hostile-input discipline). */
+  def videoFp(media: Dataset[MediaRow]): Dataset[VideoFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      parse(m, wantPixels = true).flatMap { p =>
+        val w = p.meta.width; val h = p.meta.height
+        val nf = p.frames.size
+        val decoded = p.frames.map(f => decodedPixels(p, f).map(px => (f, px)))
+        if (nf == 0 || decoded.exists(_.isEmpty)) None
+        else {
+          val frames = decoded.map(_.get)
+          val v = new Array[Long](VideoFpCodec.Slots)
+          var j = 0
+          while (j < VideoFpCodec.Slots) {
+            val (fr, px) = frames(j * nf / VideoFpCodec.Slots)
+            val nc = 1 << fr.mcs
+            val x = j * w / VideoFpCodec.Slots
+            var y = 0
+            var s = 0L
+            while (y < h) { s += (px(y * w + x) & 0xff) * 255 / (nc - 1); y += 1 }
+            v(j) = s
+            j += 1
+          }
+          var hash = 0L
+          j = 0
+          while (j < VideoFpCodec.Bits) {
+            if (v(j + 1) > v(j)) hash |= 1L << j
+            j += 1
+          }
+          Some(VideoFp(m.doc_id, hash))
+        }
+      }
+    })
+  }
+
+  /** Near-duplicate video candidate pairs, banded exactly like
+    * [[Audio.audioPairs]]: 63 bits → 7 bands of 9 bits, candidate when
+    * ANY band matches, exact hamming gates survivors (pigeonhole-exact
+    * for maxHamming < nBands). Never media × media. */
+  def videoPairs(media: Dataset[MediaRow], maxHamming: Int = 6,
+                 nBands: Int = 7): DataFrame = {
+    val bandBits = VideoFpCodec.Bits / nBands
+    val mask = (1L << bandBits) - 1
+    val fp = videoFp(media).toDF()
+    val bands = fp.select(col("doc_id"), col("vfp"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("vfp"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bval")))
+    val a = bands.select(col("doc_id").as("a_id"), col("vfp").as("fa"),
+      col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("b_id"), col("vfp").as("fb"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(fa ^ fb)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The oracle-checked video PAIR demo, mirroring
+    * [[Audio.plantedAudioPairs]]: every 20th doc gets an exact copy
+    * (the planted-id offset is a multiple of 100 000 — ≡ 0 mod every
+    * id-derived GIF parameter (w: id%8, h: id%5, loop: id%4, nc:
+    * id%2, pixel phase: (id+n) mod nc ≤ 16), so the copy's container
+    * is bit-identical and MUST pair at hamming 0), and every
+    * (20k+5)th a 5-char text drift (n changes → frame count and pixel
+    * phase both shift → MUST be rejected). Gate default is 2, tighter
+    * than audio's 6: slots sharing a (w, nf) trajectory correlate some
+    * bits structurally (measured at sf0.01: hamming 0 = exactly the 25
+    * planted copies, ≤2 adds a ~25-pair near tail, ≥3 grows into the
+    * hundreds), and 2 < nBands keeps the banding pigeonhole-exact. */
+  def plantedVideoPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val off = Multimodal.plantedIdOffset(docs)
+    val copies = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    val drifted = d.filter(col("doc_id") % 20 === 5)
+      .select((col("doc_id") + 2 * off).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    videoPairs(synthesizePixelGif(d.unionAll(copies).unionAll(drifted)),
+      maxHamming)
+  }
+
+  /** The slot-grid fingerprint CTE chain (reads `documents`, ends in
+    * `vfpt(doc_id, vfp)`): the pixel rule replayed per (slot, row) —
+    * no decoder, pure arithmetic, the [[videoFeaturesSql]] grid
+    * narrowed to one column per slot. */
+  private def videoFpCtes: String = {
+    val slots = VideoFpCodec.Slots
+    s"""d AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |         16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+       |         1 + length(text) % 6 AS nf,
+       |         CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 16 END AS nc
+       |  FROM documents),
+       |slotv AS (
+       |  SELECT d.doc_id, sl.j,
+       |         sum((((((sl.j * d.w) // $slots) + 2*yy.y
+       |                + 3*((sl.j * d.nf) // $slots)
+       |                + d.doc_id + d.n
+       |                + CASE WHEN d.n = 0 THEN 0 ELSE ascii(substr(d.text,
+       |                    CAST(1 + ((((sl.j * d.nf) // $slots) * d.w
+       |                               + ((sl.j * d.w) // $slots)
+       |                               + yy.y) % d.n) AS INT), 1))
+       |                  END) % d.nc) * 255) // (d.nc - 1)) AS v
+       |  FROM d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${slots - 1})) AS j) sl
+       |  CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(0, d.h - 1)) AS y) yy
+       |  GROUP BY 1, 2),
+       |vfpt AS (
+       |  SELECT a.doc_id,
+       |         CAST(coalesce(sum(CASE WHEN b.v > a.v
+       |           THEN 1::BIGINT << a.j ELSE 0 END), 0) AS BIGINT) AS vfp
+       |  FROM slotv a JOIN slotv b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+       |  WHERE a.j < ${slots - 1}
+       |  GROUP BY a.doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of synthesizePixelGif → [[videoFp]] — locks the whole
+    * encode→decode→slot-sum→gradient-bit chain per document. */
+  def videoFpSql: String =
+    s"""WITH $videoFpCtes
+       |SELECT doc_id, vfp FROM vfpt""".stripMargin
+
+  /** DuckDB twin of [[plantedVideoPairs]]: planted corpus CTE
+    * shadowing `documents`, then the band self-join + hamming gate. */
+  def plantedVideoPairsSql(maxHamming: Int = 2, nBands: Int = 7): String = {
+    val bandBits = VideoFpCodec.Bits / nBands
+    val mask = (1L << bandBits) - 1
+    s"""WITH documents AS (
+       |  SELECT doc_id, text FROM main.documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Multimodal.plantedIdOffsetSql}, text
+       |  FROM main.documents WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2 * ${Multimodal.plantedIdOffsetSql}, text || ' tail'
+       |  FROM main.documents WHERE doc_id % 20 = 5),
+       |$videoFpCtes,
+       |bands AS (
+       |  SELECT doc_id, vfp, b.band,
+       |         (vfp >> (b.band * $bandBits)) & $mask AS bval
+       |  FROM vfpt CROSS JOIN (SELECT unnest(range(0, $nBands)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |         x.vfp AS fa, y.vfp AS fb
+       |  FROM bands x JOIN bands y
+       |    ON y.band = x.band AND y.bval = x.bval AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
+  }
+
   /** Oracle twin of synthesizePixelGif → [[frameFeatures]]: the pixel
     * rule replayed on a doc × frame × y × x generate_series grid —
     * integer-exact luminance (c·255 // (nc−1)), the same div-64
     * buckets, and the f−1 pixel recomputed in place for the delta. */
   def videoFeaturesSql: String =
     s"""WITH d AS (
-       |  SELECT doc_id, length(text) AS n,
+       |  SELECT doc_id, text, length(text) AS n,
        |         16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
        |         1 + length(text) % 6 AS nf,
        |         CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 16 END AS nc
        |  FROM documents),
        |px AS (
        |  SELECT d.doc_id, ff.f, d.nc,
-       |         (xx.x + 2*yy.y + 3*ff.f + d.doc_id + d.n) % d.nc AS c,
-       |         (xx.x + 2*yy.y + 3*(ff.f-1) + d.doc_id + d.n) % d.nc AS cp
+       |         (xx.x + 2*yy.y + 3*ff.f + d.doc_id + d.n
+       |          + CASE WHEN d.n = 0 THEN 0 ELSE ascii(substr(d.text,
+       |              CAST(1 + ((ff.f*d.w + xx.x + yy.y) % d.n) AS INT), 1))
+       |            END) % d.nc AS c,
+       |         (xx.x + 2*yy.y + 3*(ff.f-1) + d.doc_id + d.n
+       |          + CASE WHEN d.n = 0 THEN 0 ELSE ascii(substr(d.text,
+       |              -- double-mod keeps the f=0 row's (gated, unused)
+       |              -- position positive instead of feeding substr a
+       |              -- negative index; for f >= 1 it equals the plain mod
+       |              CAST(1 + ((((ff.f-1)*d.w + xx.x + yy.y) % d.n + d.n)
+       |                        % d.n) AS INT), 1))
+       |            END) % d.nc AS cp
        |  FROM d
        |  CROSS JOIN LATERAL
        |    (SELECT unnest(generate_series(0, d.nf - 1)) AS f) ff

@@ -126,11 +126,14 @@ class VideoSpec extends AnyFunSuite {
       val reader = readers.next()
       reader.setInput(iis)
       assert(reader.getNumImages(true) == nf)
+      val bytes = text.getBytes("UTF-8")
       for (f <- 0 until nf) {
         val img = reader.read(f)
         assert((img.getWidth, img.getHeight) == (w, h))
         for (y <- 0 until h; x <- 0 until w) {
-          val idx = ((x + 2L * y + 3L * f + id + n) % nc).toInt
+          val t = if (n == 0) 0L
+            else (bytes(((f.toLong * w + x + y) % n).toInt) & 0xff).toLong
+          val idx = ((x + 2L * y + 3L * f + id + n + t) % nc).toInt
           val g = idx * 255 / (nc - 1)
           val expected = 0xFF000000 | (g << 16) | (g << 8) | g
           assert(img.getRGB(x, y) == expected,
@@ -172,11 +175,15 @@ class VideoSpec extends AnyFunSuite {
     val feats = Video.frameFeatures(Video.synthesizePixelGif(docs))
       .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
     for ((id, text) <- Seq((4L, "hello!"), (9L, "0123456789ab"))) {
-      val n = text.getBytes("UTF-8").length
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
       val nc = if (id % 2 == 0) 4 else 16
       val (w, h, nf) = (16 + (id % 8).toInt, 8 + (id % 5).toInt, 1 + n % 6)
-      def lum(f: Int, x: Int, y: Int) =
-        (((x + 2L * y + 3L * f + id + n) % nc).toInt * 255) / (nc - 1)
+      def lum(f: Int, x: Int, y: Int) = {
+        val t = if (n == 0) 0L
+          else (bytes(((f.toLong * w + x + y) % n).toInt) & 0xff).toLong
+        (((x + 2L * y + 3L * f + id + n + t) % nc).toInt * 255) / (nc - 1)
+      }
       for (f <- 0 until nf) {
         val ft = feats.getOrElse((id, f), fail(s"missing frame $id/$f"))
         val ls = for (y <- 0 until h; x <- 0 until w) yield lum(f, x, y)
@@ -190,6 +197,30 @@ class VideoSpec extends AnyFunSuite {
       }
       assert((0 until nf).forall(f => feats.contains((id, f))))
     }
+  }
+
+  test("planted video copies pair at hamming 0; drifted tails are rejected") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val off = Multimodal.plantedIdOffset(docs)
+    val pairs = Video.plantedVideoPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val copyIds = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id")).as[Long].collect()
+    assert(copyIds.nonEmpty)
+    for (id <- copyIds)
+      assert(pairs.exists(p => p._1 == id && p._2 == id + off && p._3 == 0),
+        s"planted exact copy of $id did not pair at hamming 0")
+    // drift contract: the drifted copy must NOT pair with its own
+    // source (a 5-char tail scrambles the fingerprint); incidental
+    // near-collisions with UNRELATED docs are legitimate output
+    val driftSources = docs.filter(col("doc_id") % 20 === 5)
+      .select(col("doc_id")).as[Long].collect()
+    assert(driftSources.nonEmpty)
+    for (id <- driftSources)
+      assert(!pairs.exists(p => p._1 == id && p._2 == id + 2 * off),
+        s"drifted copy of $id paired with its source")
   }
 
   test("corpus is ASCII: octet length equals char length (oracle twins rely on it)") {
