@@ -119,6 +119,10 @@ object SparkEntry {
       graft.ann.Pq.ivfPqResKnn(Tables.embeddings(s, dir))),
     "q_pq_curve" -> ((s, dir) => // recall vs codebook budget (k x iters grid)
       graft.ann.Pq.pqRecallCurve(Tables.embeddings(s, dir))),
+    "q_opq_perm" -> ((s, dir) => // OPQ energy-balanced subspace allocation
+      graft.ann.Opq.allocation(Tables.embeddings(s, dir))),
+    "q_opq_recall" -> ((s, dir) => // OPQ perm + refine re-rank vs plain, same budget
+      graft.ann.Opq.opqRecall(Tables.embeddings(s, dir))),
     "q_incr_index" -> ((s, dir) => // frozen-index shard append, search old+new
       graft.ann.IncrementalIndex.incrIndexKnn(Tables.embeddings(s, dir))),
     "q_media_phash" -> ((s, dir) => // perceptual image dHash per media row
@@ -682,6 +686,8 @@ object SparkEntry {
       "q_ivfpq_knn" -> graft.ann.Pq.ivfPqKnnSql(),
       "q_ivfpq_res" -> graft.ann.Pq.ivfPqResKnnSql(),
       "q_pq_curve" -> graft.ann.Pq.pqRecallCurveSql(),
+      "q_opq_perm" -> graft.ann.Opq.allocationSql(),
+      "q_opq_recall" -> graft.ann.Opq.opqRecallSql(),
       "q_incr_index" -> graft.ann.Pq.incrIndexKnnSql(),
       "q_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
       "q_audio_meta" -> graft.multimodal.Audio.audioMetaSql,

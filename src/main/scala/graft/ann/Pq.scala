@@ -53,7 +53,7 @@ object Pq {
 
   /** (vec_id, sub, svec): the quantized vector split into m equal
     * subvectors — one map-side explode, no shuffle. */
-  private def subvectors(embs: DataFrame, m: Int): DataFrame =
+  private[ann] def subvectors(embs: DataFrame, m: Int): DataFrame =
     Quantize.quantize(embs).select(col("vec_id"), col("qvec"))
       .select(col("vec_id"), posexplode(expr(
         s"""transform(sequence(0, $m - 1),
@@ -79,7 +79,7 @@ object Pq {
   /** The corpus-global quantization scale max|v_i|/127 (1.0 for an
     * all-zero frame) — one aggregate, the same fold the DuckDB twin
     * spells as max(list_aggregate(..., 'max')). */
-  private def globalScale(embs: DataFrame): Double = {
+  private[ann] def globalScale(embs: DataFrame): Double = {
     val mx = embs.select(max(expr(
       """aggregate(embedding, CAST(0.0 AS DOUBLE),
         |  (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))""".stripMargin)))
@@ -90,7 +90,7 @@ object Pq {
   /** ADC query side: the RAW float vector (no quantization at all),
     * split into m subvectors as doubles. Only ever evaluated for the
     * |Q| query rows. */
-  private def subvectorsRaw(embs: DataFrame, m: Int): DataFrame =
+  private[ann] def subvectorsRaw(embs: DataFrame, m: Int): DataFrame =
     embs.select(col("vec_id"),
         transform(col("embedding"), v => v.cast("double")).as("rvec"))
       .select(col("vec_id"), posexplode(expr(
@@ -267,14 +267,24 @@ object Pq {
                                          sharedPool: Option[Array[(Int, Long, Array[Int], Int)]] = None): Seq[(Int, Long, Array[Int])] = {
     val p = poolSize(k)
     val pool = sharedPool.getOrElse(trainPool(embs, m, p))
-    pool.groupBy(_._1).toSeq.flatMap { case (sub, rowsU) =>
+    // the m subspace trainings are independent — run them on driver
+    // threads (k=256/iters=8 is ~70M integer distance ops per sub;
+    // serial, that wall-time dominated q_pq_curve/q_opq_recall).
+    // Output order is pinned by the sortBy, so parallelism changes
+    // nothing downstream.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val groups = pool.groupBy(_._1).toSeq.sortBy(_._1)
+    val futs = groups.map { case (sub, rowsU) => Future {
       // a shared (wider) pool restricts to this config's prefix, so the
       // result is identical to collecting at exactly poolSize(k)
       val pts = rowsU.filter(_._4 <= p).sortBy(_._4)
         .map(r => (r._2, r._3))
       lloydLocal(pts, seedsFromPool(pts, k), iters)
         .map { case (cid, cvec) => (sub, cid, cvec) }
-    }
+    }}
+    Await.result(Future.sequence(futs), Duration.Inf).flatten
   }
 
 
@@ -716,9 +726,13 @@ object Pq {
     * per-step window argmax (mind DESC, vec_id ASC) IS the next seed,
     * and steps with no positive distance left contribute nothing (the
     * traversal's early stop). */
-  private def pqSampledCfgSql(queryMaxId: Long, topK: Int, m: Int,
-                              k: Int, iters: Int): String = {
+  private[ann] def pqSampledCfgSql(queryMaxId: Long, topK: Int, m: Int,
+                                   k: Int, iters: Int,
+                                   source: String = "embeddings",
+                                   refine: Int = 0,
+                                   rerankSource: String = "embeddings"): String = {
     val p = poolSize(k)
+    val cfgTail = cfgTailSql(topK, refine, rerankSource)
     val hashExpr =
       "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
     val lloyd = (1 until iters).map { it =>
@@ -750,7 +764,7 @@ object Pq {
        |            ELSE list_aggregate(list_transform(embedding,
        |              x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END)
        |      + 0.5) AS INTEGER)) AS qvec
-       |  FROM embeddings),
+       |  FROM $source),
        |sv AS (
        |  SELECT vec_id, j.sub,
        |         qvec[j.sub * (len(qvec) // $m) + 1 :
@@ -760,7 +774,7 @@ object Pq {
        |  SELECT vec_id, hr FROM (
        |    SELECT vec_id,
        |           row_number() OVER (ORDER BY $hashExpr, vec_id) AS hr
-       |    FROM embeddings) WHERE hr <= $p),
+       |    FROM $source) WHERE hr <= $p),
        |pool AS (
        |  SELECT s.sub, s.vec_id, s.svec, v.hr
        |  FROM sv s JOIN poolv v USING (vec_id)),
@@ -800,7 +814,7 @@ object Pq {
        |  FROM (
        |    SELECT vec_id,
        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
-       |    FROM embeddings WHERE vec_id < $queryMaxId)
+       |    FROM $source WHERE vec_id < $queryMaxId)
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
        |dt AS (
        |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
@@ -814,14 +828,40 @@ object Pq {
        |         round(sum(dt.pd) / sqrt(sum(dt.cn)), 4) AS ascore
        |  FROM codes JOIN dt USING (sub, code)
        |  WHERE codes.vec_id <> dt.query_id
-       |  GROUP BY 1, 2)
-       |SELECT query_id, vec_id FROM (
+       |  GROUP BY 1, 2),
+       |pqranked AS (
        |  SELECT query_id, vec_id,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY ascore DESC, vec_id) AS rank
        |  FROM scored)
-       |WHERE rank <= $topK""".stripMargin
+       |$cfgTail""".stripMargin
   }
+
+  /** Final SELECT of one sampled-cfg cell: the plain ADC top-k, or —
+    * with `refine > 0` — the FAISS `IndexRefineFlat` shape: keep the
+    * top `refine·topK` ADC candidates and re-rank just those with the
+    * exact float cosine over `rerankSource` ([[exactRerank]]'s twin,
+    * scoring identical to [[Similarity.knnBruteSql]]). */
+  private def cfgTailSql(topK: Int, refine: Int, rerankSource: String): String =
+    if (refine == 0)
+      s"SELECT query_id, vec_id FROM pqranked WHERE rank <= $topK"
+    else
+      s""",
+         |rr AS (
+         |  SELECT n.query_id, n.vec_id,
+         |         round(list_dot_product(q.embedding, c.embedding) /
+         |               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+         |                sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cos_sim
+         |  FROM (SELECT query_id, vec_id FROM pqranked
+         |        WHERE rank <= ${refine * topK}) n
+         |  JOIN $rerankSource q ON q.vec_id = n.query_id
+         |  JOIN $rerankSource c ON c.vec_id = n.vec_id)
+         |SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM rr)
+         |WHERE rank <= $topK""".stripMargin
 
   /** DuckDB twin of [[pqRecallCurve]]: one nested self-contained query
     * per grid cell, hit counts against the shared brute CTE, the
