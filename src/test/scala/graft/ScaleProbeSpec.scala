@@ -233,4 +233,30 @@ class ScaleProbeSpec extends AnyFunSuite {
     assertShapes(planM, "mixtureSample")
     assert(planM.contains("BroadcastExchange"))
   }
+
+  test("OPQ at 10×: energy aggregate combines map-side, permuted search keeps PQ shape",
+      ScaleProbe) {
+    val embs = spark.range(20000).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> CAST(((id * 13 + j * 17) % 997) / 997.0 - 0.5 AS FLOAT))")
+        .as("embedding"),
+      (col("id") % 10).cast("int").as("label")).localCheckpoint()
+    // allocation: corpus-wide work is ONE posexplode + partial/final
+    // aggregate down to d=64 rows; the global windows run post-agg
+    val alloc = graft.ann.Opq.allocation(embs)
+    val planA = ranPlan(alloc)
+    assertShapes(planA, "opqAllocation")
+    assert(planA.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"partial+final energy aggregate expected:\n${planA.take(4000)}")
+    assert(alloc.count() == 64L)
+    // the permuted frame is a narrow projection — it must flow through
+    // the standard PQ search with the same broadcast-tables plan
+    val knn = graft.ann.Pq.pqKnnAdc(graft.ann.Opq.permute(embs),
+      queryMaxId = 5, topK = 5)
+    val plan = ranPlan(knn)
+    assertShapes(plan, "opqPermutedSearch")
+    assert(plan.contains("BroadcastExchange"),
+      s"distance tables should broadcast:\n${plan.take(4000)}")
+    assert(knn.count() == 25L, "5 queries × top-5 expected")
+  }
 }
