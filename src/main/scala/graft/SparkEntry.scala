@@ -286,6 +286,9 @@ object SparkEntry {
     // end-to-end curation: score -> gate -> exact dedup -> keep-best LSH dedup
     "q_curate" -> ((s, dir) =>
       graft.text.Curate.curate(Tables.documents(s, dir))),
+    // funnel audit: per-document verdict (kept / which stage dropped it)
+    "q_curate_audit" -> ((s, dir) =>
+      graft.text.Curate.curateAudit(Tables.documents(s, dir))),
     // context-window chunking with overlap (map-side, no shuffle);
     // non-text columns ride along, so project to the classic surface
     "q_chunk" -> ((s, dir) =>
@@ -741,6 +744,7 @@ object SparkEntry {
       "q_window_drift" -> graft.operators.Drift.windowMixDriftSql(),
       "q_drift_alerts" -> graft.operators.Drift.mixDriftAlertsSql(),
       "q_curate" -> graft.text.Curate.curateSql(),
+      "q_curate_audit" -> graft.text.Curate.curateAuditSql(),
       "q_chunk" -> graft.text.Chunking.chunkDocsSql(),
       "q_training_data" -> graft.text.TrainingData.prepareSql(),
       "q_mixture" -> graft.operators.Sampling.mixtureSampleSql(),

@@ -206,4 +206,84 @@ object Curate {
        |SELECT doc_id, lang_pred, quality_pm, n_chars FROM kept k
        |WHERE NOT EXISTS (SELECT 1 FROM contaminated c
        |                  WHERE c.doc_id = k.doc_id)""".stripMargin
+
+  /** The curation funnel AUDIT: one verdict per INPUT document — which
+    * stage dropped it, or `kept` — the per-record provenance the
+    * survivor-only output of [[curate]] cannot answer ("why did my
+    * document disappear?"), and the funnel FineWeb/C4 publish as their
+    * headline dataset statistics (one GROUP BY verdict away).
+    *
+    * Verdicts, in stage order (a document failing several stages gets
+    * the FIRST, matching the pipeline's short-circuit):
+    * `low_quality` (quality_pm < floor), `bad_lang` (predicted
+    * language not allowed), `exact_dup` (not the lowest-doc_id of its
+    * md5(text) group among gated docs), `near_dup` (dropped by
+    * LSH-cluster quality survivorship), `kept`.
+    *
+    * Scale shape: scoring stays map-side; ONE window pass computes the
+    * exact-dup rank — partitioned by (gated, md5(text)) so the rank is
+    * computed in the same pass for all rows but only CONSULTED where
+    * the CASE reaches it (gated rows), replacing the self-join of
+    * corpus vs gated-survivors; the near-dup drop list is
+    * collision-sized and left-joins in (AQE broadcasts it). The
+    * verdict table is one row per input doc — the same cardinality
+    * every downstream funnel aggregate needs anyway. */
+  def curateAudit(docs: DataFrame, minQualityPm: Long = 600,
+                  langs: Seq[String] = Seq("en", "de")): DataFrame = {
+    val scored = graft.Tables.spread(docs)
+      .withColumn("quality_pm", TextAnalysis.qualityExpr)
+      .withColumn("lang_pred", TextAnalysis.langPred)
+      .withColumn("__gated", col("quality_pm") >= minQualityPm &&
+        col("lang_pred").isin(langs: _*))
+    val wMd5 = Window.partitionBy(col("__gated"), md5(col("text")))
+      .orderBy(col("doc_id"))
+    // stage boundary as in curateDocs: the ranked corpus is consumed
+    // by BOTH the near-dup stage (shingles) and the final verdict join
+    val ranked = scored.withColumn("__rn", row_number().over(wMd5))
+      .localCheckpoint()
+    val exact = ranked.filter(col("__gated") && col("__rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_chars"), col("quality_pm"))
+    val drops = graft.dedup.Clusters.dropsBest(exact)
+      .withColumn("__near_drop", lit(true))
+    ranked.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality_pm") < minQualityPm, "low_quality")
+          .when(!col("lang_pred").isin(langs: _*), "bad_lang")
+          .when(col("__rn") > 1, "exact_dup")
+          .when(col("__near_drop") === true, "near_dup")
+          .otherwise("kept").as("verdict"),
+        col("quality_pm"), col("lang_pred"))
+  }
+
+  /** DuckDB twin of [[curateAudit]] — the same staged CTEs the
+    * survivor oracles compose, plus the verdict CASE in stage order. */
+  def curateAuditSql(minQualityPm: Long = 600,
+                     langs: Seq[String] = Seq("en", "de")): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, n_chars,
+       |         ${TextAnalysis.qualityPmSql} AS quality_pm,
+       |         ${TextAnalysis.langPredSql} AS lang_pred
+       |  FROM main.documents),
+       |exact AS (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred,
+       |         row_number() OVER (PARTITION BY md5(text)
+       |                            ORDER BY doc_id) AS rn
+       |  FROM scored
+       |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
+       |documents AS (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred
+       |  FROM exact WHERE rn = 1),
+       |${graft.dedup.Clusters.survivorsBestCtes()}
+       |SELECT s.doc_id,
+       |       CASE WHEN s.quality_pm < $minQualityPm THEN 'low_quality'
+       |            WHEN s.lang_pred NOT IN ($langList) THEN 'bad_lang'
+       |            WHEN e.rn > 1 THEN 'exact_dup'
+       |            WHEN x.doc_id IS NOT NULL THEN 'near_dup'
+       |            ELSE 'kept' END AS verdict,
+       |       s.quality_pm, s.lang_pred
+       |FROM scored s
+       |LEFT JOIN exact e USING (doc_id)
+       |LEFT JOIN drops x ON x.doc_id = s.doc_id""".stripMargin
+  }
 }

@@ -50,6 +50,33 @@ class CurateSpec extends AnyFunSuite {
     assert(kept.contains(2L), "keep-best should prefer the higher-quality member")
   }
 
+  test("audit: every input gets one verdict, verdicts agree with the pipeline") {
+    // twins share NO shingles with the enDoc filler, so exact dedup
+    // is the only stage that touches them
+    val t = "the river ran through the valley and the wind blew " * 5
+    val base = enDoc("")
+    val d = docs(
+      (1L, base + "zzz qqq 12345"),                 // near-dup of 2, lower quality
+      (2L, base + "and the cat saw the dog again"), // near-dup survivor
+      (3L, t), (7L, t),                             // exact dup pair → 3 kept
+      (4L, "der die und der die und der die und"),  // short german → low_quality
+      (5L, ("completely different prose about the sea and a ship " * 5)),
+      (6L, "el la que " * 34))   // es, 102 words → clears quality, bad_lang
+    val audit = Curate.curateAudit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    info(s"verdicts: ${audit.toSeq.sortBy(_._1)}")
+    // one verdict per input doc
+    assert(audit.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // the kept set IS the pipeline's survivor set
+    val kept = Curate.curate(d).select("doc_id").as[Long].collect().toSet
+    assert(audit.filter(_._2 == "kept").keySet == kept)
+    assert(audit(7L) == "exact_dup" && audit(3L) == "kept")
+    assert(audit(1L) == "near_dup" && audit(2L) == "kept")
+    assert(audit(4L) == "low_quality")
+    assert(audit(6L) == "bad_lang")
+    assert(audit(5L) == "kept")
+  }
+
   test("output carries curation metadata and respects the floor") {
     val d = docs((1L, enDoc("alpha")), (2L, enDoc("beta gamma delta")))
     val rows = Curate.curate(d).collect()
