@@ -390,6 +390,12 @@ object SparkEntry {
         .agg(hll_merge(col("sk")).as("msk"))
         .select(col("event_type"), hll_estimate(col("msk")).as("approx_users"))
     }),
+    // theta-sketch set algebra: per-day user sketches merged per type,
+    // then union/intersection/difference per type PAIR from sketch
+    // state alone — the segment-overlap question HLL cannot answer —
+    // with exact twin columns as the in-row error gate
+    "q_theta_sets" -> ((s, dir) =>
+      SetSketch.thetaSets(Tables.events(s, dir))),
     // quantile-sketch rollup: per-day value sketches re-merged per type —
     // percentiles across windows without rescanning raw events. KMV
     // bottom-k with the md5 sample hash → the oracle reproduces sample
@@ -830,6 +836,7 @@ object SparkEntry {
       // DISTINCT (hash, value) pairs of that type (bottom-k of a union
       // of bottom-ks == global bottom-k); quantile = nearest-rank on
       // the value-sorted sample, rank = min(n, max(1, ceil(p·n))).
+      "q_theta_sets" -> SetSketch.thetaSetsSql,
       "q_quantile_rollup" ->
         """WITH pts AS (
           |  SELECT DISTINCT event_type,
