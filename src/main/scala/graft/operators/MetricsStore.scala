@@ -117,6 +117,7 @@ class MetricsStore(spark: SparkSession, path: String,
     import graft.functions.HllFunctions._
     import graft.functions.CmsFunctions._
     import graft.functions.QSketchFunctions._
+    import graft.functions.ThetaFunctions._
     val dayMs = lit(86400000L)
     spark.read.parquet(sketchPath)
       .groupBy(
@@ -126,11 +127,12 @@ class MetricsStore(spark: SparkSession, path: String,
       .agg(sum(col("event_count")).as("event_count"),
         hll_merge(col("user_sketch")).as("user_sketch"),
         cm_merge(col("user_cms")).as("user_cms"),
-        q_sketch_merge(col("value_sketch")).as("value_sketch"))
+        q_sketch_merge(col("value_sketch")).as("value_sketch"),
+        theta_merge(col("user_theta")).as("user_theta"))
       .select(col("window_start_ms"),
         (col("window_start_ms") + dayMs).as("window_end_ms"),
         col("event_type"), col("event_count"), col("user_sketch"),
-        col("user_cms"), col("value_sketch"),
+        col("user_cms"), col("value_sketch"), col("user_theta"),
         to_date(timestamp_millis(col("window_start_ms"))).as("p_date"))
       .repartition(col("p_date"))
       .write.mode("overwrite").partitionBy("p_date").parquet(outPath)
@@ -155,6 +157,30 @@ class MetricsStore(spark: SparkSession, path: String,
         col("watermark_ms"),
         (col("ts_ms") - col("watermark_ms")).as("lag_ms"))
       .orderBy(col("query_name"), col("batch_id").desc)
+
+  /** Cross-segment overlap from the stored theta sketches: (union,
+    * intersection, A-not-B) distinct-user estimates for two event
+    * types over any window range, from metric-table state alone — the
+    * question the HLL column cannot answer (its registers merge under
+    * union only). The per-type merge is distributed; only the two
+    * final ~2 kB sketches reach the driver (the serving-read
+    * exception, same as every `*Across` estimate here). */
+  def segmentOverlapAcross(sketchPath: String, fromMs: Long, toMs: Long,
+                           typeA: String, typeB: String): (Long, Long, Long) = {
+    import graft.functions.ThetaFunctions._
+    import graft.functions.Theta
+    val merged = sketchRows(sketchPath, fromMs, toMs, Seq(typeA, typeB))
+      .groupBy(col("event_type"))
+      .agg(theta_merge(col("user_theta")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> Theta.deserialize(r.getAs[Array[Byte]](1)))
+      .toMap
+    val a = merged.getOrElse(typeA, Theta.empty())
+    val b = merged.getOrElse(typeB, Theta.empty())
+    (Theta.unionEstimate(a, b),
+      Theta.intersectEstimate(a, b),
+      Theta.aNotBEstimate(a, b))
+  }
 
   /** Cross-window per-user event frequency from the stored Count-Min
     * sketches: how many events did `userId` generate over any

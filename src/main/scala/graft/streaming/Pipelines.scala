@@ -177,21 +177,25 @@ object Pipelines {
     import graft.functions.HllFunctions._
     import graft.functions.CmsFunctions._
     import graft.functions.QSketchFunctions._
-    // all three mergeable sketch families per (window, type) row: HLL
+    import graft.functions.ThetaFunctions._
+    // all four mergeable sketch families per (window, type) row: HLL
     // (distinct users), Count-Min (per-user event frequency), KMV
-    // (value quantiles) — so distinct/frequency/percentile questions
-    // across ANY window span are metric-table merges, never raw rescans
+    // (value quantiles), theta (segment set algebra — the overlap
+    // questions HLL cannot answer) — so distinct/frequency/percentile/
+    // overlap questions across ANY window span are metric-table
+    // merges, never raw rescans
     val agg = events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(col("event_type")).as("event_count"),
         hll_sketch_r(col("user_id")).as("user_sketch"),
         cm_sketch(col("user_id")).as("user_cms"),
-        q_sketch_r(col("value"), col("event_id")).as("value_sketch"))
+        q_sketch_r(col("value"), col("event_id")).as("value_sketch"),
+        theta_sketch_r(col("user_id")).as("user_theta"))
       .select(
         unix_millis(col("window.start")).as("window_start_ms"),
         unix_millis(col("window.end")).as("window_end_ms"),
         col("event_type"), col("event_count"), col("user_sketch"),
-        col("user_cms"), col("value_sketch"))
+        col("user_cms"), col("value_sketch"), col("user_theta"))
     agg.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -96,4 +96,39 @@ class SketchStoreSpec extends AnyFunSuite {
       == store.valueQuantileAcross(s"$dir/t", base, base + 86400000, 0.5,
         types = Seq("view")))
   }
+
+  test("stored theta sketches answer segment overlap without raw data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_theta").toString
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.startSketchSink(ms.toDF(), s"$dir/t", s"$dir/chk",
+      watermark = "1 seconds", windowDur = "60 seconds")
+    try {
+      // w0: view {1,2,3}, purchase {3}; w1: view {4}, purchase {5}
+      ms.addData(ev(1, 1000, 1, "view"), ev(2, 2000, 2, "view"),
+        ev(3, 3000, 3, "view"), ev(4, 4000, 3, "purchase"))
+      q.processAllAvailable()
+      ms.addData(ev(5, 61000, 4, "view"), ev(6, 62000, 5, "purchase"))
+      q.processAllAvailable()
+      ms.addData(ev(99, 600000, 9, "view")) // flush watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = new MetricsStore(spark, dir)
+    // view {1,2,3,4} × purchase {3,5} — far below K, so the sketch
+    // answers are EXACT: union 5, intersection {3} = 1, view-only 3
+    assert(store.segmentOverlapAcross(s"$dir/t", base, base + 120000,
+      "view", "purchase") == ((5L, 1L, 3L)))
+    // single window: view {1,2,3} × purchase {3}
+    assert(store.segmentOverlapAcross(s"$dir/t", base, base + 60000,
+      "view", "purchase") == ((3L, 1L, 2L)))
+    // missing segment: estimates degrade to (|A|, 0, |A|), no throw
+    assert(store.segmentOverlapAcross(s"$dir/t", base, base + 120000,
+      "view", "refund") == ((4L, 0L, 4L)))
+    // theta merge is associative: day-aligned reads survive compaction
+    store.compactSketchesDaily(s"$dir/t", s"$dir/daily")
+    assert(store.segmentOverlapAcross(s"$dir/daily", base, base + 86400000,
+      "view", "purchase")
+      == store.segmentOverlapAcross(s"$dir/t", base, base + 86400000,
+        "view", "purchase"))
+  }
 }
