@@ -43,7 +43,7 @@ object SetSketch {
       .agg(theta_merge(col("dsk")).as("sk"))
       .localCheckpoint() // |types| rows of sketch state, consumed twice
     val pairs = sk.as("a")
-      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .join(broadcast(sk.as("b")), col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"),
         theta_union_est(col("a.sk"), col("b.sk")).as("union_est"),

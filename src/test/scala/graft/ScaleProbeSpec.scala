@@ -234,6 +234,44 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(planM.contains("BroadcastExchange"))
   }
 
+  test("audit at 10×: one verdict per input doc, drop list broadcasts, no cartesian",
+      ScaleProbe) {
+    val audit = graft.text.Curate.curateAudit(docs10x)
+    val plan = ranPlan(audit)
+    assert(!plan.contains("CartesianProduct"),
+      s"curateAudit: cartesian product at 10× scale:\n${plan.take(4000)}")
+    // the collision-sized near-dup drop list must come in as a
+    // broadcast join, never a shuffled corpus-vs-corpus exchange
+    assert(plan.contains("BroadcastHashJoin"),
+      s"drop-list join should broadcast:\n${plan.take(4000)}")
+    assert(audit.count() == 50000L, "cardinality contract: one row per input")
+  }
+
+  test("theta sets at 10×: sketch aggregate combines partially, no cartesian",
+      ScaleProbe) {
+    val events = spark.read.format("graft.sources.EventGen")
+      .option("totalRows", 1000000L).option("numPartitions", 32).load()
+    val ts = graft.operators.SetSketch.thetaSets(events)
+    val plan = ranPlan(ts)
+    // the |types|² pair join is the sanctioned dense-grid BNLJ class
+    // (5 rows of sketch state); only the cartesian trap is in scope
+    assert(!plan.contains("CartesianProduct"),
+      s"thetaSets: cartesian product at 10× scale:\n${plan.take(4000)}")
+    // TypedImperativeAggregate sketches must combine map-side: partial
+    // + final ObjectHashAggregate pairs, so the exchange carries kB of
+    // sketch state, not the raw event rows. The operator materializes
+    // this stage behind a localCheckpoint, so probe the aggregation
+    // shape on the stage plan itself.
+    val skStage = events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(graft.functions.ThetaFunctions.theta_sketch_r(col("user_id")).as("sk"))
+    val skPlan = ranPlan(skStage)
+    assert(skPlan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"partial+final sketch aggregation expected:\n${skPlan.take(4000)}")
+    val n = ts.count()
+    assert(n > 0L && n <= 10L, s"type pairs expected, got $n")
+  }
+
   test("OPQ at 10×: energy aggregate combines map-side, permuted search keeps PQ shape",
       ScaleProbe) {
     val embs = spark.range(20000).select(
