@@ -144,8 +144,15 @@ object Theta {
   }
 
   def deserialize(bytes: Array[Byte]): Buf = {
+    // hostile-input safe: validate BEFORE any buffer read (a 1-4 byte
+    // array would otherwise throw BufferUnderflow instead of a
+    // diagnosable require)
+    require(bytes.length >= 5,
+      s"theta sketch: ${bytes.length} bytes, need ≥ 5 (mode + count)")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val mode = bb.get()
+    require(mode == ModeUnset || mode == ModeXx || mode == ModeMd5,
+      s"theta sketch: unknown hash mode $mode")
     val n = bb.getInt()
     require(n >= 0 && n <= K && bytes.length == 5 + 8 * n,
       s"theta sketch: bad length ${bytes.length} for n=$n")

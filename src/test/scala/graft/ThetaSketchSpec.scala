@@ -56,6 +56,17 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(math.abs(d - 5000L) <= sigma3, s"anotb $d")
   }
 
+  test("hostile bytes are rejected with a diagnosable error") {
+    for (bad <- Seq(Array.emptyByteArray, Array[Byte](1),
+        Array[Byte](1, 0, 0, 0), // truncated count
+        Array[Byte](9, 0, 0, 0, 0), // unknown mode
+        Theta.serialize(bufOf(0L until 10L)).dropRight(1))) // short tail
+      intercept[IllegalArgumentException] { Theta.deserialize(bad) }
+    // a valid sketch round-trips
+    val ok = Theta.serialize(bufOf(0L until 10L))
+    assert(Theta.estimate(Theta.deserialize(ok)) == 10L)
+  }
+
   test("mode mismatch is rejected, not silently merged") {
     val xx = Theta.empty(Theta.ModeXx)
     Theta.insert(xx, 42L)
