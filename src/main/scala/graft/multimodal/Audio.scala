@@ -194,7 +194,9 @@ object Audio {
                  nBands: Int = 7): DataFrame = {
     val bandBits = AudioFpCodec.Bits / nBands
     val mask = (1L << bandBits) - 1
-    val fp = audioFp(media).toDF()
+    // decode-once barrier, same reason as Video.videoPairs: the
+    // self-join otherwise re-runs the RIFF walk + energy pass per side
+    val fp = audioFp(media).toDF().localCheckpoint()
     val bands = fp.select(col("doc_id"), col("afp"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("afp"), b * bandBits).bitwiseAND(lit(mask))): _*))

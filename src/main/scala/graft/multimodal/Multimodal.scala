@@ -387,7 +387,9 @@ object Multimodal {
                  nBands: Int = 7): DataFrame = {
     val bandBits = PHashCodec.Bits / nBands
     val mask = (1L << bandBits) - 1
-    val ph = phash(media).toDF()
+    // decode-once barrier, same reason as Video.videoPairs: the
+    // self-join otherwise re-runs the pixel decode + dHash per side
+    val ph = phash(media).toDF().localCheckpoint()
     val bands = ph.select(col("doc_id"), col("phash"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask))): _*))

@@ -502,7 +502,13 @@ object Video {
                  nBands: Int = 7): DataFrame = {
     val bandBits = VideoFpCodec.Bits / nBands
     val mask = (1L << bandBits) - 1
-    val fp = videoFp(media).toDF()
+    // materialize the 16-byte-per-doc fingerprint table BEFORE the
+    // self-join: without it Catalyst plans two full decode subtrees
+    // (no ReusedExchange across the alias boundary — verified on the
+    // executed plan), i.e. the corpus LZW-decodes twice. Fingerprint
+    // once, pair from the stored hashes — the shape a 100 TB corpus
+    // needs anyway (the fp table is what you'd persist).
+    val fp = videoFp(media).toDF().localCheckpoint()
     val bands = fp.select(col("doc_id"), col("vfp"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(col("vfp"), b * bandBits).bitwiseAND(lit(mask))): _*))
