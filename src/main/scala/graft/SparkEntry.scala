@@ -289,6 +289,10 @@ object SparkEntry {
     // funnel audit: per-document verdict (kept / which stage dropped it)
     "q_curate_audit" -> ((s, dir) =>
       graft.text.Curate.curateAudit(Tables.documents(s, dir))),
+    // shard-at-a-time ingestion: store-backed first-wins exact dedup +
+    // per-shard near-dup; loop hash-matches the flat batch twin
+    "q_curate_incr" -> ((s, dir) =>
+      graft.streaming.CurateIngest.incrCurate(Tables.documents(s, dir))),
     // context-window chunking with overlap (map-side, no shuffle);
     // non-text columns ride along, so project to the classic surface
     "q_chunk" -> ((s, dir) =>
@@ -751,6 +755,7 @@ object SparkEntry {
       "q_drift_alerts" -> graft.operators.Drift.mixDriftAlertsSql(),
       "q_curate" -> graft.text.Curate.curateSql(),
       "q_curate_audit" -> graft.text.Curate.curateAuditSql(),
+      "q_curate_incr" -> graft.text.Curate.incrCurateSql(),
       "q_chunk" -> graft.text.Chunking.chunkDocsSql(),
       "q_training_data" -> graft.text.TrainingData.prepareSql(),
       "q_mixture" -> graft.operators.Sampling.mixtureSampleSql(),

@@ -278,9 +278,10 @@ object Clusters {
     * `documents` CTE shadowing the base table — the curation
     * pipeline). All references to `documents` resolve to whatever is
     * in scope. */
-  def survivorsBestCtes(n: Int = 4, minEstJaccard: Double = 0.5): String =
+  def survivorsBestCtes(n: Int = 4, minEstJaccard: Double = 0.5,
+                        pairWhere: String = ""): String =
     s"""clusters AS (
-       |${dupClustersSql(n, minEstJaccard)}
+       |${dupClustersSql(n, minEstJaccard, pairWhere)}
        |),
        |quality AS (
        |${graft.text.TextAnalysis.qualityScoreSql}
@@ -298,12 +299,17 @@ object Clusters {
        |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)""".stripMargin
 
   /** DuckDB oracle: the same candidate SQL feeding a recursive-CTE
-    * reachability walk; min reachable root = min component member. */
-  def dupClustersSql(n: Int = 4, minEstJaccard: Double = 0.5): String =
+    * reachability walk; min reachable root = min component member.
+    * `pairWhere` optionally restricts the edge set (e.g. a same-shard
+    * predicate for the incremental-curation twin, where near-dup runs
+    * within each arriving shard only). */
+  def dupClustersSql(n: Int = 4, minEstJaccard: Double = 0.5,
+                     pairWhere: String = ""): String = {
+    val w = if (pairWhere.isEmpty) "" else s"\n  WHERE $pairWhere"
     s"""WITH RECURSIVE cand AS (
        |  SELECT a_id, b_id FROM (
        |${Dedup.minhashCandidatesSql(n, minEstJaccard)}
-       |  )),
+       |  )$w),
        |edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM cand
        |  UNION ALL
@@ -313,4 +319,5 @@ object Clusters {
        |  UNION
        |  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node)
        |SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY 1""".stripMargin
+  }
 }

@@ -1,0 +1,192 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.dedup.Clusters
+import graft.text.TextAnalysis
+
+/** Streaming leg of the curation pipeline: corpus ingestion one shard
+  * at a time — the shape a 100 TB corpus is actually curated in
+  * (FineWeb processes one CommonCrawl dump against the accumulated
+  * index of all previous dumps; nobody re-curates the full corpus per
+  * arrival). Reference behavior composed from the per-window
+  * incremental discipline of `services/processing/src/jobs` applied
+  * to the curation recipe.
+  *
+  * Semantics per arriving shard:
+  *
+  *   1. gate: quality + language scoring, map-side (stateless).
+  *   2. exact dedup, intra-shard: keep the lowest doc_id per
+  *      md5(text).
+  *   3. exact dedup, cross-shard: anti-join the shard's fingerprints
+  *      against the accumulated fingerprint STORE (all GATED docs of
+  *      earlier shards) — first arrival wins, later copies drop.
+  *   4. near dedup, intra-shard: MinHash→LSH→CC, keep the
+  *      highest-quality member per cluster ([[Clusters.dropsBest]]).
+  *   5. the shard's gated fingerprints append to the store; survivors
+  *      append to the curated output. Both writes land in their own
+  *      `batch_id=` partition with overwrite semantics, so a
+  *      crash-replayed batch rewrites exactly its own state — the
+  *      [[GraphRank]] / storage-sink idempotence contract.
+  *
+  * Why this is EXACT, not an approximation of the batch answer: md5
+  * equality is transitive, so "first wins against the store" over
+  * id-ordered shards is the same set as one global
+  * keep-min-doc_id-per-fingerprint; MinHash signatures, band buckets
+  * and est-jaccard are functions of the two docs alone, so per-shard
+  * candidate generation equals the global candidate set restricted to
+  * same-shard pairs. [[incrCurate]] (the loop) therefore hash-matches
+  * the FLAT [[graft.text.Curate.incrCurateSql]] oracle — order
+  * dependence cancels exactly (q_curate_incr).
+  *
+  * What incremental ingestion deliberately does NOT do: near-dup
+  * detection ACROSS shards. Emitted survivors are immutable (they may
+  * already be training a model); a late near-copy of an early survivor
+  * is a policy decision, not an algebraic one — see
+  * [[crossShardNearDups]] for the detection query over the persisted
+  * fingerprint/signature state.
+  *
+  * Scale shape: per shard the work is O(shard) scoring + one
+  * fingerprint-keyed anti-join against the store (store is
+  * fingerprint-sized, read key-pruned) + LSH/CC over the shard only.
+  * Nothing ever re-touches earlier shards' text.
+  */
+object CurateIngest {
+
+  /** Gate + fingerprint one shard: (doc_id, text, n_chars,
+    * quality_pm, lang_pred, fingerprint) for docs passing the
+    * quality/language gate. Pure map-side. */
+  def gateShard(shard: DataFrame, minQualityPm: Long = 600,
+                langs: Seq[String] = Seq("en", "de")): DataFrame =
+    graft.Tables.spread(shard)
+      .withColumn("quality_pm", TextAnalysis.qualityExpr)
+      .withColumn("lang_pred", TextAnalysis.langPred)
+      .filter(col("quality_pm") >= minQualityPm &&
+        col("lang_pred").isin(langs: _*))
+      .withColumn("fingerprint", md5(col("text")))
+
+  /** One shard through stages 1-4 against the given fingerprint store.
+    * Returns (survivors, this shard's gated fingerprints to append).
+    * `fresh` is materialized before near-dup for the same reason
+    * [[graft.text.Curate.curateDocs]] materializes its stage boundary:
+    * dropsBest consumes its input three times. */
+  def ingestShard(shard: DataFrame, fpStore: DataFrame,
+                  minQualityPm: Long = 600,
+                  langs: Seq[String] = Seq("en", "de"))
+      : (DataFrame, DataFrame) = {
+    val gated = gateShard(shard, minQualityPm, langs)
+    val wFp = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val fresh = gated
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(fpStore.select(col("fingerprint")).distinct(),
+        Seq("fingerprint"), "left_anti")
+      .localCheckpoint()
+    val kept = fresh
+      .join(Clusters.dropsBest(fresh), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+    (kept, gated.select(col("fingerprint")).distinct())
+  }
+
+  /** The whole id-ordered ingestion as one deterministic loop — the
+    * q_curate_incr engine side. Shards are doc_id ranges of width
+    * `shardSize` below `maxId` (bounded so the loop length is a
+    * constant, like q_incr_dedup's fixed split). Hash-matches
+    * [[graft.text.Curate.incrCurateSql]]. */
+  def incrCurate(docs: DataFrame, shardSize: Long = 150,
+                 maxId: Long = 600, minQualityPm: Long = 600,
+                 langs: Seq[String] = Seq("en", "de")): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nShards = ((maxId + shardSize - 1) / shardSize).toInt
+    var store = Seq.empty[String].toDF("fingerprint")
+    var outs = List.empty[DataFrame]
+    for (i <- 0 until nShards) {
+      val shard = docs.filter(col("doc_id") >= i * shardSize &&
+        col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
+      val (kept, fps) = ingestShard(shard, store, minQualityPm, langs)
+      outs = outs :+ kept.withColumn("shard_id", lit(i.toLong))
+      store = store.unionByName(fps).distinct().localCheckpoint()
+    }
+    outs.reduce(_ unionByName _)
+      .select(col("doc_id"), col("shard_id"), col("lang_pred"),
+        col("quality_pm"), col("n_chars"))
+  }
+
+  // ------------------------------------------------ disk-backed stream
+
+  /** The accumulated fingerprint store as of (strictly before) `batch`:
+    * reading only earlier partitions makes a crash-replayed batch see
+    * exactly the store it saw the first time — bit-equal replay. */
+  def fpState(spark: SparkSession, storePath: String,
+              beforeBatch: Long): DataFrame = {
+    import spark.implicits._
+    if (!Files.exists(Paths.get(storePath)))
+      Seq.empty[String].toDF("fingerprint")
+    else spark.read.parquet(storePath)
+      .filter(col("batch_id") < beforeBatch)
+      .select(col("fingerprint")).distinct()
+  }
+
+  /** Curated survivors accumulated so far. */
+  def keptState(spark: SparkSession, keptPath: String): DataFrame =
+    spark.read.parquet(keptPath)
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+
+  /** One micro-batch: ingest against the pre-batch store, then write
+    * survivors and fingerprints each into their own batch_id
+    * partition (dynamic overwrite → replay idempotent). ingestShard's
+    * internal materialization pins the store read BEFORE this batch's
+    * append lands, so the two writes can't see their own output. */
+  def writeShard(batch: DataFrame, batchId: Long, storePath: String,
+                 keptPath: String, minQualityPm: Long = 600,
+                 langs: Seq[String] = Seq("en", "de")): Unit = {
+    val spark = batch.sparkSession
+    val (kept, fps) =
+      ingestShard(batch, fpState(spark, storePath, batchId),
+        minQualityPm, langs)
+    val keptM = kept.localCheckpoint() // pin before the store mutates
+    fps.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storePath)
+    keptM.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(keptPath)
+  }
+
+  /** The wired pipeline: a document stream curated shard-at-a-time. */
+  def start(docStream: DataFrame, storePath: String, keptPath: String,
+            checkpoint: String, minQualityPm: Long = 600,
+            langs: Seq[String] = Seq("en", "de")): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShard(batch, batchId, storePath, keptPath, minQualityPm, langs)
+      }
+      .start()
+
+  /** The cross-shard near-dup DETECTION query the ingestion loop
+    * deliberately defers (emitted survivors are immutable): banded
+    * MinHash pairs between two curated shards' survivors — the
+    * monitoring read that tells an operator "shard 12 re-imported
+    * shard 3's docs" without re-curating anything. Runs over kept
+    * text slices only; same banded never-all-pairs shape as
+    * [[graft.dedup.Dedup.minhashCandidates]]. */
+  def crossShardNearDups(docsA: DataFrame, docsB: DataFrame,
+                         minEstJaccard: Double = 0.5): DataFrame = {
+    val cand = graft.dedup.Dedup.minhashCandidates(
+      docsA.unionByName(docsB), minEstJaccard = minEstJaccard)
+    val aIds = docsA.select(col("doc_id").as("a_id"))
+    val bIds = docsB.select(col("doc_id").as("b_id"))
+    cand.join(aIds, "a_id").join(bIds, "b_id")
+  }
+}

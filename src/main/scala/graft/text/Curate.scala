@@ -75,7 +75,8 @@ object Curate {
     * their own stages onto the survivors, mirroring [[curateDocs]]. */
   def curateCtes(minQualityPm: Long = 600,
                  langs: Seq[String] = Seq("en", "de"),
-                 source: String = "main.documents"): String = {
+                 source: String = "main.documents",
+                 pairWhere: String = ""): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
     s"""gated AS (
        |  SELECT * FROM (
@@ -88,7 +89,7 @@ object Curate {
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
        |                             ORDER BY doc_id) = 1),
-       |${graft.dedup.Clusters.survivorsBestCtes()},
+       |${graft.dedup.Clusters.survivorsBestCtes(pairWhere = pairWhere)},
        |kept AS (
        |  SELECT d.doc_id, d.text, d.lang_pred, d.quality_pm, d.n_chars
        |  FROM documents d
@@ -99,6 +100,27 @@ object Curate {
                 langs: Seq[String] = Seq("en", "de")): String =
     s"""WITH ${curateCtes(minQualityPm, langs)}
        |SELECT doc_id, lang_pred, quality_pm, n_chars FROM kept""".stripMargin
+
+  /** DuckDB twin of [[graft.streaming.CurateIngest.incrCurate]] — the
+    * shard-at-a-time ingestion semantics written as ONE flat query,
+    * which is the point: because md5 equality is transitive, the
+    * store-accumulated first-wins exact dedup over id-ordered shards
+    * equals a single global keep-min-doc_id per fingerprint, and
+    * because MinHash signatures / band buckets / est-jaccard are all
+    * doc-pair-local, per-shard near-dup equals the global candidate
+    * set filtered to same-shard pairs. No recursion, no per-shard
+    * replay — the order-dependence cancels out exactly. */
+  def incrCurateSql(shardSize: Long = 150, maxId: Long = 600,
+                    minQualityPm: Long = 600,
+                    langs: Seq[String] = Seq("en", "de")): String =
+    s"""WITH bounded AS (
+       |  SELECT doc_id, text, n_chars FROM main.documents
+       |  WHERE doc_id < $maxId),
+       |${curateCtes(minQualityPm, langs, source = "bounded",
+                     pairWhere = s"a_id // $shardSize = b_id // $shardSize")}
+       |SELECT doc_id, doc_id // $shardSize AS shard_id,
+       |       lang_pred, quality_pm, n_chars
+       |FROM kept""".stripMargin
 
   /** Curation with span-level surgical dedup as stage 0: the corpus is
     * [[graft.dedup.SpanScrub.spanScrub]]-cleaned FIRST (repeated-byte

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CurateIngest
+
+case class DocEv(doc_id: Long, text: String, n_chars: Long)
+
+/** Shard-at-a-time corpus ingestion: the streamed pipeline must equal
+  * the deterministic loop (and thus the flat q_curate_incr oracle),
+  * drop cross-shard exact duplicates first-wins, absorb a crash-
+  * replayed batch bit-exactly, and surface deferred cross-shard
+  * near-dups through the detection query. */
+class CurateStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def enDoc(tail: String): String =
+    ("the cat and the dog walked over a bridge and the sun rose " * 4) + tail
+
+  def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def keptSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  // distinct per-doc bodies: long, stopword-rich, English — but far
+  // apart in 4-gram shingle space so only PLANTED duplicates cluster
+  private val bodyA = "the cat and the dog walked over the bridge and the sun rose " * 4
+  private val bodyB = "the ship sailed over the sea and the wind blew from the north " * 4
+  private val bodyC = "a bird flew over the hills and the rain fell on the green grass " * 4
+  private val bodyD = "the horse ran through the field and the moon rose over the lake " * 4
+
+  test("cross-shard exact dup drops; first arrival wins; loop == one-shard batch on dup-free input") {
+    val d = docs(
+      (10L, bodyA),
+      (20L, bodyB),                              // shard 0 original
+      (170L, bodyB),                             // shard 1 exact copy → drop
+      (180L, bodyC),
+      (320L, bodyD),
+      (330L, "el la que el la que"))             // gated out (lang)
+    val out = CurateIngest.incrCurate(d)
+    val kept = keptSet(out)
+    assert(kept == Set(10L, 20L, 180L, 320L), s"kept $kept")
+    // shard_id rides along as doc_id div shardSize
+    val shards = out.select("doc_id", "shard_id").as[(Long, Long)]
+      .collect().toMap
+    assert(shards(320L) == 2L && shards(20L) == 0L)
+    // with no cross-shard interaction the loop equals plain curation
+    val dupFree = docs((10L, bodyA), (170L, bodyC),
+      (320L, ("different prose about the sea and a ship " * 6)))
+    assert(keptSet(CurateIngest.incrCurate(dupFree)) ==
+      keptSet(graft.text.Curate.curate(dupFree)))
+  }
+
+  test("streamed ingestion == deterministic loop; replayed batch is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("curatestream").toString
+    implicit val ctx = spark.sqlContext
+    val shard0 = Seq(DocEv(10L, bodyA, 0L),
+      DocEv(20L, bodyB, 0L)).map(e => e.copy(n_chars = e.text.length.toLong))
+    val shard1 = Seq(DocEv(170L, bodyB, 0L), // exact copy of 20 → must drop
+      DocEv(180L, bodyC, 0L))
+      .map(e => e.copy(n_chars = e.text.length.toLong))
+    val ms = MemoryStream[DocEv]
+    val q = CurateIngest.start(ms.toDF(), s"$dir/fps", s"$dir/kept",
+      s"$dir/chk")
+    try {
+      ms.addData(shard0: _*); q.processAllAvailable()
+      ms.addData(shard1: _*); q.processAllAvailable()
+      val streamed = keptSet(CurateIngest.keptState(spark, s"$dir/kept"))
+      assert(streamed == Set(10L, 20L, 180L), s"streamed $streamed")
+      // the loop over the same id-ordered shards agrees row-for-row
+      val loop = CurateIngest.incrCurate(
+        docs(shard0.map(e => (e.doc_id, e.text)) ++
+          shard1.map(e => (e.doc_id, e.text)): _*))
+      assert(keptSet(loop) == streamed)
+      // crash-replay batch 1: its partitions rewrite with identical
+      // content — fpState(beforeBatch) pins the pre-batch store view
+      CurateIngest.writeShard(
+        shard1.toDF(), batchId = 1L, s"$dir/fps", s"$dir/kept")
+      val replayed = keptSet(CurateIngest.keptState(spark, s"$dir/kept"))
+      assert(replayed == streamed, "replay changed the survivors")
+    } finally q.stop()
+  }
+
+  test("deferred cross-shard near-dups are visible to the detection query") {
+    val base = enDoc("")
+    val a = docs((10L, base + "zzz qqq 12345"))
+    val b = docs((170L, base + "zzz qqq 12399")) // near-copy, later shard
+    // ingestion keeps BOTH (near-dup runs within shard only — emitted
+    // survivors are immutable)...
+    val kept = keptSet(CurateIngest.incrCurate(
+      a.unionByName(b)))
+    assert(kept == Set(10L, 170L))
+    // ...and the monitoring query reports exactly the deferred pair
+    val pairs = CurateIngest.crossShardNearDups(a, b)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 170L)))
+  }
+}
