@@ -76,6 +76,10 @@ object SparkEntry {
       graft.dedup.Dedup.ngramJaccard(Tables.documents(s, dir))),
     "q_minhash_lsh" -> ((s, dir) =>
       graft.dedup.Dedup.minhashCandidates(Tables.documents(s, dir))),
+    // measured LSH banding recall per true-Jaccard decile (bounded
+    // exhaustive region — the dedup twin of the ANN recall curves)
+    "q_lsh_quality" -> ((s, dir) =>
+      graft.dedup.Dedup.lshQuality(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash(Tables.documents(s, dir))),
     "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
@@ -638,6 +642,7 @@ object SparkEntry {
       "q_dedup_best" -> graft.dedup.Clusters.survivorsBestSql(),
       "q_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql(),
       "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),
+      "q_lsh_quality" -> graft.dedup.Dedup.lshQualitySql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),

@@ -459,6 +459,77 @@ object Dedup {
        |WHERE round(CAST($matchSum AS DOUBLE) / $numHashes, 4) >= $minEstJaccard""".stripMargin
   }
 
+  // ------------------------------------------- LSH quality measurement
+  /** Measured banding recall of the MinHash-LSH candidate generator
+    * against TRUE n-gram Jaccard — the dedup-family analog of the ANN
+    * recall curves (q_ivf_curve/q_pq_curve): the parameter sheet says
+    * 4 bands × 4 rows catches P = 1−(1−j⁴)⁴ of true-similarity-j
+    * pairs; this query measures it on the actual corpus, per true-
+    * Jaccard decile.
+    *
+    * Ground truth is exact but BOUNDED: pairs within the doc_id <
+    * `maxId` region only (the recallCurve "exhaustive anchor" pattern
+    * — a tuning tool measures on a region, the production operator
+    * stays banded). Even there the truth table never materializes
+    * all-pairs: pairs emerge from the shared-shingle join (zero
+    * true-Jaccard pairs never meet), one keyed exchange.
+    *
+    * Output per decile of true Jaccard (j_pm div 100000): pair count,
+    * banding-caught count, recall ppm — integer arithmetic end to end,
+    * so the measured curve itself hash-matches the oracle. */
+  def lshQuality(docs: DataFrame, n: Int = 4, maxId: Long = 250): DataFrame = {
+    val region = spread(docs).filter(col("doc_id") < maxId)
+    val sh = shingles(region, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val truth = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+      .withColumn("j_pm", expr("n_inter * 1000000 div (sza + szb - n_inter)"))
+    val cand = minhashCandidates(region, n, 0.0)
+      .select(col("a_id"), col("b_id"), lit(1L).as("caught"))
+    truth.join(cand, Seq("a_id", "b_id"), "left")
+      .groupBy(expr("j_pm div 100000").as("j_decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("recall_ppm",
+        expr("n_caught * 1000000 div n_pairs"))
+  }
+
+  /** DuckDB twin of [[lshQuality]]: the shingle CTE restricted to the
+    * region via a shadowing `documents` CTE (which also scopes the
+    * nested [[minhashCandidatesSql]]), intersection via the same
+    * shared-shingle join, integer div throughout. */
+  def lshQualitySql(n: Int = 4, maxId: Long = 250): String =
+    s"""WITH documents AS (
+       |  SELECT * FROM main.documents WHERE doc_id < $maxId),
+       |sh AS (
+       |${shinglesSql(n)}
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |truth AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jm AS (
+       |  SELECT t.a_id, t.b_id,
+       |         t.n_inter * 1000000 // (sa.sz + sb.sz - t.n_inter) AS j_pm
+       |  FROM truth t
+       |  JOIN sizes sa ON sa.doc_id = t.a_id
+       |  JOIN sizes sb ON sb.doc_id = t.b_id),
+       |cand AS (
+       |  SELECT a_id, b_id, 1 AS caught FROM (
+       |${minhashCandidatesSql(n, 0.0)}
+       |  ))
+       |SELECT j_pm // 100000 AS j_decile, count(*) AS n_pairs,
+       |       CAST(sum(coalesce(c.caught, 0)) AS BIGINT) AS n_caught,
+       |       CAST((sum(coalesce(c.caught, 0)) * 1000000) // count(*) AS BIGINT)
+       |         AS recall_ppm
+       |FROM jm LEFT JOIN cand c USING (a_id, b_id)
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- SimHash
   val simhashBits = 60 // 15 hex digits of md5 → stays exact in a signed long
 

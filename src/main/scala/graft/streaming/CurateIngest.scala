@@ -75,23 +75,34 @@ object CurateIngest {
     * `fresh` is materialized before near-dup for the same reason
     * [[graft.text.Curate.curateDocs]] materializes its stage boundary:
     * dropsBest consumes its input three times. */
-  def ingestShard(shard: DataFrame, fpStore: DataFrame,
-                  minQualityPm: Long = 600,
-                  langs: Seq[String] = Seq("en", "de"))
-      : (DataFrame, DataFrame) = {
-    val gated = gateShard(shard, minQualityPm, langs)
+  /** Stages 1-3 (gate, intra-shard keep-min, store anti-join) as one
+    * un-materialized plan — the probe surface for the scale gate (the
+    * fingerprint-keyed anti-join is the only place shard and store
+    * meet, and it must stay a hash join on the 16-byte key). */
+  private[graft] def freshAgainstStore(shard: DataFrame, fpStore: DataFrame,
+                                       minQualityPm: Long = 600,
+                                       langs: Seq[String] = Seq("en", "de"))
+      : DataFrame = {
     val wFp = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    val fresh = gated
+    gateShard(shard, minQualityPm, langs)
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1).drop("__rn")
       .join(fpStore.select(col("fingerprint")).distinct(),
         Seq("fingerprint"), "left_anti")
+  }
+
+  def ingestShard(shard: DataFrame, fpStore: DataFrame,
+                  minQualityPm: Long = 600,
+                  langs: Seq[String] = Seq("en", "de"))
+      : (DataFrame, DataFrame) = {
+    val fresh = freshAgainstStore(shard, fpStore, minQualityPm, langs)
       .localCheckpoint()
     val kept = fresh
       .join(Clusters.dropsBest(fresh), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
         col("n_chars"))
-    (kept, gated.select(col("fingerprint")).distinct())
+    (kept, gateShard(shard, minQualityPm, langs)
+      .select(col("fingerprint")).distinct())
   }
 
   /** The whole id-ordered ingestion as one deterministic loop — the

@@ -297,4 +297,39 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"distance tables should broadcast:\n${plan.take(4000)}")
     assert(knn.count() == 25L, "5 queries × top-5 expected")
   }
+
+  test("ingestion at 10×: store anti-join keys on the fingerprint, planted dups drop",
+      ScaleProbe) {
+    import graft.streaming.CurateIngest
+    // gate open (floor 0, observed langs): the probe tests the join
+    // shapes at volume, not gate policy — that's CurateSpec's job
+    val langs = docs10x.limit(1)
+      .select(graft.text.TextAnalysis.langPred).as[String].collect().toSeq
+    // store: fingerprints of the first 25k docs (the "already ingested"
+    // corpus half); shard: 5k fresh docs + 100 exact copies of stored docs
+    val store = docs10x.filter(col("doc_id") < 25000)
+      .select(md5(col("text")).as("fingerprint")).localCheckpoint()
+    val shard = docs10x
+      .filter(col("doc_id") >= 25000 && col("doc_id") < 30000)
+      .unionByName(docs10x.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 60000).as("doc_id"), col("text"),
+          col("n_chars")))
+    val fresh = CurateIngest.freshAgainstStore(shard, store, 0L, langs)
+    val plan = ranPlan(fresh)
+    assertShapes(plan, "freshAgainstStore")
+    // shard and store meet ONLY on the 16-byte fingerprint key
+    assert(plan.contains("LeftAnti"),
+      s"store anti-join missing:\n${plan.take(4000)}")
+    assert(plan.contains("fingerprint"),
+      s"anti-join should key on fingerprint:\n${plan.take(4000)}")
+    val (kept, fps) = CurateIngest.ingestShard(shard, store, 0L, langs)
+    val keptIds = kept.select("doc_id").as[Long].collect()
+    assert(!keptIds.exists(_ >= 60000L),
+      "exact copies of stored docs must drop first-wins")
+    // the generator plants ~500 intra-shard near-copies (ids ≡ 1 mod 10)
+    assert(keptIds.length > 4000 && keptIds.length < 5000,
+      s"near-dup stage should trim the shard: kept ${keptIds.length}")
+    assert(fps.count() == 5100L,
+      "store append carries every gated fingerprint, dup or not")
+  }
 }

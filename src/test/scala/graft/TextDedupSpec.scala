@@ -139,4 +139,30 @@ class TextDedupSpec extends AnyFunSuite {
       .agg(min("quality_pm"), max("quality_pm")).as[(Long, Long)].head()
     assert(got._1 >= 0L && got._2 <= 1000L)
   }
+
+  test("lshQuality: exact copies fully caught, recall climbs with true Jaccard") {
+    import org.apache.spark.sql.functions.{col, length}
+    // 40 mutually-dissimilar docs (distinct word streams) + 10 exact
+    // copy pairs; identical shingle sets make identical signatures, so
+    // the top decile is caught with probability 1 — structurally, not
+    // statistically
+    val base = (0L until 40L).map(i =>
+      (i, (1 to 30).map(j => s"w${i}x$j").mkString(" ")))
+    val copies = (0L until 10L).map(i => (100L + i, base(i.toInt)._2))
+    val docs = (base ++ copies).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val rows = Dedup.lshQuality(docs)
+      .select("j_decile", "n_pairs", "n_caught", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val top = rows.last
+    assert(top._1 == 10L && top._2 == 10L && top._4 == 1000000L,
+      s"exact copies must all be caught: $rows")
+    // banding theory: low-similarity deciles are mostly NOT candidates
+    val low = rows.filter(_._1 <= 2).map(_._4)
+    assert(low.forall(_ < 500000L), s"low-j recall too high: ${rows.toSeq}")
+    // weak monotonicity over populated deciles
+    val populated = rows.filter(_._2 >= 5).map(_._4)
+    assert(populated.zip(populated.tail).forall { case (a, b) => b >= a },
+      s"recall should climb with true Jaccard: ${rows.toSeq}")
+  }
 }
