@@ -266,6 +266,13 @@ object SparkEntry {
       graft.operators.Drift.eventTypeDrift(Tables.events(s, dir))),
     // Population Stability Index over the same half-split (the
     // model-monitoring standard: <0.1 stable, >0.25 action)
+    // PSI over embedding space: k-means cells as the histogram bins
+    "q_embed_drift" -> ((s, dir) =>
+      graft.operators.Drift.embedDrift(Tables.embeddings(s, dir))),
+    // semi-supervised label spreading over the entity graph (fill-only)
+    "q_label_prop" -> ((s, dir) =>
+      graft.operators.LabelProp.labelPropagation(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.customer(s, dir))),
     "q_psi_drift" -> ((s, dir) =>
       graft.operators.Drift.psiDrift(Tables.events(s, dir))),
     // one PSI per window vs its predecessor (the dashboard series)
@@ -752,6 +759,8 @@ object SparkEntry {
       "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),
       "q_drift" -> graft.operators.Drift.eventTypeDriftSql,
       "q_psi_drift" -> graft.operators.Drift.psiDriftSql,
+      "q_embed_drift" -> graft.operators.Drift.embedDriftSql(),
+      "q_label_prop" -> graft.operators.LabelProp.labelPropagationSql(),
       "q_window_psi" -> graft.operators.Drift.windowPsiSql(),
       "q_ks_drift" -> graft.operators.Drift.ksDriftSql,
       "q_ks_binned" -> graft.operators.Drift.ksDriftBinnedSql(),

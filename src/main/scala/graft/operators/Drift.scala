@@ -401,4 +401,69 @@ object Drift {
        |       CAST(abs((n_early * 1000000) // nullif(te, 0) -
        |                (n_late * 1000000) // nullif(tl, 0)) AS BIGINT) AS drift_ppm
        |FROM tot""".stripMargin
+
+  // ------------------------------------------------- embedding drift
+  /** PSI over EMBEDDING SPACE — the model-monitoring question the
+    * scalar drift family can't answer: "has the distribution of
+    * vectors shifted?". Embeddings are histogram-ized by k-means cell
+    * ([[graft.ann.KMeans.assign]] — the IVF coarse quantizer doubling
+    * as the binning), halves split by vec_id parity (the deterministic
+    * stand-in for a time split), then the exact [[psiDrift]] formula
+    * per cell. This is how embedding drift is monitored in production
+    * vector pipelines: cluster-assignment histograms, not raw-vector
+    * statistics (which wash out in high dimension).
+    *
+    * Scale shape: assignment is the standard broadcast-centroid scan;
+    * everything after is arithmetic over k rows. */
+  def embedDrift(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val h = graft.ann.KMeans.assign(embs, k, iters)
+      .withColumn("half", col("vec_id") % 2)
+    val counts = h.groupBy(col("cluster")).agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_early"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_late"))
+    val tot = counts.agg(sum(col("n_early")).as("te"),
+      sum(col("n_late")).as("tl"))
+    val pe = greatest(col("ppm_early"), lit(1L)).cast("double")
+    val pl = greatest(col("ppm_late"), lit(1L)).cast("double")
+    val contrib = ((col("ppm_late") - col("ppm_early")) / lit(1e6)) *
+      log(pl / pe)
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("ppm_early", expr("n_early * 1000000 div te"))
+      .withColumn("ppm_late", expr("n_late * 1000000 div tl"))
+      .select(col("cluster"), col("ppm_early"), col("ppm_late"),
+        round(contrib, 6).as("psi_contrib"))
+      .withColumn("psi_total", round(sum(round(contrib, 6)).over(w), 4))
+  }
+
+  /** DuckDB twin: [[graft.ann.KMeans.assignSql]] as the binning CTE,
+    * then the [[psiDriftSql]] arithmetic verbatim. */
+  def embedDriftSql(k: Int = 8, iters: Int = 2): String =
+    s"""WITH a AS (
+       |${graft.ann.KMeans.assignSql(k, iters)}
+       |),
+       |h AS (SELECT cluster, vec_id % 2 AS half FROM a),
+       |cnt AS (
+       |  SELECT cluster,
+       |         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+       |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |  FROM h GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS te,
+       |             CAST(sum(n_late) AS BIGINT) AS tl FROM cnt),
+       |p AS (
+       |  SELECT cluster,
+       |         CAST((n_early * 1000000) // te AS BIGINT) AS ppm_early,
+       |         CAST((n_late * 1000000) // tl AS BIGINT) AS ppm_late
+       |  FROM cnt CROSS JOIN t),
+       |x AS (
+       |  SELECT cluster, ppm_early, ppm_late,
+       |         ((ppm_late - ppm_early) / 1e6) *
+       |           ln(CAST(greatest(ppm_late, 1) AS DOUBLE) /
+       |              CAST(greatest(ppm_early, 1) AS DOUBLE)) AS contrib
+       |  FROM p)
+       |SELECT cluster, ppm_early, ppm_late,
+       |       round(contrib, 6) AS psi_contrib,
+       |       round(sum(round(contrib, 6)) OVER (), 4) AS psi_total
+       |FROM x""".stripMargin
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semi-supervised label propagation over the customer↔supplier graph:
+  * seed customers carry a known label (their nation), and labels spread
+  * outward one weighted hop per round — the graph-native way to extend
+  * a small hand-labeled set (domain tags, quality tiers, topic labels)
+  * across a corpus-scale entity graph when most nodes are unlabeled.
+  * Complements [[PageRank]] (importance) and
+  * [[graft.dedup.Clusters]] (connectivity) in the graph family; the
+  * reference has no graph operator (training-data-pipeline mandate).
+  *
+  * Update rule, chosen for exact cross-engine replay:
+  *
+  *   - FILL-ONLY (label spreading): a node labels once — at the first
+  *     round it becomes reachable — and keeps that label. Strict LPA
+  *     re-labels every round and OSCILLATES on bipartite graphs (the
+  *     well-known 2-cycle); fill-only is deterministic, monotone, and
+  *     models "propagate by graph distance".
+  *   - A newly reached node takes argmax over Σ edge-weight per
+  *     neighbor label, ties broken (weight DESC, label ASC) — integer
+  *     counts, no floats anywhere.
+  *
+  * The per-round shape is edges ⋈ labels + one (dst, label) aggregate
+  * + one per-dst window — the [[PageRank.iterate]] iteration cost with
+  * a window instead of a sum. Labels are node-sized (broadcastable to
+  * ~10⁷ nodes; above that the same size-gated shuffle fallback as
+  * PageRank applies). Output: (node, label, round) for every node
+  * reached within `iters` hops; round 0 = the seeds. Hash-matches the
+  * unrolled-CTE oracle ([[labelPropagationSql]]). */
+object LabelProp {
+
+  /** Both-direction weighted edges, built once and materialized. */
+  private def edgesOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = PageRank.weightedPairs(orders, lineitem)
+    pairs.select(concat(lit("c:"), col("c")).as("src"),
+        concat(lit("s:"), col("s")).as("dst"), col("w"))
+      .unionAll(pairs.select(concat(lit("s:"), col("s")).as("src"),
+        concat(lit("c:"), col("c")).as("dst"), col("w")))
+      .localCheckpoint()
+  }
+
+  def labelPropagation(orders: DataFrame, lineitem: DataFrame,
+                       customer: DataFrame, seedMax: Long = 30,
+                       iters: Int = 3): DataFrame = {
+    val edges = edgesOf(orders, lineitem)
+    var labels = customer
+      .filter(col("c_custkey") < seedMax)
+      .select(concat(lit("c:"), col("c_custkey")).as("node"),
+        col("c_nationkey").cast("long").as("label"),
+        lit(0L).as("round"))
+      .localCheckpoint()
+    val rn = row_number().over(Window.partitionBy(col("dst"))
+      .orderBy(col("sw").desc, col("label")))
+    for (r <- 1 to iters) {
+      val fresh = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("sw"))
+        .withColumn("rn", rn).filter(col("rn") === 1)
+        .join(labels.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select(col("dst").as("node"), col("label"),
+          lit(r.toLong).as("round"))
+      labels = labels.unionByName(fresh).localCheckpoint()
+    }
+    labels
+  }
+
+  /** DuckDB twin: the rounds unrolled as CTE pairs (candidate argmax,
+    * then the fill-only union) — the [[PageRank.supplierRankSql]]
+    * unrolling pattern with a window argmax per round. */
+  def labelPropagationSql(seedMax: Long = 30, iters: Int = 3): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""n$r AS (
+         |  SELECT node, label, CAST($r AS BIGINT) AS round FROM (
+         |    SELECT e.dst AS node, l.label, sum(e.w) AS sw,
+         |           row_number() OVER (PARTITION BY e.dst
+         |             ORDER BY sum(e.w) DESC, l.label) AS rn
+         |    FROM edges e JOIN l${r - 1} l ON e.src = l.node
+         |    WHERE NOT EXISTS (SELECT 1 FROM l${r - 1} x WHERE x.node = e.dst)
+         |    GROUP BY e.dst, l.label) WHERE rn = 1),
+         |l$r AS (SELECT * FROM l${r - 1} UNION ALL SELECT * FROM n$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT 'c:' || c AS src, 's:' || s AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT 's:' || s, 'c:' || c, w FROM pairs),
+       |l0 AS (
+       |  SELECT 'c:' || c_custkey AS node,
+       |         CAST(c_nationkey AS BIGINT) AS label,
+       |         CAST(0 AS BIGINT) AS round
+       |  FROM customer WHERE c_custkey < $seedMax),
+       |$rounds
+       |SELECT node, label, round FROM l$iters""".stripMargin
+  }
+}
