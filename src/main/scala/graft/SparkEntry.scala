@@ -80,6 +80,16 @@ object SparkEntry {
     // exhaustive region — the dedup twin of the ANN recall curves)
     "q_lsh_quality" -> ((s, dir) =>
       graft.dedup.Dedup.lshQuality(Tables.documents(s, dir))),
+    // deferred cross-shard near-dups: the ingestion monitoring read
+    "q_cross_shard_dups" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.streaming.CurateIngest.crossShardNearDups(
+        d.filter(col("doc_id") < 250),
+        d.filter(col("doc_id") >= 250 && col("doc_id") < 500))
+    }),
+    // dup-cluster-aware train/test split (no near-dup leaks the boundary)
+    "q_leak_split" -> ((s, dir) =>
+      graft.operators.Sampling.leakSafeSplit(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash(Tables.documents(s, dir))),
     "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
@@ -650,6 +660,9 @@ object SparkEntry {
       "q_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql(),
       "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),
       "q_lsh_quality" -> graft.dedup.Dedup.lshQualitySql(),
+      "q_cross_shard_dups" ->
+        graft.streaming.CurateIngest.crossShardNearDupsSql(),
+      "q_leak_split" -> graft.operators.Sampling.leakSafeSplitSql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),

@@ -234,4 +234,49 @@ object Sampling {
        |FROM ranked r JOIN keepn k USING ($stratum)
        |WHERE r.rk <= k.keep_n""".stripMargin
   }
+
+  // --------------------------------------------- leakage-safe splits
+  /** Train/test split that can never leak near-duplicates across the
+    * boundary: the split is decided by the doc's duplicate-CLUSTER
+    * root, not the doc — every member of a near-dup cluster hashes to
+    * the same bucket, so a test document's paraphrase cannot sit in
+    * train (the eval-contamination failure mode group-wise splits
+    * exist to prevent). Singleton docs are their own root. Bucketing
+    * is the established md5 seeded-hash ppm, so the assignment is
+    * deterministic, replayable, and engine-exact.
+    *
+    * Scale shape: [[graft.dedup.Clusters.dupClusters]] is
+    * collision-sized (near-dup members only) and LEFT-joins the
+    * corpus id list; the hash is map-side. One broadcastable join
+    * over what the dedup family already computes. */
+  def leakSafeSplit(docs: DataFrame, trainPm: Long = 900000,
+                    seed: Int = 11): DataFrame = {
+    val clusters = graft.dedup.Clusters.dupClusters(docs)
+    graft.Tables.spread(docs).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket_pm",
+        graft.dedup.Dedup.seededHash(seed, col("root").cast("string"))
+          % lit(1000000L))
+      .withColumn("split",
+        when(col("bucket_pm") < trainPm, lit("train")).otherwise(lit("test")))
+      .select(col("doc_id"), col("root"), col("bucket_pm"), col("split"))
+  }
+
+  def leakSafeSplitSql(trainPm: Long = 900000, seed: Int = 11): String =
+    s"""WITH clusters AS (
+       |${graft.dedup.Clusters.dupClustersSql()}
+       |),
+       |rooted AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS root
+       |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, root,
+       |         ${graft.dedup.Dedup.seededHashSql(seed,
+                    "CAST(root AS VARCHAR)")} % 1000000 AS bucket_pm
+       |  FROM rooted)
+       |SELECT doc_id, root, bucket_pm,
+       |       CASE WHEN bucket_pm < $trainPm THEN 'train' ELSE 'test' END
+       |         AS split
+       |FROM b""".stripMargin
 }

@@ -200,4 +200,19 @@ object CurateIngest {
     val bIds = docsB.select(col("doc_id").as("b_id"))
     cand.join(aIds, "a_id").join(bIds, "b_id")
   }
+
+  /** DuckDB twin of [[crossShardNearDups]] over the id-range split the
+    * q_cross_shard_dups query uses: candidates over the bounded union,
+    * kept only when the pair straddles the split (a_id < b_id always
+    * holds, so "a before the split, b after" is exactly cross). */
+  def crossShardNearDupsSql(splitId: Long = 250, maxId: Long = 500,
+                            minEstJaccard: Double = 0.5): String =
+    s"""WITH documents AS (
+       |  SELECT * FROM main.documents WHERE doc_id < $maxId),
+       |cand AS (
+       |  SELECT * FROM (
+       |${graft.dedup.Dedup.minhashCandidatesSql(4, minEstJaccard)}
+       |  ))
+       |SELECT a_id, b_id, est_jaccard FROM cand
+       |WHERE a_id < $splitId AND b_id >= $splitId""".stripMargin
 }

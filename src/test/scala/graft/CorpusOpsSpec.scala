@@ -196,4 +196,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(got == Set(3L))
   }
+
+  test("leakSafeSplit: near-dup cluster members never straddle the boundary") {
+    import org.apache.spark.sql.functions.{col, length}
+    val base = "the cat and the dog walked over a bridge and the sun rose " * 4
+    val d = Seq(
+      (1L, base + "zzz qqq 111"),   // near-dup cluster {1, 2}
+      (2L, base + "zzz qqq 222"),
+      (5L, "completely different prose about the sea and a ship " * 5),
+      (9L, "the horse ran through the field and the moon rose high " * 4))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val rows = graft.operators.Sampling.leakSafeSplit(d)
+      .select("doc_id", "root", "split")
+      .as[(Long, Long, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(rows.length == 4, "every doc gets a split")
+    // the planted pair shares a root — and therefore a split
+    assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._2 == 1L)
+    assert(byId(1L)._3 == byId(2L)._3, "cluster split leak")
+    // singletons root at themselves
+    assert(byId(5L)._2 == 5L && byId(9L)._2 == 9L)
+    // deterministic: a second run is bit-identical
+    val again = graft.operators.Sampling.leakSafeSplit(d)
+      .select("doc_id", "root", "split")
+      .as[(Long, Long, String)].collect().toSet
+    assert(again == rows.toSet)
+  }
 }
