@@ -90,6 +90,12 @@ object SparkEntry {
     // dup-cluster-aware train/test split (no near-dup leaks the boundary)
     "q_leak_split" -> ((s, dir) =>
       graft.operators.Sampling.leakSafeSplit(Tables.documents(s, dir))),
+    // asymmetric containment: quote/subset pairs Jaccard-LSH misses
+    "q_containment" -> ((s, dir) =>
+      graft.dedup.Dedup.containment(Tables.documents(s, dir))),
+    // ingestion monitoring: language-mix PSI between consecutive shards
+    "q_shard_drift" -> ((s, dir) =>
+      graft.streaming.CurateIngest.shardMixDrift(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash(Tables.documents(s, dir))),
     "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
@@ -663,6 +669,9 @@ object SparkEntry {
       "q_cross_shard_dups" ->
         graft.streaming.CurateIngest.crossShardNearDupsSql(),
       "q_leak_split" -> graft.operators.Sampling.leakSafeSplitSql(),
+      "q_containment" -> graft.dedup.Dedup.containmentSql(),
+      "q_shard_drift" ->
+        graft.streaming.CurateIngest.shardMixDriftSql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),

@@ -477,17 +477,45 @@ object Dedup {
     * Output per decile of true Jaccard (j_pm div 100000): pair count,
     * banding-caught count, recall ppm — integer arithmetic end to end,
     * so the measured curve itself hash-matches the oracle. */
-  def lshQuality(docs: DataFrame, n: Int = 4, maxId: Long = 250): DataFrame = {
+  /** Exact pair statistics for the bounded region: shared-shingle
+    * counts and per-doc shingle-set sizes — pairs emerge from the
+    * shingle join, zero-overlap pairs never materialize. Shared by
+    * [[lshQuality]] (symmetric Jaccard) and [[containment]]
+    * (asymmetric). */
+  private def regionPairStats(docs: DataFrame, n: Int,
+                              maxId: Long): DataFrame = {
     val region = spread(docs).filter(col("doc_id") < maxId)
     val sh = shingles(region, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val truth = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+  }
+
+  private def regionPairStatsSql(n: Int, maxId: Long): String =
+    s"""documents AS (
+       |  SELECT * FROM main.documents WHERE doc_id < $maxId),
+       |sh AS (
+       |${shinglesSql(n)}
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |truth AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT t.a_id, t.b_id, t.n_inter, sa.sz AS sza, sb.sz AS szb
+       |  FROM truth t
+       |  JOIN sizes sa ON sa.doc_id = t.a_id
+       |  JOIN sizes sb ON sb.doc_id = t.b_id)""".stripMargin
+
+  def lshQuality(docs: DataFrame, n: Int = 4, maxId: Long = 250): DataFrame = {
+    val region = spread(docs).filter(col("doc_id") < maxId)
+    val truth = regionPairStats(docs, n, maxId)
       .withColumn("j_pm", expr("n_inter * 1000000 div (sza + szb - n_inter)"))
     val cand = minhashCandidates(region, n, 0.0)
       .select(col("a_id"), col("b_id"), lit(1L).as("caught"))
@@ -503,22 +531,11 @@ object Dedup {
     * nested [[minhashCandidatesSql]]), intersection via the same
     * shared-shingle join, integer div throughout. */
   def lshQualitySql(n: Int = 4, maxId: Long = 250): String =
-    s"""WITH documents AS (
-       |  SELECT * FROM main.documents WHERE doc_id < $maxId),
-       |sh AS (
-       |${shinglesSql(n)}
-       |),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-       |truth AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+    s"""WITH ${regionPairStatsSql(n, maxId)},
        |jm AS (
-       |  SELECT t.a_id, t.b_id,
-       |         t.n_inter * 1000000 // (sa.sz + sb.sz - t.n_inter) AS j_pm
-       |  FROM truth t
-       |  JOIN sizes sa ON sa.doc_id = t.a_id
-       |  JOIN sizes sb ON sb.doc_id = t.b_id),
+       |  SELECT a_id, b_id,
+       |         n_inter * 1000000 // (sza + szb - n_inter) AS j_pm
+       |  FROM stats),
        |cand AS (
        |  SELECT a_id, b_id, 1 AS caught FROM (
        |${minhashCandidatesSql(n, 0.0)}
@@ -529,6 +546,36 @@ object Dedup {
        |         AS recall_ppm
        |FROM jm LEFT JOIN cand c USING (a_id, b_id)
        |GROUP BY 1""".stripMargin
+
+  /** Asymmetric near-duplicate detection: shingle CONTAINMENT
+    * |A∩B|/|A| — the quote/subset signal symmetric Jaccard misses (a
+    * short doc fully embedded in a long one has high containment but
+    * low Jaccard, so LSH-on-Jaccard never surfaces it; SpanScrub
+    * catches exact substrings, containment catches paraphrased or
+    * reordered inclusion). Pairs where either direction's containment
+    * clears `minContPm`, with the symmetric j_pm alongside to show
+    * what Jaccard would have said. Bounded exhaustive region, same
+    * justification as [[lshQuality]]. */
+  def containment(docs: DataFrame, n: Int = 4, maxId: Long = 250,
+                  minContPm: Long = 800000): DataFrame =
+    regionPairStats(docs, n, maxId)
+      .withColumn("cont_a_pm", expr("n_inter * 1000000 div sza"))
+      .withColumn("cont_b_pm", expr("n_inter * 1000000 div szb"))
+      .withColumn("j_pm", expr("n_inter * 1000000 div (sza + szb - n_inter)"))
+      .filter(greatest(col("cont_a_pm"), col("cont_b_pm")) >= minContPm)
+      .select(col("a_id"), col("b_id"), col("cont_a_pm"), col("cont_b_pm"),
+        col("j_pm"))
+
+  def containmentSql(n: Int = 4, maxId: Long = 250,
+                     minContPm: Long = 800000): String =
+    s"""WITH ${regionPairStatsSql(n, maxId)}
+       |SELECT a_id, b_id,
+       |       n_inter * 1000000 // sza AS cont_a_pm,
+       |       n_inter * 1000000 // szb AS cont_b_pm,
+       |       n_inter * 1000000 // (sza + szb - n_inter) AS j_pm
+       |FROM stats
+       |WHERE greatest(n_inter * 1000000 // sza,
+       |               n_inter * 1000000 // szb) >= $minContPm""".stripMargin
 
   // ------------------------------------------------------------- SimHash
   val simhashBits = 60 // 15 hex digits of md5 → stays exact in a signed long

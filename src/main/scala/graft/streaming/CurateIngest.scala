@@ -201,6 +201,78 @@ object CurateIngest {
     cand.join(aIds, "a_id").join(bIds, "b_id")
   }
 
+  /** Ingestion-side drift monitoring: PSI of the post-gate LANGUAGE
+    * MIX between consecutive shards — "shard 3 suddenly skews German"
+    * is the data-quality regression an ingestion pipeline must catch
+    * before the shard trains anything. Quality-gated but NOT
+    * language-gated (the mix is what's being measured). Reuses
+    * [[graft.operators.Drift.mixDriftOfCounts]] with shard_id as the
+    * window axis — the count table is #shards·#langs rows, and
+    * everything after the one groupBy is post-aggregate arithmetic. */
+  def shardMixDrift(docs: DataFrame, shardSize: Long = 150,
+                    maxId: Long = 600,
+                    minQualityPm: Long = 600): DataFrame = {
+    val counts = graft.Tables.spread(docs.filter(col("doc_id") < maxId))
+      .withColumn("quality_pm", TextAnalysis.qualityExpr)
+      .withColumn("lang_pred", TextAnalysis.langPred)
+      .filter(col("quality_pm") >= minQualityPm)
+      .groupBy(expr(s"doc_id div $shardSize").as("window_start_ms"),
+        col("lang_pred").as("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val contrib = ((col("ppm") - col("prev_ppm")) / lit(1e6)) *
+      log(greatest(col("ppm"), lit(1L)).cast("double") /
+        greatest(col("prev_ppm"), lit(1L)).cast("double"))
+    graft.operators.Drift.mixDriftOfCounts(counts)
+      .groupBy(col("window_start_ms").as("shard_id"))
+      .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+        count(lit(1)).cast("int").as("n_langs"))
+  }
+
+  /** DuckDB twin: the windowMixDrift dense-grid/ppm/lag chain with
+    * shard_id as the window axis, rolled up to one PSI per shard. */
+  def shardMixDriftSql(shardSize: Long = 150, maxId: Long = 600,
+                       minQualityPm: Long = 600): String =
+    s"""WITH bounded AS (
+       |  SELECT doc_id, text, n_chars FROM main.documents
+       |  WHERE doc_id < $maxId),
+       |scored AS (
+       |  SELECT doc_id, lang_pred FROM (
+       |    SELECT doc_id,
+       |           ${TextAnalysis.qualityPmSql} AS quality_pm,
+       |           ${TextAnalysis.langPredSql} AS lang_pred
+       |    FROM bounded)
+       |  WHERE quality_pm >= $minQualityPm),
+       |wcnt AS (
+       |  SELECT doc_id // $shardSize AS shard_id, lang_pred,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM scored GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT g.shard_id, g.lang_pred, coalesce(c.cnt, 0) AS cnt
+       |  FROM (SELECT w.shard_id, t.lang_pred
+       |        FROM (SELECT DISTINCT shard_id FROM wcnt) w,
+       |             (SELECT DISTINCT lang_pred FROM wcnt) t) g
+       |  LEFT JOIN wcnt c
+       |    ON c.shard_id = g.shard_id AND c.lang_pred = g.lang_pred),
+       |ppmt AS (
+       |  SELECT shard_id, lang_pred,
+       |         CAST(cnt * 1000000 //
+       |              nullif(CAST(sum(cnt) OVER (PARTITION BY shard_id) AS BIGINT), 0)
+       |              AS BIGINT) AS ppm
+       |  FROM dense),
+       |lagd AS (
+       |  SELECT shard_id, lang_pred, ppm,
+       |         lag(ppm) OVER (PARTITION BY lang_pred ORDER BY shard_id)
+       |           AS prev_ppm
+       |  FROM ppmt)
+       |SELECT shard_id,
+       |       round(sum(round(((ppm - prev_ppm) / 1e6) *
+       |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
+       |            CAST(greatest(prev_ppm, 1) AS DOUBLE)), 6)), 4) AS psi,
+       |       CAST(count(*) AS INT) AS n_langs
+       |FROM lagd WHERE prev_ppm IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
   /** DuckDB twin of [[crossShardNearDups]] over the id-range split the
     * q_cross_shard_dups query uses: candidates over the bounded union,
     * kept only when the pair straddles the split (a_id < b_id always

@@ -86,6 +86,23 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("shardMixDrift: an injected language skew spikes the shard's PSI") {
+    // shards 0-1: uniform en; shard 2: the mix flips to de
+    val en = ("the cat and the dog walked over the bridge and the sun rose " * 4)
+    // 10 repeats: ≥100 tokens maxes the length part, so the de docs
+    // clear the quality floor WITHOUT English stopwords (the floor is
+    // length 400 + punct 300 = 700 ≥ 600)
+    val de = ("der hund und die katze gehen über die brücke und der wind weht " * 10)
+    val rows = (0L until 450L).map { i =>
+      (i, if (i >= 300L && i % 2 == 0) de + i else en + i)
+    }
+    val d = docs(rows: _*)
+    val psi = graft.streaming.CurateIngest.shardMixDrift(d)
+      .select("shard_id", "psi").as[(Long, Double)].collect().toMap
+    assert(math.abs(psi(1L)) < 0.01, s"stable shards must not alert: $psi")
+    assert(psi(2L) > 0.5, s"the flipped shard must spike: $psi")
+  }
+
   test("deferred cross-shard near-dups are visible to the detection query") {
     val base = enDoc("")
     val a = docs((10L, base + "zzz qqq 12345"))

@@ -140,6 +140,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got._1 >= 0L && got._2 <= 1000L)
   }
 
+  test("containment: an embedded quote has high containment but low Jaccard") {
+    import org.apache.spark.sql.functions.{col, length}
+    val quote = "the five boxing wizards jump quickly over the lazy dog tonight"
+    val host = ("completely different narrative prose about rivers " * 6) +
+      quote + (" and further unrelated discussion of mountains " * 6)
+    val other = "entirely disjoint text with no shared content at all here"
+    val d = Seq((1L, quote), (2L, host), (3L, other))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Dedup.containment(d)
+      .select("a_id", "b_id", "cont_a_pm", "j_pm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
+      s"only the quote pair should clear the gate: ${got.toSeq}")
+    // the asymmetric signal: near-total containment, weak Jaccard
+    assert(got.head._3 >= 950000L, s"containment ${got.head._3}")
+    assert(got.head._4 < 500000L, s"jaccard should stay low ${got.head._4}")
+  }
+
   test("lshQuality: exact copies fully caught, recall climbs with true Jaccard") {
     import org.apache.spark.sql.functions.{col, length}
     // 40 mutually-dissimilar docs (distinct word streams) + 10 exact
