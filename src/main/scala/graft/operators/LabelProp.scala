@@ -43,16 +43,14 @@ object LabelProp {
       .localCheckpoint()
   }
 
-  def labelPropagation(orders: DataFrame, lineitem: DataFrame,
-                       customer: DataFrame, seedMax: Long = 30,
-                       iters: Int = 3): DataFrame = {
-    val edges = edgesOf(orders, lineitem)
-    var labels = customer
-      .filter(col("c_custkey") < seedMax)
-      .select(concat(lit("c:"), col("c_custkey")).as("node"),
-        col("c_nationkey").cast("long").as("label"),
-        lit(0L).as("round"))
-      .localCheckpoint()
+  /** The core fill-only spread over prepared inputs: `edges`
+    * (src, dst, w) and `seeds` (node, label, round=0). Exposed so the
+    * STREAMING leg ([[graft.streaming.GraphRank.refreshLabels]]) can
+    * run the identical iteration over its accumulated edge store —
+    * same code path, so streaming == batch is structural. */
+  def labelsFromEdges(edges: DataFrame, seeds: DataFrame,
+                      iters: Int = 3): DataFrame = {
+    var labels = seeds.localCheckpoint()
     val rn = row_number().over(Window.partitionBy(col("dst"))
       .orderBy(col("sw").desc, col("label")))
     for (r <- 1 to iters) {
@@ -67,6 +65,27 @@ object LabelProp {
     }
     labels
   }
+
+  /** Both-direction edges from a (c, s, w) pair aggregate — the unit
+    * the streaming edge store accumulates. */
+  def edgesFromPairs(pairs: DataFrame): DataFrame =
+    pairs.select(concat(lit("c:"), col("c")).as("src"),
+        concat(lit("s:"), col("s")).as("dst"), col("w"))
+      .unionAll(pairs.select(concat(lit("s:"), col("s")).as("src"),
+        concat(lit("c:"), col("c")).as("dst"), col("w")))
+
+  /** Nation-label seeds for customers below `seedMax`. */
+  def nationSeeds(customer: DataFrame, seedMax: Long = 30): DataFrame =
+    customer.filter(col("c_custkey") < seedMax)
+      .select(concat(lit("c:"), col("c_custkey")).as("node"),
+        col("c_nationkey").cast("long").as("label"),
+        lit(0L).as("round"))
+
+  def labelPropagation(orders: DataFrame, lineitem: DataFrame,
+                       customer: DataFrame, seedMax: Long = 30,
+                       iters: Int = 3): DataFrame =
+    labelsFromEdges(edgesOf(orders, lineitem),
+      nationSeeds(customer, seedMax), iters)
 
   /** DuckDB twin: the rounds unrolled as CTE pairs (candidate argmax,
     * then the fill-only union) — the [[PageRank.supplierRankSql]]

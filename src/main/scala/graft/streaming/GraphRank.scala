@@ -71,6 +71,21 @@ object GraphRank {
                    iters: Int = 5): DataFrame =
     PageRank.rankFromPairs(edgeState(spark, statePath), iters)
 
+  /** Label spread over everything seen so far — the same monoid
+    * argument as [[refreshRanks]]: summed per-batch edge deltas equal
+    * the batch pair aggregate, and
+    * [[graft.operators.LabelProp.labelsFromEdges]] is a pure function
+    * of (edges, seeds), so the streaming labels are bit-equal to the
+    * batch operator on the cumulative stream (spec-asserted). The
+    * aggregate is materialized once per refresh so the per-round edge
+    * scan reads a checkpoint, not the delta partitions re-grouped. */
+  def refreshLabels(spark: SparkSession, statePath: String,
+                    seeds: DataFrame, iters: Int = 3): DataFrame =
+    graft.operators.LabelProp.labelsFromEdges(
+      graft.operators.LabelProp.edgesFromPairs(
+        edgeState(spark, statePath)).localCheckpoint(),
+      seeds, iters)
+
   /** The wired pipeline: a stream of (c, s) pair events; each batch
     * writes its delta then overwrites the rank snapshot at `ranksPath`
     * (snapshot overwrite is idempotent under replay by construction —

@@ -48,6 +48,23 @@ class GraphRankSpec extends AnyFunSuite {
       val replayed = ranksMap(GraphRank.refreshRanks(spark, s"$dir/state",
         iters = 3))
       assert(replayed == r2, "replayed batch changed the ranks")
+      // the label leg rides the same edge store: refreshLabels over the
+      // accumulated deltas == the batch operator on the cumulative pairs
+      val seeds = Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
+      val streamedLabels = GraphRank.refreshLabels(spark, s"$dir/state",
+          graft.operators.LabelProp.nationSeeds(seeds, seedMax = 3))
+        .select("node", "label", "round")
+        .as[(String, Long, Long)].collect().toSet
+      val batchLabels = graft.operators.LabelProp.labelsFromEdges(
+          graft.operators.LabelProp.edgesFromPairs(
+            Seq((1L, 7L, 3L), (2L, 7L, 1L), (3L, 9L, 1L), (2L, 9L, 1L))
+              .toDF("c", "s", "w")),
+          graft.operators.LabelProp.nationSeeds(seeds, seedMax = 3))
+        .select("node", "label", "round")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamedLabels == batchLabels,
+        s"streamed labels diverged: $streamedLabels vs $batchLabels")
+      assert(streamedLabels.exists(_._1 == "s:7"), "labels must spread")
       // compaction folds the delta partitions without moving the answer
       GraphRank.compactEdgeState(spark, s"$dir/state")
       val compacted = ranksMap(GraphRank.refreshRanks(spark, s"$dir/state",
