@@ -332,4 +332,30 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(fps.count() == 5100L,
       "store append carries every gated fingerprint, dup or not")
   }
+
+  test("measurement family at 10×: truth from the shingle join, split from the cluster join, no decay",
+      ScaleProbe) {
+    // containment over a 10×-bigger exhaustive region: the truth table
+    // must still come from the shared-shingle equi-join (one keyed
+    // exchange), not any nested-loop pairing
+    val cont = graft.dedup.Dedup.containment(docs10x, maxId = 2500)
+    val planC = ranPlan(cont)
+    assertShapes(planC, "containment")
+    assert(planC.contains("sh"), s"shingle join missing:\n${planC.take(2000)}")
+    assert(cont.count() > 0L, "planted near-copies must register containment")
+    // leak split at 10×: the collision-sized cluster table joins the
+    // corpus id list as a broadcast, never a shuffled corpus² pairing
+    val split = graft.operators.Sampling.leakSafeSplit(docs10x)
+    val planS = ranPlan(split)
+    assertShapes(planS, "leakSafeSplit")
+    assert(planS.contains("BroadcastHashJoin"),
+      s"cluster drop list should broadcast:\n${planS.take(2000)}")
+    val n = split.count()
+    assert(n == 50000L, "every doc gets exactly one split row")
+    // every near-dup cluster stays on one side of the boundary
+    val leaks = split.groupBy("root")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .filter(col("nsplits") > 1).count()
+    assert(leaks == 0L, s"$leaks clusters straddle the split boundary")
+  }
 }
