@@ -490,6 +490,8 @@ object SparkEntry {
       Sampling.stratifiedByHash(Tables.documents(s, dir))),
     "q_weighted_sample" -> ((s, dir) => // length-biased deterministic sample
       Sampling.weightedSample(Tables.documents(s, dir))),
+    "q_token_mixture" -> ((s, dir) => // temperature mixture in BPE tokens
+      graft.operators.Sampling.tokenMixture(Tables.documents(s, dir))),
     "q_temp_mixture" -> ((s, dir) => // sqrt-flattened mixture (alpha = 1/2)
       Sampling.temperatureMixture(Tables.documents(s, dir))),
     "q_shuffle_order" -> ((s, dir) => // deterministic epoch permutation
@@ -702,6 +704,7 @@ object SparkEntry {
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
       "q_weighted_sample" -> Sampling.weightedSampleSql(),
       "q_temp_mixture" -> Sampling.temperatureMixtureSql(),
+      "q_token_mixture" -> Sampling.tokenMixtureSql(),
       "q_shuffle_order" -> Sampling.shuffleOrderSql(),
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,

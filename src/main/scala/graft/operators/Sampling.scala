@@ -235,6 +235,83 @@ object Sampling {
        |WHERE r.rk <= k.keep_n""".stripMargin
   }
 
+  // ------------------------------------------- token-budget mixture
+  /** Temperature mixture with the budget in BPE TOKENS — what LLM
+    * training actually allocates (a 10-doc stratum of books and a
+    * 10-doc stratum of tweets are NOT the same amount of data).
+    * Stratum weights ∝ isqrt(token total) (the integer-exact α=½ of
+    * [[temperatureMixture]]); each stratum fills greedily in seeded
+    * hash order until its token budget is spent — the cumulative-sum
+    * prefix rule, so the selection is a deterministic function of
+    * (corpus, merges, seed).
+    *
+    * Scale shape: per-doc token counts ride [[graft.text.Bpe.encode]]
+    * (distinct-word merge fold — the corpus tokenizes once); weights
+    * are one groupBy to #strata rows; the fill is one partitioned
+    * cumsum window, no driver involvement. */
+  def tokenMixture(docs: DataFrame, stratum: String = "lang",
+                   seed: Int = 11,
+                   merges: Seq[(String, String)] =
+                     graft.text.Bpe.sennrichMerges): DataFrame = {
+    val toks = graft.text.Bpe.encode(docs, merges)
+      .select(col("doc_id"), col("n_bpe_tokens").cast("long").as("tok"))
+    val dt = docs.select(col(stratum), col("doc_id")).join(toks, "doc_id")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val budgets = dt.groupBy(col(stratum)).agg(sum(col("tok")).as("n"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(n as double))) as bigint)"))
+      .withColumn("w", expr(
+        "case when s0*s0 > n then s0-1 " +
+          "when (s0+1)*(s0+1) <= n then s0+1 else s0 end"))
+      .withColumn("sw", sum(col("w")).over(wAll))
+      .withColumn("ppm", expr("greatest((1000000 * w) div sw, 1L)"))
+      .withColumn("t", min(expr("(n * 1000000) div ppm")).over(wAll))
+      .select(col(stratum), expr("(t * ppm) div 1000000").as("budget_tok"))
+    val wCum = Window.partitionBy(col(stratum))
+      .orderBy(idHash(seed), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dt.join(broadcast(budgets), stratum)
+      .withColumn("cum", sum(col("tok")).over(wCum))
+      .filter(col("cum") <= col("budget_tok"))
+      .select(col(stratum), col("doc_id"), col("tok"), col("cum"),
+        col("budget_tok"))
+  }
+
+  def tokenMixtureSql(stratum: String = "lang", seed: Int = 11,
+                      merges: Seq[(String, String)] =
+                        graft.text.Bpe.sennrichMerges): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(n_bpe_tokens AS BIGINT) AS tok FROM (
+       |${graft.text.Bpe.encodeSql(merges)}
+       |  )),
+       |dt AS (
+       |  SELECT d.$stratum, d.doc_id, t.tok
+       |  FROM documents d JOIN tok t USING (doc_id)),
+       |cnt AS (
+       |  SELECT $stratum, CAST(sum(tok) AS BIGINT) AS n FROM dt GROUP BY 1),
+       |iw AS (
+       |  SELECT $stratum, n,
+       |         CASE WHEN s0*s0 > n THEN s0-1
+       |              WHEN (s0+1)*(s0+1) <= n THEN s0+1 ELSE s0 END AS w
+       |  FROM (SELECT $stratum, n,
+       |          CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+       |        FROM cnt)),
+       |pp AS (SELECT $stratum, n,
+       |         greatest((1000000 * w) // sum(w) OVER (), 1) AS ppm FROM iw),
+       |keepn AS (
+       |  SELECT $stratum, CAST((t * ppm) // 1000000 AS BIGINT) AS budget_tok
+       |  FROM (SELECT $stratum, ppm,
+       |          min((n * 1000000) // ppm) OVER () AS t FROM pp)),
+       |ranked AS (
+       |  SELECT d.$stratum, d.doc_id, d.tok,
+       |         CAST(sum(d.tok) OVER (PARTITION BY d.$stratum ORDER BY
+       |           ('0x' || substr(md5($seed || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+       |           d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM dt d)
+       |SELECT r.$stratum, r.doc_id, r.tok, r.cum, k.budget_tok
+       |FROM ranked r JOIN keepn k USING ($stratum)
+       |WHERE r.cum <= k.budget_tok""".stripMargin
+
   // --------------------------------------------- leakage-safe splits
   /** Train/test split that can never leak near-duplicates across the
     * boundary: the split is decided by the doc's duplicate-CLUSTER

@@ -197,6 +197,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Set(3L))
   }
 
+  test("tokenMixture: budgets respected, dominant stratum flattened, deterministic") {
+    import org.apache.spark.sql.functions.{col, length}
+    // stratum A: 16 docs × 16 words; stratum B: 4 docs × 4 words —
+    // a 16:1 token imbalance the α=½ temperature should flatten to 4:1
+    val rows =
+      (0L until 16L).map(i => (i, "A", ((1 to 16).map(j => s"w${i}a$j")).mkString(" "))) ++
+      (100L until 104L).map(i => (i, "B", ((1 to 4).map(j => s"w${i}b$j")).mkString(" ")))
+    val d = rows.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = graft.operators.Sampling.tokenMixture(d)
+      .select("lang", "doc_id", "tok", "cum", "budget_tok")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byLang = out.groupBy(_._1)
+    // the prefix rule: every stratum's kept tokens fit its budget
+    byLang.foreach { case (l, xs) =>
+      assert(xs.map(_._3).sum <= xs.head._5, s"$l over budget")
+    }
+    // flattening: A's kept-token share is well under its 16/17 raw share
+    val keptA = byLang("A").map(_._3).sum.toDouble
+    val keptB = byLang("B").map(_._3).sum.toDouble
+    assert(keptA / (keptA + keptB) < 0.9,
+      s"dominant stratum not flattened: A=$keptA B=$keptB")
+    assert(keptB > 0, "small stratum must keep data")
+    // bit-deterministic
+    val again = graft.operators.Sampling.tokenMixture(d)
+      .select("lang", "doc_id", "tok", "cum", "budget_tok")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("leakSafeSplit: near-dup cluster members never straddle the boundary") {
     import org.apache.spark.sql.functions.{col, length}
     val base = "the cat and the dog walked over a bridge and the sun rose " * 4
