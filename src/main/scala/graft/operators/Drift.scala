@@ -429,9 +429,12 @@ object Drift {
       log(pl / pe)
     val w = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    // nullif guard on BOTH twins: an all-one-parity corpus empties a
+    // half, and Spark's `div 0` (NULL) vs DuckDB's `// 0` (error)
+    // would otherwise diverge silently vs loudly
     counts.crossJoin(broadcast(tot))
-      .withColumn("ppm_early", expr("n_early * 1000000 div te"))
-      .withColumn("ppm_late", expr("n_late * 1000000 div tl"))
+      .withColumn("ppm_early", expr("n_early * 1000000 div nullif(te, 0)"))
+      .withColumn("ppm_late", expr("n_late * 1000000 div nullif(tl, 0)"))
       .select(col("cluster"), col("ppm_early"), col("ppm_late"),
         round(contrib, 6).as("psi_contrib"))
       .withColumn("psi_total", round(sum(round(contrib, 6)).over(w), 4))
@@ -453,8 +456,8 @@ object Drift {
        |             CAST(sum(n_late) AS BIGINT) AS tl FROM cnt),
        |p AS (
        |  SELECT cluster,
-       |         CAST((n_early * 1000000) // te AS BIGINT) AS ppm_early,
-       |         CAST((n_late * 1000000) // tl AS BIGINT) AS ppm_late
+       |         CAST((n_early * 1000000) // nullif(te, 0) AS BIGINT) AS ppm_early,
+       |         CAST((n_late * 1000000) // nullif(tl, 0) AS BIGINT) AS ppm_late
        |  FROM cnt CROSS JOIN t),
        |x AS (
        |  SELECT cluster, ppm_early, ppm_late,
