@@ -80,6 +80,9 @@ object SparkEntry {
     // exhaustive region — the dedup twin of the ANN recall curves)
     "q_lsh_quality" -> ((s, dir) =>
       graft.dedup.Dedup.lshQuality(Tables.documents(s, dir))),
+    // SimHash recall on the same truth table (comparable to q_lsh_quality)
+    "q_simhash_quality" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashQuality(Tables.documents(s, dir))),
     // deferred cross-shard near-dups: the ingestion monitoring read
     "q_cross_shard_dups" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -668,6 +671,7 @@ object SparkEntry {
       "q_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql(),
       "q_minhash_lsh" -> graft.dedup.Dedup.minhashCandidatesSql(),
       "q_lsh_quality" -> graft.dedup.Dedup.lshQualitySql(),
+      "q_simhash_quality" -> graft.dedup.Dedup.simhashQualitySql(),
       "q_cross_shard_dups" ->
         graft.streaming.CurateIngest.crossShardNearDupsSql(),
       "q_leak_split" -> graft.operators.Sampling.leakSafeSplitSql(),

@@ -577,6 +577,52 @@ object Dedup {
        |WHERE greatest(n_inter * 1000000 // sza,
        |               n_inter * 1000000 // szb) >= $minContPm""".stripMargin
 
+  /** [[lshQuality]]'s SimHash sibling: measured recall of "hamming
+    * distance ≤ `maxHamming` on the 60-bit SimHash" against true
+    * n-gram Jaccard, per decile — the two production near-dup
+    * detectors measured on the SAME truth table, so their curves are
+    * directly comparable (MinHash banding is set-overlap-theoretic,
+    * SimHash is frequency-weighted cosine-ish; which catches more of
+    * decile 5 is an empirical question this answers per corpus). */
+  def simhashQuality(docs: DataFrame, n: Int = 4, maxId: Long = 250,
+                     maxHamming: Int = 6): DataFrame = {
+    val region = spread(docs).filter(col("doc_id") < maxId)
+    val truth = regionPairStats(docs, n, maxId)
+      .withColumn("j_pm", expr("n_inter * 1000000 div (sza + szb - n_inter)"))
+    val fp = simhash(region).localCheckpoint() // fingerprint once, two join sides
+    truth
+      .join(fp.select(col("doc_id").as("a_id"), col("simhash").as("fa")), "a_id")
+      .join(fp.select(col("doc_id").as("b_id"), col("simhash").as("fb")), "b_id")
+      .withColumn("caught",
+        when(expr("bit_count(fa ^ fb)") <= maxHamming, 1L).otherwise(0L))
+      .groupBy(expr("j_pm div 100000").as("j_decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"))
+      .withColumn("recall_ppm", expr("n_caught * 1000000 div n_pairs"))
+  }
+
+  def simhashQualitySql(n: Int = 4, maxId: Long = 250,
+                        maxHamming: Int = 6): String =
+    s"""WITH ${regionPairStatsSql(n, maxId)},
+       |jm AS (
+       |  SELECT a_id, b_id,
+       |         n_inter * 1000000 // (sza + szb - n_inter) AS j_pm
+       |  FROM stats),
+       |fp AS (SELECT * FROM (
+       |${simhashSql}
+       |)),
+       |c AS (
+       |  SELECT j.j_pm,
+       |         CASE WHEN bit_count(xor(fa.simhash, fb.simhash))
+       |                   <= $maxHamming THEN 1 ELSE 0 END AS caught
+       |  FROM jm j
+       |  JOIN fp fa ON fa.doc_id = j.a_id
+       |  JOIN fp fb ON fb.doc_id = j.b_id)
+       |SELECT j_pm // 100000 AS j_decile, count(*) AS n_pairs,
+       |       CAST(sum(caught) AS BIGINT) AS n_caught,
+       |       CAST(sum(caught) * 1000000 // count(*) AS BIGINT)
+       |         AS recall_ppm
+       |FROM c GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- SimHash
   val simhashBits = 60 // 15 hex digits of md5 → stays exact in a signed long
 

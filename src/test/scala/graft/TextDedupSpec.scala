@@ -183,5 +183,15 @@ class TextDedupSpec extends AnyFunSuite {
     val populated = rows.filter(_._2 >= 5).map(_._4)
     assert(populated.zip(populated.tail).forall { case (a, b) => b >= a },
       s"recall should climb with true Jaccard: ${rows.toSeq}")
+    // the SimHash sibling on the same fixtures: exact copies are
+    // hamming 0 (structural), dissimilar docs stay uncaught
+    val sq = Dedup.simhashQuality(docs)
+      .select("j_decile", "n_pairs", "n_caught", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val sqTop = sq.last
+    assert(sqTop._1 == 10L && sqTop._4 == 1000000L,
+      s"simhash must catch exact copies: ${sq.toSeq}")
+    assert(sq.filter(_._1 <= 2).forall(_._4 < 500000L),
+      s"simhash low-j recall too high: ${sq.toSeq}")
   }
 }
