@@ -86,6 +86,32 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kill + restart from checkpoint: ingestion resumes without loss or duplication") {
+    val dir = java.nio.file.Files.createTempDirectory("curaterestart").toString
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[DocEv]
+    def start() = CurateIngest.start(ms.toDF(), s"$dir/fps", s"$dir/kept",
+      s"$dir/chk")
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    val q1 = start()
+    try {
+      ms.addData(mk(10L, bodyA), mk(20L, bodyB))
+      q1.processAllAvailable()
+    } finally q1.stop() // crash here
+    // restart against the SAME checkpoint; new data includes an exact
+    // copy of a pre-crash survivor, which the restored store must drop
+    val q2 = start()
+    try {
+      ms.addData(mk(170L, bodyB), mk(180L, bodyC))
+      q2.processAllAvailable()
+      val kept = CurateIngest.keptState(spark, s"$dir/kept")
+        .select("doc_id").as[Long].collect().toList
+      assert(kept.sorted == List(10L, 20L, 180L),
+        s"loss or duplication across restart: $kept")
+      assert(kept.distinct.size == kept.size, "duplicated survivor rows")
+    } finally q2.stop()
+  }
+
   test("shardMixDrift: an injected language skew spikes the shard's PSI") {
     // shards 0-1: uniform en; shard 2: the mix flips to de
     val en = ("the cat and the dog walked over the bridge and the sun rose " * 4)
