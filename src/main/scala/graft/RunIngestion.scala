@@ -39,10 +39,19 @@ object RunIngestion {
     q.stop()
     val kept = graft.streaming.CurateIngest.keptState(spark, s"$outDir/kept")
     println(s"[ingest] survivors=${kept.count()}")
-    val drift = graft.streaming.CurateIngest
-      .shardMixDrift(spark.read.parquet(docsPath))
-      .orderBy(col("shard_id")).collect()
-    println(s"[ingest] shard mix drift: ${drift.mkString(", ")}")
+    // drift over the WHOLE input: the q_shard_drift oracle bound
+    // (maxId=600) is a fixture constant, not an operational default —
+    // derive the bound and an ~8-shard width from the corpus itself
+    val docs = spark.read.parquet(docsPath)
+    val mxRow = docs.agg(max(col("doc_id"))).head()
+    if (!mxRow.isNullAt(0)) {
+      val mx = mxRow.getLong(0) + 1
+      val drift = graft.streaming.CurateIngest
+        .shardMixDrift(docs, shardSize = math.max(1L, (mx + 7) / 8),
+          maxId = mx)
+        .orderBy(col("shard_id")).collect()
+      println(s"[ingest] shard mix drift: ${drift.mkString(", ")}")
+    }
     spark.stop()
   }
 }

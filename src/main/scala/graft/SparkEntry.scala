@@ -283,8 +283,6 @@ object SparkEntry {
     // event-type mix drift between early/late halves of the time range
     "q_drift" -> ((s, dir) =>
       graft.operators.Drift.eventTypeDrift(Tables.events(s, dir))),
-    // Population Stability Index over the same half-split (the
-    // model-monitoring standard: <0.1 stable, >0.25 action)
     // PSI over embedding space: k-means cells as the histogram bins
     "q_embed_drift" -> ((s, dir) =>
       graft.operators.Drift.embedDrift(Tables.embeddings(s, dir))),
@@ -292,6 +290,8 @@ object SparkEntry {
     "q_label_prop" -> ((s, dir) =>
       graft.operators.LabelProp.labelPropagation(Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.customer(s, dir))),
+    // Population Stability Index over the same half-split (the
+    // model-monitoring standard: <0.1 stable, >0.25 action)
     "q_psi_drift" -> ((s, dir) =>
       graft.operators.Drift.psiDrift(Tables.events(s, dir))),
     // one PSI per window vs its predecessor (the dashboard series)

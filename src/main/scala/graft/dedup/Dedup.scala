@@ -485,7 +485,10 @@ object Dedup {
   private def regionPairStats(docs: DataFrame, n: Int,
                               maxId: Long): DataFrame = {
     val region = spread(docs).filter(col("doc_id") < maxId)
-    val sh = shingles(region, n)
+    // shingle once: the plan consumes sh on both join sides plus the
+    // size aggregate, and the alias boundary defeats ReuseExchange
+    // (the media-pair lesson)
+    val sh = shingles(region, n).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&

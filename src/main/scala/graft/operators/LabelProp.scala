@@ -34,14 +34,9 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** Both-direction weighted edges, built once and materialized. */
-  private def edgesOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val pairs = PageRank.weightedPairs(orders, lineitem)
-    pairs.select(concat(lit("c:"), col("c")).as("src"),
-        concat(lit("s:"), col("s")).as("dst"), col("w"))
-      .unionAll(pairs.select(concat(lit("s:"), col("s")).as("src"),
-        concat(lit("c:"), col("c")).as("dst"), col("w")))
+  private def edgesOf(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    edgesFromPairs(PageRank.weightedPairs(orders, lineitem))
       .localCheckpoint()
-  }
 
   /** The core fill-only spread over prepared inputs: `edges`
     * (src, dst, w) and `seeds` (node, label, round=0). Exposed so the

@@ -259,6 +259,10 @@ object Sampling {
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val budgets = dt.groupBy(col(stratum)).agg(sum(col("tok")).as("n"))
+      // a stratum of only zero-token docs has n=0 but a ppm floor of 1,
+      // which would drive t — and thus EVERY stratum's budget — to 0;
+      // exclude it before the min (nothing to sample there anyway)
+      .filter(col("n") > 0)
       .withColumn("s0", expr("cast(floor(sqrt(cast(n as double))) as bigint)"))
       .withColumn("w", expr(
         "case when s0*s0 > n then s0-1 " +
@@ -288,7 +292,8 @@ object Sampling {
        |  SELECT d.$stratum, d.doc_id, t.tok
        |  FROM documents d JOIN tok t USING (doc_id)),
        |cnt AS (
-       |  SELECT $stratum, CAST(sum(tok) AS BIGINT) AS n FROM dt GROUP BY 1),
+       |  SELECT $stratum, CAST(sum(tok) AS BIGINT) AS n FROM dt
+       |  GROUP BY 1 HAVING sum(tok) > 0),
        |iw AS (
        |  SELECT $stratum, n,
        |         CASE WHEN s0*s0 > n THEN s0-1

@@ -75,16 +75,15 @@ object CurateIngest {
     * `fresh` is materialized before near-dup for the same reason
     * [[graft.text.Curate.curateDocs]] materializes its stage boundary:
     * dropsBest consumes its input three times. */
-  /** Stages 1-3 (gate, intra-shard keep-min, store anti-join) as one
-    * un-materialized plan — the probe surface for the scale gate (the
-    * fingerprint-keyed anti-join is the only place shard and store
-    * meet, and it must stay a hash join on the 16-byte key). */
-  private[graft] def freshAgainstStore(shard: DataFrame, fpStore: DataFrame,
-                                       minQualityPm: Long = 600,
-                                       langs: Seq[String] = Seq("en", "de"))
-      : DataFrame = {
+  /** Stages 2-3 (intra-shard keep-min, store anti-join) over an
+    * already-gated shard, as one un-materialized plan — the probe
+    * surface for the scale gate (the fingerprint-keyed anti-join is
+    * the only place shard and store meet, and it must stay a hash
+    * join on the 16-byte key). */
+  private[graft] def freshAgainstStore(gated: DataFrame,
+                                       fpStore: DataFrame): DataFrame = {
     val wFp = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    gateShard(shard, minQualityPm, langs)
+    gated
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") === 1).drop("__rn")
       .join(fpStore.select(col("fingerprint")).distinct(),
@@ -95,14 +94,16 @@ object CurateIngest {
                   minQualityPm: Long = 600,
                   langs: Seq[String] = Seq("en", "de"))
       : (DataFrame, DataFrame) = {
-    val fresh = freshAgainstStore(shard, fpStore, minQualityPm, langs)
-      .localCheckpoint()
+    // gate ONCE: the 7 scoring regexes are the measured dominant cost
+    // of this stage (the Clusters.dropsBest rescore lesson), and both
+    // the survivor chain and the fps append read the gated shard
+    val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
+    val fresh = freshAgainstStore(gated, fpStore).localCheckpoint()
     val kept = fresh
       .join(Clusters.dropsBest(fresh), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
         col("n_chars"))
-    (kept, gateShard(shard, minQualityPm, langs)
-      .select(col("fingerprint")).distinct())
+    (kept, gated.select(col("fingerprint")).distinct())
   }
 
   /** The whole id-ordered ingestion as one deterministic loop — the
@@ -132,22 +133,42 @@ object CurateIngest {
 
   // ------------------------------------------------ disk-backed stream
 
+  import org.apache.spark.sql.types._
+
+  private val fpSchema = StructType(Seq(
+    StructField("fingerprint", StringType),
+    StructField("batch_id", LongType)))
+  private val keptSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang_pred", StringType),
+    StructField("quality_pm", LongType),
+    StructField("n_chars", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Read a store directory with an EXPLICIT schema: a micro-batch
+    * whose docs all fail the gate writes only _SUCCESS, and schema
+    * inference over a file-less directory throws — which would kill
+    * the stream on the NEXT batch. With the schema pinned, an empty
+    * store reads as an empty frame and the pipeline keeps going. */
+  private def readStore(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    if (!Files.exists(Paths.get(path)))
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path)
+
   /** The accumulated fingerprint store as of (strictly before) `batch`:
     * reading only earlier partitions makes a crash-replayed batch see
     * exactly the store it saw the first time — bit-equal replay. */
   def fpState(spark: SparkSession, storePath: String,
-              beforeBatch: Long): DataFrame = {
-    import spark.implicits._
-    if (!Files.exists(Paths.get(storePath)))
-      Seq.empty[String].toDF("fingerprint")
-    else spark.read.parquet(storePath)
+              beforeBatch: Long): DataFrame =
+    readStore(spark, storePath, fpSchema)
       .filter(col("batch_id") < beforeBatch)
       .select(col("fingerprint")).distinct()
-  }
 
   /** Curated survivors accumulated so far. */
   def keptState(spark: SparkSession, keptPath: String): DataFrame =
-    spark.read.parquet(keptPath)
+    readStore(spark, keptPath, keptSchema)
       .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
         col("n_chars"))
 
@@ -155,7 +176,8 @@ object CurateIngest {
     * survivors and fingerprints each into their own batch_id
     * partition (dynamic overwrite → replay idempotent). ingestShard's
     * internal materialization pins the store read BEFORE this batch's
-    * append lands, so the two writes can't see their own output. */
+    * append lands (both outputs root at checkpointed frames), so the
+    * two writes can't see their own output. */
   def writeShard(batch: DataFrame, batchId: Long, storePath: String,
                  keptPath: String, minQualityPm: Long = 600,
                  langs: Seq[String] = Seq("en", "de")): Unit = {
@@ -163,12 +185,11 @@ object CurateIngest {
     val (kept, fps) =
       ingestShard(batch, fpState(spark, storePath, batchId),
         minQualityPm, langs)
-    val keptM = kept.localCheckpoint() // pin before the store mutates
     fps.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(storePath)
-    keptM.withColumn("batch_id", lit(batchId))
+    kept.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(keptPath)
@@ -196,9 +217,17 @@ object CurateIngest {
                          minEstJaccard: Double = 0.5): DataFrame = {
     val cand = graft.dedup.Dedup.minhashCandidates(
       docsA.unionByName(docsB), minEstJaccard = minEstJaccard)
-    val aIds = docsA.select(col("doc_id").as("a_id"))
-    val bIds = docsB.select(col("doc_id").as("b_id"))
-    cand.join(aIds, "a_id").join(bIds, "b_id")
+    val aIds = docsA.select(col("doc_id"))
+    val bIds = docsB.select(col("doc_id"))
+    // candidates are canonicalized a_id < b_id, and arrival order is
+    // allowed to differ from id order (first-wins), so a cross pair
+    // can land in EITHER orientation — accept both, or a later shard
+    // carrying lower ids silently hides its deferred duplicates
+    cand.join(aIds.select(col("doc_id").as("a_id")), "a_id")
+      .join(bIds.select(col("doc_id").as("b_id")), "b_id")
+      .unionByName(
+        cand.join(bIds.select(col("doc_id").as("a_id")), "a_id")
+          .join(aIds.select(col("doc_id").as("b_id")), "b_id"))
   }
 
   /** Ingestion-side drift monitoring: PSI of the post-gate LANGUAGE
@@ -275,8 +304,10 @@ object CurateIngest {
 
   /** DuckDB twin of [[crossShardNearDups]] over the id-range split the
     * q_cross_shard_dups query uses: candidates over the bounded union,
-    * kept only when the pair straddles the split (a_id < b_id always
-    * holds, so "a before the split, b after" is exactly cross). */
+    * kept only when the pair straddles the split. With id-range shards
+    * and the a_id < b_id canonical order only one orientation can
+    * occur, so the symmetric OR is written out to match the engine's
+    * both-orientation semantics without changing this query's rows. */
   def crossShardNearDupsSql(splitId: Long = 250, maxId: Long = 500,
                             minEstJaccard: Double = 0.5): String =
     s"""WITH documents AS (
@@ -286,5 +317,6 @@ object CurateIngest {
        |${graft.dedup.Dedup.minhashCandidatesSql(4, minEstJaccard)}
        |  ))
        |SELECT a_id, b_id, est_jaccard FROM cand
-       |WHERE a_id < $splitId AND b_id >= $splitId""".stripMargin
+       |WHERE (a_id < $splitId AND b_id >= $splitId)
+       |   OR (a_id >= $splitId AND b_id < $splitId)""".stripMargin
 }

@@ -225,6 +225,15 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("lang", "doc_id", "tok", "cum", "budget_tok")
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(again == out.toSet)
+    // a zero-token stratum (whitespace-only docs) must not zero every
+    // budget through the min-fill — it is excluded, others unaffected
+    val withEmpty = (rows :+ (200L, "C", " ")).toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out2 = graft.operators.Sampling.tokenMixture(withEmpty)
+      .select("lang", "doc_id", "tok", "cum", "budget_tok")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out2.toSet == out.toSet,
+      s"zero-token stratum changed the sample: ${out2.toSeq}")
   }
 
   test("leakSafeSplit: near-dup cluster members never straddle the boundary") {

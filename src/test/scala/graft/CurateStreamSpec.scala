@@ -112,6 +112,38 @@ class CurateStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("an all-gated-out batch does not kill the stream") {
+    val dir = java.nio.file.Files.createTempDirectory("curateempty").toString
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[DocEv]
+    val q = CurateIngest.start(ms.toDF(), s"$dir/fps", s"$dir/kept",
+      s"$dir/chk")
+    try {
+      // batch 0: everything fails the language gate → empty partitions
+      ms.addData(DocEv(1L, "el la que el la que", 19L))
+      q.processAllAvailable()
+      // batch 1 must still process (schema inference over the file-less
+      // store directory used to throw and kill the query here)
+      ms.addData(DocEv(10L, bodyA, bodyA.length.toLong))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      assert(keptSet(CurateIngest.keptState(spark, s"$dir/kept")) ==
+        Set(10L))
+    } finally q.stop()
+  }
+
+  test("crossShardNearDups reports pairs in both id orientations") {
+    // the LATER shard carries the LOWER id — arrival order is allowed
+    // to differ from id order, and the candidate canonicalizes as
+    // (lower, higher), so the detection must accept both orientations
+    val base = enDoc("")
+    val earlier = docs((300L, base + "zzz qqq 12345"))
+    val later = docs((50L, base + "zzz qqq 12399"))
+    val pairs = CurateIngest.crossShardNearDups(earlier, later)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((50L, 300L)), s"orientation lost: $pairs")
+  }
+
   test("shardMixDrift: an injected language skew spikes the shard's PSI") {
     // shards 0-1: uniform en; shard 2: the mix flips to de
     val en = ("the cat and the dog walked over the bridge and the sun rose " * 4)

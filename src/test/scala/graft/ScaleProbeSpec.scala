@@ -314,7 +314,8 @@ class ScaleProbeSpec extends AnyFunSuite {
       .unionByName(docs10x.filter(col("doc_id") < 100)
         .select((col("doc_id") + 60000).as("doc_id"), col("text"),
           col("n_chars")))
-    val fresh = CurateIngest.freshAgainstStore(shard, store, 0L, langs)
+    val fresh = CurateIngest.freshAgainstStore(
+      CurateIngest.gateShard(shard, 0L, langs), store)
     val plan = ranPlan(fresh)
     assertShapes(plan, "freshAgainstStore")
     // shard and store meet ONLY on the 16-byte fingerprint key
