@@ -206,6 +206,61 @@ object CurateIngest {
       }
       .start()
 
+  private val sigSchema = StructType(
+    StructField("doc_id", LongType) +:
+      StructField("band", IntegerType) +:
+      StructField("bkey", StringType) +:
+      (0 until graft.dedup.Dedup.numHashes)
+        .map(i => StructField(s"h$i", LongType)) :+
+      StructField("batch_id", LongType))
+
+  /** The accumulated signature store (tombstones included) as of
+    * strictly before `batch` — same pre-batch pinning as [[fpState]]. */
+  def sigState(spark: SparkSession, sigPath: String,
+               beforeBatch: Long): DataFrame =
+    readStore(spark, sigPath, sigSchema)
+      .filter(col("batch_id") < beforeBatch)
+      .drop("batch_id")
+
+  /** [[writeShard]]'s strict sibling: one more batch_id-overwrite
+    * store (the signature/tombstone table) rides along. */
+  def writeShardStrict(batch: DataFrame, batchId: Long, storePath: String,
+                       sigPath: String, keptPath: String,
+                       minQualityPm: Long = 600,
+                       langs: Seq[String] = Seq("en", "de"),
+                       minEstJaccard: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val (kept, fps, sigs) = ingestShardStrict(batch,
+      fpState(spark, storePath, batchId), sigState(spark, sigPath, batchId),
+      minQualityPm, langs, minEstJaccard)
+    fps.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storePath)
+    sigs.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(sigPath)
+    kept.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(keptPath)
+  }
+
+  /** The strict pipeline: enforced cross-shard near-dedup. */
+  def startStrict(docStream: DataFrame, storePath: String, sigPath: String,
+                  keptPath: String, checkpoint: String,
+                  minQualityPm: Long = 600,
+                  langs: Seq[String] = Seq("en", "de"),
+                  minEstJaccard: Double = 0.5): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShardStrict(batch, batchId, storePath, sigPath, keptPath,
+          minQualityPm, langs, minEstJaccard)
+      }
+      .start()
+
   /** The cross-shard near-dup DETECTION query the ingestion loop
     * deliberately defers (emitted survivors are immutable): banded
     * MinHash pairs between two curated shards' survivors — the
@@ -228,6 +283,71 @@ object CurateIngest {
       .unionByName(
         cand.join(bIds.select(col("doc_id").as("a_id")), "a_id")
           .join(aIds.select(col("doc_id").as("b_id")), "b_id"))
+  }
+
+  // ----------------------------------- strict cross-shard near-dup leg
+
+  /** Banded MinHash signature rows for the given docs (doc_id, h0..h15,
+    * band, bkey) — the unit the strict leg's signature store
+    * accumulates: 4 rows per SEEN document, fingerprint-sized, never
+    * the text. */
+  def sigBands(docs: DataFrame): DataFrame = {
+    import graft.dedup.Dedup.{numBands, numHashes, rowsPerBand}
+    val sig = graft.dedup.Dedup.minhashSignatures(docs)
+    val bandKey = (b: Int) => md5(concat_ws(",",
+      (0 until rowsPerBand).map(r =>
+        col(s"h${b * rowsPerBand + r}").cast("string")): _*))
+    sig.select(
+      col("doc_id") +:
+        posexplode(array((0 until numBands).map(bandKey): _*))
+          .as(Seq("band", "bkey")) +:
+        (0 until numHashes).map(i => col(s"h$i")): _*)
+  }
+
+  /** [[ingestShard]] plus ENFORCED cross-shard near-dedup — the
+    * FineWeb operational mode: a newcomer that near-matches ANY
+    * previously seen document (survivor or not) is dropped, first
+    * arrival wins, emitted survivors never retract. Tombstones make
+    * the drop transitive: the signature store accumulates every
+    * post-exact-dedup doc, so a chain A≈B≈C arriving over three
+    * shards keeps only A (B drops against A, C drops against B's
+    * tombstone even when C≉A). The one divergence from a global batch
+    * CC — a newcomer bridging two already-emitted clusters cannot
+    * retroactively merge them — is the no-retraction policy itself,
+    * spec-pinned, with [[crossShardNearDups]] as the detection read
+    * for exactly those pairs.
+    *
+    * Scale shape: the store join is banded (4 keyed rows per seen doc,
+    * collide-only pairs), est-jaccard verification reads the 16-hash
+    * signatures riding those rows — the shard's text is never joined
+    * against the store.
+    *
+    * Returns (kept, gated fingerprints, this shard's signature rows to
+    * append). */
+  def ingestShardStrict(shard: DataFrame, fpStore: DataFrame,
+                        sigStore: DataFrame, minQualityPm: Long = 600,
+                        langs: Seq[String] = Seq("en", "de"),
+                        minEstJaccard: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.dedup.Dedup.numHashes
+    val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
+    val fresh = freshAgainstStore(gated, fpStore).localCheckpoint()
+    val newBands = sigBands(fresh).localCheckpoint()
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"n.h$i") === col(s"o.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val dropIds = newBands.as("n")
+      .join(sigStore.as("o"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+      .filter(round(matches.cast("double") / numHashes, 4) >= minEstJaccard)
+      .select(col("n.doc_id")).distinct()
+    val freshNd = fresh.join(dropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val kept = freshNd
+      .join(Clusters.dropsBest(freshNd), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+    (kept, gated.select(col("fingerprint")).distinct(), newBands)
   }
 
   /** Ingestion-side drift monitoring: PSI of the post-gate LANGUAGE

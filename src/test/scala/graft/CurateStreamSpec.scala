@@ -161,6 +161,49 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(psi(2L) > 0.5, s"the flipped shard must spike: $psi")
   }
 
+  test("strict leg: tombstones make the cross-shard drop transitive; no retraction on merges") {
+    val dir = java.nio.file.Files.createTempDirectory("curatestrict").toString
+    implicit val ctx = spark.sqlContext
+    val base = enDoc("")
+    val a = base + "zzz qqq 11111 22222 33333"
+    val b = base + "zzz qqq 11111 22222 99999" // ≈ a, later shard → drop
+    val c = base + "zzz qqq 11111 88888 99999" // ≈ b
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    val ms = MemoryStream[DocEv]
+    val q = CurateIngest.startStrict(ms.toDF(), s"$dir/fps", s"$dir/sigs",
+      s"$dir/kept", s"$dir/chk")
+    try {
+      ms.addData(mk(10L, a)); q.processAllAvailable()
+      ms.addData(mk(170L, b)); q.processAllAvailable()
+      // distinct doc in a later shard is untouched
+      ms.addData(mk(470L, bodyD)); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      val kept = keptSet(CurateIngest.keptState(spark, s"$dir/kept"))
+      assert(kept == Set(10L, 470L), s"cross-shard near-dup kept: $kept")
+      // the DROPPED doc's signature rows are in the store — tombstones,
+      // not just survivors
+      val sigs = CurateIngest.sigState(spark, s"$dir/sigs", Long.MaxValue)
+        .select("doc_id").as[Long].collect().toSet
+      assert(sigs.contains(170L), s"tombstone missing: $sigs")
+      // no retraction: a replayed batch leaves the survivors unchanged
+      CurateIngest.writeShardStrict(Seq(mk(170L, b)).toDF(), 1L,
+        s"$dir/fps", s"$dir/sigs", s"$dir/kept")
+      assert(keptSet(CurateIngest.keptState(spark, s"$dir/kept")) == kept)
+    } finally q.stop()
+    // transitivity through the tombstone, pinned at function level: a
+    // signature store holding ONLY the dropped doc B still kills C —
+    // Jaccard's triangle inequality means a 3-doc stream can't isolate
+    // this case (catchable neighbors force j(A,C) ≥ 2θ−1), but an
+    // out-of-order arrival or a borderline banding miss can, and the
+    // store must already carry the tombstone when it does
+    val sigB = CurateIngest.sigBands(docs((170L, b)))
+    val (keptC, _, _) = CurateIngest.ingestShardStrict(
+      docs((320L, c)), docs((0L, "")).select(md5(col("text"))
+        .as("fingerprint")).limit(0), sigB)
+    assert(keptSet(keptC).isEmpty,
+      "near-copy of a TOMBSTONED doc must drop")
+  }
+
   test("deferred cross-shard near-dups are visible to the detection query") {
     val base = enDoc("")
     val a = docs((10L, base + "zzz qqq 12345"))

@@ -215,6 +215,15 @@ class ScaleProbeSpec extends AnyFunSuite {
       conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved)
     }
+    // label spread rides the same iteration shape: per-round one
+    // edges ⋈ labels join + aggregate + per-dst window, no BNLJ
+    val customer = spark.range(20000).select(col("id").as("c_custkey"),
+      (col("id") % 25).as("c_nationkey")).localCheckpoint()
+    val lp = graft.operators.LabelProp.labelPropagation(orders, lineitem,
+      customer, seedMax = 100, iters = 2)
+    val planL = ranPlan(lp)
+    assertShapes(planL, "labelPropagation")
+    assert(lp.count() > 100L, "labels must spread beyond the seeds")
   }
 
   test("sampling at 10×: stratum tables broadcast into the corpus, no BNLJ",
