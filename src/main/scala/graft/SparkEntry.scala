@@ -323,6 +323,10 @@ object SparkEntry {
     // per-shard near-dup; loop hash-matches the flat batch twin
     "q_curate_incr" -> ((s, dir) =>
       graft.streaming.CurateIngest.incrCurate(Tables.documents(s, dir))),
+    // strict mode: enforced cross-shard near-dedup vs the tombstone
+    // store; the sequential loop still hash-matches a flat twin
+    "q_curate_strict" -> ((s, dir) =>
+      graft.streaming.CurateIngest.incrCurateStrict(Tables.documents(s, dir))),
     // context-window chunking with overlap (map-side, no shuffle);
     // non-text columns ride along, so project to the classic surface
     "q_chunk" -> ((s, dir) =>
@@ -799,6 +803,7 @@ object SparkEntry {
       "q_curate" -> graft.text.Curate.curateSql(),
       "q_curate_audit" -> graft.text.Curate.curateAuditSql(),
       "q_curate_incr" -> graft.text.Curate.incrCurateSql(),
+      "q_curate_strict" -> graft.text.Curate.incrCurateStrictSql(),
       "q_chunk" -> graft.text.Chunking.chunkDocsSql(),
       "q_training_data" -> graft.text.TrainingData.prepareSql(),
       "q_mixture" -> graft.operators.Sampling.mixtureSampleSql(),

@@ -131,6 +131,41 @@ object CurateIngest {
         col("quality_pm"), col("n_chars"))
   }
 
+  /** The strict ingestion as one deterministic loop — q_curate_strict's
+    * engine side. The same order-cancellation that makes [[incrCurate]]
+    * flat-expressible extends to the strict leg: the signature store at
+    * shard s is exactly the sigs of the global post-exact set
+    * restricted to shards < s (md5 transitivity), and banding collision
+    * + est-jaccard are pair-local, so "drops against the store" equals
+    * "has an earlier-shard partner in the global candidate set" — the
+    * flat [[graft.text.Curate]] twin needs no recursion. */
+  def incrCurateStrict(docs: DataFrame, shardSize: Long = 150,
+                       maxId: Long = 600, minQualityPm: Long = 600,
+                       langs: Seq[String] = Seq("en", "de"),
+                       minEstJaccard: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nShards = ((maxId + shardSize - 1) / shardSize).toInt
+    var fpStore = Seq.empty[String].toDF("fingerprint")
+    var sigStore: DataFrame = null
+    var outs = List.empty[DataFrame]
+    for (i <- 0 until nShards) {
+      val shard = docs.filter(col("doc_id") >= i * shardSize &&
+        col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
+      val store = if (sigStore == null)
+        sigBands(docs.limit(0).select(col("doc_id"), col("text"))) else sigStore
+      val (kept, fps, sigs) = ingestShardStrict(shard, fpStore, store,
+        minQualityPm, langs, minEstJaccard)
+      outs = outs :+ kept.withColumn("shard_id", lit(i.toLong))
+      fpStore = fpStore.unionByName(fps).distinct().localCheckpoint()
+      sigStore = (if (sigStore == null) sigs
+        else sigStore.unionByName(sigs)).localCheckpoint()
+    }
+    outs.reduce(_ unionByName _)
+      .select(col("doc_id"), col("shard_id"), col("lang_pred"),
+        col("quality_pm"), col("n_chars"))
+  }
+
   // ------------------------------------------------ disk-backed stream
 
   import org.apache.spark.sql.types._

@@ -122,6 +122,58 @@ object Curate {
        |       lang_pred, quality_pm, n_chars
        |FROM kept""".stripMargin
 
+  /** DuckDB twin of [[graft.streaming.CurateIngest.incrCurateStrict]]
+    * — the ENFORCED cross-shard variant, still one flat query: the
+    * tombstone store at shard s is the global post-exact set
+    * restricted to earlier shards, so "dropped against the store"
+    * becomes "has an earlier-shard partner in the global banding
+    * candidate set" (both orientations spelled out; with id-ordered
+    * shards only one can fire). Within-shard near-dup then runs over
+    * the strict survivors — candidates are pair-local, so the global
+    * candidate set filtered to same-shard, both-sides-undropped pairs
+    * is exactly the per-shard clustering input. */
+  def incrCurateStrictSql(shardSize: Long = 150, maxId: Long = 600,
+                          minQualityPm: Long = 600,
+                          langs: Seq[String] = Seq("en", "de"),
+                          minEstJaccard: Double = 0.5): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    val notDropped = (id: String) =>
+      s"$id NOT IN (SELECT doc_id FROM crossdrop)"
+    s"""WITH bounded AS (
+       |  SELECT doc_id, text, n_chars FROM main.documents
+       |  WHERE doc_id < $maxId),
+       |gated AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, text, n_chars,
+       |           ${TextAnalysis.qualityPmSql} AS quality_pm,
+       |           ${TextAnalysis.langPredSql} AS lang_pred
+       |    FROM bounded)
+       |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
+       |documents AS (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+       |                             ORDER BY doc_id) = 1),
+       |xc AS (
+       |  SELECT a_id, b_id FROM (
+       |${graft.dedup.Dedup.minhashCandidatesSql(4, minEstJaccard)}
+       |  )),
+       |crossdrop AS (
+       |  SELECT DISTINCT b_id AS doc_id FROM xc
+       |  WHERE a_id // $shardSize < b_id // $shardSize
+       |  UNION
+       |  SELECT DISTINCT a_id FROM xc
+       |  WHERE b_id // $shardSize < a_id // $shardSize),
+       |${graft.dedup.Clusters.survivorsBestCtes(pairWhere =
+           s"a_id // $shardSize = b_id // $shardSize AND " +
+             s"${notDropped("a_id")} AND ${notDropped("b_id")}")}
+       |SELECT d.doc_id, d.doc_id // $shardSize AS shard_id,
+       |       d.lang_pred, d.quality_pm, d.n_chars
+       |FROM documents d
+       |WHERE ${notDropped("d.doc_id")}
+       |  AND NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)"""
+      .stripMargin
+  }
+
   /** Curation with span-level surgical dedup as stage 0: the corpus is
     * [[graft.dedup.SpanScrub.spanScrub]]-cleaned FIRST (repeated-byte
     * removal), then scored/gated/deduped on the CLEANED text — the

@@ -208,11 +208,14 @@ class CurateStreamSpec extends AnyFunSuite {
     val base = enDoc("")
     val a = docs((10L, base + "zzz qqq 12345"))
     val b = docs((170L, base + "zzz qqq 12399")) // near-copy, later shard
-    // ingestion keeps BOTH (near-dup runs within shard only — emitted
-    // survivors are immutable)...
+    // the default leg keeps BOTH (near-dup runs within shard only —
+    // emitted survivors are immutable)...
     val kept = keptSet(CurateIngest.incrCurate(
       a.unionByName(b)))
     assert(kept == Set(10L, 170L))
+    // ...the strict leg enforces: the later near-copy drops
+    assert(keptSet(CurateIngest.incrCurateStrict(a.unionByName(b))) ==
+      Set(10L))
     // ...and the monitoring query reports exactly the deferred pair
     val pairs = CurateIngest.crossShardNearDups(a, b)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
