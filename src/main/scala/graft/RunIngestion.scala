@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object RunIngestion {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.RunIngestion <docsPathOrDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(docsPath0, outDir) = args.take(2)
     val spark = Engine.sessionBuilder(Engine.envCores(8)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -60,6 +60,12 @@ object Opq {
     * dimension's slot in the permuted vector, placing each subspace's
     * dims contiguously for [[Pq.subvectors]]' slice split. */
   def allocation(embs: DataFrame, m: Int = Pq.defaultM): DataFrame = {
+    // newpos = sub·(d/m) + block is only a bijection when m divides d;
+    // otherwise distinct dims collide on a slot and the permutation
+    // silently duplicates some source dims — fail loudly instead
+    val d0 = embs.select(size(col("embedding"))).head.getInt(0)
+    require(d0 % m == 0,
+      s"Opq.allocation: embedding dim $d0 not divisible by m=$m")
     val g = Pq.globalScale(embs)
     val en = embs
       .select(posexplode(transform(col("embedding"),
@@ -112,8 +118,14 @@ object Opq {
     * rows of ints — driver metadata, the codebook exception). Schema
     * identical to the input, so every PQ entry point accepts it. */
   def permute(embs: DataFrame, m: Int = Pq.defaultM): DataFrame = {
+    val need = Seq("vec_id", "label", "embedding")
+    require(need.forall(embs.columns.contains),
+      s"Opq.permute: input must carry ${need.mkString(", ")} " +
+        s"(got ${embs.columns.mkString(", ")})")
     val rows = allocation(embs, m).select(col("dim"), col("newpos")).collect()
     require(rows.nonEmpty, "Opq.permute: empty embeddings frame")
+    require(rows.length % m == 0,
+      s"Opq.permute: d=${rows.length} not divisible by m=$m")
     val src = new Array[Int](rows.length)
     rows.foreach(r => src(r.getAs[Int]("newpos")) = r.getAs[Int]("dim"))
     embs.select(col("vec_id"), col("label"),

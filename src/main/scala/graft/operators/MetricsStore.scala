@@ -119,7 +119,14 @@ class MetricsStore(spark: SparkSession, path: String,
     import graft.functions.QSketchFunctions._
     import graft.functions.ThetaFunctions._
     val dayMs = lit(86400000L)
-    spark.read.parquet(sketchPath)
+    // back-compat: sketch stores written before the theta column landed
+    // carry no user_theta — backfill an empty sketch (theta merge's
+    // identity) so old and new partitions compact through one plan
+    val raw0 = spark.read.parquet(sketchPath)
+    val raw = if (raw0.columns.contains("user_theta")) raw0
+      else raw0.withColumn("user_theta",
+        lit(graft.functions.Theta.serialize(graft.functions.Theta.empty())))
+    raw
       .groupBy(
         (col("window_start_ms") - pmod(col("window_start_ms"), dayMs))
           .as("window_start_ms"),

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -184,13 +182,22 @@ object CurateIngest {
     * whose docs all fail the gate writes only _SUCCESS, and schema
     * inference over a file-less directory throws — which would kill
     * the stream on the NEXT batch. With the schema pinned, an empty
-    * store reads as an empty frame and the pipeline keeps going. */
+    * store reads as an empty frame and the pipeline keeps going.
+    *
+    * Existence is resolved through Hadoop's FileSystem for the store
+    * path's OWN scheme (hdfs://, s3a://, file:), not the driver's
+    * local filesystem — a remote store must be honored as existing,
+    * and a genuinely unreadable one must be an error, never silently
+    * an empty state (which would disable cross-shard dedup). */
   private def readStore(spark: SparkSession, path: String,
-                        schema: StructType): DataFrame =
-    if (!Files.exists(Paths.get(path)))
+                        schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(path)
+  }
 
   /** The accumulated fingerprint store as of (strictly before) `batch`:
     * reading only earlier partitions makes a crash-replayed batch see
