@@ -123,14 +123,72 @@ object Bench {
     //     round.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/BENCH_FULL.json")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    // -------- self-normalization against the PRIOR round's artifact.
+    // Three rounds running, host-regime drift (r7 text queries, r8
+    // q_sessions — SCALING.md attributions) forced manual A/Bs to tell
+    // environment from regression. The artifact now classifies itself:
+    //   median_vs_prev — median over common queries of min_now/min_prev;
+    //     the host-regime scale factor (1.0 = stable host).
+    //   flagged — queries BOTH (a) slower than 1.4× that median (their
+    //     drift is not the shared host shift) AND (b) with this round's
+    //     FASTEST pass slower than the prior round's SLOWEST (the two
+    //     per-pass distributions don't overlap, so no single steal
+    //     burst explains it). Only those merit a code-level A/B.
+    // The prior artifact is read from fullPath BEFORE this run
+    // overwrites it (override: SPARK_GRAFT_BENCH_PREV).
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath)
+    def objOf(json: String, field: String): String = {
+      val i = json.indexOf("\"" + field + "\":{")
+      if (i < 0) "" else {
+        val s = json.indexOf('{', i)
+        var depth = 0; var j = s
+        while (j < json.length && { if (json(j) == '{') depth += 1
+          else if (json(j) == '}') depth -= 1; depth != 0 }) j += 1
+        json.substring(s, j + 1)
+      }
+    }
+    val (prevMins, prevPasses) =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(prevPath)), "UTF-8")
+        val minRe = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+        val passRe = """"([A-Za-z0-9_]+)":\[([0-9.,]+)\]""".r
+        (minRe.findAllMatchIn(objOf(txt, "queries"))
+           .map(m => m.group(1) -> m.group(2).toDouble).toMap,
+         passRe.findAllMatchIn(objOf(txt, "passes"))
+           .map(m => m.group(1) -> m.group(2).split(',').map(_.toDouble).toSeq)
+           .toMap)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] no prior artifact ($prevPath): ${e.getMessage}")
+        (Map.empty[String, Double], Map.empty[String, Seq[Double]])
+      }
+    val ratios = results.flatMap { case (k, v) =>
+      prevMins.get(k).filter(_ > 0).map(p => k -> v / p) }
+    val medianVsPrev = if (ratios.isEmpty) None else {
+      val s = ratios.map(_._2).sorted
+      Some(if (s.size % 2 == 1) s(s.size / 2)
+           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
+    }
+    val flagged = medianVsPrev.map { med =>
+      ratios.filter { case (k, r) =>
+        r > 1.4 * med &&
+          prevPasses.get(k).exists(pp =>
+            perQuery.toMap.get(k).exists(_.min > pp.max))
+      }.sortBy(-_._2)
+    }.getOrElse(Seq.empty)
+    val medianJson = medianVsPrev.map(m => f"$m%.3f").getOrElse("null")
+    val flaggedJson = flagged.map { case (k, r) =>
+      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+    val normJson =
+      s""""median_vs_prev":$medianJson,"flagged":$flaggedJson,"n_common":${ratios.size}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$normJson,"queries":$qs,"passes":$passesJson,"pass_totals":$passTotals,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] full artifact write failed: ${e.getMessage}")
     }
     val slowestFirst = results.sortBy { case (_, v) => (-v, "") }
-    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","pass_totals":$passTotals,"full":"$fullPath","queries_total":${results.size},"""
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","pass_totals":$passTotals,$normJson,"full":"$fullPath","queries_total":${results.size},"""
     val budget = 1950 - header.length - 60 // room for the closing fields
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0

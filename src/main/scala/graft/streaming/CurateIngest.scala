@@ -208,11 +208,16 @@ object CurateIngest {
       .filter(col("batch_id") < beforeBatch)
       .select(col("fingerprint")).distinct()
 
-  /** Curated survivors accumulated so far. */
+  /** Curated survivors accumulated so far. Full-row dedup is identity
+    * on a healthy store (doc_id is unique by construction) and absorbs
+    * the one degraded state [[compactStores]] can leave behind — a
+    * crash after the compacted partition lands but before the source
+    * partitions are deleted duplicates rows verbatim. */
   def keptState(spark: SparkSession, keptPath: String): DataFrame =
     readStore(spark, keptPath, keptSchema)
       .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
         col("n_chars"))
+      .dropDuplicates("doc_id")
 
   /** One micro-batch: ingest against the pre-batch store, then write
     * survivors and fingerprints each into their own batch_id
@@ -237,14 +242,25 @@ object CurateIngest {
       .partitionBy("batch_id").parquet(keptPath)
   }
 
-  /** The wired pipeline: a document stream curated shard-at-a-time. */
+  /** The wired pipeline: a document stream curated shard-at-a-time.
+    * `compactEvery = Some(n)` folds [[compactStores]] into the loop:
+    * every n-th batch compacts everything STRICTLY BELOW itself
+    * (`upToBatch = batchId` — the current batch is the only one
+    * foreachBatch can ever replay, and it is never compacted while
+    * in flight), bounding the store tree at n+1 partitions. */
   def start(docStream: DataFrame, storePath: String, keptPath: String,
             checkpoint: String, minQualityPm: Long = 600,
-            langs: Seq[String] = Seq("en", "de")): StreamingQuery =
+            langs: Seq[String] = Seq("en", "de"),
+            compactEvery: Option[Long] = None): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeShard(batch, batchId, storePath, keptPath, minQualityPm, langs)
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactStores(batch.sparkSession, storePath, keptPath, None,
+              upToBatch = batchId)
+        }
       }
       .start()
 
@@ -289,19 +305,135 @@ object CurateIngest {
       .partitionBy("batch_id").parquet(keptPath)
   }
 
-  /** The strict pipeline: enforced cross-shard near-dedup. */
+  /** The strict pipeline: enforced cross-shard near-dedup. Same
+    * `compactEvery` contract as [[start]], with the signature store
+    * compacting alongside (`sigRetentionBatches` per
+    * [[compactStores]]). */
   def startStrict(docStream: DataFrame, storePath: String, sigPath: String,
                   keptPath: String, checkpoint: String,
                   minQualityPm: Long = 600,
                   langs: Seq[String] = Seq("en", "de"),
-                  minEstJaccard: Double = 0.5): StreamingQuery =
+                  minEstJaccard: Double = 0.5,
+                  compactEvery: Option[Long] = None,
+                  sigRetentionBatches: Option[Long] = None): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeShardStrict(batch, batchId, storePath, sigPath, keptPath,
           minQualityPm, langs, minEstJaccard)
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactStores(batch.sparkSession, storePath, keptPath,
+              Some(sigPath), upToBatch = batchId,
+              sigRetentionBatches = sigRetentionBatches)
+        }
       }
       .start()
+
+  // ------------------------------------------------- store compaction
+
+  /** The compacted partition's id: strictly below every real batch id,
+    * so `batch_id < beforeBatch` keeps including compacted rows in
+    * every [[fpState]]/[[sigState]] read without special-casing. */
+  val CompactedBatchId: Long = -1L
+
+  private def dropBatchPartitions(spark: SparkSession, path: String,
+                                  upToBatch: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=")) {
+        val b = scala.util.Try(n.stripPrefix("batch_id=").toLong)
+          .getOrElse(Long.MinValue)
+        if (b >= 0 && b < upToBatch) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Merge one store's `batch_id < upToBatch` partitions into the
+    * single [[CompactedBatchId]] partition: distinct over the data
+    * columns (so a rerun after a crash mid-compaction — new partition
+    * written, old ones not yet deleted — collapses the duplicates
+    * instead of compounding them), hash-clustered into `nFiles` files
+    * on `clusterKey` and sorted by `sortKeys` within each, so the
+    * per-shard store join scans large sorted runs with row-group
+    * min/max pruning instead of O(shards) small files. Write first,
+    * delete after: every intermediate state is readable (fp/sig reads
+    * are distinct- or set-semantics; [[keptState]] dedups rows). */
+  private def compactOne(spark: SparkSession, path: String,
+                         schema: StructType, upToBatch: Long, nFiles: Int,
+                         clusterKey: String, sortKeys: Seq[String],
+                         extraFilter: DataFrame => DataFrame): Unit = {
+    val old = extraFilter(readStore(spark, path, schema)
+      .filter(col("batch_id") < upToBatch))
+    val compacted = old.drop("batch_id").distinct()
+      .withColumn("batch_id", lit(CompactedBatchId))
+      .repartition(nFiles, col(clusterKey))
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .localCheckpoint() // pin BEFORE overwriting a partition we read
+    compacted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+    dropBatchPartitions(spark, path, upToBatch)
+  }
+
+  /** [[sigSchema]] plus the provenance column compaction adds: the
+    * row's ORIGINAL batch id survives re-compaction inside the data
+    * file (the partition column is overwritten to [[CompactedBatchId]]),
+    * which is what a retention policy has to filter on. Absent in
+    * pre-compaction files → reads as null → coalesced to batch_id. */
+  private val sigSchemaExt = StructType(
+    sigSchema.fields.toSeq.filterNot(_.name == "batch_id") ++
+      Seq(StructField("src_batch", LongType),
+        StructField("batch_id", LongType)))
+
+  /** Compact the ingestion stores' shard-per-partition layout — the
+    * 100 TB operational requirement the append-only loop creates:
+    * without it the fingerprint/signature trees grow one partition of
+    * small files per shard FOREVER, and every [[fpState]]/[[sigState]]
+    * read lists and scans O(shards) partitions. After
+    * `compactStores(upToBatch = B)` the tree is ONE clustered, sorted
+    * partition (`batch_id=-1`) plus the partitions ≥ B.
+    *
+    * Replay equivalence (the correctness contract): only batches ≥ B
+    * may ever replay (foreachBatch re-runs at most the last
+    * uncommitted batch, so calling this with `upToBatch = currentBatch`
+    * from inside batch `currentBatch` is always safe), and for those
+    * every store read is bit-equal — `batch_id < beforeBatch` selects
+    * {compacted ∪ [B, beforeBatch)} = the same row set as before,
+    * because compaction is a distinct-merge that never crosses the
+    * `upToBatch` boundary. Crash-safety: the compacted partition lands
+    * before the source partitions are deleted, and every read of these
+    * stores is set-semantics (fp/sig joins deduplicate; [[keptState]]
+    * drops duplicate rows), so a crash between the two steps degrades
+    * to duplicates a rerun collapses — never to loss.
+    *
+    * `sigRetentionBatches` is the documented re-admission policy knob:
+    * when set, signature rows (survivors AND tombstones) whose source
+    * batch is older than `upToBatch - n` are dropped at compaction, so
+    * a near-copy of a document last seen more than n shards ago is
+    * re-admitted. Fingerprints are always retained — the exact-dedup
+    * store costs 16 bytes per seen doc and must stay global. */
+  def compactStores(spark: SparkSession, storePath: String, keptPath: String,
+                    sigPath: Option[String], upToBatch: Long,
+                    nFiles: Int = 32,
+                    sigRetentionBatches: Option[Long] = None): Unit = {
+    compactOne(spark, storePath, fpSchema, upToBatch, nFiles,
+      "fingerprint", Seq("fingerprint"), identity)
+    compactOne(spark, keptPath, keptSchema, upToBatch, nFiles,
+      "doc_id", Seq("doc_id"), identity)
+    sigPath.foreach { sp =>
+      compactOne(spark, sp, sigSchemaExt, upToBatch, nFiles,
+        "bkey", Seq("band", "bkey"),
+        df => {
+          val withSrc = df.withColumn("src_batch",
+            coalesce(col("src_batch"), col("batch_id")))
+          sigRetentionBatches.fold(withSrc)(n =>
+            withSrc.filter(col("src_batch") >= upToBatch - n))
+        })
+    }
+  }
 
   /** The cross-shard near-dup DETECTION query the ingestion loop
     * deliberately defers (emitted survivors are immutable): banded

@@ -204,6 +204,91 @@ class CurateStreamSpec extends AnyFunSuite {
       "near-copy of a TOMBSTONED doc must drop")
   }
 
+  test("compact-mid-stream: compacted ingestion output is byte-identical to the uncompacted run") {
+    val base = enDoc("")
+    val a = base + "zzz qqq 11111 22222 33333"
+    val b = base + "zzz qqq 11111 22222 99999" // ≈ a → strict drop
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    val shards = Seq(
+      Seq(mk(10L, a), mk(20L, bodyB)),
+      Seq(mk(170L, b), mk(180L, bodyC)),   // near-copy + fresh
+      Seq(mk(320L, bodyB), mk(330L, bodyD)), // exact copy of 20 + fresh
+      Seq(mk(470L, bodyA)))
+    def run(compactEvery: Option[Long]): (String, Set[Long], Set[String], Set[Long]) = {
+      val dir = java.nio.file.Files.createTempDirectory("curatecompact").toString
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[DocEv]
+      val q = CurateIngest.startStrict(ms.toDF(), s"$dir/fps", s"$dir/sigs",
+        s"$dir/kept", s"$dir/chk", compactEvery = compactEvery)
+      try {
+        shards.foreach { s => ms.addData(s: _*); q.processAllAvailable() }
+        assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      } finally q.stop()
+      (dir,
+        keptSet(CurateIngest.keptState(spark, s"$dir/kept")),
+        CurateIngest.fpState(spark, s"$dir/fps", Long.MaxValue)
+          .as[String].collect().toSet,
+        CurateIngest.sigState(spark, s"$dir/sigs", Long.MaxValue)
+          .select("doc_id").as[Long].collect().toSet)
+    }
+    val (dirC, keptC, fpsC, sigsC) = run(compactEvery = Some(1L))
+    val (_, keptU, fpsU, sigsU) = run(compactEvery = None)
+    assert(keptC == keptU, s"kept diverged: $keptC vs $keptU")
+    assert(fpsC == fpsU, "fingerprint store diverged under compaction")
+    assert(sigsC == sigsU, "signature store diverged under compaction")
+    // the layout actually compacted: everything below the last batch
+    // lives in the single batch_id=-1 partition
+    val fs = new org.apache.hadoop.fs.Path(s"$dirC/fps")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dirC/fps"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts == Set("batch_id=-1", s"batch_id=${shards.size - 1}"),
+      s"store tree not compacted: $parts")
+    // a crash-replayed LAST batch (the only replayable one) is still a
+    // no-op against the compacted stores
+    implicit val ctx = spark.sqlContext
+    CurateIngest.writeShardStrict(shards.last.toDF(), shards.size - 1L,
+      s"$dirC/fps", s"$dirC/sigs", s"$dirC/kept")
+    assert(keptSet(CurateIngest.keptState(spark, s"$dirC/kept")) == keptC,
+      "replay after compaction changed the survivors")
+    // compaction is idempotent: re-running it (the crash-recovery
+    // instruction) changes nothing
+    CurateIngest.compactStores(spark, s"$dirC/fps", s"$dirC/kept",
+      Some(s"$dirC/sigs"), upToBatch = shards.size - 1L)
+    assert(keptSet(CurateIngest.keptState(spark, s"$dirC/kept")) == keptC)
+    assert(CurateIngest.fpState(spark, s"$dirC/fps", Long.MaxValue)
+      .as[String].collect().toSet == fpsC)
+  }
+
+  test("signature retention: a near-copy of a doc older than the window is re-admitted") {
+    val base = enDoc("")
+    val a = base + "zzz qqq 11111 22222 33333"
+    val b = base + "zzz qqq 11111 22222 99999" // ≈ a
+    val dir = java.nio.file.Files.createTempDirectory("curateretain").toString
+    implicit val ctx = spark.sqlContext
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    // batches 0-2: a arrives, then two unrelated shards
+    Seq(Seq(mk(10L, a)), Seq(mk(170L, bodyB)), Seq(mk(320L, bodyC)))
+      .zipWithIndex.foreach { case (s, i) =>
+        CurateIngest.writeShardStrict(s.toDF(), i.toLong,
+          s"$dir/fps", s"$dir/sigs", s"$dir/kept")
+      }
+    // compact at batch 3 with a 2-batch signature window: a's signature
+    // rows (src_batch 0 < 3 - 2) age out; fingerprints never do
+    CurateIngest.compactStores(spark, s"$dir/fps", s"$dir/kept",
+      Some(s"$dir/sigs"), upToBatch = 3L, sigRetentionBatches = Some(2L))
+    assert(CurateIngest.sigState(spark, s"$dir/sigs", Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet == Set(170L, 320L),
+      "aged signature rows must drop at compaction")
+    // the near-copy of the aged-out doc is re-admitted (documented
+    // policy); an EXACT copy still drops (fingerprints are forever)
+    CurateIngest.writeShardStrict(Seq(mk(470L, b), mk(480L, a)).toDF(), 3L,
+      s"$dir/fps", s"$dir/sigs", s"$dir/kept")
+    val kept = keptSet(CurateIngest.keptState(spark, s"$dir/kept"))
+    assert(kept == Set(10L, 170L, 320L, 470L),
+      s"retention semantics broken: $kept")
+  }
+
   test("deferred cross-shard near-dups are visible to the detection query") {
     val base = enDoc("")
     val a = docs((10L, base + "zzz qqq 12345"))
