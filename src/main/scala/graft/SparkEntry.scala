@@ -140,6 +140,8 @@ object SparkEntry {
       graft.ann.Pq.ivfPqKnn(Tables.embeddings(s, dir))),
     "q_ivfpq_res" -> ((s, dir) => // PQ over residuals v - centroid (FAISS IVFPQ)
       graft.ann.Pq.ivfPqResKnn(Tables.embeddings(s, dir))),
+    "q_ivfpq_refine" -> ((s, dir) => // residual shortlist x refine re-rank recall
+      graft.ann.Pq.ivfPqResRefineRecall(Tables.embeddings(s, dir))),
     "q_pq_curve" -> ((s, dir) => // recall vs codebook budget (k x iters grid)
       graft.ann.Pq.pqRecallCurve(Tables.embeddings(s, dir))),
     "q_opq_perm" -> ((s, dir) => // OPQ energy-balanced subspace allocation
@@ -743,6 +745,7 @@ object SparkEntry {
       "q_pq_adc" -> graft.ann.Pq.pqKnnAdcSql(),
       "q_ivfpq_knn" -> graft.ann.Pq.ivfPqKnnSql(),
       "q_ivfpq_res" -> graft.ann.Pq.ivfPqResKnnSql(),
+      "q_ivfpq_refine" -> graft.ann.Pq.ivfPqResRefineRecallSql(),
       "q_pq_curve" -> graft.ann.Pq.pqRecallCurveSql(),
       "q_opq_perm" -> graft.ann.Opq.allocationSql(),
       "q_opq_recall" -> graft.ann.Opq.opqRecallSql(),

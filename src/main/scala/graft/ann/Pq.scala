@@ -579,7 +579,20 @@ object Pq {
   def ivfPqResKnn(embs: DataFrame, queryMaxId: Long = 10, topK: Int = 5,
                   kCells: Int = 16, nprobe: Int = 4,
                   m: Int = defaultM, k: Int = 16, iters: Int = 2,
-                  refine: Int = 8): DataFrame = {
+                  refine: Int = 8): DataFrame =
+    exactRerank(embs,
+      ivfPqResRanked(embs, queryMaxId, kCells, nprobe, m, k, iters)
+        .filter(col("arank") <= topK * refine)
+        .select(col("query_id"), col("vec_id")),
+      queryMaxId, topK)
+
+  /** [[ivfPqResKnn]]'s ADC-ranked shortlist, before any refine cutoff:
+    * (query_id, vec_id, arank) for every probed-cell candidate — split
+    * out so [[ivfPqResRefineRecall]] can grade several refine budgets
+    * against ONE residual training + encode. */
+  private[ann] def ivfPqResRanked(embs: DataFrame, queryMaxId: Long,
+                                  kCells: Int, nprobe: Int,
+                                  m: Int, k: Int, iters: Int): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val cents = IvfKnn.centroids(embs, kCells)
@@ -627,14 +640,93 @@ object Pq {
       .select(col("query_id"), col("cell"), col("vec_id"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("adist2"), col("vec_id"))
-    val short = cand.join(codes, "vec_id")
+    cand.join(codes, "vec_id")
       .join(broadcast(dt), Seq("query_id", "cell", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("adist2"))
       .withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= topK * refine)
-      .select(col("query_id"), col("vec_id"))
-    exactRerank(embs, short, queryMaxId, topK)
+      .select(col("query_id"), col("vec_id"), col("arank"))
+  }
+
+  /** The refine/residual COMPOSITION gate (r8 measured the two halves
+    * separately: refine×4 clears plain PQ's k256 ceiling, residual
+    * codes beat plain under L2) — recall@topK of the residual IVF-PQ
+    * shortlist re-ranked at refine budgets 1 and `refine`, against the
+    * exact brute baseline. refine=1 IS "residual-only at equal topK
+    * cost": the exact re-rank over exactly topK candidates can reorder
+    * but not change membership, so its recall is the raw ADC
+    * shortlist's. Monotonicity is structural — the refine·topK
+    * shortlist is a superset, and any vector displacing a brute-top-K
+    * member from the re-ranked top K precedes it in the global
+    * (rounded cosine, vec_id) order, hence is itself a brute-top-K
+    * member — but the MARGIN is the measured quantity: how much of the
+    * ADC shortlist's rank error the wider exact re-rank recovers.
+    * Output: (cfg, n_hits, n_possible, recall), exhaustive anchor
+    * included.
+    *
+    * Scale shape: ONE residual training + encode + banded shortlist
+    * (the expensive legs) shared by both budgets; the extra cost of
+    * the composed row is refine·topK raw-vector rows per query —
+    * [[exactRerank]]'s contract. */
+  def ivfPqResRefineRecall(embs: DataFrame, queryMaxId: Long = 50,
+                           topK: Int = 5, kCells: Int = 16, nprobe: Int = 4,
+                           m: Int = defaultM, k: Int = 16, iters: Int = 2,
+                           refine: Int = 4): DataFrame = {
+    val brute = Similarity.knnBrute(embs, queryMaxId, topK)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val possible = brute.agg(count(lit(1)).as("n_possible"))
+    val ranked = ivfPqResRanked(embs, queryMaxId, kCells, nprobe, m, k,
+      iters).localCheckpoint() // consumed once per refine budget
+    val cells = Seq(1, refine).map { r =>
+      s"ivfpq_res_r$r" -> exactRerank(embs,
+        ranked.filter(col("arank") <= topK * r)
+          .select(col("query_id"), col("vec_id")),
+        queryMaxId, topK)
+    }
+    val rows = cells.map { case (label, df) =>
+      df.select(col("query_id"), col("vec_id"))
+        .join(broadcast(brute), Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(label).as("cfg"), col("n_hits"))
+    } :+ brute.agg(count(lit(1)).as("n_hits"))
+      .select(lit("exhaustive").as("cfg"), col("n_hits"))
+    rows.reduce(_ unionAll _)
+      .crossJoin(broadcast(possible))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_possible"), 4))
+  }
+
+  /** DuckDB twin of [[ivfPqResRefineRecall]]: one self-contained
+    * [[ivfPqResKnnSql]] block per refine budget (nested WITH in a
+    * subquery, the [[graft.streaming.CurateIngest.crossShardNearDupsSql]]
+    * pattern), hits counted against the shared brute CTE. */
+  def ivfPqResRefineRecallSql(queryMaxId: Long = 50, topK: Int = 5,
+                              kCells: Int = 16, nprobe: Int = 4,
+                              m: Int = defaultM, k: Int = 16,
+                              iters: Int = 2, refine: Int = 4): String = {
+    val cells = Seq(1, refine).map { r =>
+      s"ivfpq_res_r$r" -> ivfPqResKnnSql(queryMaxId, topK, kCells, nprobe,
+        m, k, iters, refine = r)
+    }
+    val cfgCtes = cells.map { case (label, body) =>
+      s"cfg_$label AS (SELECT * FROM (\n$body\n))"
+    }.mkString(",\n")
+    val hitRows = (cells.map { case (label, _) =>
+      s"""SELECT '$label' AS cfg, count(*) AS n_hits FROM cfg_$label a
+         |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id"""
+        .stripMargin
+    } :+ "SELECT 'exhaustive' AS cfg, count(*) AS n_hits FROM brute")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH brute AS (
+       |${Similarity.knnBruteSql(queryMaxId, topK)}
+       |),
+       |$cfgCtes,
+       |hits AS (
+       |  $hitRows),
+       |poss AS (SELECT count(*) AS n_possible FROM brute)
+       |SELECT cfg, n_hits, n_possible,
+       |       round(CAST(n_hits AS DOUBLE) / n_possible, 4) AS recall
+       |FROM hits CROSS JOIN poss""".stripMargin
   }
 
   /** The recall-vs-codebook tuning grid for [[pqRecallCurve]]: the

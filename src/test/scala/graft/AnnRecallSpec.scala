@@ -117,6 +117,27 @@ class AnnRecallSpec extends AnyFunSuite {
       s"residual encoding ($res hits) should beat plain IVF-PQ ($plain) at 250 pairs")
   }
 
+  test("composed refine re-rank over the residual shortlist >= residual-only at equal topK cost") {
+    // the r8 halves composed: residual codes pick the shortlist, a
+    // refine*topK exact re-rank picks the answer. refine=1 is the
+    // equal-cost baseline (re-rank over exactly topK rows cannot
+    // change membership). Deterministic pipeline -> exact comparison.
+    val rows = graft.ann.Pq
+      .ivfPqResRefineRecall(Tables.embeddings(spark, sf))
+      .collect()
+      .map(r => r.getAs[String]("cfg") -> r.getAs[Double]("recall"))
+      .toMap
+    info(s"refine composition recall: $rows")
+    assert(rows("exhaustive") == 1.0, "anchor must be exact")
+    assert(rows("ivfpq_res_r4") >= rows("ivfpq_res_r1"),
+      s"composed refine must not lose to residual-only: $rows")
+    // and the composition actually buys something on this corpus —
+    // pin the measured margin so a silent plan change that collapses
+    // the two budgets into one fails loudly
+    assert(rows("ivfpq_res_r4") > rows("ivfpq_res_r1"),
+      s"refine window recovered nothing: $rows")
+  }
+
   test("pq curve: codebook budget is the recall lever, best cell >= 2x the old floor") {
     val curve = graft.ann.Pq.pqRecallCurve(Tables.embeddings(spark, sf))
       .collect()
