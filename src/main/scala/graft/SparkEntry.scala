@@ -513,6 +513,8 @@ object SparkEntry {
     // --- duplicate clusters: connected components over LSH candidates ---
     "q_dup_clusters" -> ((s, dir) =>
       graft.dedup.Clusters.dupClusters(Tables.documents(s, dir))),
+    "q_incr_clusters" -> ((s, dir) => // edge-delta CC refresh == batch CC
+      graft.dedup.Clusters.incrClusters(Tables.documents(s, dir))),
     // --- data-quality profile (single-pass, unpivoted) ---
     "q_profile" -> ((s, dir) =>
       Profiler.profileEvents(Tables.events(s, dir))),
@@ -719,6 +721,7 @@ object SparkEntry {
       "q_users_view_only" -> SetOps.viewersWhoNeverPurchasedSql,
       "q_users_view_buy" -> SetOps.viewersWhoAlsoPurchasedSql,
       "q_dup_clusters" -> graft.dedup.Clusters.dupClustersSql(),
+      "q_incr_clusters" -> graft.dedup.Clusters.incrClustersSql(),
       "q_profile" -> Profiler.profileEventsSql,
       "q_idle_customers" -> Relational.idleCustomersSql(),
       "q_entity_match" -> Linkage.bestFuzzyMatchSql(),

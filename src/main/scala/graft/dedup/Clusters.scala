@@ -303,6 +303,92 @@ object Clusters {
     * `pairWhere` optionally restricts the edge set (e.g. a same-shard
     * predicate for the incremental-curation twin, where near-dup runs
     * within each arriving shard only). */
+  /** Incremental connected-components refresh: fold a DELTA edge set
+    * into an existing (doc_id, cluster_id) labeling without touching
+    * the edges that produced it — the close-the-loop operator for the
+    * ingestion pipeline's deferred cross-shard pairs
+    * ([[graft.streaming.CurateIngest.crossShardNearDups]]): an
+    * operator can materialize the would-have-merged clusters without
+    * re-curating anything.
+    *
+    * Algorithm (the contraction identity CC refreshes rest on): each
+    * delta endpoint projects to its current root (unseen nodes are
+    * their own roots); CC runs on that CONTRACTED root graph — O(delta)
+    * edges, never O(accumulated) — and the resulting old-root → new-root
+    * map rewrites the label table with one join. Exactness: contracting
+    * a component to its representative preserves connectivity, and
+    * because every existing cluster_id is its component's minimum doc
+    * and new nodes enter as their own roots, the min over merged ROOTS
+    * is the min over merged MEMBERS — so refreshed labels are
+    * identical to batch CC over (old edges ∪ delta), spec- and
+    * oracle-pinned. Idempotent under replay: re-applying a delta
+    * projects both endpoints to the same root and the root graph goes
+    * empty.
+    *
+    * Scale shape: the CC loop (the iterative part) runs on the
+    * delta-contracted graph; the only full-table work is one
+    * label-store join against the delta-bounded remap, which the
+    * optimizer broadcasts when small. */
+  def refreshClusters(labels: DataFrame, deltaPairs: DataFrame,
+                      smallGraphThreshold: Long = smallGraphEdges): DataFrame = {
+    val lab = labels.select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    val d = deltaPairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val la = lab.select(col("doc_id").as("a_id"), col("cluster_id").as("ra"))
+    val lb = lab.select(col("doc_id").as("b_id"), col("cluster_id").as("rb"))
+    val rootPairs = d
+      .join(la, Seq("a_id"), "left").join(lb, Seq("b_id"), "left")
+      .select(coalesce(col("ra"), col("a_id")).as("a_id"),
+        coalesce(col("rb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val remap = connectedComponents(rootPairs, smallGraphThreshold)
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("new_root"))
+    val newNodes = d.select(col("a_id").as("doc_id"))
+      .unionAll(d.select(col("b_id").as("doc_id"))).distinct()
+      .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    lab.unionByName(newNodes)
+      .join(remap, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+  }
+
+  /** The q_incr_clusters engine side: the corpus's LSH candidate pairs
+    * replayed as the ingestion loop would surface them — a pair
+    * becomes visible in the shard of its LATER document (exactly when
+    * [[graft.streaming.CurateIngest.crossShardNearDups]] can first
+    * report it) — folded shard-by-shard through [[refreshClusters]]
+    * from an empty labeling. Equals batch CC over all pairs (the flat
+    * [[dupClustersSql]] oracle) because each contraction step
+    * preserves connectivity and the min-root invariant. */
+  def incrClusters(docs: DataFrame, shardSize: Long = 150,
+                   maxId: Long = 600, n: Int = 4,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = Dedup.minhashCandidates(
+        docs.filter(col("doc_id") < maxId), n, minEstJaccard)
+      .select(col("a_id"), col("b_id"),
+        expr(s"greatest(a_id, b_id) div $shardSize").as("shard"))
+      .localCheckpoint() // consumed once per shard below
+    val nShards = ((maxId + shardSize - 1) / shardSize).toInt
+    var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    for (i <- 0 until nShards)
+      labels = refreshClusters(labels,
+        pairs.filter(col("shard") === i.toLong)).localCheckpoint()
+    labels
+  }
+
+  /** DuckDB twin of [[incrClusters]]: the incremental replay equals
+    * flat batch CC, so the oracle IS [[dupClustersSql]] over the same
+    * bounded corpus — the equivalence claim is the query. */
+  def incrClustersSql(maxId: Long = 600, n: Int = 4,
+                      minEstJaccard: Double = 0.5): String =
+    s"""WITH documents AS (
+       |  SELECT * FROM main.documents WHERE doc_id < $maxId)
+       |SELECT * FROM (
+       |${dupClustersSql(n, minEstJaccard)}
+       |)""".stripMargin
+
   def dupClustersSql(n: Int = 4, minEstJaccard: Double = 0.5,
                      pairWhere: String = ""): String = {
     val w = if (pairWhere.isEmpty) "" else s"\n  WHERE $pairWhere"
