@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured crossover soak for the engine's size-gated paths — the
+  * round-9 answer to "the scale story rests on gates sf0.1 never
+  * triggers organically". Each family generates inputs that straddle
+  * its gate's default threshold and times BOTH paths at each size, so
+  * the crossover is a measurement, not a design assumption. Results
+  * are recorded in SCALING.md; thresholds get re-tuned when the
+  * measured crossover disagrees with the default.
+  *
+  * Families:
+  *  - `pagerank` — rank-side broadcast vs shuffle join across node
+  *    counts around [[graft.operators.PageRank.DefaultBroadcastMaxNodes]]
+  *  - `cc` — driver union-find vs distributed min-label across edge
+  *    counts around [[graft.dedup.Clusters.smallGraphEdges]]
+  *  - `salt` — salted vs plain exact count-distinct on a one-hot-key
+  *    skewed table ([[graft.operators.Skew.saltedCountDistinct]])
+  *  - `kmeans` — SemDeDup pair-join cost at [[graft.ann.KMeans.autoK]]
+  *    vs a fixed small k on a 10× corpus (the bounded-cluster-size
+  *    claim)
+  *
+  * Usage: runMain graft.ScaleSoak [family ...] (default: all)
+  * Prints one line per measurement: family size path seconds.
+  */
+object ScaleSoak {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** A path legitimately dying at a size (broadcast OOM, driver
+    * collect blowup) is a FINDING, not a soak failure — report and
+    * keep measuring. */
+  private def timed(family: String, size: String, path: String)
+                   (f: => Unit): Unit =
+    try report(family, size, path, time(f))
+    catch { case e: Throwable =>
+      println(s"[soak] $family $size $path FAILED: " +
+        s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+    }
+
+  private def sink(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def report(family: String, size: String, path: String,
+                     sec: Double): Unit =
+    println(f"[soak] $family%-9s $size%-12s $path%-10s $sec%8.2f s")
+
+  /** (c, s, w) pair table with ~n/2 customer and n/2 supplier nodes,
+    * 2n weighted edges, mildly skewed degree (modular arithmetic). */
+  private def pairTable(spark: SparkSession, n: Long): DataFrame =
+    spark.range(2 * n).select(
+      (col("id") % (n / 2)).as("c"),
+      ((col("id") * 31 + 7) % (n / 2)).as("s"),
+      (col("id") % 5 + 1).as("w"))
+      .groupBy("c", "s").agg(sum("w").as("w"))
+      .localCheckpoint()
+
+  def pagerank(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    // untimed warm pass: JIT + codegen for both paths, smallest scale
+    val w = pairTable(spark, 100000L)
+    Seq(Long.MaxValue, 0L).foreach(g => sink(
+      graft.operators.PageRank.rankFromPairs(w, iters = 2,
+        broadcastMaxNodes = g)))
+    w.unpersist()
+    sizes.foreach { n =>
+      val pairs = pairTable(spark, n)
+      timed("pagerank", s"n=$n", "broadcast")(
+        sink(graft.operators.PageRank.rankFromPairs(
+          pairs, iters = 3, broadcastMaxNodes = Long.MaxValue)))
+      timed("pagerank", s"n=$n", "shuffle")(
+        sink(graft.operators.PageRank.rankFromPairs(
+          pairs, iters = 3, broadcastMaxNodes = 0L)))
+      pairs.unpersist()
+    }
+  }
+
+  /** The LSH-candidate regime the CC gate serves: MANY small
+    * near-clique components (duplicate clusters of ~5 docs — star
+    * edges to the group minimum plus one chain edge), never one giant
+    * random component. Diameter ≤ 3, so the distributed loop's round
+    * count matches production; what varies with e is pure volume. */
+  private def edgeTable(spark: SparkSession, e: Long): DataFrame = {
+    val grp = col("id") - (col("id") % 5)
+    spark.range(e).select(
+      grp.as("a_id"),
+      when(col("id") % 5 === 0, col("id") + 1).otherwise(col("id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .localCheckpoint()
+  }
+
+  def cc(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    val w = edgeTable(spark, 100000L)
+    Seq(Long.MaxValue, 0L).foreach(g => sink(
+      graft.dedup.Clusters.connectedComponents(w, smallGraphThreshold = g)))
+    sink(graft.dedup.Clusters.connectedComponentsStar(w))
+    w.unpersist()
+    sizes.foreach { e =>
+      val edges = edgeTable(spark, e)
+      timed("cc", s"e=$e", "unionfind")(
+        sink(graft.dedup.Clusters.connectedComponents(
+          edges, smallGraphThreshold = Long.MaxValue)))
+      timed("cc", s"e=$e", "minlabel")(
+        sink(graft.dedup.Clusters.connectedComponents(
+          edges, smallGraphThreshold = 0L)))
+      timed("cc", s"e=$e", "star")(
+        sink(graft.dedup.Clusters.connectedComponentsStar(edges)))
+      edges.unpersist()
+    }
+  }
+
+  /** One hot (window,type) group holding `hotPct`% of all rows; the
+    * rest spread over 1000 groups. Distinct users ~ rows/3. */
+  private def skewTable(spark: SparkSession, rows: Long,
+                        hotPct: Int): DataFrame =
+    spark.range(rows).select(
+      when(col("id") % 100 < hotPct, lit(0L))
+        .otherwise(col("id") % 1000 + 1).as("window_start_ms"),
+      lit("click").as("event_type"),
+      concat(lit("u"), (col("id") * 2654435761L) % (rows / 3))
+        .as("user_id"))
+      .localCheckpoint()
+
+  def salt(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    val w = skewTable(spark, 500000L, hotPct = 90)
+    sink(w.groupBy("window_start_ms", "event_type")
+      .agg(countDistinct(col("user_id")).as("u")))
+    sink(graft.operators.Skew.saltedCountDistinct(
+      w, Seq("window_start_ms", "event_type"), "user_id"))
+    w.unpersist()
+    sizes.foreach { rows =>
+      val ev = skewTable(spark, rows, hotPct = 90)
+      timed("salt", s"rows=$rows", "plain")(sink(
+        ev.groupBy("window_start_ms", "event_type")
+          .agg(countDistinct(col("user_id")).as("u"))))
+      timed("salt", s"rows=$rows", "salted")(
+        sink(graft.operators.Skew.saltedCountDistinct(
+          ev, Seq("window_start_ms", "event_type"), "user_id")))
+      ev.unpersist()
+    }
+  }
+
+  /** Synthetic embedding corpus: n vectors, 64 dims, deterministic. */
+  private def embTable(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"), lit("x").as("label"),
+      expr("""transform(sequence(0, 63),
+             |  j -> CAST(sin(CAST(id * 64 + j AS DOUBLE)) AS FLOAT))"""
+        .stripMargin).as("embedding"))
+      .localCheckpoint()
+
+  def kmeans(spark: SparkSession, sizes: Seq[Long]): Unit = {
+    val w = embTable(spark, 5000L)
+    sink(graft.ann.KMeans.semanticDedup(w))
+    w.unpersist()
+    sizes.foreach { n =>
+      val embs = embTable(spark, n)
+      val auto = graft.ann.KMeans.autoK(n)
+      timed("kmeans", s"n=$n", s"autoK=$auto")(
+        sink(graft.ann.KMeans.semanticDedup(embs)))
+      val fixedK = math.max(2, auto / 8)
+      timed("kmeans", s"n=$n", s"k=$fixedK")(
+        sink(graft.ann.KMeans.semanticDedup(embs, k = fixedK)))
+      embs.unpersist()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.sessionBuilder(Engine.envCores(32)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fams = if (args.isEmpty) Seq("cc", "salt", "kmeans", "pagerank")
+      else args.toSeq
+    fams.foreach {
+      case "pagerank" =>
+        // straddle DefaultBroadcastMaxNodes = 10M
+        pagerank(spark, Seq(1000000L, 4000000L, 10000000L, 20000000L))
+      case "cc" =>
+        // straddle smallGraphEdges = 2M, finer grid around the
+        // crossover the first soak run located between 0.5M and 2M
+        cc(spark, Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L))
+      case "salt" =>
+        salt(spark, Seq(5000000L, 10000000L, 20000000L))
+      case "kmeans" =>
+        kmeans(spark, Seq(20000L, 50000L))
+      // explicit grid: family:size1,size2,... (crossover bisection)
+      case s if s.startsWith("pagerank:") =>
+        pagerank(spark, s.drop(9).split(",").toSeq.map(_.toLong))
+      case s if s.startsWith("cc:") =>
+        cc(spark, s.drop(3).split(",").toSeq.map(_.toLong))
+      case s if s.startsWith("salt:") =>
+        salt(spark, s.drop(5).split(",").toSeq.map(_.toLong))
+      case s if s.startsWith("kmeans:") =>
+        kmeans(spark, s.drop(7).split(",").toSeq.map(_.toLong))
+      case other => System.err.println(s"[soak] unknown family: $other")
+    }
+    spark.stop()
+  }
+}

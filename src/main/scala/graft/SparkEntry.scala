@@ -90,6 +90,9 @@ object SparkEntry {
         d.filter(col("doc_id") < 250),
         d.filter(col("doc_id") >= 250 && col("doc_id") < 500))
     }),
+    // deferred pairs folded into per-shard clusters via incremental CC
+    "q_deferred_clusters" -> ((s, dir) =>
+      graft.streaming.CurateIngest.deferredClusters(Tables.documents(s, dir))),
     // dup-cluster-aware train/test split (no near-dup leaks the boundary)
     "q_leak_split" -> ((s, dir) =>
       graft.operators.Sampling.leakSafeSplit(Tables.documents(s, dir))),
@@ -682,6 +685,8 @@ object SparkEntry {
       "q_simhash_quality" -> graft.dedup.Dedup.simhashQualitySql(),
       "q_cross_shard_dups" ->
         graft.streaming.CurateIngest.crossShardNearDupsSql(),
+      "q_deferred_clusters" ->
+        graft.streaming.CurateIngest.deferredClustersSql(),
       "q_leak_split" -> graft.operators.Sampling.leakSafeSplitSql(),
       "q_containment" -> graft.dedup.Dedup.containmentSql(),
       "q_shard_drift" ->

@@ -26,12 +26,21 @@ object Clusters {
   /** Edge count below which the graph goes through a driver union-find
     * instead of iterative Spark jobs. LSH candidate graphs are tiny
     * relative to the corpus that produced them (pairs ≈ near-dup
-    * collisions, not documents): 2M edges is 32 MB of longs — the same
-    * order as a broadcast build side — and union-find finishes in
+    * collisions, not documents), and union-find finishes in
     * milliseconds where every distributed label round costs a join +
     * aggregate job. Above the threshold the distributed loop runs;
-    * identical results, spec-asserted on both paths. */
-  val smallGraphEdges: Long = 2000000L
+    * identical results, spec-asserted on both paths.
+    *
+    * Threshold MEASURED, not assumed (ScaleSoak r9, near-clique
+    * candidate graphs, warmed JIT, local[32]): union-find wins at
+    * 500k edges (2.5 vs 2.9 s), loses from 1M up (3.9 vs 2.1 s at 1M)
+    * and degrades superlinearly once the collect's row boxing starts
+    * GC-thrashing the driver (34 s at 4M, 80 s at 8M vs the loop's
+    * flat 5-10 s) — so the gate sits at the measured 1M crossover,
+    * revised down from the 2M design guess. On a real cluster the
+    * collect also crosses the network, moving the crossover LOWER,
+    * never higher; full table in SCALING.md. */
+  val smallGraphEdges: Long = 1000000L
 
   /** Driver union-find (path halving + union-by-min): one collect of
     * the edge list, min-root labels, one parallelize back. */

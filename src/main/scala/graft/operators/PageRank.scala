@@ -105,11 +105,21 @@ object PageRank {
     ranks
   }
 
-  /** Node-count gate for the rank broadcast: ~10⁷ nodes ≈ low hundreds
-    * of MBs serialized (node string + long), the edge of what a per-
-    * iteration broadcast should carry. Overridable per call so specs
-    * can force the shuffle path on small data. */
-  val DefaultBroadcastMaxNodes: Long = 10000000L
+  /** Node-count gate for the rank broadcast, MEASURED down from the
+    * 10⁷ design guess (ScaleSoak r9, warmed JIT, 3 iterations,
+    * local[32]): because [[buildGraph]] pre-partitions the edge table
+    * on `src`, the "shuffle" join only exchanges the rank table — so
+    * the broadcast path never actually wins on the measured host
+    * (1.52 vs 1.77 s at 3·10⁴ nodes, 4.7 vs 6.6 s at 10⁶) and loses
+    * 2-4.5× past 4·10⁶ (12.5 vs 25.6 s at 4M; 12.2 vs 54.9 at 10M;
+    * 23.9 vs 62.4 at 20M) where per-iteration hashmap construction +
+    * GC dominate. The gate keeps broadcast only where its cost is
+    * provably negligible (≤10% at ≤3·10⁵) and a real cluster's
+    * per-iteration exchange latency argues for it; above 10⁶ the
+    * measured penalty is substrate-independent arithmetic (N-row
+    * hashmap built ≥ iters times). Full table in SCALING.md.
+    * Overridable per call so specs can force either path. */
+  val DefaultBroadcastMaxNodes: Long = 1000000L
 
   /** (node, pr) after `iters` damped iterations; node is namespaced
     * ("c:<custkey>" / "s:<suppkey>"), pr is in units of 1/`scale`. */

@@ -459,6 +459,51 @@ object CurateIngest {
           .join(aIds.select(col("doc_id").as("b_id")), "b_id"))
   }
 
+  /** The deferred-merge loop CLOSED: would-have-merged clusters across
+    * two curated shards, materialized by folding the deferred
+    * cross-shard pairs ([[crossShardNearDups]]) into the per-shard
+    * cluster labelings through the incremental CC refresh
+    * ([[graft.dedup.Clusters.refreshClusters]]) — no re-curation, no
+    * batch CC over the accumulated pair history. Exact: per-shard
+    * candidates ∪ cross-shard candidates IS the global candidate set
+    * (signatures and banding are pair-local), and the contraction
+    * identity makes the refresh equal batch CC over that union — so
+    * the oracle is flat [[graft.dedup.Clusters.dupClustersSql]] over
+    * the bounded corpus.
+    *
+    * Scale shape: at scale the per-shard labelings and cross pairs
+    * come from the persisted stores (per-shard curation output and
+    * the [[sigBands]] signature store); the refresh's CC runs on the
+    * root-contracted DEFERRED pairs only. */
+  def deferredClusters(docs: DataFrame, splitId: Long = 250,
+                       maxId: Long = 500,
+                       minEstJaccard: Double = 0.5): DataFrame = {
+    val bounded = docs.filter(col("doc_id") < maxId)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val a = bounded.filter(col("doc_id") < splitId)
+    val b = bounded.filter(col("doc_id") >= splitId)
+    val intraPairs = graft.dedup.Dedup
+      .minhashCandidates(a, minEstJaccard = minEstJaccard)
+      .unionByName(graft.dedup.Dedup
+        .minhashCandidates(b, minEstJaccard = minEstJaccard))
+      .select(col("a_id"), col("b_id"))
+    graft.dedup.Clusters.refreshClusters(
+      graft.dedup.Clusters.connectedComponents(intraPairs),
+      crossShardNearDups(a, b, minEstJaccard).select(col("a_id"), col("b_id")))
+  }
+
+  /** DuckDB twin of [[deferredClusters]]: the refresh equals flat
+    * batch CC over the bounded corpus, so the oracle is the
+    * [[graft.dedup.Clusters.dupClustersSql]] chain under a shadowing
+    * bounded-documents CTE — the equivalence claim IS the query. */
+  def deferredClustersSql(maxId: Long = 500,
+                          minEstJaccard: Double = 0.5): String =
+    s"""WITH documents AS (
+       |  SELECT * FROM main.documents WHERE doc_id < $maxId)
+       |SELECT * FROM (
+       |${graft.dedup.Clusters.dupClustersSql(4, minEstJaccard)}
+       |)""".stripMargin
+
   // ----------------------------------- strict cross-shard near-dup leg
 
   /** Banded MinHash signature rows for the given docs (doc_id, h0..h15,

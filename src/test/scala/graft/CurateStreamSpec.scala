@@ -289,6 +289,26 @@ class CurateStreamSpec extends AnyFunSuite {
       s"retention semantics broken: $kept")
   }
 
+  test("deferredClusters: deferred pairs fold into per-shard clusters == batch CC") {
+    val base = enDoc("")
+    // shard A: a near-dup pair (10≈20); shard B: a near-copy of A's
+    // cluster (260) plus an unrelated pair (300≈310) — the deferred
+    // bridge 260 must merge into cluster 10 WITHOUT re-clustering A
+    val d = docs(
+      (10L, base + "zzz qqq 11111 22222 33333"),
+      (20L, base + "zzz qqq 11111 22222 99999"),
+      (260L, base + "zzz qqq 11111 88888 99999"),
+      (300L, bodyD + "tail one two three"),
+      (310L, bodyD + "tail one two nine"))
+    val got = CurateIngest.deferredClusters(d)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val batch = graft.dedup.Clusters.dupClusters(d)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == batch, s"deferred fold diverged: $got vs $batch")
+    assert(got(260L) == got(10L) && got(300L) != got(10L),
+      s"bridge must merge, unrelated must not: $got")
+  }
+
   test("deferred cross-shard near-dups are visible to the detection query") {
     val base = enDoc("")
     val a = docs((10L, base + "zzz qqq 12345"))
