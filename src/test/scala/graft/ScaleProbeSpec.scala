@@ -343,6 +343,52 @@ class ScaleProbeSpec extends AnyFunSuite {
       "store append carries every gated fingerprint, dup or not")
   }
 
+  test("organic gate triggers: CC and PageRank cross their retuned 1M thresholds on DEFAULTS",
+      ScaleProbe) {
+    // r9 retuned both gates to the MEASURED 1M crossover (ScaleSoak,
+    // SCALING.md). These runs sit just above, so the DEFAULT call takes
+    // the scale path organically — no forced threshold override — and
+    // must agree bit-for-bit with the forced small path.
+    // CC: 1.2M near-clique edges (the LSH regime) > smallGraphEdges=1M
+    val grp = col("id") - (col("id") % 5)
+    val edges = spark.range(1200000).select(
+      grp.as("a_id"),
+      when(col("id") % 5 === 0, col("id") + 1).otherwise(col("id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id")).localCheckpoint()
+    assert(edges.count() > graft.dedup.Clusters.smallGraphEdges,
+      "probe must sit ABOVE the gate to trigger organically")
+    val t0 = System.nanoTime()
+    val organic = graft.dedup.Clusters.connectedComponents(edges)
+      .localCheckpoint()
+    val tOrganic = (System.nanoTime() - t0) / 1e9
+    val forced = graft.dedup.Clusters.connectedComponents(edges,
+      smallGraphThreshold = Long.MaxValue)
+    assert(organic.join(forced, Seq("doc_id"))
+      .filter(organic("cluster_id") =!= forced("cluster_id")).count() == 0L
+      && organic.count() == forced.count(),
+      "organic distributed CC must equal the driver union-find")
+    info(f"CC 1.2M edges: organic distributed $tOrganic%.2f s")
+    // PageRank: ~1.2M-node pair graph > DefaultBroadcastMaxNodes=1M
+    val pairs = spark.range(2400000).select(
+      (col("id") % 600000).as("c"),
+      ((col("id") * 31 + 7) % 600000).as("s"),
+      (col("id") % 5 + 1).as("w"))
+      .groupBy("c", "s").agg(sum("w").as("w")).localCheckpoint()
+    val t1 = System.nanoTime()
+    val organicPr = graft.operators.PageRank.rankFromPairs(pairs, iters = 2)
+    val planPr = ranPlan(organicPr)
+    val tPr = (System.nanoTime() - t1) / 1e9
+    assertShapes(planPr, "rankFromPairs-organic")
+    assert(!planPr.contains("BroadcastHashJoin"),
+      s"1.2M nodes must organically take the shuffle path:\n${planPr.take(2000)}")
+    val forcedPr = graft.operators.PageRank.rankFromPairs(pairs, iters = 2,
+      broadcastMaxNodes = Long.MaxValue)
+    assert(organicPr.join(forcedPr, Seq("node"))
+      .filter(organicPr("pr") =!= forcedPr("pr")).count() == 0L,
+      "organic shuffle ranks must be bit-equal to the broadcast path")
+    info(f"PageRank 1.2M nodes: organic shuffle $tPr%.2f s")
+  }
+
   test("measurement family at 10×: truth from the shingle join, split from the cluster join, no decay",
       ScaleProbe) {
     // containment over a 10×-bigger exhaustive region: the truth table
