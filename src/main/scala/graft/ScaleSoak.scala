@@ -168,6 +168,45 @@ object ScaleSoak {
     }
   }
 
+  /** Per-shard wall time of STRICT ingestion over a long shard
+    * sequence, with and without store compaction — the measured
+    * substance behind the r9 compaction feature: without it the
+    * fingerprint/signature stores grow one partition of small files
+    * per shard and every fpState/sigState read lists and scans
+    * O(shards) partitions, so per-shard cost should CLIMB; with
+    * `compactEvery` it should stay flat. Reports the mean of the
+    * first and last `window` shards for each mode. */
+  def ingest(spark: SparkSession, nShards: Int, docsPerShard: Int,
+             compactEvery: Option[Long], window: Int = 10): Unit = {
+    import graft.streaming.CurateIngest
+    val tag = compactEvery.fold("raw")(n => s"compact$n")
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"soak_ingest_$tag").toString
+    val times = (0 until nShards).map { i =>
+      val base = i.toLong * docsPerShard
+      val shard = spark.range(base, base + docsPerShard).select(
+        col("id").as("doc_id"),
+        concat(
+          lit("the cat and the dog walked over a bridge and the sun rose " * 4),
+          col("id")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val t = time {
+        CurateIngest.writeShardStrict(shard, i.toLong,
+          s"$dir/fps", s"$dir/sigs", s"$dir/kept")
+        compactEvery.foreach { n =>
+          if (i > 0 && i % n == 0)
+            CurateIngest.compactStores(spark, s"$dir/fps", s"$dir/kept",
+              Some(s"$dir/sigs"), upToBatch = i.toLong)
+        }
+      }
+      t
+    }
+    val head = times.take(window).sum / window
+    val tail = times.takeRight(window).sum / window
+    report("ingest", s"shards=$nShards", s"$tag-first$window", head)
+    report("ingest", s"shards=$nShards", s"$tag-last$window", tail)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.sessionBuilder(Engine.envCores(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -194,6 +233,10 @@ object ScaleSoak {
         salt(spark, s.drop(5).split(",").toSeq.map(_.toLong))
       case s if s.startsWith("kmeans:") =>
         kmeans(spark, s.drop(7).split(",").toSeq.map(_.toLong))
+      case "ingest" =>
+        ingest(spark, nShards = 50, docsPerShard = 200, compactEvery = None)
+        ingest(spark, nShards = 50, docsPerShard = 200,
+          compactEvery = Some(5L))
       case other => System.err.println(s"[soak] unknown family: $other")
     }
     spark.stop()
