@@ -279,6 +279,9 @@ object SparkEntry {
     // DSIR-shaped importance weights (target-domain data selection)
     "q_importance" -> ((s, dir) =>
       graft.text.CorpusStats.importanceWeights(Tables.documents(s, dir))),
+    // model-based quality filter (DCLM/FineWeb-Edu classifier stage)
+    "q_nb_quality" -> ((s, dir) =>
+      graft.text.QualityModel.nbQuality(Tables.documents(s, dir))),
     // temporal-behavior similarity: top-k rhythm-similar users
     "q_ts_similar" -> ((s, dir) =>
       graft.operators.TimeSeries.similarActivity(Tables.events(s, dir))),
@@ -799,6 +802,7 @@ object SparkEntry {
       "q_unigram_ppl" -> graft.text.CorpusStats.unigramSurprisalSql,
       "q_bigram_ppl" -> graft.text.CorpusStats.bigramSurprisalSql,
       "q_importance" -> graft.text.CorpusStats.importanceWeightsSql(),
+      "q_nb_quality" -> graft.text.QualityModel.nbQualitySql(),
       "q_ts_similar" -> graft.operators.TimeSeries.similarActivitySql(),
       "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),
       "q_drift" -> graft.operators.Drift.eventTypeDriftSql,

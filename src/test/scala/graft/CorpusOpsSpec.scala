@@ -159,6 +159,38 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"target-vocabulary docs must outscore off-domain: $got")
   }
 
+  test("nb quality model: learned log-odds separate the classes and are bit-deterministic") {
+    val body = "the cat and the dog walked over a bridge and the sun rose " * 4
+    val d = docs(
+      (1L, body + "river"), (2L, body + "meadow"), (3L, body + "valley"),
+      (10L, "zzz qqq www eee rrr flux"),
+      (11L, "zzz qqq www rrr capacitor flux"),
+      (12L, "qqq www eee capacitor zzz"))
+    val got = graft.text.QualityModel.nbQuality(d)
+      .select("doc_id", "heur_pos", "nb_score_micro", "nb_pos")
+      .as[(Long, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L),
+      "one verdict per input doc")
+    // the heuristic gate labels as constructed (stopword-rich long
+    // prose pos, junk tokens neg)...
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2 == 1) &&
+      Seq(10L, 11L, 12L).forall(got(_)._2 == 0), s"labels: $got")
+    // ...and the learned scorer separates the two vocabularies with a
+    // real margin, agreeing with its own training labels on this
+    // cleanly-separable corpus
+    val posMin = Seq(1L, 2L, 3L).map(got(_)._3).min
+    val negMax = Seq(10L, 11L, 12L).map(got(_)._3).max
+    assert(posMin > 0 && negMax < 0 && posMin > negMax,
+      s"class separation lost: posMin=$posMin negMax=$negMax")
+    assert(Seq(1L, 2L, 3L).forall(got(_)._4 == 1) &&
+      Seq(10L, 11L, 12L).forall(got(_)._4 == 0))
+    // integer micro-nat arithmetic -> bit-identical rerun
+    val rerun = graft.text.QualityModel.nbQuality(d)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, r) => rerun(id) == r._3 },
+      "nb_score must be bit-deterministic")
+  }
+
   test("lang confusion diagonal dominates on marker-bearing docs") {
     val d = Seq(
       (1L, "the cat and the dog", "en"),
