@@ -282,6 +282,9 @@ object SparkEntry {
     // model-based quality filter (DCLM/FineWeb-Edu classifier stage)
     "q_nb_quality" -> ((s, dir) =>
       graft.text.QualityModel.nbQuality(Tables.documents(s, dir))),
+    // tokenizer fertility by language (subword tokens/word, chars/token)
+    "q_fertility" -> ((s, dir) =>
+      graft.text.Bpe.fertility(Tables.documents(s, dir))),
     // temporal-behavior similarity: top-k rhythm-similar users
     "q_ts_similar" -> ((s, dir) =>
       graft.operators.TimeSeries.similarActivity(Tables.events(s, dir))),
@@ -803,6 +806,7 @@ object SparkEntry {
       "q_bigram_ppl" -> graft.text.CorpusStats.bigramSurprisalSql,
       "q_importance" -> graft.text.CorpusStats.importanceWeightsSql(),
       "q_nb_quality" -> graft.text.QualityModel.nbQualitySql(),
+      "q_fertility" -> graft.text.Bpe.fertilitySql(),
       "q_ts_similar" -> graft.operators.TimeSeries.similarActivitySql(),
       "q_rand_proj" -> graft.ann.Projection.randomProjectSql(),
       "q_drift" -> graft.operators.Drift.eventTypeDriftSql,

@@ -63,9 +63,10 @@ object Opq {
     // newpos = sub·(d/m) + block is only a bijection when m divides d;
     // otherwise distinct dims collide on a slot and the permutation
     // silently duplicates some source dims — fail loudly instead
-    val d0 = embs.select(size(col("embedding"))).head.getInt(0)
-    require(d0 % m == 0,
-      s"Opq.allocation: embedding dim $d0 not divisible by m=$m")
+    val d0 = embs.select(size(col("embedding"))).head(1)
+    require(d0.nonEmpty, "Opq.allocation: empty embeddings frame")
+    require(d0.head.getInt(0) % m == 0,
+      s"Opq.allocation: embedding dim ${d0.head.getInt(0)} not divisible by m=$m")
     val g = Pq.globalScale(embs)
     val en = embs
       .select(posexplode(transform(col("embedding"),

@@ -317,6 +317,60 @@ object Bpe {
        |FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility by language — the tokenizer-evaluation read
+    * every multilingual pipeline runs before committing to a vocab
+    * (fertility = subword tokens per word; chars per token is the
+    * compression view): per predicted language, corpus totals and the
+    * two integer-ppm ratios under the given merge list. A vocabulary
+    * trained on one language's text over-fragments the others; this
+    * is the table that shows it per shard/corpus.
+    *
+    * Scale shape: rides [[encode]]'s distinct-word fold (the corpus
+    * tokenizes once, ~10⁸ vocab rows at 100 TB, never 10¹¹ running
+    * words); language-ID and word counts are map-side scalars; one
+    * #langs-row aggregate. All-integer output — hash-exact across
+    * engines. */
+  def fertility(docs: DataFrame,
+                merges: Seq[(String, String)] = sennrichMerges): DataFrame = {
+    val enc = encode(docs, merges)
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), TextAnalysis.langPred.as("lang_pred"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("regexp_count(text, '\\\\S+')").cast("long").as("n_words"))
+      .join(enc, "doc_id")
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        expr("sum(n_chars) * 1000000 div greatest(sum(n_bpe_tokens), 1)")
+          .as("chars_per_token_ppm"),
+        expr("sum(n_bpe_tokens) * 1000000 div greatest(sum(n_words), 1)")
+          .as("tokens_per_word_ppm"))
+  }
+
+  /** DuckDB twin of [[fertility]]: [[encodeSql]] nested as the encode
+    * CTE, the language-ID CASE inline, integer ppm ratios. */
+  def fertilitySql(merges: Seq[(String, String)] = sennrichMerges): String =
+    s"""WITH enc AS (SELECT * FROM (
+       |${encodeSql(merges)}
+       |)),
+       |base AS (
+       |  SELECT doc_id, ${TextAnalysis.langPredSql} AS lang_pred,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
+       |  FROM main.documents)
+       |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(n_chars) * 1000000 //
+       |            greatest(sum(n_bpe_tokens), 1) AS BIGINT) AS chars_per_token_ppm,
+       |       CAST(sum(n_bpe_tokens) * 1000000 //
+       |            greatest(sum(n_words), 1) AS BIGINT) AS tokens_per_word_ppm
+       |FROM base JOIN enc USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   /** DuckDB twin of [[trainRounds]] (batchB = 1): nMerges unrolled
     * rounds, each one = frequency-weighted pair counts over the
     * current symbol state, a deterministic argmax `pick` (count desc,

@@ -109,6 +109,32 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Map(0L -> 6L, 1L -> 6L, 2L -> 0L))
   }
 
+  test("fertility: per-language integer ppm ratios from hand-derived token counts") {
+    // en doc: "low lower" -> 6 bpe tokens (hand-derived above), 9
+    // chars, 2 words; es doc: "el que" -> e,l,</w> (3) + q,u,e,</w>
+    // (4) = 7 bpe tokens, 6 chars, 2 words. langPred: 'the|a|and'
+    // markers vs 'el|la|que' decide en/es.
+    val d = Seq(
+      (0L, "low lower the a and the a and"),
+      (1L, "el que el que el que")).toDF("doc_id", "text")
+    val got = Bpe.fertility(d)
+      .select("lang_pred", "n_docs", "n_chars", "n_words", "n_bpe_tokens",
+        "chars_per_token_ppm", "tokens_per_word_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("en", "es"), s"langs: ${got.keySet}")
+    val en = got("en")
+    // "low lower the a and the a and": words low,lower + 2x(the,a,and)
+    // the->4 syms, a->2, and->4 under no matching merges; 6+2*(4+2+4)=26
+    assert(en._4 == 8L && en._5 == 26L, s"en counts: $en")
+    assert(en._6 == en._3 * 1000000L / en._5 &&
+      en._7 == en._5 * 1000000L / en._4, s"en ppm arithmetic: $en")
+    val es = got("es")
+    // 3x(el -> 3, que -> 4) = 21 tokens over 6 words
+    assert(es._4 == 6L && es._5 == 21L, s"es counts: $es")
+    assert(es._7 == 3500000L, s"es tokens/word ppm: $es")
+  }
+
   test("chunkDocs bpeMerges flag reports BPE-accurate n_tokens, same chunks") {
     val docs = Seq((0L, Seq.fill(6)("newest low").mkString(" ")))
       .toDF("doc_id", "text") // 12 words
