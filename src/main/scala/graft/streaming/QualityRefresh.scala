@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.text.QualityModel
+
+/** Streaming leg of the model-based quality filter: the Naive Bayes
+  * count store refreshed on shard arrival — [[GraphRank]]'s monoid
+  * edge-delta discipline applied to [[QualityModel]]'s sufficient
+  * statistics. Per-token class counts and per-class doc counts are
+  * monoids under +, so summed per-batch deltas equal the batch
+  * statistics over everything seen, and the refreshed model is
+  * BIT-EQUAL to [[QualityModel.nbQuality]]'s trained on the
+  * cumulative corpus (spec-asserted) — the filter retrains as the
+  * corpus ingests, with no raw-text reprocessing.
+  *
+  * Replay discipline: each batch's count deltas land in their own
+  * `batch_id=` partition with overwrite semantics (crash-replay
+  * rewrites exactly its own state); the model read model is derived,
+  * never stored, so it is always consistent with the counts. */
+object QualityRefresh {
+
+  private val countsSchema = StructType(Seq(
+    StructField("token", StringType), StructField("pc", LongType),
+    StructField("nc", LongType), StructField("batch_id", LongType)))
+  private val dstatsSchema = StructType(Seq(
+    StructField("p_docs", LongType), StructField("n_docs", LongType),
+    StructField("batch_id", LongType)))
+
+  private def readStore(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path)
+  }
+
+  /** One micro-batch's sufficient-statistic deltas, each in its own
+    * batch_id partition. */
+  def writeCountsDelta(batch: DataFrame, batchId: Long, countsPath: String,
+                       dstatsPath: String,
+                       minQualityPm: Long = 600): Unit = {
+    val (cls, dstats) = QualityModel.classCounts(batch, minQualityPm)
+    cls.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(countsPath)
+    dstats.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dstatsPath)
+  }
+
+  /** The model over everything seen so far: per-token sums across all
+    * delta partitions (the monoid merge), then the exact
+    * [[QualityModel.modelFromCounts]] arithmetic. Returns the
+    * broadcastable (token, w_u) table and the integer prior. */
+  def modelState(spark: SparkSession, countsPath: String,
+                 dstatsPath: String): (DataFrame, Long) = {
+    val cls = readStore(spark, countsPath, countsSchema)
+      .groupBy(col("token"))
+      .agg(sum(col("pc")).as("pc"), sum(col("nc")).as("nc"))
+    val d = readStore(spark, dstatsPath, dstatsSchema)
+      .agg(coalesce(sum(col("p_docs")), lit(0L)).as("p"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("n")).head()
+    QualityModel.modelFromCounts(cls, d.getLong(0), d.getLong(1))
+  }
+
+  /** The wired pipeline: a document stream maintaining the count
+    * stores; the model itself stays derived (read via [[modelState]],
+    * applied via [[QualityModel.scoreWith]]). */
+  def start(docStream: DataFrame, countsPath: String, dstatsPath: String,
+            checkpoint: String, minQualityPm: Long = 600): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeCountsDelta(batch, batchId, countsPath, dstatsPath, minQualityPm)
+      }
+      .start()
+}

@@ -83,6 +83,69 @@ object QualityModel {
         (col("s_u") + col("prior_u") >= 0).cast("int").as("nb_pos"))
   }
 
+  // --------------------------- factored stages (the streaming surface)
+
+  /** Label + tokenize one document frame into the model's SUFFICIENT
+    * STATISTICS: per-token class counts (token, pc, nc) and per-class
+    * doc counts (p_docs, n_docs). Both are monoids under + — the
+    * property [[graft.streaming.QualityRefresh]] accumulates per-batch
+    * deltas on, with the guarantee that summed deltas equal the batch
+    * statistics exactly (same argument as GraphRank's edge store). */
+  def classCounts(docs: DataFrame, minQualityPm: Long = 600)
+      : (DataFrame, DataFrame) = {
+    val base = graft.Tables.spread(docs)
+      .select(col("doc_id"), col("text"),
+        (TextAnalysis.qualityExpr >= minQualityPm).cast("int").as("pos"))
+      .localCheckpoint()
+    val cls = base
+      .select(col("pos"),
+        explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("pos") === 1, 1L).otherwise(0L)).as("pc"),
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("nc"))
+    val dstats = base.agg(
+      sum(col("pos")).cast("long").as("p_docs"),
+      sum(lit(1) - col("pos")).cast("long").as("n_docs"))
+    (cls, dstats)
+  }
+
+  /** The model from accumulated sufficient statistics: the broadcast
+    * (token, w_u) weight table and the prior, both integer micro-nats
+    * — [[nbQuality]]'s exact arithmetic, factored so a streamed count
+    * store trains the identical model. */
+  def modelFromCounts(cls: DataFrame, pDocs: Long, nDocs: Long)
+      : (DataFrame, Long) = {
+    val tot = cls.agg(sum(col("pc")).as("pt"), sum(col("nc")).as("nt"),
+      count(lit(1)).as("v"))
+    val w = round((
+      log((col("pc") + 1).cast("double") / (col("pt") + col("v")).cast("double")) -
+      log((col("nc") + 1).cast("double") / (col("nt") + col("v")).cast("double"))
+      ) * 1e6, 0).cast("long")
+    val priorU = math.round(math.log((pDocs + 1).toDouble /
+      (nDocs + 1).toDouble) * 1e6)
+    (cls.crossJoin(broadcast(tot)).select(col("token"), w.as("w_u")), priorU)
+  }
+
+  /** Score any document frame with a FROZEN model — the apply side of
+    * the filter (what a curation shard runs against last night's
+    * model): map-side tokenize, broadcast weight join, exact BIGINT
+    * sum. Docs with no in-vocabulary token score the bare prior. */
+  def scoreWith(docs: DataFrame, weights: DataFrame,
+                priorU: Long): DataFrame = {
+    val s = graft.Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
+      .join(broadcast(weights), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w_u"), lit(0L))).as("s_u"))
+    docs.select(col("doc_id")).join(s, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("s_u"), lit(0L)) + priorU).as("nb_score_micro"),
+        (coalesce(col("s_u"), lit(0L)) + priorU >= 0).cast("int").as("nb_pos"))
+  }
+
   /** DuckDB twin of [[nbQuality]] — same CTE chain, same 1e-6 weight
     * grid, same add-one smoothing. */
   def nbQualitySql(minQualityPm: Long = 600): String =

@@ -191,6 +191,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       "nb_score must be bit-deterministic")
   }
 
+  test("streamed NB model (monoid count deltas) is bit-equal to batch training") {
+    val body = "the cat and the dog walked over a bridge and the sun rose " * 4
+    val shard0 = docs((1L, body + "river"), (10L, "zzz qqq www eee flux"))
+    val shard1 = docs((2L, body + "meadow"), (11L, "qqq www capacitor zzz"))
+    val union = shard0.unionByName(shard1)
+    val dir = java.nio.file.Files.createTempDirectory("qualrefresh").toString
+    graft.streaming.QualityRefresh.writeCountsDelta(
+      shard0, 0L, s"$dir/counts", s"$dir/dstats")
+    graft.streaming.QualityRefresh.writeCountsDelta(
+      shard1, 1L, s"$dir/counts", s"$dir/dstats")
+    val (w, prior) = graft.streaming.QualityRefresh.modelState(
+      spark, s"$dir/counts", s"$dir/dstats")
+    val streamed = graft.text.QualityModel.scoreWith(union, w, prior)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+    val batch = graft.text.QualityModel.nbQuality(union)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+    assert(streamed == batch,
+      s"streamed model diverged from batch: $streamed vs $batch")
+    // crash-replay of the last delta is a no-op (partition overwrite)
+    graft.streaming.QualityRefresh.writeCountsDelta(
+      shard1, 1L, s"$dir/counts", s"$dir/dstats")
+    val (w2, prior2) = graft.streaming.QualityRefresh.modelState(
+      spark, s"$dir/counts", s"$dir/dstats")
+    assert(prior2 == prior)
+    assert(graft.text.QualityModel.scoreWith(union, w2, prior2)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+      == batch, "replayed delta changed the model")
+  }
+
   test("lang confusion diagonal dominates on marker-bearing docs") {
     val d = Seq(
       (1L, "the cat and the dog", "en"),
