@@ -178,26 +178,12 @@ object CurateIngest {
     StructField("n_chars", LongType),
     StructField("batch_id", LongType)))
 
-  /** Read a store directory with an EXPLICIT schema: a micro-batch
-    * whose docs all fail the gate writes only _SUCCESS, and schema
-    * inference over a file-less directory throws — which would kill
-    * the stream on the NEXT batch. With the schema pinned, an empty
-    * store reads as an empty frame and the pipeline keeps going.
-    *
-    * Existence is resolved through Hadoop's FileSystem for the store
-    * path's OWN scheme (hdfs://, s3a://, file:), not the driver's
-    * local filesystem — a remote store must be honored as existing,
-    * and a genuinely unreadable one must be an error, never silently
-    * an empty state (which would disable cross-shard dedup). */
+  /** @see [[Stores.readStore]] — the shared empty-store / remote-path
+    * read discipline (a silently-empty read here would disable
+    * cross-shard dedup, the worst failure mode this store has). */
   private def readStore(spark: SparkSession, path: String,
-                        schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(path)
-  }
+                        schema: StructType): DataFrame =
+    Stores.readStore(spark, path, schema)
 
   /** The accumulated fingerprint store as of (strictly before) `batch`:
     * reading only earlier partitions makes a crash-replayed batch see

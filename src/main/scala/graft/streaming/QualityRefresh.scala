@@ -31,14 +31,8 @@ object QualityRefresh {
     StructField("batch_id", LongType)))
 
   private def readStore(spark: SparkSession, path: String,
-                        schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(path)
-  }
+                        schema: StructType): DataFrame =
+    Stores.readStore(spark, path, schema)
 
   /** One micro-batch's sufficient-statistic deltas, each in its own
     * batch_id partition. */
