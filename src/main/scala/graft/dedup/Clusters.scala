@@ -36,11 +36,14 @@ object Clusters {
     * 500k edges (2.5 vs 2.9 s), loses from 1M up (3.9 vs 2.1 s at 1M)
     * and degrades superlinearly once the collect's row boxing starts
     * GC-thrashing the driver (34 s at 4M, 80 s at 8M vs the loop's
-    * flat 5-10 s) — so the gate sits at the measured 1M crossover,
-    * revised down from the 2M design guess. On a real cluster the
-    * collect also crosses the network, moving the crossover LOWER,
-    * never higher; full table in SCALING.md. */
-  val smallGraphEdges: Long = 1000000L
+    * flat 5-10 s). The crossover therefore lies strictly between 500k
+    * and 1M; the gate sits at 500k — the LAST measured size where
+    * union-find won — so the unmeasured half of the band routes to
+    * the path whose cost curve is flat, not the one that degrades.
+    * On a real cluster the collect also crosses the network, moving
+    * the crossover LOWER, never higher; full table in SCALING.md.
+    * Revised down from the 2M design guess. */
+  val smallGraphEdges: Long = 500000L
 
   /** Driver union-find (path halving + union-by-min): one collect of
     * the edge list, min-root labels, one parallelize back. */

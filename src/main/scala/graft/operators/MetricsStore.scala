@@ -120,12 +120,18 @@ class MetricsStore(spark: SparkSession, path: String,
     import graft.functions.ThetaFunctions._
     val dayMs = lit(86400000L)
     // back-compat: sketch stores written before the theta column landed
-    // carry no user_theta — backfill an empty sketch (theta merge's
-    // identity) so old and new partitions compact through one plan
-    val raw0 = spark.read.parquet(sketchPath)
-    val raw = if (raw0.columns.contains("user_theta")) raw0
-      else raw0.withColumn("user_theta",
-        lit(graft.functions.Theta.serialize(graft.functions.Theta.empty())))
+    // carry no user_theta. mergeSchema makes a MIXED store (files from
+    // both eras — the realistic mid-migration state) expose the column
+    // with nulls for the old files' rows; the per-row coalesce then
+    // backfills the empty sketch (theta merge's identity) wherever the
+    // value is missing. An all-old store never surfaces the column at
+    // all, so the column-level backfill still applies. Either way no
+    // real sketch is ever overwritten and merges see no nulls.
+    val empty = lit(graft.functions.Theta.serialize(graft.functions.Theta.empty()))
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(sketchPath)
+    val raw = if (raw0.columns.contains("user_theta"))
+      raw0.withColumn("user_theta", coalesce(col("user_theta"), empty))
+    else raw0.withColumn("user_theta", empty)
     raw
       .groupBy(
         (col("window_start_ms") - pmod(col("window_start_ms"), dayMs))

@@ -113,13 +113,16 @@ object PageRank {
     * (1.52 vs 1.77 s at 3·10⁴ nodes, 4.7 vs 6.6 s at 10⁶) and loses
     * 2-4.5× past 4·10⁶ (12.5 vs 25.6 s at 4M; 12.2 vs 54.9 at 10M;
     * 23.9 vs 62.4 at 20M) where per-iteration hashmap construction +
-    * GC dominate. The gate keeps broadcast only where its cost is
-    * provably negligible (≤10% at ≤3·10⁵) and a real cluster's
-    * per-iteration exchange latency argues for it; above 10⁶ the
-    * measured penalty is substrate-independent arithmetic (N-row
-    * hashmap built ≥ iters times). Full table in SCALING.md.
-    * Overridable per call so specs can force either path. */
-  val DefaultBroadcastMaxNodes: Long = 1000000L
+    * GC dominate. The gate keeps broadcast only where its measured
+    * cost is negligible — ≤10% at ≤3·10⁵ nodes, which is exactly
+    * where the constant sits — because there a real cluster's
+    * per-iteration exchange latency still argues for it; beyond that
+    * band the measured penalty grows to 40% at 10⁶ and 2-4.5× past
+    * 4·10⁶ (N-row hashmap built ≥ iters times — substrate-independent
+    * arithmetic), so the shuffle path takes over. Full table in
+    * SCALING.md. Overridable per call so specs can force either
+    * path. */
+  val DefaultBroadcastMaxNodes: Long = 300000L
 
   /** (node, pr) after `iters` damped iterations; node is namespaced
     * ("c:<custkey>" / "s:<suppkey>"), pr is in units of 1/`scale`. */

@@ -101,17 +101,12 @@ object ClusterRefresh {
     * still serves reads. */
   def compactSnapshots(spark: SparkSession, labelsPath: String,
                        upToBatch: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(labelsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val ids = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption)
-      .filter(_ < upToBatch)
-    if (ids.nonEmpty) {
-      val keep = ids.max
-      ids.filter(_ != keep).foreach(b =>
-        fs.delete(new org.apache.hadoop.fs.Path(p, s"batch_id=$b"), true))
+    val parts = Stores.batchPartitions(spark, labelsPath, upToBatch)
+    if (parts.nonEmpty) {
+      // each snapshot is complete: keep only the latest below the cut
+      val fs = parts.head._2
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      parts.init.foreach { case (_, dir) => fs.delete(dir, true) }
     }
   }
 

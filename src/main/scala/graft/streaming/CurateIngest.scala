@@ -324,18 +324,8 @@ object CurateIngest {
   val CompactedBatchId: Long = -1L
 
   private def dropBatchPartitions(spark: SparkSession, path: String,
-                                  upToBatch: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("batch_id=")) {
-        val b = scala.util.Try(n.stripPrefix("batch_id=").toLong)
-          .getOrElse(Long.MinValue)
-        if (b >= 0 && b < upToBatch) fs.delete(st.getPath, true)
-      }
-    }
-  }
+                                  upToBatch: Long): Unit =
+    Stores.dropBatchPartitions(spark, path, upToBatch)
 
   /** Merge one store's `batch_id < upToBatch` partitions into the
     * single [[CompactedBatchId]] partition: distinct over the data

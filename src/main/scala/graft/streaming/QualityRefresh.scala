@@ -65,15 +65,58 @@ object QualityRefresh {
     QualityModel.modelFromCounts(cls, d.getLong(0), d.getLong(1))
   }
 
+  /** Fold the `batch_id < upToBatch` delta partitions into one
+    * `batch_id=-1` partition — counts are monoids, so the sum-merge is
+    * lossless and [[modelState]] reads the identical totals before and
+    * after (spec-asserted). Same replay contract as
+    * [[CurateIngest.compactStores]]: only batches ≥ upToBatch can
+    * replay, and their reads select the same summed row set; a crash
+    * between write and delete leaves duplicate partitions whose sums
+    * DOUBLE-COUNT — unlike the set-semantics ingest stores — so a
+    * restart must re-run compaction (idempotent: the re-merge reads
+    * whatever is present below the cut and rewrites partition -1)
+    * before the next model read. */
+  def compactCounts(spark: SparkSession, countsPath: String,
+                    dstatsPath: String, upToBatch: Long): Unit = {
+    val cls = readStore(spark, countsPath, countsSchema)
+      .filter(col("batch_id") < upToBatch)
+      .groupBy(col("token"))
+      .agg(sum(col("pc")).as("pc"), sum(col("nc")).as("nc"))
+      .withColumn("batch_id", lit(-1L))
+      .localCheckpoint() // pin BEFORE overwriting a partition we read
+    cls.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(countsPath)
+    Stores.dropBatchPartitions(spark, countsPath, upToBatch)
+    val d = readStore(spark, dstatsPath, dstatsSchema)
+      .filter(col("batch_id") < upToBatch)
+      .agg(coalesce(sum(col("p_docs")), lit(0L)).as("p_docs"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
+      .withColumn("batch_id", lit(-1L))
+      .localCheckpoint()
+    d.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dstatsPath)
+    Stores.dropBatchPartitions(spark, dstatsPath, upToBatch)
+  }
+
   /** The wired pipeline: a document stream maintaining the count
     * stores; the model itself stays derived (read via [[modelState]],
-    * applied via [[QualityModel.scoreWith]]). */
+    * applied via [[QualityModel.scoreWith]]). `compactEvery` bounds
+    * the store tree at n+1 partitions ([[CurateIngest.start]]'s
+    * contract). */
   def start(docStream: DataFrame, countsPath: String, dstatsPath: String,
-            checkpoint: String, minQualityPm: Long = 600): StreamingQuery =
+            checkpoint: String, minQualityPm: Long = 600,
+            compactEvery: Option[Long] = None): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeCountsDelta(batch, batchId, countsPath, dstatsPath, minQualityPm)
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactCounts(batch.sparkSession, countsPath, dstatsPath,
+              upToBatch = batchId)
+        }
       }
       .start()
 }

@@ -28,4 +28,31 @@ private[streaming] object Stores {
         .emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(path)
   }
+
+  /** Batch-id partition directories of `path` with `0 <= id < upToBatch`
+    * (non-numeric or sentinel dirs untouched), oldest first. */
+  def batchPartitions(spark: SparkSession, path: String,
+                      upToBatch: Long): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("batch_id=").toLong)
+          .toOption.map(_ -> st.getPath)
+      }
+      .filter { case (b, _) => b >= 0 && b < upToBatch }
+      .sortBy(_._1)
+  }
+
+  /** Delete every batch-id partition below `upToBatch` — the
+    * post-compaction cleanup step shared by all compacting stores. */
+  def dropBatchPartitions(spark: SparkSession, path: String,
+                          upToBatch: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batchPartitions(spark, path, upToBatch)
+      .foreach { case (_, dir) => fs.delete(dir, true) }
+  }
 }

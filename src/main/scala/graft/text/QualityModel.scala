@@ -72,15 +72,22 @@ object QualityModel {
       ) * 1e6, 0).cast("long")
     val weights = cls.crossJoin(broadcast(tot))
       .select(col("token"), w.as("w_u"))
-    dtf.join(broadcast(weights), "token")
-      .groupBy(col("doc_id"), col("pos"))
+    val scored = dtf.join(broadcast(weights), "token")
+      .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * col("w_u")).as("s_u"))
+    // one row FOR EVERY doc: a whitespace-only document produces zero
+    // token rows and would otherwise silently vanish from the verdict
+    // table — it scores the bare prior, like scoreWith's OOV case
+    base.select(col("doc_id"), col("pos"))
+      .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("pos").as("heur_pos"),
-        (col("s_u") + col("prior_u")).as("nb_score_micro"),
-        (col("s_u") + col("prior_u") >= 0).cast("int").as("nb_pos"))
+        (coalesce(col("s_u"), lit(0L)) + col("prior_u")).as("nb_score_micro"),
+        (coalesce(col("s_u"), lit(0L)) + col("prior_u") >= 0)
+          .cast("int").as("nb_pos"))
   }
 
   // --------------------------- factored stages (the streaming surface)
@@ -179,11 +186,14 @@ object QualityModel {
        |         CAST(round((ln(CAST(pc + 1 AS DOUBLE) / CAST(pt + v AS DOUBLE)) -
        |                     ln(CAST(nc + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)))
        |                    * 1e6, 0) AS BIGINT) AS w_u
-       |  FROM cls CROSS JOIN tot)
-       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-       |       pos AS heur_pos,
-       |       CAST(sum(c * w_u) + prior_u AS BIGINT) AS nb_score_micro,
-       |       CAST(sum(c * w_u) + prior_u >= 0 AS INT) AS nb_pos
-       |FROM dtfc JOIN wts USING (token) CROSS JOIN prior
-       |GROUP BY doc_id, pos, prior_u""".stripMargin
+       |  FROM cls CROSS JOIN tot),
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(sum(c * w_u) AS BIGINT) AS s_u
+       |  FROM dtfc JOIN wts USING (token) GROUP BY 1)
+       |SELECT l.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+       |       l.pos AS heur_pos,
+       |       CAST(coalesce(s.s_u, 0) + prior_u AS BIGINT) AS nb_score_micro,
+       |       CAST(coalesce(s.s_u, 0) + prior_u >= 0 AS INT) AS nb_pos
+       |FROM labeled l LEFT JOIN scored s USING (doc_id) CROSS JOIN prior""".stripMargin
 }

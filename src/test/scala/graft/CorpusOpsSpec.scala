@@ -165,12 +165,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, body + "river"), (2L, body + "meadow"), (3L, body + "valley"),
       (10L, "zzz qqq www eee rrr flux"),
       (11L, "zzz qqq www rrr capacitor flux"),
-      (12L, "qqq www eee capacitor zzz"))
+      (12L, "qqq www eee capacitor zzz"),
+      (13L, "   ")) // token-less doc must still get a verdict row
     val got = graft.text.QualityModel.nbQuality(d)
       .select("doc_id", "heur_pos", "nb_score_micro", "nb_pos")
       .as[(Long, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
-    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L),
-      "one verdict per input doc")
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L, 13L),
+      "one verdict per input doc, including whitespace-only")
+    // the empty doc scores the bare prior (comparable to scoreWith's
+    // out-of-vocabulary case), never silently vanishes; its heuristic
+    // label is neg (length 0 + punct 300 + stopword 0 = 300 < 600)
+    assert(got(13L)._2 == 0, s"empty-doc heuristic label: ${got(13L)}")
     // the heuristic gate labels as constructed (stopword-rich long
     // prose pos, junk tokens neg)...
     assert(Seq(1L, 2L, 3L).forall(got(_)._2 == 1) &&
@@ -218,6 +223,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(graft.text.QualityModel.scoreWith(union, w2, prior2)
       .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
       == batch, "replayed delta changed the model")
+    // count compaction is a lossless monoid fold: the model trained
+    // from the compacted store is bit-equal, and re-running the
+    // compaction (the crash-recovery instruction) changes nothing
+    graft.streaming.QualityRefresh.compactCounts(
+      spark, s"$dir/counts", s"$dir/dstats", upToBatch = 2L)
+    graft.streaming.QualityRefresh.compactCounts(
+      spark, s"$dir/counts", s"$dir/dstats", upToBatch = 2L)
+    val (w3, prior3) = graft.streaming.QualityRefresh.modelState(
+      spark, s"$dir/counts", s"$dir/dstats")
+    assert(prior3 == prior)
+    assert(graft.text.QualityModel.scoreWith(union, w3, prior3)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+      == batch, "compaction changed the model")
   }
 
   test("lang confusion diagonal dominates on marker-bearing docs") {

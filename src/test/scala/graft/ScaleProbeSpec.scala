@@ -61,7 +61,7 @@ class ScaleProbeSpec extends AnyFunSuite {
       .localCheckpoint()
     val nCand = cand.count()
     // 5,000 planted pairs; the candidate table must stay pair-shaped
-    // (≪ corpus², and far inside the 2M-edge driver union-find gate)
+    // (≪ corpus², and far inside the 500k-edge driver union-find gate)
     assert(nCand >= 4000L && nCand < 200000L, s"candidate volume $nCand")
     assertShapes(ranPlan(cand), "minhashCandidates")
   }
@@ -343,10 +343,11 @@ class ScaleProbeSpec extends AnyFunSuite {
       "store append carries every gated fingerprint, dup or not")
   }
 
-  test("organic gate triggers: CC and PageRank cross their retuned 1M thresholds on DEFAULTS",
+  test("organic gate triggers: CC and PageRank cross their retuned thresholds on DEFAULTS",
       ScaleProbe) {
-    // r9 retuned both gates to the MEASURED 1M crossover (ScaleSoak,
-    // SCALING.md). These runs sit just above, so the DEFAULT call takes
+    // r9 retuned both gates to their MEASURED bands (500k edges / 3e5
+    // nodes — ScaleSoak, SCALING.md). These runs sit above, so the
+    // DEFAULT call takes
     // the scale path organically — no forced threshold override — and
     // must agree bit-for-bit with the forced small path.
     // CC: 1.2M near-clique edges (the LSH regime) > smallGraphEdges=1M
