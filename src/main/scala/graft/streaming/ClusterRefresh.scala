@@ -61,6 +61,15 @@ object ClusterRefresh {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(pairsPath)
 
+  /** The accumulated pair-delta trail through the pinned schema — the
+    * schema-safe read path for the audit/rebuild uses the deltas
+    * advertise: replaying `Clusters.connectedComponents` over
+    * `pairState(...).drop("batch_id")` rebuilds the latest label
+    * snapshot from scratch (ClusterRefreshSpec pins the equality).
+    * Same empty-store discipline as every other store reader. */
+  def pairState(spark: SparkSession, pairsPath: String): DataFrame =
+    readStore(spark, pairsPath, pairSchema)
+
   /** The label snapshot as of strictly before `batch`: the single
     * latest snapshot partition below it (one metadata max + one
     * partition-pruned read, not a scan over history). */

@@ -23,16 +23,38 @@ import graft.text.QualityModel
   * never stored, so it is always consistent with the counts. */
 object QualityRefresh {
 
+  /** `folded_hi` is the compaction provenance column: null in delta
+    * partitions, and in the compacted `batch_id=-1` partition the
+    * EXCLUSIVE upper bound of the batch ids folded into it. Sum
+    * semantics cannot absorb duplicate partitions the way the ingest
+    * stores' distinct-semantics reads do, so every reader derives the
+    * compacted-through watermark from it and self-excludes delta
+    * partitions below the watermark — a crash between the fold write
+    * and the source-partition delete leaves already-folded deltas on
+    * disk, and they must never be summed a second time. */
   private val countsSchema = StructType(Seq(
     StructField("token", StringType), StructField("pc", LongType),
-    StructField("nc", LongType), StructField("batch_id", LongType)))
+    StructField("nc", LongType), StructField("folded_hi", LongType),
+    StructField("batch_id", LongType)))
   private val dstatsSchema = StructType(Seq(
     StructField("p_docs", LongType), StructField("n_docs", LongType),
-    StructField("batch_id", LongType)))
+    StructField("folded_hi", LongType), StructField("batch_id", LongType)))
 
-  private def readStore(spark: SparkSession, path: String,
-                        schema: StructType): DataFrame =
-    Stores.readStore(spark, path, schema)
+  private val CompactedId = -1L
+
+  /** The store with stale (already-folded) delta partitions excluded:
+    * the compacted partition plus deltas at or above its watermark.
+    * This is the ONLY read path — [[modelState]] and [[compactCounts]]
+    * both sum what it returns, so no crash state can double-count.
+    * The watermark probe is a partition-pruned aggregate over the
+    * single compacted partition (bounded driver action). */
+  private def liveStore(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame = {
+    val all = Stores.readStore(spark, path, schema)
+    val wm = all.filter(col("batch_id") === CompactedId)
+      .agg(coalesce(max(col("folded_hi")), lit(0L))).head().getLong(0)
+    all.filter(col("batch_id") === CompactedId || col("batch_id") >= wm)
+  }
 
   /** One micro-batch's sufficient-statistic deltas, each in its own
     * batch_id partition. */
@@ -40,11 +62,13 @@ object QualityRefresh {
                        dstatsPath: String,
                        minQualityPm: Long = 600): Unit = {
     val (cls, dstats) = QualityModel.classCounts(batch, minQualityPm)
-    cls.withColumn("batch_id", lit(batchId))
+    cls.withColumn("folded_hi", lit(null).cast(LongType))
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(countsPath)
-    dstats.withColumn("batch_id", lit(batchId))
+    dstats.withColumn("folded_hi", lit(null).cast(LongType))
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dstatsPath)
@@ -56,13 +80,42 @@ object QualityRefresh {
     * broadcastable (token, w_u) table and the integer prior. */
   def modelState(spark: SparkSession, countsPath: String,
                  dstatsPath: String): (DataFrame, Long) = {
-    val cls = readStore(spark, countsPath, countsSchema)
+    val cls = liveStore(spark, countsPath, countsSchema)
       .groupBy(col("token"))
       .agg(sum(col("pc")).as("pc"), sum(col("nc")).as("nc"))
-    val d = readStore(spark, dstatsPath, dstatsSchema)
+    val d = liveStore(spark, dstatsPath, dstatsSchema)
       .agg(coalesce(sum(col("p_docs")), lit(0L)).as("p"),
         coalesce(sum(col("n_docs")), lit(0L)).as("n")).head()
     QualityModel.modelFromCounts(cls, d.getLong(0), d.getLong(1))
+  }
+
+  /** The fold half of [[compactCounts]]: rewrite the `batch_id=-1`
+    * partitions with the sums over {compacted ∪ live deltas <
+    * upToBatch}, stamping `folded_hi = upToBatch`. Package-private so
+    * the crash-window spec can stop exactly here. */
+  private[graft] def foldCounts(spark: SparkSession, countsPath: String,
+                                dstatsPath: String,
+                                upToBatch: Long): Unit = {
+    val cls = liveStore(spark, countsPath, countsSchema)
+      .filter(col("batch_id") === CompactedId || col("batch_id") < upToBatch)
+      .groupBy(col("token"))
+      .agg(sum(col("pc")).as("pc"), sum(col("nc")).as("nc"))
+      .withColumn("folded_hi", lit(upToBatch))
+      .withColumn("batch_id", lit(CompactedId))
+      .localCheckpoint() // pin BEFORE overwriting a partition we read
+    cls.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(countsPath)
+    val d = liveStore(spark, dstatsPath, dstatsSchema)
+      .filter(col("batch_id") === CompactedId || col("batch_id") < upToBatch)
+      .agg(coalesce(sum(col("p_docs")), lit(0L)).as("p_docs"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
+      .withColumn("folded_hi", lit(upToBatch))
+      .withColumn("batch_id", lit(CompactedId))
+      .localCheckpoint()
+    d.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dstatsPath)
   }
 
   /** Fold the `batch_id < upToBatch` delta partitions into one
@@ -70,33 +123,21 @@ object QualityRefresh {
     * lossless and [[modelState]] reads the identical totals before and
     * after (spec-asserted). Same replay contract as
     * [[CurateIngest.compactStores]]: only batches ≥ upToBatch can
-    * replay, and their reads select the same summed row set; a crash
-    * between write and delete leaves duplicate partitions whose sums
-    * DOUBLE-COUNT — unlike the set-semantics ingest stores — so a
-    * restart must re-run compaction (idempotent: the re-merge reads
-    * whatever is present below the cut and rewrites partition -1)
-    * before the next model read. */
+    * replay, and their reads select the same summed row set.
+    *
+    * Crash-safety differs from the set-semantics ingest stores, whose
+    * reads absorb duplicate partitions for free: sums DOUBLE-COUNT, so
+    * the fold carries provenance — the rewritten `-1` partition is
+    * stamped `folded_hi = upToBatch`, and EVERY reader (via
+    * [[liveStore]]) excludes delta partitions below that watermark. A
+    * crash between the fold write and the delete therefore leaves
+    * stale-but-ignored partitions, never a double count; re-running
+    * compaction reads only {`-1` ∪ deltas ≥ watermark} and is
+    * idempotent (spec-asserted by stopping inside the crash window). */
   def compactCounts(spark: SparkSession, countsPath: String,
                     dstatsPath: String, upToBatch: Long): Unit = {
-    val cls = readStore(spark, countsPath, countsSchema)
-      .filter(col("batch_id") < upToBatch)
-      .groupBy(col("token"))
-      .agg(sum(col("pc")).as("pc"), sum(col("nc")).as("nc"))
-      .withColumn("batch_id", lit(-1L))
-      .localCheckpoint() // pin BEFORE overwriting a partition we read
-    cls.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(countsPath)
+    foldCounts(spark, countsPath, dstatsPath, upToBatch)
     Stores.dropBatchPartitions(spark, countsPath, upToBatch)
-    val d = readStore(spark, dstatsPath, dstatsSchema)
-      .filter(col("batch_id") < upToBatch)
-      .agg(coalesce(sum(col("p_docs")), lit(0L)).as("p_docs"),
-        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
-      .withColumn("batch_id", lit(-1L))
-      .localCheckpoint()
-    d.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(dstatsPath)
     Stores.dropBatchPartitions(spark, dstatsPath, upToBatch)
   }
 

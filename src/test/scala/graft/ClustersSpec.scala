@@ -140,6 +140,14 @@ class ClustersSpec extends AnyFunSuite {
       assert(labelsOf(graft.streaming.ClusterRefresh
         .latestLabels(spark, s"$dir/labels")) == streamed,
         "replay changed the cluster snapshot")
+      // the pair-delta trail is the rebuild path: batch CC over the
+      // schema-pinned pairState read reproduces the latest snapshot
+      val trail = graft.streaming.ClusterRefresh
+        .pairState(spark, s"$dir/pairs")
+      assert(trail.columns.toSeq == Seq("a_id", "b_id", "batch_id"))
+      assert(labelsOf(Clusters.connectedComponents(
+        trail.drop("batch_id"))) == streamed,
+        "rebuild from the pair trail diverged from the snapshot")
     } finally q.stop()
   }
 

@@ -236,6 +236,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(graft.text.QualityModel.scoreWith(union, w3, prior3)
       .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
       == batch, "compaction changed the model")
+    // CRASH WINDOW: a new delta lands, then the fold write completes
+    // but the crash hits before the source partitions are deleted —
+    // the folded_hi watermark must make every read ignore the stale
+    // (already-summed) delta, or the sums double-count
+    val shard2 = docs((3L, body + "valley"), (12L, "www eee zzz resistor"))
+    val union3 = union.unionByName(shard2)
+    graft.streaming.QualityRefresh.writeCountsDelta(
+      shard2, 2L, s"$dir/counts", s"$dir/dstats")
+    graft.streaming.QualityRefresh.foldCounts(
+      spark, s"$dir/counts", s"$dir/dstats", upToBatch = 3L)
+    // stale delta partition 2 is still on disk next to the new fold
+    assert(new java.io.File(s"$dir/counts/batch_id=2").exists,
+      "crash window not reproduced: delta partition already gone")
+    val batch3 = graft.text.QualityModel.nbQuality(union3)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+    val (w4, prior4) = graft.streaming.QualityRefresh.modelState(
+      spark, s"$dir/counts", s"$dir/dstats")
+    assert(graft.text.QualityModel.scoreWith(union3, w4, prior4)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+      == batch3, "crash-window read double-counted the folded delta")
+    // the prescribed recovery — re-running compaction — must be
+    // idempotent, not compound the duplication
+    graft.streaming.QualityRefresh.compactCounts(
+      spark, s"$dir/counts", s"$dir/dstats", upToBatch = 3L)
+    assert(!new java.io.File(s"$dir/counts/batch_id=2").exists)
+    val (w5, prior5) = graft.streaming.QualityRefresh.modelState(
+      spark, s"$dir/counts", s"$dir/dstats")
+    assert(prior5 == prior4)
+    assert(graft.text.QualityModel.scoreWith(union3, w5, prior5)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+      == batch3, "re-running compaction after the crash changed the model")
   }
 
   test("lang confusion diagonal dominates on marker-bearing docs") {

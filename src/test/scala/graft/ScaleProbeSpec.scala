@@ -350,7 +350,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     // DEFAULT call takes
     // the scale path organically — no forced threshold override — and
     // must agree bit-for-bit with the forced small path.
-    // CC: 1.2M near-clique edges (the LSH regime) > smallGraphEdges=1M
+    // CC: 1.2M near-clique edges (the LSH regime) > smallGraphEdges=500k
     val grp = col("id") - (col("id") % 5)
     val edges = spark.range(1200000).select(
       grp.as("a_id"),
@@ -369,7 +369,7 @@ class ScaleProbeSpec extends AnyFunSuite {
       && organic.count() == forced.count(),
       "organic distributed CC must equal the driver union-find")
     info(f"CC 1.2M edges: organic distributed $tOrganic%.2f s")
-    // PageRank: ~1.2M-node pair graph > DefaultBroadcastMaxNodes=1M
+    // PageRank: ~1.2M-node pair graph > DefaultBroadcastMaxNodes=3e5
     val pairs = spark.range(2400000).select(
       (col("id") % 600000).as("c"),
       ((col("id") * 31 + 7) % 600000).as("s"),
