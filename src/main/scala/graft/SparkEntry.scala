@@ -102,6 +102,9 @@ object SparkEntry {
     // ingestion monitoring: language-mix PSI between consecutive shards
     "q_shard_drift" -> ((s, dir) =>
       graft.streaming.CurateIngest.shardMixDrift(Tables.documents(s, dir))),
+    // model-ops: NB score-decile PSI per shard (classifier calibration)
+    "q_quality_drift" -> ((s, dir) =>
+      graft.streaming.CurateIngest.qualityScoreDrift(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash(Tables.documents(s, dir))),
     "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
@@ -697,6 +700,8 @@ object SparkEntry {
       "q_containment" -> graft.dedup.Dedup.containmentSql(),
       "q_shard_drift" ->
         graft.streaming.CurateIngest.shardMixDriftSql(),
+      "q_quality_drift" ->
+        graft.streaming.CurateIngest.qualityScoreDriftSql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),

@@ -266,6 +266,20 @@ object CurateIngest {
       .filter(col("batch_id") < beforeBatch)
       .drop("batch_id")
 
+  /** One batch's own signature rows (its single partition) — what the
+    * combined topology's cluster leg pairs against [[sigState]]
+    * history for the live deferred-pair detection. */
+  def sigBatch(spark: SparkSession, sigPath: String,
+               batchId: Long): DataFrame =
+    readStore(spark, sigPath, sigSchema)
+      .filter(col("batch_id") === batchId).drop("batch_id")
+
+  /** One batch's kept survivor ids (its single partition). */
+  def keptBatch(spark: SparkSession, keptPath: String,
+                batchId: Long): DataFrame =
+    readStore(spark, keptPath, keptSchema)
+      .filter(col("batch_id") === batchId).select(col("doc_id"))
+
   /** [[writeShard]]'s strict sibling: one more batch_id-overwrite
     * store (the signature/tombstone table) rides along. */
   def writeShardStrict(batch: DataFrame, batchId: Long, storePath: String,
@@ -411,29 +425,53 @@ object CurateIngest {
     }
   }
 
+  /** Cross-shard near-dup pairs computed ENTIRELY from persisted
+    * banded signatures — the store-probing detection read. Signatures,
+    * band keys and est-Jaccard are all functions of the stored rows
+    * ([[sigBands]]'s 4 keyed rows + 16 hashes per doc), so detection
+    * joins shard A's stored rows against shard B's on (band, bkey)
+    * and agreement-counts the riding signatures: it TOKENIZES NOTHING
+    * (plan-gated in CurateStreamSpec) and never touches text. At
+    * 100 TB this is the difference between a fingerprint-sized store
+    * probe and re-shingling every survivor — strict ingestion already
+    * paid the signature cost once per seen doc.
+    *
+    * Exactness: a cross pair collides in band k of the union's banded
+    * table iff A's row and B's row for band k carry equal bkeys, and
+    * the agreement fraction is symmetric in the pair — so this equals
+    * [[graft.dedup.Dedup.minhashCandidates]] over the union restricted
+    * to cross-shard pairs (both membership orientations), which is
+    * exactly [[crossShardNearDups]]'s contract (hash-matched through
+    * q_cross_shard_dups / q_deferred_clusters). */
+  def crossShardNearDupsFromSigs(sigsA: DataFrame, sigsB: DataFrame,
+                                 minEstJaccard: Double = 0.5): DataFrame = {
+    import graft.dedup.Dedup.numHashes
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    sigsA.as("x").join(sigsB.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
+        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
+  }
+
   /** The cross-shard near-dup DETECTION query the ingestion loop
     * deliberately defers (emitted survivors are immutable): banded
     * MinHash pairs between two curated shards' survivors — the
     * monitoring read that tells an operator "shard 12 re-imported
-    * shard 3's docs" without re-curating anything. Runs over kept
-    * text slices only; same banded never-all-pairs shape as
-    * [[graft.dedup.Dedup.minhashCandidates]]. */
+    * shard 3's docs" without re-curating anything. The text-input
+    * convenience form: signatures are (re)derived here once per side,
+    * then detection itself is the store-probing
+    * [[crossShardNearDupsFromSigs]] join — at scale both sides come
+    * straight from the strict leg's signature store instead. */
   def crossShardNearDups(docsA: DataFrame, docsB: DataFrame,
-                         minEstJaccard: Double = 0.5): DataFrame = {
-    val cand = graft.dedup.Dedup.minhashCandidates(
-      docsA.unionByName(docsB), minEstJaccard = minEstJaccard)
-    val aIds = docsA.select(col("doc_id"))
-    val bIds = docsB.select(col("doc_id"))
-    // candidates are canonicalized a_id < b_id, and arrival order is
-    // allowed to differ from id order (first-wins), so a cross pair
-    // can land in EITHER orientation — accept both, or a later shard
-    // carrying lower ids silently hides its deferred duplicates
-    cand.join(aIds.select(col("doc_id").as("a_id")), "a_id")
-      .join(bIds.select(col("doc_id").as("b_id")), "b_id")
-      .unionByName(
-        cand.join(bIds.select(col("doc_id").as("a_id")), "a_id")
-          .join(aIds.select(col("doc_id").as("b_id")), "b_id"))
-  }
+                         minEstJaccard: Double = 0.5): DataFrame =
+    crossShardNearDupsFromSigs(sigBands(docsA), sigBands(docsB),
+      minEstJaccard)
 
   /** The deferred-merge loop CLOSED: would-have-merged clusters across
     * two curated shards, materialized by folding the deferred
@@ -456,16 +494,22 @@ object CurateIngest {
                        minEstJaccard: Double = 0.5): DataFrame = {
     val bounded = docs.filter(col("doc_id") < maxId)
       .select(col("doc_id"), col("text")).localCheckpoint()
-    val a = bounded.filter(col("doc_id") < splitId)
-    val b = bounded.filter(col("doc_id") >= splitId)
-    val intraPairs = graft.dedup.Dedup
-      .minhashCandidates(a, minEstJaccard = minEstJaccard)
-      .unionByName(graft.dedup.Dedup
-        .minhashCandidates(b, minEstJaccard = minEstJaccard))
+    // tokenize each shard ONCE into its banded signature rows — the
+    // store's write unit — then both the intra-shard candidates and
+    // the cross-shard detection are signature-store probes (a
+    // self-probe IS minhashCandidates: both orientations of the band
+    // join collapse under the canonical distinct)
+    val sa = sigBands(bounded.filter(col("doc_id") < splitId))
+      .localCheckpoint()
+    val sb = sigBands(bounded.filter(col("doc_id") >= splitId))
+      .localCheckpoint()
+    val intraPairs = crossShardNearDupsFromSigs(sa, sa, minEstJaccard)
+      .unionByName(crossShardNearDupsFromSigs(sb, sb, minEstJaccard))
       .select(col("a_id"), col("b_id"))
     graft.dedup.Clusters.refreshClusters(
       graft.dedup.Clusters.connectedComponents(intraPairs),
-      crossShardNearDups(a, b, minEstJaccard).select(col("a_id"), col("b_id")))
+      crossShardNearDupsFromSigs(sa, sb, minEstJaccard)
+        .select(col("a_id"), col("b_id")))
   }
 
   /** DuckDB twin of [[deferredClusters]]: the refresh equals flat
@@ -616,6 +660,360 @@ object CurateIngest {
        |       CAST(count(*) AS INT) AS n_langs
        |FROM lagd WHERE prev_ppm IS NOT NULL
        |GROUP BY 1""".stripMargin
+
+  /** Classifier-calibration drift: PSI of the NB quality-score
+    * DISTRIBUTION across ingestion shards — the model-ops read that
+    * catches the [[QualityRefresh]]-maintained filter drifting with
+    * the corpus (a score histogram that shifts shard-over-shard means
+    * the model and the data are moving apart, even while the
+    * ACCEPT/REJECT rate looks stable). Scores come from
+    * [[graft.text.QualityModel.nbQuality]]; the corpus-wide score
+    * order is cut into `nBins` ntile bins (deterministic total order:
+    * score, then doc_id), per-(shard, bin) counts feed the same dense
+    * ppm grid + lag machinery as [[shardMixDrift]]
+    * ([[graft.operators.Drift.mixDriftOfCounts]]), and each shard
+    * reports one PSI against its predecessor.
+    *
+    * Scale shape: everything after scoring is post-aggregate
+    * arithmetic over #shards·#bins rows. The global ntile is the
+    * ORACLE-EXACT binning over the bounded corpus; the production
+    * substitution at 100 TB is sketch-derived decile boundaries
+    * ([[graft.functions]] quantile sketch) applied map-side — the
+    * grid/PSI read underneath is unchanged. */
+  def qualityScoreDrift(docs: DataFrame, shardSize: Long = 150,
+                        nBins: Int = 10): DataFrame = {
+    val wBin = Window.orderBy(col("nb_score_micro"), col("doc_id"))
+    val counts = graft.text.QualityModel.nbQuality(docs)
+      .select(col("doc_id"), ntile(nBins).over(wBin).as("bin"))
+      .groupBy(expr(s"doc_id div $shardSize").as("window_start_ms"),
+        col("bin").cast("string").as("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val contrib = ((col("ppm") - col("prev_ppm")) / lit(1e6)) *
+      log(greatest(col("ppm"), lit(1L)).cast("double") /
+        greatest(col("prev_ppm"), lit(1L)).cast("double"))
+    graft.operators.Drift.mixDriftOfCounts(counts)
+      .groupBy(col("window_start_ms").as("shard_id"))
+      .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+        count(lit(1)).cast("int").as("n_bins"))
+  }
+
+  /** DuckDB twin: [[graft.text.QualityModel.nbQualitySql]] as the
+    * scoring CTE, the same deterministic ntile, then the
+    * [[shardMixDriftSql]] dense-grid/ppm/lag chain with the bin as
+    * the mix axis. */
+  def qualityScoreDriftSql(shardSize: Long = 150, nBins: Int = 10,
+                           minQualityPm: Long = 600): String =
+    s"""WITH scored AS (
+       |  SELECT * FROM (
+       |${graft.text.QualityModel.nbQualitySql(minQualityPm)}
+       |  )),
+       |binned AS (
+       |  SELECT doc_id,
+       |         ntile($nBins) OVER (ORDER BY nb_score_micro, doc_id) AS bin
+       |  FROM scored),
+       |wcnt AS (
+       |  SELECT doc_id // $shardSize AS shard_id, CAST(bin AS VARCHAR) AS bin,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM binned GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT g.shard_id, g.bin, coalesce(c.cnt, 0) AS cnt
+       |  FROM (SELECT w.shard_id, t.bin
+       |        FROM (SELECT DISTINCT shard_id FROM wcnt) w,
+       |             (SELECT DISTINCT bin FROM wcnt) t) g
+       |  LEFT JOIN wcnt c
+       |    ON c.shard_id = g.shard_id AND c.bin = g.bin),
+       |ppmt AS (
+       |  SELECT shard_id, bin,
+       |         CAST(cnt * 1000000 //
+       |              nullif(CAST(sum(cnt) OVER (PARTITION BY shard_id) AS BIGINT), 0)
+       |              AS BIGINT) AS ppm
+       |  FROM dense),
+       |lagd AS (
+       |  SELECT shard_id, bin, ppm,
+       |         lag(ppm) OVER (PARTITION BY bin ORDER BY shard_id)
+       |           AS prev_ppm
+       |  FROM ppmt)
+       |SELECT shard_id,
+       |       round(sum(round(((ppm - prev_ppm) / 1e6) *
+       |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
+       |            CAST(greatest(prev_ppm, 1) AS DOUBLE)), 6)), 4) AS psi,
+       |       CAST(count(*) AS INT) AS n_bins
+       |FROM lagd WHERE prev_ppm IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------ bucketed compacted stores
+
+  /** Schemas of the metastore-bucketed compacted tables (the
+    * batch_id partition column is gone — the table IS the fold; sig
+    * rows keep their [[compactStores]] `src_batch` provenance for the
+    * retention policy). */
+  private val fpTableSchema = StructType(Seq(
+    StructField("fingerprint", StringType)))
+  private val keptTableSchema = StructType(
+    keptSchema.fields.toSeq.filterNot(_.name == "batch_id"))
+  private val sigTableSchema = StructType(
+    sigSchema.fields.toSeq.filterNot(_.name == "batch_id") :+
+      StructField("src_batch", LongType))
+
+  private def tableOrEmpty(spark: SparkSession, name: String,
+                           schema: StructType): DataFrame =
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** The split fingerprint state under bucketed compaction:
+    * (compacted bucket-table side, recent path-delta side). The
+    * compacted side carries `HashPartitioning(fingerprint, buckets)`
+    * from the metastore bucket spec, so the per-shard anti-join needs
+    * NO store-side exchange (plan-asserted); the delta side is at most
+    * `compactEvery` shard-sized partitions and broadcasts. */
+  def fpStateSplit(spark: SparkSession, storePath: String,
+                   tablePrefix: String, beforeBatch: Long)
+      : (DataFrame, DataFrame) =
+    (tableOrEmpty(spark, s"${tablePrefix}_fp", fpTableSchema),
+      readStore(spark, storePath, fpSchema)
+        .filter(col("batch_id") >= 0 && col("batch_id") < beforeBatch)
+        .select(col("fingerprint")))
+
+  /** The split signature state: (bucketed `(band, bkey)` table side —
+    * the band join's keys exactly, so the collision probe co-locates
+    * with zero store-side exchange — and the broadcastable recent
+    * deltas). */
+  def sigStateSplit(spark: SparkSession, sigPath: String,
+                    tablePrefix: String, beforeBatch: Long)
+      : (DataFrame, DataFrame) =
+    (tableOrEmpty(spark, s"${tablePrefix}_sig", sigTableSchema)
+      .drop("src_batch"),
+      readStore(spark, sigPath, sigSchema)
+        .filter(col("batch_id") >= 0 && col("batch_id") < beforeBatch)
+        .drop("batch_id"))
+
+  /** Curated survivors under bucketed compaction: table ∪ recent
+    * deltas, deduped (absorbs the crash window between table write and
+    * partition delete — [[keptState]]'s contract). */
+  def keptStateBucketed(spark: SparkSession, keptPath: String,
+                        tablePrefix: String): DataFrame =
+    tableOrEmpty(spark, s"${tablePrefix}_kept", keptTableSchema)
+      .unionByName(readStore(spark, keptPath, keptSchema)
+        .filter(col("batch_id") >= 0)
+        .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+          col("n_chars")))
+      .dropDuplicates("doc_id")
+
+  /** [[freshAgainstStore]] against a split store: the big compacted
+    * side joins bucket-aligned (no store-side exchange — the shard
+    * side alone shuffles into the bucket layout), the small delta
+    * side broadcasts. Anti-joins are set-semantics, so neither side
+    * needs a distinct. */
+  private[graft] def freshAgainstSplitStores(gated: DataFrame,
+                                             fpCompact: DataFrame,
+                                             fpDelta: DataFrame): DataFrame = {
+    val wFp = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    gated
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(fpCompact.select(col("fingerprint")), Seq("fingerprint"),
+        "left_anti")
+      .join(broadcast(fpDelta.select(col("fingerprint"))),
+        Seq("fingerprint"), "left_anti")
+  }
+
+  /** [[ingestShard]] against the split (bucketed ∪ delta) store. */
+  def ingestShardSplit(shard: DataFrame, fpCompact: DataFrame,
+                       fpDelta: DataFrame, minQualityPm: Long = 600,
+                       langs: Seq[String] = Seq("en", "de"))
+      : (DataFrame, DataFrame) = {
+    val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
+    val fresh = freshAgainstSplitStores(gated, fpCompact, fpDelta)
+      .localCheckpoint()
+    val kept = fresh
+      .join(Clusters.dropsBest(fresh), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+    (kept, gated.select(col("fingerprint")).distinct())
+  }
+
+  /** The strict leg's store probe against a split store: band-key
+    * collision ids, computed once against the bucketed signature
+    * table (co-located on the join keys, store side exchange-free —
+    * the plan-gate surface) and once against the broadcast recent
+    * deltas. A join distributes over the union, so the id set is
+    * identical to [[ingestShardStrict]]'s single-store form. */
+  private[graft] def sigCollisionIds(newBands: DataFrame,
+                                     sigCompact: DataFrame,
+                                     sigDelta: DataFrame,
+                                     minEstJaccard: Double): DataFrame = {
+    import graft.dedup.Dedup.numHashes
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"n.h$i") === col(s"o.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    def collide(store: DataFrame): DataFrame =
+      newBands.as("n")
+        .join(store.as("o"),
+          col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+        .filter(round(matches.cast("double") / numHashes, 4) >= minEstJaccard)
+        .select(col("n.doc_id"))
+    collide(sigCompact)
+      .unionByName(collide(broadcast(sigDelta))).distinct()
+  }
+
+  /** [[ingestShardStrict]] against split stores: exact-dedup
+    * anti-join and banded collision probe both split into
+    * bucket-aligned + broadcast-delta halves. */
+  def ingestShardStrictSplit(shard: DataFrame, fpCompact: DataFrame,
+                             fpDelta: DataFrame, sigCompact: DataFrame,
+                             sigDelta: DataFrame, minQualityPm: Long = 600,
+                             langs: Seq[String] = Seq("en", "de"),
+                             minEstJaccard: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
+    val fresh = freshAgainstSplitStores(gated, fpCompact, fpDelta)
+      .localCheckpoint()
+    val newBands = sigBands(fresh).localCheckpoint()
+    val dropIds = sigCollisionIds(newBands, sigCompact, sigDelta,
+      minEstJaccard)
+    val freshNd = fresh.join(dropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val kept = freshNd
+      .join(Clusters.dropsBest(freshNd), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+    (kept, gated.select(col("fingerprint")).distinct(), newBands)
+  }
+
+  /** [[compactStores]] writing metastore-backed BUCKETED tables
+    * instead of a clustered `batch_id=-1` partition — the exchange
+    * the plain compaction leaves behind (the store side of every
+    * per-shard join reshuffles per shard) is paid ONCE here at write
+    * time: `<prefix>_fp` bucketed by `fingerprint`, `<prefix>_sig` by
+    * `(band, bkey)`, `<prefix>_kept` by `doc_id`, each pre-hashed
+    * into exactly `buckets` files so subsequent joins read the bucket
+    * layout directly ([[graft.operators.Bucketing]]'s zero-exchange
+    * contract, plan-asserted in CurateStreamSpec).
+    *
+    * Crash contract unchanged from [[compactStores]]: the table lands
+    * before the source partitions are deleted, every read is
+    * set-semantics, so the crash window degrades to absorbed
+    * duplicates; a rerun reads {table ∪ leftover deltas}, distincts,
+    * and rewrites the same table. */
+  def compactStoresBucketed(spark: SparkSession, storePath: String,
+                            keptPath: String, sigPath: Option[String],
+                            upToBatch: Long, tablePrefix: String,
+                            buckets: Int = 32,
+                            sigRetentionBatches: Option[Long] = None): Unit = {
+    def writeBucketed(df: DataFrame, table: String, keys: Seq[String]): Unit =
+      // repartition on the bucket keys first: Spark's bucket hash is
+      // the same Murmur3 as the shuffle hash, so each task holds
+      // exactly one bucket -> one file per bucket, sorted
+      df.repartition(buckets, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        // pin BEFORE overwriting a table we just read
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet").saveAsTable(table)
+
+    val fpAll = tableOrEmpty(spark, s"${tablePrefix}_fp", fpTableSchema)
+      .unionByName(readStore(spark, storePath, fpSchema)
+        .filter(col("batch_id") >= 0 && col("batch_id") < upToBatch)
+        .select(col("fingerprint")))
+      .distinct()
+    writeBucketed(fpAll, s"${tablePrefix}_fp", Seq("fingerprint"))
+    Stores.dropBatchPartitions(spark, storePath, upToBatch)
+
+    val keptAll = tableOrEmpty(spark, s"${tablePrefix}_kept", keptTableSchema)
+      .unionByName(readStore(spark, keptPath, keptSchema)
+        .filter(col("batch_id") >= 0 && col("batch_id") < upToBatch)
+        .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+          col("n_chars")))
+      .dropDuplicates("doc_id")
+    writeBucketed(keptAll, s"${tablePrefix}_kept", Seq("doc_id"))
+    Stores.dropBatchPartitions(spark, keptPath, upToBatch)
+
+    sigPath.foreach { sp =>
+      val sigAll0 = tableOrEmpty(spark, s"${tablePrefix}_sig", sigTableSchema)
+        .unionByName(readStore(spark, sp, sigSchema)
+          .filter(col("batch_id") >= 0 && col("batch_id") < upToBatch)
+          .withColumn("src_batch", col("batch_id"))
+          .drop("batch_id"))
+        .distinct()
+      val sigAll = sigRetentionBatches.fold(sigAll0)(n =>
+        sigAll0.filter(col("src_batch") >= upToBatch - n))
+      writeBucketed(sigAll, s"${tablePrefix}_sig", Seq("band", "bkey"))
+      Stores.dropBatchPartitions(spark, sp, upToBatch)
+    }
+  }
+
+  /** [[writeShard]] under bucketed compaction: state comes from the
+    * split readers, deltas land exactly as before. */
+  def writeShardBucketed(batch: DataFrame, batchId: Long, storePath: String,
+                         keptPath: String, tablePrefix: String,
+                         minQualityPm: Long = 600,
+                         langs: Seq[String] = Seq("en", "de")): Unit = {
+    val spark = batch.sparkSession
+    val (fpC, fpD) = fpStateSplit(spark, storePath, tablePrefix, batchId)
+    val (kept, fps) = ingestShardSplit(batch, fpC, fpD, minQualityPm, langs)
+    fps.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storePath)
+    kept.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(keptPath)
+  }
+
+  /** [[writeShardStrict]] under bucketed compaction. */
+  def writeShardStrictBucketed(batch: DataFrame, batchId: Long,
+                               storePath: String, sigPath: String,
+                               keptPath: String, tablePrefix: String,
+                               minQualityPm: Long = 600,
+                               langs: Seq[String] = Seq("en", "de"),
+                               minEstJaccard: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val (fpC, fpD) = fpStateSplit(spark, storePath, tablePrefix, batchId)
+    val (sigC, sigD) = sigStateSplit(spark, sigPath, tablePrefix, batchId)
+    val (kept, fps, sigs) = ingestShardStrictSplit(batch, fpC, fpD,
+      sigC, sigD, minQualityPm, langs, minEstJaccard)
+    fps.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storePath)
+    sigs.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(sigPath)
+    kept.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(keptPath)
+  }
+
+  /** The strict pipeline with bucketed store compaction — the 100 TB
+    * deployment shape: per-shard joins against the accumulated stores
+    * pay no store-side exchange once compaction has run. */
+  def startStrictBucketed(docStream: DataFrame, storePath: String,
+                          sigPath: String, keptPath: String,
+                          checkpoint: String, tablePrefix: String,
+                          minQualityPm: Long = 600,
+                          langs: Seq[String] = Seq("en", "de"),
+                          minEstJaccard: Double = 0.5,
+                          compactEvery: Long = 4L,
+                          sigRetentionBatches: Option[Long] = None)
+      : StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShardStrictBucketed(batch, batchId, storePath, sigPath,
+          keptPath, tablePrefix, minQualityPm, langs, minEstJaccard)
+        if (batchId > 0 && batchId % compactEvery == 0)
+          compactStoresBucketed(batch.sparkSession, storePath, keptPath,
+            Some(sigPath), upToBatch = batchId, tablePrefix = tablePrefix,
+            sigRetentionBatches = sigRetentionBatches)
+      }
+      .start()
 
   /** DuckDB twin of [[crossShardNearDups]] over the id-range split the
     * q_cross_shard_dups query uses: candidates over the bounded union,

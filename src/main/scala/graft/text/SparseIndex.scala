@@ -85,6 +85,28 @@ object SparseIndex {
       idx.docIds.unionAll(shard.select(col("doc_id"))))
   }
 
+  /** One document frame's postings rows — the disk-store write unit
+    * of the combined streaming leg
+    * ([[graft.streaming.CombinedIngest]]): each micro-batch lands its
+    * kept docs' (doc_id, token, tf, dl) rows in a `batch_id`
+    * partition, and the searchable index is rebuilt from the store by
+    * [[fromStore]]. */
+  def postingsOf(docs: DataFrame): DataFrame = tokenize(docs)
+
+  /** Rebuild the full Index read model from a persisted postings
+    * table + doc-id inventory — exact, because every state table is a
+    * function of the postings rows (df by per-token count, Σdl by
+    * per-doc dl) except n_docs, which the inventory carries so a
+    * token-less document still counts. */
+  def fromStore(postings: DataFrame, docIds: DataFrame): Index = {
+    val p = postings.localCheckpoint()
+    val stats = docIds.agg(count(lit(1)).as("n_docs")).crossJoin(
+      p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
+    Index(p, dfOf(p).localCheckpoint(), stats.localCheckpoint(),
+      docIds.localCheckpoint())
+  }
+
   /** [[append]] under at-least-once delivery: a replayed micro-batch
     * must not merge twice (postings would double tf, df, N, Σdl — every
     * score silently inflates). Already-indexed doc ids are anti-joined

@@ -161,6 +161,29 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(psi(2L) > 0.5, s"the flipped shard must spike: $psi")
   }
 
+  test("qualityScoreDrift: an injected quality shift spikes the score-decile PSI") {
+    // shards 0-1: 1-in-4 junk; shard 2: the ratio flips to 3-in-4 —
+    // the accept rate still moves, but the SCORE DISTRIBUTION is what
+    // the calibration read alerts on (deciles drain from the top bins)
+    // scores must SPREAD within every shard (repeat counts vary the
+    // token totals), or whole classes tie on one score and the
+    // deterministic doc_id tie-break turns ntile bins shard-ordered
+    val sentence = "the cat and the dog walked over the bridge and the sun rose "
+    val junk = "zzz qqq www eee flux capacitor resistor blorp "
+    val rows = (0L until 450L).map { i =>
+      val isJunk = if (i < 300L) i % 4 == 0 else i % 4 != 0
+      val reps = 4 + (i % 7).toInt
+      (i, (if (isJunk) junk else sentence) * reps +
+        (s"$i " * (1 + (i % 13).toInt)))
+    }
+    val d = docs(rows: _*)
+    val psi = graft.streaming.CurateIngest.qualityScoreDrift(d)
+      .select("shard_id", "psi").as[(Long, Double)].collect().toMap
+    assert(math.abs(psi(1L)) < 0.05, s"stable shards must not alert: $psi")
+    assert(psi(2L) > 0.25, s"the shifted shard must cross the PSI action threshold: $psi")
+    assert(psi(2L) > 10 * math.abs(psi(1L)), s"no separation: $psi")
+  }
+
   test("strict leg: tombstones make the cross-shard drop transitive; no retraction on merges") {
     val dir = java.nio.file.Files.createTempDirectory("curatestrict").toString
     implicit val ctx = spark.sqlContext
@@ -325,5 +348,119 @@ class CurateStreamSpec extends AnyFunSuite {
     val pairs = CurateIngest.crossShardNearDups(a, b)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((10L, 170L)))
+  }
+
+  test("bucketed compaction: streamed strict ingestion equals the loop; store joins have no store-side exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val dir = java.nio.file.Files.createTempDirectory("curatebucket").toString
+    val prefix = "cib"
+    implicit val ctx = spark.sqlContext
+    val base = enDoc("")
+    val a = base + "zzz qqq 11111 22222 33333"
+    val b = base + "zzz qqq 11111 22222 99999" // ≈ a → strict drop
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    val shards = Seq(
+      Seq(mk(10L, a), mk(20L, bodyB)),
+      Seq(mk(170L, bodyB), mk(180L, bodyC)), // 170 exact copy → drop
+      Seq(mk(330L, b), mk(340L, bodyD)),     // near copy → strict drop
+      Seq( // post-compaction shard: both distinct in shingle space
+        mk(470L, "many rivers run to the ocean where the tide turns and the boats drift home " * 4),
+        mk(480L, "seven stars glow in the night sky while the owl hunts over the silent wood " * 4)))
+    val ms = MemoryStream[DocEv]
+    val q = CurateIngest.startStrictBucketed(ms.toDF(), s"$dir/fps",
+      s"$dir/sigs", s"$dir/kept", s"$dir/chk", prefix,
+      compactEvery = 2L) // compaction fires mid-stream at batch 2
+    try {
+      shards.foreach { s => ms.addData(s: _*); q.processAllAvailable() }
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      // compaction ran: the bucketed tables exist, folded partitions gone
+      assert(spark.catalog.tableExists(s"${prefix}_fp") &&
+        spark.catalog.tableExists(s"${prefix}_sig"))
+      assert(!new java.io.File(s"$dir/fps/batch_id=0").exists)
+      // streamed result == the deterministic strict loop (same shards)
+      val streamed = keptSet(
+        CurateIngest.keptStateBucketed(spark, s"$dir/kept", prefix))
+      val loop = keptSet(CurateIngest.incrCurateStrict(
+        docs(shards.flatten.map(e => (e.doc_id, e.text)): _*)))
+      assert(streamed == loop && streamed == Set(10L, 20L, 180L, 340L,
+        470L, 480L), s"streamed $streamed vs loop $loop")
+      // plan gate: the NEXT shard's store joins — pin the SMJ shape
+      // (no auto-broadcast, no AQE rewrite) and require the store side
+      // to be the bucketed scan with NO exchange beneath it
+      val prevAB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAQE = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def storeSideBucketedNoExchange(sides: Seq[org.apache.spark.sql.execution.SparkPlan],
+                                        what: String): Unit =
+          assert(sides.exists { r =>
+            r.collect { case e: Exchange => e }.isEmpty &&
+              r.collect { case s: FileSourceScanExec if s.bucketedScan => s }
+                .nonEmpty
+          }, s"$what: no exchange-free bucketed store side in\n${sides.mkString("\n---\n")}")
+        val next = docs((500L, bodyD + " five hundred"))
+        val (fpC, fpD) = CurateIngest.fpStateSplit(spark, s"$dir/fps",
+          prefix, 4L)
+        val probe = CurateIngest.freshAgainstSplitStores(
+          CurateIngest.gateShard(next), fpC, fpD)
+        probe.queryExecution.toRdd.count() // EXECUTED, not planned
+        storeSideBucketedNoExchange(
+          probe.queryExecution.executedPlan.collect {
+            case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" =>
+              j.right
+          }, "fp anti-join")
+        val (sigC, sigD) = CurateIngest.sigStateSplit(spark, s"$dir/sigs",
+          prefix, 4L)
+        val bands = CurateIngest.sigBands(
+          CurateIngest.gateShard(next).select($"doc_id", $"text"))
+          .localCheckpoint()
+        val probe2 = CurateIngest.sigCollisionIds(bands, sigC, sigD, 0.5)
+        probe2.queryExecution.toRdd.count()
+        storeSideBucketedNoExchange(
+          probe2.queryExecution.executedPlan.collect {
+            case j: SortMergeJoinExec if j.joinType.sql == "INNER" => j.right
+          }, "sig collision join")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAQE)
+      }
+    } finally {
+      q.stop()
+      Seq("fp", "sig", "kept").foreach(k =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$k"))
+    }
+  }
+
+  test("store-probing detection: executed plan over persisted signatures tokenizes nothing") {
+    val base = enDoc("")
+    val a = docs((10L, base + "zzz qqq 12345"), (20L, bodyB))
+    val b = docs((170L, base + "zzz qqq 12399"), (180L, bodyC))
+    // strict ingestion already persisted these rows (sigBands is the
+    // store's write unit); the detection read probes them from disk
+    val dir = java.nio.file.Files.createTempDirectory("sigprobe").toString
+    CurateIngest.sigBands(a).write.parquet(s"$dir/sa")
+    CurateIngest.sigBands(b).write.parquet(s"$dir/sb")
+    val det = CurateIngest.crossShardNearDupsFromSigs(
+      spark.read.parquet(s"$dir/sa"), spark.read.parquet(s"$dir/sb"))
+    det.queryExecution.toRdd.count() // EXECUTED, not planned
+    val plan = det.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the SparseIndexSpec standard, tightened to ZERO: no shingle
+    // explode and no signature recomputation anywhere in detection
+    assert(!plan.toLowerCase.contains("minhashsigs"),
+      s"detection recomputed signatures:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"detection tokenized text:\n$plan")
+    // and the store probe returns exactly what the text form computes
+    val fromStore = det.select("a_id", "b_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val fromText = CurateIngest.crossShardNearDups(a, b)
+      .select("a_id", "b_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromStore == fromText && fromStore.nonEmpty,
+      s"store probe diverged: $fromStore vs $fromText")
   }
 }
