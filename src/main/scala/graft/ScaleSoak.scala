@@ -207,6 +207,101 @@ object ScaleSoak {
     report("ingest", s"shards=$nShards", s"$tag-last$window", tail)
   }
 
+  /** Synthetic document corpus with CORPUS-REALISTIC duplicate
+    * structure for the 10x query probes: filler-dominant bodies (60
+    * tokens alternating stopword glue with per-(doc,pos)-unique hex
+    * nouns, so inter-doc shingle Jaccard sits at the real-corpus
+    * ~0.03, NOT the template-degenerate ~0.9 of the ingest soak's
+    * repeated sentence — which would turn LSH candidates quadratic
+    * and measure an adversarial corpus, not scale), plus planted
+    * structure at a size-independent RATE: 2% near-copies (doc i-1's
+    * body + a suffix), 1% exact copies, 10% junk that fails the gate
+    * (stopword-free, short — the quality model's negative class). */
+  private def docCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val bid = when(col("id") % 50 === 1, col("id") - 1)
+      .when(col("id") % 100 === 2, col("id") - 2)
+      .otherwise(col("id"))
+    spark.range(n).withColumn("bid", bid)
+      .withColumn("body", expr(
+        """concat_ws(' ', transform(sequence(0, 59), p ->
+          |  concat(element_at(array('the','and','a','over','the','with'),
+          |           CAST(p % 6 AS INT) + 1),
+          |    ' w', substr(md5(concat(CAST(bid AS STRING), ':',
+          |                            CAST(p AS STRING))), 1, 8))))"""
+          .stripMargin))
+      .select(col("id").as("doc_id"),
+        when(col("id") % 10 === 7,
+          concat(lit("zz"), substring(md5(col("id").cast("string")), 1, 12)))
+          .when(col("id") % 50 === 1,
+            concat(col("body"), lit(" suffix"),
+              substring(md5(concat(lit("s"), col("id").cast("string"))), 1, 8)))
+          .otherwise(col("body")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+  }
+
+  /** Synthetic embeddings matching the testdata shape (64-dim float,
+    * 20 labels for the contamination/blocked variants). */
+  private def embCorpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63),
+             |  j -> CAST(sin(CAST(id * 64 + j AS DOUBLE)) AS FLOAT))"""
+        .stripMargin).as("embedding"),
+      (col("id") % 20).cast("int").as("label"))
+      .localCheckpoint()
+
+  /** r10: time-vs-size exponents for the most expensive bench
+    * families — the plan-bug detector the fixed-SF bench cannot see.
+    * Each query runs at 1x (the sf0.1 magnitude) and 10x; a healthy
+    * plan lands near exponent 1 (linear), n·log n ≈ 1.1; ≥ 1.5 means
+    * some stage is quadratic in corpus size and would bury a 100 TB
+    * run. Curation loops scale shardSize with n so the SHARD COUNT
+    * stays constant (the store-join shape is what's being probed, not
+    * the loop length); the graph family's exponents come from the r9
+    * pagerank/cc soak (1M-20M nodes), not re-run here. */
+  def bench10x(spark: SparkSession, nDocs: Long = 5000L,
+               nEmbs: Long = 2000L): Unit = {
+    import graft.streaming.CurateIngest
+    // warm pass at 1/10 scale: JIT + codegen off the clock
+    locally {
+      val d = docCorpus(spark, nDocs / 10)
+      val e = embCorpus(spark, nEmbs / 10)
+      sink(graft.text.Curate.curateFull(d))
+      sink(graft.ann.Similarity.annRecall(e))
+      d.unpersist(); e.unpersist()
+    }
+    Seq(1L, 10L).foreach { mult =>
+      val nd = nDocs * mult
+      val ne = nEmbs * mult
+      val d = docCorpus(spark, nd)
+      val e = embCorpus(spark, ne)
+      timed("bench10x", s"docs=$nd", "curate_full")(
+        sink(graft.text.Curate.curateFull(d)))
+      timed("bench10x", s"docs=$nd", "curate_scrub")(
+        sink(graft.text.Curate.curateScrubbed(d)))
+      timed("bench10x", s"docs=$nd", "curate_incr")(
+        sink(CurateIngest.incrCurate(d, shardSize = nd / 4, maxId = nd)))
+      timed("bench10x", s"docs=$nd", "curate_strict")(
+        sink(CurateIngest.incrCurateStrict(d, shardSize = nd / 4,
+          maxId = nd)))
+      timed("bench10x", s"docs=$nd", "deferred_clusters")(
+        sink(CurateIngest.deferredClusters(d, splitId = nd / 2,
+          maxId = nd)))
+      timed("bench10x", s"docs=$nd,embs=$ne", "hybrid_incr")(
+        sink(graft.text.Hybrid.hybridIncr(d, e, splitId = ne / 2)))
+      timed("bench10x", s"embs=$ne", "ann_recall")(
+        sink(graft.ann.Similarity.annRecall(e)))
+      timed("bench10x", s"embs=$ne", "opq_recall")(
+        sink(graft.ann.Opq.opqRecall(e)))
+      timed("bench10x", s"embs=$ne", "pq_curve")(
+        sink(graft.ann.Pq.pqRecallCurve(e)))
+      timed("bench10x", s"embs=$ne", "ivfpq_refine")(
+        sink(graft.ann.Pq.ivfPqResRefineRecall(e)))
+      d.unpersist(); e.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.sessionBuilder(Engine.envCores(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -237,6 +332,10 @@ object ScaleSoak {
         ingest(spark, nShards = 50, docsPerShard = 200, compactEvery = None)
         ingest(spark, nShards = 50, docsPerShard = 200,
           compactEvery = Some(5L))
+      case "bench10x" => bench10x(spark)
+      case s if s.startsWith("bench10x:") =>
+        val ps = s.drop(9).split(",")
+        bench10x(spark, ps(0).toLong, ps(1).toLong)
       case other => System.err.println(s"[soak] unknown family: $other")
     }
     spark.stop()

@@ -698,6 +698,41 @@ object CurateIngest {
         count(lit(1)).cast("int").as("n_bins"))
   }
 
+  /** [[qualityScoreDrift]]'s PRODUCTION binning: decile boundaries
+    * from a mergeable percentile sketch (`percentile_approx` — a
+    * distributed aggregate, no global sort) broadcast into a
+    * map-side bin assignment, then the identical grid/PSI read. This
+    * is the 100 TB substitution the exact variant's scaladoc
+    * promises; CurateStreamSpec gates its agreement with the exact
+    * ntile binning on the injected-shift corpus (same alert, same
+    * quiet shards) instead of an oracle twin — the boundaries are
+    * approximate by construction. */
+  def qualityScoreDriftSketch(docs: DataFrame, shardSize: Long = 150,
+                              nBins: Int = 10,
+                              accuracy: Int = 10000): DataFrame = {
+    val scored = graft.text.QualityModel.nbQuality(docs)
+      .select(col("doc_id"), col("nb_score_micro")).localCheckpoint()
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = scored.agg(percentile_approx(col("nb_score_micro"),
+        array(probs.map(lit): _*), lit(accuracy))).head()
+      .getSeq[Long](0)
+    val bin = bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col("nb_score_micro") > b, 1).otherwise(0)
+    }
+    val counts = scored
+      .groupBy(expr(s"doc_id div $shardSize").as("window_start_ms"),
+        bin.cast("string").as("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val contrib = ((col("ppm") - col("prev_ppm")) / lit(1e6)) *
+      log(greatest(col("ppm"), lit(1L)).cast("double") /
+        greatest(col("prev_ppm"), lit(1L)).cast("double"))
+    graft.operators.Drift.mixDriftOfCounts(counts)
+      .groupBy(col("window_start_ms").as("shard_id"))
+      .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+        count(lit(1)).cast("int").as("n_bins"))
+  }
+
   /** DuckDB twin: [[graft.text.QualityModel.nbQualitySql]] as the
     * scoring CTE, the same deterministic ntile, then the
     * [[shardMixDriftSql]] dense-grid/ppm/lag chain with the bin as
@@ -990,6 +1025,24 @@ object CurateIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(keptPath)
   }
+
+  /** The default pipeline with bucketed store compaction ([[start]]'s
+    * sibling, fp/kept stores only). */
+  def startBucketed(docStream: DataFrame, storePath: String,
+                    keptPath: String, checkpoint: String,
+                    tablePrefix: String, minQualityPm: Long = 600,
+                    langs: Seq[String] = Seq("en", "de"),
+                    compactEvery: Long = 4L): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShardBucketed(batch, batchId, storePath, keptPath,
+          tablePrefix, minQualityPm, langs)
+        if (batchId > 0 && batchId % compactEvery == 0)
+          compactStoresBucketed(batch.sparkSession, storePath, keptPath,
+            None, upToBatch = batchId, tablePrefix = tablePrefix)
+      }
+      .start()
 
   /** The strict pipeline with bucketed store compaction — the 100 TB
     * deployment shape: per-shard joins against the accumulated stores

@@ -182,6 +182,13 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(math.abs(psi(1L)) < 0.05, s"stable shards must not alert: $psi")
     assert(psi(2L) > 0.25, s"the shifted shard must cross the PSI action threshold: $psi")
     assert(psi(2L) > 10 * math.abs(psi(1L)), s"no separation: $psi")
+    // the production binning (sketch-derived boundaries, map-side
+    // assignment, no global sort) must tell the same story: quiet
+    // shards quiet, the shifted shard over the action threshold
+    val psiS = graft.streaming.CurateIngest.qualityScoreDriftSketch(d)
+      .select("shard_id", "psi").as[(Long, Double)].collect().toMap
+    assert(math.abs(psiS(1L)) < 0.05, s"sketch binning false-alerted: $psiS")
+    assert(psiS(2L) > 0.25, s"sketch binning missed the shift: $psiS")
   }
 
   test("strict leg: tombstones make the cross-shard drop transitive; no retraction on merges") {
