@@ -105,6 +105,9 @@ object SparkEntry {
     // model-ops: NB score-decile PSI per shard (classifier calibration)
     "q_quality_drift" -> ((s, dir) =>
       graft.streaming.CurateIngest.qualityScoreDrift(Tables.documents(s, dir))),
+    // Gopher repetition rules: top/duplicate n-gram char fractions
+    "q_rep_signals" -> ((s, dir) =>
+      graft.text.Repetition.repetitionSignals(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash(Tables.documents(s, dir))),
     "q_line_dedup" -> ((s, dir) => // C4-style repeated-span removal
@@ -702,6 +705,7 @@ object SparkEntry {
         graft.streaming.CurateIngest.shardMixDriftSql(),
       "q_quality_drift" ->
         graft.streaming.CurateIngest.qualityScoreDriftSql(),
+      "q_rep_signals" -> graft.text.Repetition.repetitionSignalsSql,
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),

@@ -269,6 +269,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       == batch3, "re-running compaction after the crash changed the model")
   }
 
+  test("repetition signals: hand-computed Gopher rule values") {
+    val clean = (0 until 60).map(i => f"w$i%02d").mkString(" ")
+    val d = docs(
+      (1L, "aa bb aa bb aa"),              // dominated by one 2-gram
+      (2L, "one two three four five six"), // no repetition, short
+      (3L, clean))                         // no repetition, long
+    val got = graft.text.Repetition.repetitionSignals(d)
+      .select("doc_id", "n_words", "top2_ppm", "top3_ppm", "top4_ppm",
+        "dup5_ppm", "gopher_pass")
+      .as[(Long, Long, Long, Long, Long, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1 (c=14): top2 "aa bb"x2 ties "bb aa" -> lexicographic wins,
+    // 2*5 chars = 714285 ppm; top3 "aa bb aa"x2 = 16 chars -> capped;
+    // top4 cnt-1 11 chars; no duplicate 5-gram
+    assert(got(1L) == ((1L, 5L, 714285L, 1000000L, 785714L, 0L, 0)),
+      s"doc1: ${got(1L)}")
+    // doc 2 (c=27): every gram unique, top = lexicographically first
+    // ("five six" / "four five six" / "one two three four")
+    assert(got(2L) == ((2L, 6L, 296296L, 481481L, 666666L, 0L, 0)),
+      s"doc2: ${got(2L)}")
+    // doc 3: 60 distinct words -> every fraction tiny, passes Gopher
+    assert(got(3L)._7 == 1 && got(3L)._3 < 200000L, s"doc3: ${got(3L)}")
+  }
+
   test("lang confusion diagonal dominates on marker-bearing docs") {
     val d = Seq(
       (1L, "the cat and the dog", "en"),
