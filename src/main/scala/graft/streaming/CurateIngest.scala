@@ -713,9 +713,12 @@ object CurateIngest {
     val scored = graft.text.QualityModel.nbQuality(docs)
       .select(col("doc_id"), col("nb_score_micro")).localCheckpoint()
     val probs = (1 until nBins).map(_.toDouble / nBins)
-    val bounds = scored.agg(percentile_approx(col("nb_score_micro"),
-        array(probs.map(lit): _*), lit(accuracy))).head()
-      .getSeq[Long](0)
+    // percentile_approx over ZERO rows is null — an empty corpus must
+    // yield the empty drift table (as the exact variant does), not NPE
+    val boundsRow = scored.agg(percentile_approx(col("nb_score_micro"),
+      array(probs.map(lit): _*), lit(accuracy))).head()
+    val bounds: Seq[Long] =
+      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Long](0)
     val bin = bounds.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col("nb_score_micro") > b, 1).otherwise(0)
     }
@@ -797,6 +800,21 @@ object CurateIngest {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** The bucketed readers see {bucket table ∪ `batch_id >= 0` deltas}
+    * ONLY — a plain-compaction `batch_id=-1` sentinel partition is
+    * invisible to them, so opening a plain-compacted store under the
+    * bucketed pipeline would silently lose all previously-folded state
+    * and re-admit its duplicates. Fail fast instead; the migration is
+    * one [[compactStoresBucketed]] run, which folds the sentinel rows
+    * into the bucket tables and deletes the sentinel. */
+  private def requireMigrated(spark: SparkSession, path: String,
+                              tablePrefix: String): Unit =
+    require(!Stores.hasCompactedPartition(spark, path),
+      s"$path has a plain-compacted batch_id=-1 partition that the " +
+        s"bucketed readers (tablePrefix=$tablePrefix) would not see — " +
+        "run compactStoresBucketed once to migrate it into the bucket " +
+        "tables before ingesting")
+
   /** The split fingerprint state under bucketed compaction:
     * (compacted bucket-table side, recent path-delta side). The
     * compacted side carries `HashPartitioning(fingerprint, buckets)`
@@ -805,11 +823,13 @@ object CurateIngest {
     * `compactEvery` shard-sized partitions and broadcasts. */
   def fpStateSplit(spark: SparkSession, storePath: String,
                    tablePrefix: String, beforeBatch: Long)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame) = {
+    requireMigrated(spark, storePath, tablePrefix)
     (tableOrEmpty(spark, s"${tablePrefix}_fp", fpTableSchema),
       readStore(spark, storePath, fpSchema)
         .filter(col("batch_id") >= 0 && col("batch_id") < beforeBatch)
         .select(col("fingerprint")))
+  }
 
   /** The split signature state: (bucketed `(band, bkey)` table side —
     * the band join's keys exactly, so the collision probe co-locates
@@ -817,24 +837,28 @@ object CurateIngest {
     * deltas). */
   def sigStateSplit(spark: SparkSession, sigPath: String,
                     tablePrefix: String, beforeBatch: Long)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame) = {
+    requireMigrated(spark, sigPath, tablePrefix)
     (tableOrEmpty(spark, s"${tablePrefix}_sig", sigTableSchema)
       .drop("src_batch"),
       readStore(spark, sigPath, sigSchema)
         .filter(col("batch_id") >= 0 && col("batch_id") < beforeBatch)
         .drop("batch_id"))
+  }
 
   /** Curated survivors under bucketed compaction: table ∪ recent
     * deltas, deduped (absorbs the crash window between table write and
     * partition delete — [[keptState]]'s contract). */
   def keptStateBucketed(spark: SparkSession, keptPath: String,
-                        tablePrefix: String): DataFrame =
+                        tablePrefix: String): DataFrame = {
+    requireMigrated(spark, keptPath, tablePrefix)
     tableOrEmpty(spark, s"${tablePrefix}_kept", keptTableSchema)
       .unionByName(readStore(spark, keptPath, keptSchema)
         .filter(col("batch_id") >= 0)
         .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
           col("n_chars")))
       .dropDuplicates("doc_id")
+  }
 
   /** [[freshAgainstStore]] against a split store: the big compacted
     * side joins bucket-aligned (no store-side exchange — the shard
@@ -950,34 +974,47 @@ object CurateIngest {
         .sortBy(keys.head, keys.tail: _*)
         .format("parquet").saveAsTable(table)
 
+    // `batch_id=-1` sentinel partitions (a PLAIN-compacted store being
+    // migrated to the bucketed pipeline) fold in alongside the deltas —
+    // set semantics absorb them — and the sentinel is deleted with the
+    // folded deltas, after which the split readers' fail-fast admits
+    // the store.
     val fpAll = tableOrEmpty(spark, s"${tablePrefix}_fp", fpTableSchema)
       .unionByName(readStore(spark, storePath, fpSchema)
-        .filter(col("batch_id") >= 0 && col("batch_id") < upToBatch)
+        .filter(col("batch_id") < upToBatch)
         .select(col("fingerprint")))
       .distinct()
     writeBucketed(fpAll, s"${tablePrefix}_fp", Seq("fingerprint"))
     Stores.dropBatchPartitions(spark, storePath, upToBatch)
+    Stores.dropCompactedPartition(spark, storePath)
 
     val keptAll = tableOrEmpty(spark, s"${tablePrefix}_kept", keptTableSchema)
       .unionByName(readStore(spark, keptPath, keptSchema)
-        .filter(col("batch_id") >= 0 && col("batch_id") < upToBatch)
+        .filter(col("batch_id") < upToBatch)
         .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
           col("n_chars")))
       .dropDuplicates("doc_id")
     writeBucketed(keptAll, s"${tablePrefix}_kept", Seq("doc_id"))
     Stores.dropBatchPartitions(spark, keptPath, upToBatch)
+    Stores.dropCompactedPartition(spark, keptPath)
 
     sigPath.foreach { sp =>
+      // read with the src_batch provenance column: a sentinel's rows
+      // carry their ORIGINAL source batch (compactOne wrote it), and
+      // stamping them batch_id=-1 instead would make the retention
+      // filter evict freshly-migrated tombstones
       val sigAll0 = tableOrEmpty(spark, s"${tablePrefix}_sig", sigTableSchema)
-        .unionByName(readStore(spark, sp, sigSchema)
-          .filter(col("batch_id") >= 0 && col("batch_id") < upToBatch)
-          .withColumn("src_batch", col("batch_id"))
+        .unionByName(readStore(spark, sp, sigSchemaExt)
+          .filter(col("batch_id") < upToBatch)
+          .withColumn("src_batch",
+            coalesce(col("src_batch"), col("batch_id")))
           .drop("batch_id"))
         .distinct()
       val sigAll = sigRetentionBatches.fold(sigAll0)(n =>
         sigAll0.filter(col("src_batch") >= upToBatch - n))
       writeBucketed(sigAll, s"${tablePrefix}_sig", Seq("band", "bkey"))
       Stores.dropBatchPartitions(spark, sp, upToBatch)
+      Stores.dropCompactedPartition(spark, sp)
     }
   }
 

@@ -48,11 +48,16 @@ object QualityRefresh {
     * both sum what it returns, so no crash state can double-count.
     * The watermark probe is a partition-pruned aggregate over the
     * single compacted partition (bounded driver action). */
+  private def watermark(spark: SparkSession, path: String,
+                        schema: StructType): Long =
+    Stores.readStore(spark, path, schema)
+      .filter(col("batch_id") === CompactedId)
+      .agg(coalesce(max(col("folded_hi")), lit(0L))).head().getLong(0)
+
   private def liveStore(spark: SparkSession, path: String,
                         schema: StructType): DataFrame = {
     val all = Stores.readStore(spark, path, schema)
-    val wm = all.filter(col("batch_id") === CompactedId)
-      .agg(coalesce(max(col("folded_hi")), lit(0L))).head().getLong(0)
+    val wm = watermark(spark, path, schema)
     all.filter(col("batch_id") === CompactedId || col("batch_id") >= wm)
   }
 
@@ -96,21 +101,30 @@ object QualityRefresh {
   private[graft] def foldCounts(spark: SparkSession, countsPath: String,
                                 dstatsPath: String,
                                 upToBatch: Long): Unit = {
+    // The stamped watermark must be MONOTONE: a fold called with an
+    // upToBatch below the current folded_hi would otherwise REGRESS
+    // the watermark, after which liveStore re-admits stale
+    // already-folded delta partitions left by a prior crash window and
+    // the sums double-count — the exact failure folded_hi prevents.
+    val upCnt = math.max(upToBatch,
+      watermark(spark, countsPath, countsSchema))
     val cls = liveStore(spark, countsPath, countsSchema)
-      .filter(col("batch_id") === CompactedId || col("batch_id") < upToBatch)
+      .filter(col("batch_id") === CompactedId || col("batch_id") < upCnt)
       .groupBy(col("token"))
       .agg(sum(col("pc")).as("pc"), sum(col("nc")).as("nc"))
-      .withColumn("folded_hi", lit(upToBatch))
+      .withColumn("folded_hi", lit(upCnt))
       .withColumn("batch_id", lit(CompactedId))
       .localCheckpoint() // pin BEFORE overwriting a partition we read
     cls.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(countsPath)
+    val upD = math.max(upToBatch,
+      watermark(spark, dstatsPath, dstatsSchema))
     val d = liveStore(spark, dstatsPath, dstatsSchema)
-      .filter(col("batch_id") === CompactedId || col("batch_id") < upToBatch)
+      .filter(col("batch_id") === CompactedId || col("batch_id") < upD)
       .agg(coalesce(sum(col("p_docs")), lit(0L)).as("p_docs"),
         coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
-      .withColumn("folded_hi", lit(upToBatch))
+      .withColumn("folded_hi", lit(upD))
       .withColumn("batch_id", lit(CompactedId))
       .localCheckpoint()
     d.write.mode("overwrite")

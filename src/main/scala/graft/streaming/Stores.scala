@@ -55,4 +55,21 @@ private[streaming] object Stores {
     batchPartitions(spark, path, upToBatch)
       .foreach { case (_, dir) => fs.delete(dir, true) }
   }
+
+  /** True when a plain-compaction `batch_id=-1` sentinel partition
+    * exists under `path` — folded state the BUCKETED readers do not
+    * see, so its presence under a bucketed pipeline means an
+    * unmigrated store. */
+  def hasCompactedPartition(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "batch_id=-1")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Delete the `batch_id=-1` sentinel partition (after its rows have
+    * been folded into a bucket table). */
+  def dropCompactedPartition(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "batch_id=-1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

@@ -256,6 +256,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(graft.text.QualityModel.scoreWith(union3, w4, prior4)
       .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
       == batch3, "crash-window read double-counted the folded delta")
+    // a REGRESSED fold request (upToBatch below the current folded_hi,
+    // stale delta still on disk) must not rewind the watermark — a
+    // rewind would re-admit the already-folded delta into every read
+    graft.streaming.QualityRefresh.foldCounts(
+      spark, s"$dir/counts", s"$dir/dstats", upToBatch = 1L)
+    val (w4b, prior4b) = graft.streaming.QualityRefresh.modelState(
+      spark, s"$dir/counts", s"$dir/dstats")
+    assert(prior4b == prior4)
+    assert(graft.text.QualityModel.scoreWith(union3, w4b, prior4b)
+      .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap
+      == batch3, "regressed-watermark fold re-admitted the folded delta")
     // the prescribed recovery — re-running compaction — must be
     // idempotent, not compound the duplication
     graft.streaming.QualityRefresh.compactCounts(

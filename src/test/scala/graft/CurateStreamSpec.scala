@@ -191,6 +191,13 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(psiS(2L) > 0.25, s"sketch binning missed the shift: $psiS")
   }
 
+  test("qualityScoreDriftSketch: empty corpus yields the empty drift table, not an NPE") {
+    // percentile_approx over zero rows returns null bounds
+    val got = CurateIngest.qualityScoreDriftSketch(docs())
+    assert(got.columns.toSeq == Seq("shard_id", "psi", "n_bins"))
+    assert(got.isEmpty)
+  }
+
   test("strict leg: tombstones make the cross-shard drop transitive; no retraction on merges") {
     val dir = java.nio.file.Files.createTempDirectory("curatestrict").toString
     implicit val ctx = spark.sqlContext
@@ -439,6 +446,53 @@ class CurateStreamSpec extends AnyFunSuite {
       Seq("fp", "sig", "kept").foreach(k =>
         spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$k"))
     }
+  }
+
+  test("plain→bucketed migration: split readers fail fast on a batch_id=-1 sentinel; one bucketed compaction folds it") {
+    val dir = java.nio.file.Files.createTempDirectory("curatemigrate").toString
+    val prefix = "cim"
+    val base = enDoc("")
+    val a = base + "zzz qqq 11111 22222 33333"
+    val aNear = base + "zzz qqq 11111 22222 99999" // ≈ a → strict drop
+    // plain strict ingestion of two shards, then PLAIN compaction —
+    // all folded state now lives in batch_id=-1 sentinel partitions
+    CurateIngest.writeShardStrict(docs((10L, a), (20L, bodyB)), 0L,
+      s"$dir/fps", s"$dir/sigs", s"$dir/kept")
+    CurateIngest.writeShardStrict(docs((170L, bodyB), (180L, bodyC)), 1L,
+      s"$dir/fps", s"$dir/sigs", s"$dir/kept")
+    CurateIngest.compactStores(spark, s"$dir/fps", s"$dir/kept",
+      Some(s"$dir/sigs"), upToBatch = 2L)
+    assert(new java.io.File(s"$dir/fps/batch_id=-1").exists)
+    try {
+      // the bucketed readers cannot see the sentinel — silently losing
+      // the folded state would re-admit its duplicates, so they refuse
+      intercept[IllegalArgumentException] {
+        CurateIngest.fpStateSplit(spark, s"$dir/fps", prefix, 2L)
+      }
+      intercept[IllegalArgumentException] {
+        CurateIngest.sigStateSplit(spark, s"$dir/sigs", prefix, 2L)
+      }
+      intercept[IllegalArgumentException] {
+        CurateIngest.keptStateBucketed(spark, s"$dir/kept", prefix)
+      }
+      // the migration: ONE bucketed compaction folds the sentinel rows
+      // into the bucket tables and deletes the sentinels
+      CurateIngest.compactStoresBucketed(spark, s"$dir/fps", s"$dir/kept",
+        Some(s"$dir/sigs"), upToBatch = 2L, tablePrefix = prefix)
+      assert(!new java.io.File(s"$dir/fps/batch_id=-1").exists &&
+        !new java.io.File(s"$dir/sigs/batch_id=-1").exists &&
+        !new java.io.File(s"$dir/kept/batch_id=-1").exists)
+      // migrated state is live: the next bucketed shard still drops an
+      // exact copy (fp store) and a near copy (sig store) of migrated
+      // docs, and the kept read model carries the pre-migration docs
+      CurateIngest.writeShardStrictBucketed(
+        docs((330L, bodyB), (340L, aNear), (350L, bodyD)), 2L,
+        s"$dir/fps", s"$dir/sigs", s"$dir/kept", prefix)
+      val kept = keptSet(
+        CurateIngest.keptStateBucketed(spark, s"$dir/kept", prefix))
+      assert(kept == Set(10L, 20L, 180L, 350L), s"kept $kept")
+    } finally Seq("fp", "sig", "kept").foreach(k =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$k"))
   }
 
   test("store-probing detection: executed plan over persisted signatures tokenizes nothing") {
