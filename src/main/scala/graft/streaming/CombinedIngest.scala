@@ -32,8 +32,9 @@ import graft.text.SparseIndex
   * every store — the [[CurateIngest]] contract, inherited wholesale.
   * The cluster leg's pairs come from the STORE-PROBING detection
   * ([[CurateIngest.crossShardNearDupsFromSigs]] over history sigs ×
-  * the batch's own sig rows): detection tokenizes nothing, and the
-  * pair trail doubles as the labels store's rebuild path.
+  * the batch's own sig rows, plus the batch's self-probe for
+  * intra-batch pairs): detection tokenizes nothing, and the pair
+  * trail doubles as the labels store's rebuild path.
   *
   * Compaction tick: every `compactEvery` batches ALL stores compact in
   * the same foreachBatch — ingestion stores fold to their clustered
@@ -88,14 +89,21 @@ object CombinedIngest {
     // leg 1 — strict curation: fps/sigs/kept land in partition batchId
     CurateIngest.writeShardStrict(batch, batchId, s"$root/fps",
       s"$root/sigs", s"$root/kept", minQualityPm, langs, minEstJaccard)
-    // leg 2 — cluster refresh over this batch's deferred cross-shard
-    // pairs: history signatures (strictly pre-batch) probed against
-    // the batch's own just-written sig partition; both reads are
-    // deterministic under replay
+    // leg 2 — cluster refresh over this batch's near-dup pairs:
+    // history signatures (strictly pre-batch) probed against the
+    // batch's own just-written sig partition, UNION the batch's
+    // self-probe — a self-probe IS minhashCandidates over the batch
+    // ([[CurateIngest.deferredClusters]]'s contract), and without it
+    // an intra-batch pair (A≈B arriving together; dropsBest silently
+    // drops one) would never reach the pairs/labels stores, so a later
+    // chain through the dropped doc would under-merge. Both reads are
+    // deterministic under replay.
+    val sigBatch = CurateIngest.sigBatch(spark, s"$root/sigs", batchId)
     val pairs = CurateIngest.crossShardNearDupsFromSigs(
         CurateIngest.sigState(spark, s"$root/sigs", batchId),
-        CurateIngest.sigBatch(spark, s"$root/sigs", batchId),
-        minEstJaccard)
+        sigBatch, minEstJaccard)
+      .unionByName(CurateIngest.crossShardNearDupsFromSigs(
+        sigBatch, sigBatch, minEstJaccard))
       .select(col("a_id"), col("b_id"))
     ClusterRefresh.refreshBatch(pairs, batchId, s"$root/pairs",
       s"$root/labels")

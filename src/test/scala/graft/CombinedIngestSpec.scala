@@ -33,19 +33,26 @@ class CombinedIngestSpec extends AnyFunSuite {
   private val nearA1 = base + "zzz qqq 11111 22222 99999" // ≈ nearA0
   private val nearA2 = base + "zzz qqq 11111 88888 99999" // ≈ nearA1
   private val nearC = bodyC + "extra tail words"          // ≈ bodyC
+  private val nearD1 = bodyD + "extra tail words"         // ≈ bodyD
+  private val nearD2 = bodyD + "extra tail words and then more" // ≈ nearD1
 
   // six id-ordered shards (shardSize=150), with planted cross-shard
   // exact dups, a transitive near-dup chain, a second near-dup pair,
+  // an INTRA-batch near-dup pair continued by a later chain arrival,
   // and junk docs that fail the gate (the quality model's neg class)
   private val shards: Seq[Seq[(Long, String)]] = Seq(
     Seq(10L -> nearA0, 20L -> bodyB, 30L -> "zzz qqq www eee flux"),
     Seq(160L -> bodyB /* exact dup → drop */, 170L -> bodyC,
       180L -> nearA1 /* ≈10 → strict drop, pair */),
-    Seq(310L -> bodyD, 320L -> "qqq www capacitor zzz"),
+    Seq(310L -> bodyD, 315L -> nearD1 /* intra-batch pair: dropsBest
+      drops one of {310,315}, the pair must still be recorded */,
+      320L -> "qqq www capacitor zzz"),
     Seq(460L -> bodyE,
       470L -> nearA2 /* ≈180's tombstone → drop, chain pair */),
     Seq(610L -> bodyF, 620L -> nearC /* ≈170 → drop, pair */),
-    Seq(760L -> bodyG, 770L -> "eee www resistor qqq"))
+    Seq(760L -> bodyG, 765L -> nearD2 /* ≈315's tombstone → drop;
+      chain through the intra-batch-dropped doc */,
+      770L -> "eee www resistor qqq"))
   private val allRows = shards.flatten
   private def allDocs: DataFrame = allRows.toDF("doc_id", "text")
     .withColumn("n_chars", length(col("text")).cast("long"))
@@ -120,13 +127,22 @@ class CombinedIngestSpec extends AnyFunSuite {
     // curation: the deterministic strict loop over the same shards
     assert(kept1 == keptSet(CurateIngest.incrCurateStrict(allDocs,
       maxId = 900L)))
-    assert(kept1 == Set(10L, 20L, 170L, 310L, 460L, 610L, 760L),
-      s"kept $kept1")
+    // the intra-batch pair keeps exactly one of {310, 315} (dropsBest
+    // by quality); everything else is pinned
+    assert((kept1 & Set(310L, 315L)).size == 1, s"kept $kept1")
+    assert(kept1 -- Set(310L, 315L) ==
+      Set(10L, 20L, 170L, 460L, 610L, 760L), s"kept $kept1")
     // clusters: the deferred chain merged transitively, the pair
     // trail rebuilds the same labeling
     assert(labels1(10L) == labels1(180L) && labels1(180L) == labels1(470L))
     assert(labels1(170L) == labels1(620L) &&
       labels1(170L) != labels1(10L), s"labels $labels1")
+    // the INTRA-batch pair reached the pairs store (batch self-probe):
+    // {310, 315} cluster together, and the later arrival 765 chains
+    // through 315's tombstone into the same cluster
+    assert(labels1(310L) == labels1(315L) &&
+      labels1(315L) == labels1(765L) &&
+      labels1(310L) != labels1(10L), s"labels $labels1")
     assert(labels1 == labelsOf(graft.dedup.Clusters.connectedComponents(
       ClusterRefresh.pairState(spark, s"$r1/pairs").drop("batch_id"))))
     // quality model: bit-equal to batch training on everything seen
