@@ -302,6 +302,65 @@ object ScaleSoak {
     }
   }
 
+  /** r11: per-batch wall time of the combined topology's SHARED-
+    * tokenization processBatch vs the per-leg composition it replaced
+    * (gate, classifier counts and postings each re-scanning the
+    * batch's text). Same corpus, same shard slicing, fresh store
+    * roots per run; modes interleaved (shared, legacy, shared,
+    * legacy) so JIT/page-cache warmup cannot favor either side —
+    * the reported mean per mode is the min over its two runs. */
+  def combinedTok(spark: SparkSession, nShards: Int = 12,
+                  docsPerShard: Long = 2000): Unit = {
+    import graft.streaming.{ClusterRefresh, CombinedIngest, CurateIngest,
+      QualityRefresh}
+    import graft.text.SparseIndex
+    val corpus = docCorpus(spark, nShards * docsPerShard)
+    val shards = (0 until nShards).map { i =>
+      corpus.filter(col("doc_id") >= i * docsPerShard &&
+        col("doc_id") < (i + 1) * docsPerShard).localCheckpoint()
+    }
+    def freshDir(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"soak_ctok_$tag").toString
+    def sharedRun(): Double = {
+      val dir = freshDir("shared")
+      val ts = shards.zipWithIndex.map { case (b, i) =>
+        time(CombinedIngest.processBatch(b, i.toLong, dir))
+      }
+      ts.drop(2).sum / (nShards - 2) // first batches pay JIT/codegen
+    }
+    def legacyRun(): Double = {
+      val dir = freshDir("legacy")
+      val ts = shards.zipWithIndex.map { case (b, i) =>
+        time {
+          CurateIngest.writeShardStrict(b, i.toLong, s"$dir/fps",
+            s"$dir/sigs", s"$dir/kept")
+          val sigB = CurateIngest.sigBatch(spark, s"$dir/sigs", i.toLong)
+          val pairs = CurateIngest.crossShardNearDupsFromSigs(
+              CurateIngest.sigState(spark, s"$dir/sigs", i.toLong), sigB)
+            .unionByName(
+              CurateIngest.crossShardNearDupsFromSigs(sigB, sigB))
+            .select(col("a_id"), col("b_id"))
+          ClusterRefresh.refreshBatch(pairs, i.toLong, s"$dir/pairs",
+            s"$dir/labels")
+          QualityRefresh.writeCountsDelta(b, i.toLong, s"$dir/counts",
+            s"$dir/dstats")
+          SparseIndex.postingsOf(b.select(col("doc_id"), col("text"))
+              .join(CurateIngest.keptBatch(spark, s"$dir/kept", i.toLong),
+                Seq("doc_id")))
+            .withColumn("batch_id", lit(i.toLong))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$dir/postings")
+        }
+      }
+      ts.drop(2).sum / (nShards - 2)
+    }
+    val s1 = sharedRun(); val l1 = legacyRun()
+    val s2 = sharedRun(); val l2 = legacyRun()
+    report("combinedTok", s"docs=$docsPerShard", "shared", math.min(s1, s2))
+    report("combinedTok", s"docs=$docsPerShard", "legacy", math.min(l1, l2))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.sessionBuilder(Engine.envCores(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -332,6 +391,10 @@ object ScaleSoak {
         ingest(spark, nShards = 50, docsPerShard = 200, compactEvery = None)
         ingest(spark, nShards = 50, docsPerShard = 200,
           compactEvery = Some(5L))
+      case "combinedtok" => combinedTok(spark)
+      case s if s.startsWith("combinedtok:") =>
+        val ps = s.drop(12).split(",")
+        combinedTok(spark, ps(0).toInt, ps(1).toLong)
       case "bench10x" => bench10x(spark)
       case s if s.startsWith("bench10x:") =>
         val ps = s.drop(9).split(",")

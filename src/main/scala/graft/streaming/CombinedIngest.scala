@@ -78,7 +78,16 @@ object CombinedIngest {
     Stores.dropBatchPartitions(spark, path, upToBatch)
   }
 
-  /** One micro-batch through all four legs (+ the compaction tick). */
+  /** One micro-batch through all four legs (+ the compaction tick).
+    *
+    * The batch is tokenized ONCE: the `(doc_id, token, tf, dl)` frame
+    * ([[SparseIndex.postingsOf]]) plus the per-doc gate signals derived
+    * from it ([[graft.text.TextAnalysis.docSignals]]) feed the curation
+    * gate, the classifier counts AND the postings — the three legs that
+    * each used to re-scan the batch's text (measured per-batch delta in
+    * SCALING.md). The only remaining text pass is the strict leg's
+    * shingle/MinHash signature of post-gate survivors, which is the
+    * signature store's write unit, not a tokenization. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
                    minQualityPm: Long = 600,
                    langs: Seq[String] = Seq("en", "de"),
@@ -86,9 +95,15 @@ object CombinedIngest {
                    compactEvery: Option[Long] = None,
                    sigRetentionBatches: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    // THE one tokenization of this batch, pinned; every leg derives
+    val tokens = SparseIndex.postingsOf(
+      batch.select(col("doc_id"), col("text"))).localCheckpoint()
+    val signals = graft.text.TextAnalysis.docSignals(batch, tokens)
+      .localCheckpoint()
     // leg 1 — strict curation: fps/sigs/kept land in partition batchId
-    CurateIngest.writeShardStrict(batch, batchId, s"$root/fps",
-      s"$root/sigs", s"$root/kept", minQualityPm, langs, minEstJaccard)
+    CurateIngest.writeShardStrictGated(
+      CurateIngest.gateFromSignals(signals, minQualityPm, langs),
+      batchId, s"$root/fps", s"$root/sigs", s"$root/kept", minEstJaccard)
     // leg 2 — cluster refresh over this batch's near-dup pairs:
     // history signatures (strictly pre-batch) probed against the
     // batch's own just-written sig partition, UNION the batch's
@@ -107,15 +122,18 @@ object CombinedIngest {
       .select(col("a_id"), col("b_id"))
     ClusterRefresh.refreshBatch(pairs, batchId, s"$root/pairs",
       s"$root/labels")
-    // leg 3 — quality-classifier sufficient statistics
-    QualityRefresh.writeCountsDelta(batch, batchId, s"$root/counts",
-      s"$root/dstats", minQualityPm)
-    // leg 4 — BM25 postings of the batch's KEPT docs (curation feeds
-    // the index; text comes from the in-flight batch, never a re-read)
-    SparseIndex.postingsOf(
-        batch.select(col("doc_id"), col("text"))
-          .join(CurateIngest.keptBatch(spark, s"$root/kept", batchId),
-            Seq("doc_id")))
+    // leg 3 — quality-classifier sufficient statistics, from the
+    // shared token frame (no re-tokenize, no re-score)
+    val (cls, dstats) = graft.text.QualityModel.classCountsFromTokens(
+      tokens, signals, minQualityPm)
+    QualityRefresh.writeCountsDeltaFrom(cls, dstats, batchId,
+      s"$root/counts", s"$root/dstats")
+    // leg 4 — BM25 postings of the batch's KEPT docs: the shared frame
+    // restricted to the survivors (tf/dl are per-doc, so the
+    // restriction equals tokenizing only the kept docs)
+    tokens
+      .join(CurateIngest.keptBatch(spark, s"$root/kept", batchId),
+        Seq("doc_id"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -147,6 +165,136 @@ object CombinedIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, minQualityPm, langs,
           minEstJaccard, compactEvery, sigRetentionBatches)
+      }
+      .start()
+
+  // ---------------------------- bucketed combined mode (100 TB shape)
+
+  private val postingsTableSchema = StructType(
+    postingsSchema.fields.toSeq.filterNot(_.name == "batch_id"))
+
+  /** [[bm25Index]] under bucketed compaction: the token-bucketed
+    * postings table ∪ recent deltas, deduped (absorbs the compaction
+    * crash window), with the bucketed kept store as the inventory. */
+  def bm25IndexBucketed(spark: SparkSession, root: String,
+                        tablePrefix: String): SparseIndex.Index =
+    SparseIndex.fromStore(
+      CurateIngest.tableOrEmpty(spark, s"${tablePrefix}_postings",
+          postingsTableSchema)
+        .unionByName(
+          Stores.readStore(spark, s"$root/postings", postingsSchema)
+            .filter(col("batch_id") >= 0).drop("batch_id"))
+        .dropDuplicates("doc_id", "token"),
+      CurateIngest.keptStateBucketed(spark, s"$root/kept", tablePrefix)
+        .select(col("doc_id")))
+
+  /** Postings deltas (and, on migration, a plain `batch_id=-1`
+    * sentinel) folded into the `<prefix>_postings` metastore table,
+    * bucketed + sorted by `token` — one file per bucket, so the df
+    * rollup and term probes read a token-clustered layout. Same crash
+    * contract as [[CurateIngest.compactStoresBucketed]]: set-semantics
+    * reads absorb the window between table write and delta delete. */
+  private def compactPostingsBucketed(spark: SparkSession, path: String,
+                                      upToBatch: Long, tablePrefix: String,
+                                      buckets: Int = 32): Unit = {
+    CurateIngest.tableOrEmpty(spark, s"${tablePrefix}_postings",
+        postingsTableSchema)
+      .unionByName(Stores.readStore(spark, path, postingsSchema)
+        .filter(col("batch_id") < upToBatch).drop("batch_id"))
+      .dropDuplicates("doc_id", "token")
+      .repartition(buckets, col("token"))
+      .sortWithinPartitions(col("token"))
+      .localCheckpoint() // pin BEFORE overwriting a table we just read
+      .write.mode("overwrite")
+      .bucketBy(buckets, "token").sortBy("token")
+      .format("parquet").saveAsTable(s"${tablePrefix}_postings")
+    Stores.dropBatchPartitions(spark, path, upToBatch)
+    Stores.dropCompactedPartition(spark, path)
+  }
+
+  /** [[processBatch]] under BUCKETED store compaction — the 100 TB
+    * deployment shape: every per-shard store join reads a metastore
+    * bucket table on its exact join keys (`fingerprint`, `(band,
+    * bkey)`, `doc_id`, `token`) with no store-side exchange
+    * (plan-asserted in CombinedIngestSpec), and the cluster leg's
+    * detection probes the bucketed signature table the same way —
+    * compacted side bucket-aligned, recent-delta side broadcast-sized,
+    * self-probe for intra-batch pairs. Same shared-tokenization
+    * discipline and replay contract as [[processBatch]]. */
+  def processBatchBucketed(batch: DataFrame, batchId: Long, root: String,
+                           tablePrefix: String,
+                           minQualityPm: Long = 600,
+                           langs: Seq[String] = Seq("en", "de"),
+                           minEstJaccard: Double = 0.5,
+                           compactEvery: Option[Long] = None,
+                           sigRetentionBatches: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val tokens = SparseIndex.postingsOf(
+      batch.select(col("doc_id"), col("text"))).localCheckpoint()
+    val signals = graft.text.TextAnalysis.docSignals(batch, tokens)
+      .localCheckpoint()
+    // leg 1 — strict curation against the split (bucketed ∪ delta) stores
+    CurateIngest.writeShardStrictBucketedGated(
+      CurateIngest.gateFromSignals(signals, minQualityPm, langs),
+      batchId, s"$root/fps", s"$root/sigs", s"$root/kept", tablePrefix,
+      minEstJaccard)
+    // leg 2 — detection over the split history: bucketed table side
+    // joins bucket-aligned, delta side is small, self-probe unchanged
+    val (sigC, sigD) = CurateIngest.sigStateSplit(spark, s"$root/sigs",
+      tablePrefix, batchId)
+    val sigBatch = CurateIngest.sigBatch(spark, s"$root/sigs", batchId)
+    val pairs = CurateIngest.crossShardNearDupsFromSigs(sigC, sigBatch,
+        minEstJaccard)
+      .unionByName(CurateIngest.crossShardNearDupsFromSigs(sigD, sigBatch,
+        minEstJaccard))
+      .unionByName(CurateIngest.crossShardNearDupsFromSigs(sigBatch,
+        sigBatch, minEstJaccard))
+      .select(col("a_id"), col("b_id")).distinct()
+    ClusterRefresh.refreshBatch(pairs, batchId, s"$root/pairs",
+      s"$root/labels")
+    // legs 3+4 — identical to the plain mode (counts are a fold store,
+    // postings deltas land per batch and compact to the token table)
+    val (cls, dstats) = graft.text.QualityModel.classCountsFromTokens(
+      tokens, signals, minQualityPm)
+    QualityRefresh.writeCountsDeltaFrom(cls, dstats, batchId,
+      s"$root/counts", s"$root/dstats")
+    tokens
+      .join(CurateIngest.keptBatch(spark, s"$root/kept", batchId),
+        Seq("doc_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/postings")
+    compactEvery.foreach { n =>
+      if (batchId > 0 && batchId % n == 0) {
+        CurateIngest.compactStoresBucketed(spark, s"$root/fps",
+          s"$root/kept", Some(s"$root/sigs"), upToBatch = batchId,
+          tablePrefix = tablePrefix,
+          sigRetentionBatches = sigRetentionBatches)
+        QualityRefresh.compactCounts(spark, s"$root/counts",
+          s"$root/dstats", upToBatch = batchId)
+        ClusterRefresh.compactSnapshots(spark, s"$root/labels",
+          upToBatch = batchId)
+        compactPostingsBucketed(spark, s"$root/postings",
+          upToBatch = batchId, tablePrefix = tablePrefix)
+      }
+    }
+  }
+
+  /** The wired bucketed topology. */
+  def startBucketed(docStream: DataFrame, root: String, checkpoint: String,
+                    tablePrefix: String,
+                    minQualityPm: Long = 600,
+                    langs: Seq[String] = Seq("en", "de"),
+                    minEstJaccard: Double = 0.5,
+                    compactEvery: Option[Long] = None,
+                    sigRetentionBatches: Option[Long] = None): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchBucketed(batch, batchId, root, tablePrefix,
+          minQualityPm, langs, minEstJaccard, compactEvery,
+          sigRetentionBatches)
       }
       .start()
 }

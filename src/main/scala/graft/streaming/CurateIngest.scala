@@ -68,6 +68,17 @@ object CurateIngest {
         col("lang_pred").isin(langs: _*))
       .withColumn("fingerprint", md5(col("text")))
 
+  /** [[gateShard]] over PRECOMPUTED signals
+    * ([[graft.text.TextAnalysis.docSignals]] — quality_pm and
+    * lang_pred already ride the rows): same filter, same fingerprint,
+    * no text scans. */
+  def gateFromSignals(signals: DataFrame, minQualityPm: Long = 600,
+                      langs: Seq[String] = Seq("en", "de")): DataFrame =
+    signals
+      .filter(col("quality_pm") >= minQualityPm &&
+        col("lang_pred").isin(langs: _*))
+      .withColumn("fingerprint", md5(col("text")))
+
   /** One shard through stages 1-4 against the given fingerprint store.
     * Returns (survivors, this shard's gated fingerprints to append).
     * `fresh` is materialized before near-dup for the same reason
@@ -286,11 +297,21 @@ object CurateIngest {
                        sigPath: String, keptPath: String,
                        minQualityPm: Long = 600,
                        langs: Seq[String] = Seq("en", "de"),
-                       minEstJaccard: Double = 0.5): Unit = {
-    val spark = batch.sparkSession
-    val (kept, fps, sigs) = ingestShardStrict(batch,
+                       minEstJaccard: Double = 0.5): Unit =
+    writeShardStrictGated(gateShard(batch, minQualityPm, langs), batchId,
+      storePath, sigPath, keptPath, minEstJaccard)
+
+  /** [[writeShardStrict]] over an already-gated shard
+    * ([[gateFromSignals]]) — the combined topology's shared-tokenization
+    * write path. */
+  def writeShardStrictGated(gated: DataFrame, batchId: Long,
+                            storePath: String, sigPath: String,
+                            keptPath: String,
+                            minEstJaccard: Double = 0.5): Unit = {
+    val spark = gated.sparkSession
+    val (kept, fps, sigs) = ingestShardStrictGated(gated,
       fpState(spark, storePath, batchId), sigState(spark, sigPath, batchId),
-      minQualityPm, langs, minEstJaccard)
+      minEstJaccard)
     fps.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -567,9 +588,20 @@ object CurateIngest {
                         sigStore: DataFrame, minQualityPm: Long = 600,
                         langs: Seq[String] = Seq("en", "de"),
                         minEstJaccard: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) =
+    ingestShardStrictGated(gateShard(shard, minQualityPm, langs),
+      fpStore, sigStore, minEstJaccard)
+
+  /** [[ingestShardStrict]] over an ALREADY-GATED shard (a
+    * [[gateFromSignals]] frame) — the shared-tokenization entry: the
+    * combined topology computes the gate once from its token frame and
+    * hands the result straight to stages 2-5. */
+  def ingestShardStrictGated(gated0: DataFrame, fpStore: DataFrame,
+                             sigStore: DataFrame,
+                             minEstJaccard: Double = 0.5)
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.dedup.Dedup.numHashes
-    val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
+    val gated = gated0.localCheckpoint()
     val fresh = freshAgainstStore(gated, fpStore).localCheckpoint()
     val newBands = sigBands(fresh).localCheckpoint()
     val matches = (0 until numHashes)
@@ -794,8 +826,8 @@ object CurateIngest {
     sigSchema.fields.toSeq.filterNot(_.name == "batch_id") :+
       StructField("src_batch", LongType))
 
-  private def tableOrEmpty(spark: SparkSession, name: String,
-                           schema: StructType): DataFrame =
+  private[streaming] def tableOrEmpty(spark: SparkSession, name: String,
+                                      schema: StructType): DataFrame =
     if (spark.catalog.tableExists(name)) spark.table(name)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -925,8 +957,19 @@ object CurateIngest {
                              sigDelta: DataFrame, minQualityPm: Long = 600,
                              langs: Seq[String] = Seq("en", "de"),
                              minEstJaccard: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) =
+    ingestShardStrictSplitGated(gateShard(shard, minQualityPm, langs),
+      fpCompact, fpDelta, sigCompact, sigDelta, minEstJaccard)
+
+  /** [[ingestShardStrictSplit]] over an already-gated shard
+    * ([[gateFromSignals]]) — the bucketed combined topology's
+    * shared-tokenization entry. */
+  def ingestShardStrictSplitGated(gated0: DataFrame, fpCompact: DataFrame,
+                                  fpDelta: DataFrame, sigCompact: DataFrame,
+                                  sigDelta: DataFrame,
+                                  minEstJaccard: Double = 0.5)
       : (DataFrame, DataFrame, DataFrame) = {
-    val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
+    val gated = gated0.localCheckpoint()
     val fresh = freshAgainstSplitStores(gated, fpCompact, fpDelta)
       .localCheckpoint()
     val newBands = sigBands(fresh).localCheckpoint()
@@ -1043,12 +1086,21 @@ object CurateIngest {
                                keptPath: String, tablePrefix: String,
                                minQualityPm: Long = 600,
                                langs: Seq[String] = Seq("en", "de"),
-                               minEstJaccard: Double = 0.5): Unit = {
-    val spark = batch.sparkSession
+                               minEstJaccard: Double = 0.5): Unit =
+    writeShardStrictBucketedGated(gateShard(batch, minQualityPm, langs),
+      batchId, storePath, sigPath, keptPath, tablePrefix, minEstJaccard)
+
+  /** [[writeShardStrictBucketed]] over an already-gated shard
+    * ([[gateFromSignals]]). */
+  def writeShardStrictBucketedGated(gated: DataFrame, batchId: Long,
+                                    storePath: String, sigPath: String,
+                                    keptPath: String, tablePrefix: String,
+                                    minEstJaccard: Double = 0.5): Unit = {
+    val spark = gated.sparkSession
     val (fpC, fpD) = fpStateSplit(spark, storePath, tablePrefix, batchId)
     val (sigC, sigD) = sigStateSplit(spark, sigPath, tablePrefix, batchId)
-    val (kept, fps, sigs) = ingestShardStrictSplit(batch, fpC, fpD,
-      sigC, sigD, minQualityPm, langs, minEstJaccard)
+    val (kept, fps, sigs) = ingestShardStrictSplitGated(gated, fpC, fpD,
+      sigC, sigD, minEstJaccard)
     fps.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -67,6 +67,15 @@ object QualityRefresh {
                        dstatsPath: String,
                        minQualityPm: Long = 600): Unit = {
     val (cls, dstats) = QualityModel.classCounts(batch, minQualityPm)
+    writeCountsDeltaFrom(cls, dstats, batchId, countsPath, dstatsPath)
+  }
+
+  /** [[writeCountsDelta]] from PRECOMPUTED sufficient statistics
+    * ([[QualityModel.classCountsFromTokens]] over the combined
+    * topology's shared token frame). */
+  def writeCountsDeltaFrom(cls: DataFrame, dstats: DataFrame,
+                           batchId: Long, countsPath: String,
+                           dstatsPath: String): Unit = {
     cls.withColumn("folded_hi", lit(null).cast(LongType))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")

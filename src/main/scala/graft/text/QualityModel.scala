@@ -116,6 +116,28 @@ object QualityModel {
     (cls, dstats)
   }
 
+  /** [[classCounts]] from the SHARED `(doc_id, token, tf)` frame plus
+    * the precomputed gate signals ([[TextAnalysis.docSignals]]) — the
+    * combined topology's no-retokenize path. Equal to the explode form
+    * by construction: `tf` IS the per-doc occurrence count the explode
+    * would emit row-by-row, so `sum(tf)` over pos/neg docs is the same
+    * pc/nc; dstats reads the signals alone, so token-less docs still
+    * count toward the doc totals. */
+  def classCountsFromTokens(tokens: DataFrame, signals: DataFrame,
+                            minQualityPm: Long = 600)
+      : (DataFrame, DataFrame) = {
+    val pos = signals.select(col("doc_id"),
+      (col("quality_pm") >= minQualityPm).cast("int").as("pos"))
+    val cls = tokens.join(pos, Seq("doc_id"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("pos") === 1, col("tf")).otherwise(0L)).as("pc"),
+        sum(when(col("pos") === 0, col("tf")).otherwise(0L)).as("nc"))
+    val dstats = pos.agg(
+      sum(col("pos")).cast("long").as("p_docs"),
+      sum(lit(1) - col("pos")).cast("long").as("n_docs"))
+    (cls, dstats)
+  }
+
   /** The model from accumulated sufficient statistics: the broadcast
     * (token, w_u) weight table and the prior, both integer micro-nats
     * — [[nbQuality]]'s exact arithmetic, factored so a streamed count

@@ -52,12 +52,12 @@ object TextAnalysis {
     * Pure integer arithmetic (no doubles, no rounding) so the score is
     * bit-identical across engines — FP round() at half-boundaries is
     * engine-dependent and hash-compares can't tolerate it. */
-  /** The quality score as a reusable expression over a `text` column. */
-  def qualityExpr: Column = {
-    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
-    val nPunct = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
-    val nStop = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("long")
-    val nChars = length(col("text")).cast("long")
+  /** The quality formula over ALREADY-COUNTED signals — the one
+    * arithmetic shared by the text-scan form ([[qualityExpr]]) and the
+    * token-frame form ([[docSignals]]), so the two paths are equal by
+    * construction. */
+  def qualityFromCounts(nTokens: Column, nPunct: Column, nStop: Column,
+                        nChars: Column): Column = {
     // integer division via floor(a/b): exact for these magnitudes (< 2^53)
     def intDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
     val lengthPart = least(nTokens, lit(100L)) * 4L
@@ -65,6 +65,14 @@ object TextAnalysis {
     val stopPart = least(intDiv(nStop * 1000L, greatest(nTokens, lit(1L))), lit(100L)) * 3L
     (lengthPart + punctPart + stopPart).cast("long")
   }
+
+  /** The quality score as a reusable expression over a `text` column. */
+  def qualityExpr: Column =
+    qualityFromCounts(
+      regexp_count(col("text"), lit("\\S+")).cast("long"),
+      regexp_count(col("text"), lit("[.,!?;:]")).cast("long"),
+      regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("long"),
+      length(col("text")).cast("long"))
 
   def qualityScore(docs: DataFrame): DataFrame =
     spread(docs).select(col("doc_id"), qualityExpr.as("quality_pm"))
@@ -79,12 +87,12 @@ object TextAnalysis {
 
   private def markerPattern(words: Seq[String]) = s"\\b(${words.mkString("|")})\\b"
 
-  /** lang_pred column: first language whose marker score >= all later
-    * scores (argmax with earlier-language tiebreak). */
-  def langPred: Column = {
-    val scores = langMarkers.map { case (l, ws) =>
-      l -> regexp_count(col("text"), lit(markerPattern(ws)))
-    }
+  /** The language argmax over ALREADY-COUNTED marker scores (one per
+    * [[langMarkers]] entry, same order) — shared by the text-scan form
+    * ([[langPred]]) and the token-frame form ([[docSignals]]). */
+  def langPredFromScores(scoreCols: Seq[Column]): Column = {
+    require(scoreCols.length == langMarkers.length)
+    val scores = langMarkers.map(_._1).zip(scoreCols)
     scores.zipWithIndex.foldRight(lit(scores.last._1)) {
       case (((l, s), i), acc) =>
         val rest = scores.drop(i + 1).map(_._2)
@@ -93,10 +101,61 @@ object TextAnalysis {
     }
   }
 
+  /** lang_pred column: first language whose marker score >= all later
+    * scores (argmax with earlier-language tiebreak). */
+  def langPred: Column =
+    langPredFromScores(langMarkers.map { case (_, ws) =>
+      regexp_count(col("text"), lit(markerPattern(ws)))
+    })
+
   /** Heuristic language ID: argmax of marker-word hit counts, earlier
     * language wins ties. */
   def langId(docs: DataFrame): DataFrame =
     spread(docs).select(col("doc_id"), langPred.as("lang_pred"))
+
+  /** Per-document gate signals (`quality_pm`, `lang_pred`) derived
+    * from ONE shared `(doc_id, token, tf)` frame
+    * ([[SparseIndex.postingsOf]]'s shape) instead of fresh text scans
+    * — the shared-tokenization entry the combined ingestion topology
+    * uses so the gate, the classifier counts and the postings all ride
+    * a single tokenize pass per micro-batch.
+    *
+    * Equal to [[qualityExpr]]/[[langPred]] by construction: the punct /
+    * stopword / marker patterns match no whitespace, so every match in
+    * the full text lies strictly inside one `\S+` run — counting
+    * matches inside each extracted token and weighting by its term
+    * frequency partitions the text-scan count exactly — and the final
+    * arithmetic is the SAME factored [[qualityFromCounts]] /
+    * [[langPredFromScores]]. Token-less docs (empty text) left-join to
+    * zero counts, exactly what the text scans report.
+    *
+    * Scale shape: the token regexes run once per DISTINCT (doc, token)
+    * row — a Zipf corpus repeats its head tokens, so this scans fewer
+    * bytes than the 7 full-text regex passes it replaces; the per-doc
+    * rollup shares the token frame's existing shuffle key space. */
+  def docSignals(docs: DataFrame, tokens: DataFrame): DataFrame = {
+    val markerAggs = langMarkers.map { case (l, ws) =>
+      sum(col("tf") * regexp_count(col("token"), lit(markerPattern(ws))))
+        .as(s"__m_$l")
+    }
+    val aggs = Seq(
+      sum(col("tf")).as("__n_tokens"),
+      sum(col("tf") * regexp_count(col("token"), lit("[.,!?;:]")))
+        .as("__n_punct"),
+      sum(col("tf") * regexp_count(col("token"), lit("\\b(the|a)\\b")))
+        .as("__n_stop")) ++ markerAggs
+    val perDoc = tokens.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val tmp = langMarkers.map { case (l, _) => s"__m_$l" }
+    spread(docs).join(perDoc, Seq("doc_id"), "left")
+      .withColumn("quality_pm", qualityFromCounts(
+        coalesce(col("__n_tokens"), lit(0L)),
+        coalesce(col("__n_punct"), lit(0L)),
+        coalesce(col("__n_stop"), lit(0L)),
+        length(col("text")).cast("long")))
+      .withColumn("lang_pred", langPredFromScores(
+        tmp.map(c => coalesce(col(c), lit(0L)))))
+      .drop("__n_tokens" :: "__n_punct" :: "__n_stop" :: tmp.toList: _*)
+  }
 
   // ---- DuckDB-equivalent SQL fragments (regexp_count is not in DuckDB;
   // len(regexp_extract_all(...)) is the equivalent) ----

@@ -69,11 +69,81 @@ class CombinedIngestSpec extends AnyFunSuite {
       Seq("spark", "join", "window", "hash"))
       .as[(Long, Double, Int)].collect().toSeq
 
-  test("kill+restart mid-stream: every store equals the uninterrupted twin and its batch twin") {
-    val work = java.nio.file.Files.createTempDirectory("combined").toString
+  test("shared tokenization: one Generate-explode per batch; gate/counts/postings equal the text-scan forms without re-tokenizing") {
+    import graft.text.{QualityModel, SparseIndex, TextAnalysis}
+    val batch = Seq(
+      10L -> nearA0, 20L -> bodyB,
+      30L -> "zzz qqq www eee flux",
+      40L -> "the, cat. And a! dog a.the the", // punct-attached stopwords
+      50L -> "",                               // token-less doc
+      60L -> "el gato que la casa el la que")  // non-admitted language
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def planOf(df: DataFrame): String = {
+      df.queryExecution.toRdd.count() // EXECUTED, not planned
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    def noRetokenize(df: DataFrame, what: String): Unit = {
+      val plan = planOf(df)
+      // regexp_count compiles to size(regexp_extract_all(...)) — the
+      // per-TOKEN counts are the shared design, so the gate bans only
+      // explode subtrees and regex scans over the text column itself
+      assert(!plan.contains("Generate explode") &&
+        !"""regexp_extract_all\(text#""".r.findFirstIn(plan).isDefined,
+        s"$what re-tokenized the batch:\n$plan")
+    }
+    // THE one tokenization: exactly one explode subtree in the frame…
+    val tokens0 = SparseIndex.postingsOf(batch.select($"doc_id", $"text"))
+    val tokPlan = planOf(tokens0)
+    assert(tokPlan.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"expected exactly 1 tokenization, got:\n$tokPlan")
+    val tokens = tokens0.localCheckpoint()
+    // …and ZERO in anything derived from it
+    val signals0 = TextAnalysis.docSignals(batch, tokens)
+    noRetokenize(signals0, "doc signals")
+    val signals = signals0.localCheckpoint()
+    // signals equal the text-scan forms doc-by-doc (incl. the
+    // token-less doc and punct-attached stopwords)
+    val fromTokens = signals.select("doc_id", "quality_pm", "lang_pred")
+      .as[(Long, Long, String)].collect().toSet
+    val fromText = Tables.spread(batch).select(col("doc_id"),
+        TextAnalysis.qualityExpr.as("q"), TextAnalysis.langPred.as("l"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(fromTokens == fromText,
+      s"signals diverged:\n$fromTokens\nvs\n$fromText")
+    // gate: same rows, all columns, no text scans
+    val gated0 = CurateIngest.gateFromSignals(signals)
+    noRetokenize(gated0, "gate")
+    val cols = Seq("doc_id", "text", "n_chars", "quality_pm", "lang_pred",
+      "fingerprint")
+    assert(gated0.select(cols.head, cols.tail: _*).collect().toSet ==
+      CurateIngest.gateShard(batch).select(cols.head, cols.tail: _*)
+        .collect().toSet)
+    // classifier sufficient statistics: exact row equality
+    val (cls, dstats) = QualityModel.classCountsFromTokens(tokens, signals)
+    noRetokenize(cls, "class counts")
+    noRetokenize(dstats, "doc stats")
+    val (clsT, dstatsT) = QualityModel.classCounts(batch)
+    assert(cls.as[(String, Long, Long)].collect().toSet ==
+      clsT.as[(String, Long, Long)].collect().toSet)
+    assert(dstats.as[(Long, Long)].collect().toSet ==
+      dstatsT.as[(Long, Long)].collect().toSet)
+    // postings: the kept restriction of the shared frame equals
+    // tokenizing only the kept docs
+    val keptIds = Seq(10L, 20L).toDF("doc_id")
+    val fromFrame = tokens.join(keptIds, Seq("doc_id"))
+    noRetokenize(fromFrame, "postings")
+    assert(fromFrame.select("doc_id", "token", "tf", "dl")
+      .as[(Long, String, Long, Int)].collect().toSet ==
+      SparseIndex.postingsOf(batch.select($"doc_id", $"text")
+          .join(keptIds, Seq("doc_id")))
+        .as[(Long, String, Long, Int)].collect().toSet)
+  }
+
+  /** One parquet FILE per shard, mtimes increasing so the file
+    * source's (timestamp, path) order is the id order. */
+  private def writeShardFiles(work: String): java.io.File = {
     val src = new java.io.File(s"$work/src"); src.mkdirs()
-    // one parquet FILE per shard, mtimes increasing so the file
-    // source's (timestamp, path) order is the id order
     shards.zipWithIndex.foreach { case (rows, i) =>
       val tmp = s"$work/tmp$i"
       rows.toDF("doc_id", "text")
@@ -85,11 +155,19 @@ class CombinedIngestSpec extends AnyFunSuite {
       assert(part.renameTo(dst))
       dst.setLastModified(1700000000000L + i * 60000L)
     }
+    src
+  }
+
+  private def shardStream(src: java.io.File): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+
+  test("kill+restart mid-stream: every store equals the uninterrupted twin and its batch twin") {
+    val work = java.nio.file.Files.createTempDirectory("combined").toString
+    val src = writeShardFiles(work)
     def start(root: String) = CombinedIngest.start(
-      spark.readStream
-        .schema("doc_id LONG, text STRING, n_chars LONG")
-        .option("maxFilesPerTrigger", 1).parquet(src.toString),
-      root, s"$root/chk", compactEvery = Some(2L))
+      shardStream(src), root, s"$root/chk", compactEvery = Some(2L))
 
     // interrupted run: kill after ≥2 committed batches, restart, drain
     val r1 = s"$work/r1"
@@ -163,5 +241,124 @@ class CombinedIngestSpec extends AnyFunSuite {
       "postings never compacted")
     assert(new java.io.File(s"$r2/counts/batch_id=-1").exists,
       "counts never compacted")
+  }
+
+  test("bucketed combined mode: kill+restart equality, batch twins, exchange-free store joins") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val work = java.nio.file.Files.createTempDirectory("combinedbkt").toString
+    val src = writeShardFiles(work)
+    def start(root: String, prefix: String) = CombinedIngest.startBucketed(
+      shardStream(src), root, s"$root/chk", prefix, compactEvery = Some(2L))
+    val r1 = s"$work/r1"; val px1 = "cbm1"
+    val r2 = s"$work/r2"; val px2 = "cbm2"
+    try {
+      // interrupted run: kill after ≥2 committed batches, restart, drain
+      val q1 = start(r1, px1)
+      var waited = 0
+      while (q1.recentProgress.length < 2 && waited < 600) {
+        Thread.sleep(100); waited += 1
+      }
+      q1.stop()
+      val q1b = start(r1, px1)
+      q1b.processAllAvailable(); q1b.stop()
+      assert(q1b.exception.isEmpty, s"restarted stream died: ${q1b.exception}")
+      // golden uninterrupted run
+      val q2 = start(r2, px2)
+      q2.processAllAvailable(); q2.stop()
+      assert(q2.exception.isEmpty, s"golden stream died: ${q2.exception}")
+      // compaction produced the bucket tables, folded partitions gone
+      assert(spark.catalog.tableExists(s"${px2}_fp") &&
+        spark.catalog.tableExists(s"${px2}_sig") &&
+        spark.catalog.tableExists(s"${px2}_postings"))
+      assert(!new java.io.File(s"$r2/fps/batch_id=0").exists)
+      assert(!new java.io.File(s"$r2/postings/batch_id=0").exists)
+      // ---- interrupted == golden, and == the batch twins
+      val kept1 = keptSet(
+        CurateIngest.keptStateBucketed(spark, s"$r1/kept", px1))
+      assert(kept1 == keptSet(
+        CurateIngest.keptStateBucketed(spark, s"$r2/kept", px2)))
+      assert(kept1 == keptSet(CurateIngest.incrCurateStrict(allDocs,
+        maxId = 900L)))
+      val labels1 = labelsOf(ClusterRefresh.latestLabels(spark, s"$r1/labels"))
+      assert(labels1 ==
+        labelsOf(ClusterRefresh.latestLabels(spark, s"$r2/labels")))
+      assert(labels1(310L) == labels1(315L) &&
+        labels1(315L) == labels1(765L) &&
+        labels1(10L) == labels1(180L) && labels1(180L) == labels1(470L) &&
+        labels1(170L) == labels1(620L) && labels1(310L) != labels1(10L),
+        s"labels $labels1")
+      assert(labels1 == labelsOf(graft.dedup.Clusters.connectedComponents(
+        ClusterRefresh.pairState(spark, s"$r1/pairs").drop("batch_id"))))
+      val (w1, pr1) = QualityRefresh.modelState(spark, s"$r1/counts",
+        s"$r1/dstats")
+      assert(scoresOf(w1, pr1) == graft.text.QualityModel.nbQuality(allDocs)
+        .select("doc_id", "nb_score_micro").as[(Long, Long)].collect().toMap)
+      // BM25 bucketed read model == the flat batch scorer on kept docs
+      val search1 = graft.text.SparseIndex.search(
+        CombinedIngest.bm25IndexBucketed(spark, r1, px1),
+        Seq("spark", "join", "window", "hash"))
+        .as[(Long, Double, Int)].collect().toSeq
+      val keptDocs = allDocs.join(
+        CurateIngest.keptStateBucketed(spark, s"$r1/kept", px1)
+          .select("doc_id"), Seq("doc_id"))
+      val batchBm25 = graft.text.CorpusStats.bm25(keptDocs)
+        .as[(Long, Double, Int)].collect().toSeq
+      assert(search1 == batchBm25 && search1.nonEmpty,
+        s"bm25 $search1 vs $batchBm25")
+      // ---- plan gates: the combined batch's store joins, constructed
+      // exactly as processBatchBucketed constructs them (shared-token
+      // gate input), must read the bucket tables with NO store-side
+      // exchange — SMJ shape pinned (no auto-broadcast, no AQE)
+      val prevAB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAQE = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        def bucketedNoExchange(
+            sides: Seq[org.apache.spark.sql.execution.SparkPlan],
+            what: String): Unit =
+          assert(sides.exists { r =>
+            r.collect { case e: Exchange => e }.isEmpty &&
+              r.collect { case s: FileSourceScanExec if s.bucketedScan => s }
+                .nonEmpty
+          }, s"$what: no exchange-free bucketed store side in\n${sides.mkString("\n---\n")}")
+        val next = Seq(900L -> (bodyD + " nine hundred"))
+          .toDF("doc_id", "text")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val tokens = graft.text.SparseIndex.postingsOf(
+          next.select($"doc_id", $"text")).localCheckpoint()
+        val gated = CurateIngest.gateFromSignals(
+          graft.text.TextAnalysis.docSignals(next, tokens)).localCheckpoint()
+        val (fpC, fpD) = CurateIngest.fpStateSplit(spark, s"$r2/fps", px2, 6L)
+        val probe = CurateIngest.freshAgainstSplitStores(gated, fpC, fpD)
+        probe.queryExecution.toRdd.count() // EXECUTED, not planned
+        bucketedNoExchange(probe.queryExecution.executedPlan.collect {
+          case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" =>
+            j.right
+        }, "fp anti-join")
+        val (sigC, sigD) = CurateIngest.sigStateSplit(spark, s"$r2/sigs",
+          px2, 6L)
+        val bands = CurateIngest.sigBands(gated.select($"doc_id", $"text"))
+          .localCheckpoint()
+        val probe2 = CurateIngest.sigCollisionIds(bands, sigC, sigD, 0.5)
+        probe2.queryExecution.toRdd.count()
+        bucketedNoExchange(probe2.queryExecution.executedPlan.collect {
+          case j: SortMergeJoinExec if j.joinType.sql == "INNER" => j.right
+        }, "sig collision join")
+        // the cluster leg's detection probe: bucketed table on the left
+        val det = CurateIngest.crossShardNearDupsFromSigs(sigC, bands)
+        det.queryExecution.toRdd.count()
+        bucketedNoExchange(det.queryExecution.executedPlan.collect {
+          case j: SortMergeJoinExec if j.joinType.sql == "INNER" => j.left
+        }, "detection probe")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAQE)
+      }
+    } finally Seq(px1, px2).foreach(p =>
+      Seq("fp", "sig", "kept", "postings").foreach(k =>
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_$k")))
   }
 }
