@@ -336,6 +336,10 @@ object SparkEntry {
     // funnel audit: per-document verdict (kept / which stage dropped it)
     "q_curate_audit" -> ((s, dir) =>
       graft.text.Curate.curateAudit(Tables.documents(s, dir))),
+    // + the Gopher repetition rules as a gate stage (Rae et al. 2021):
+    // verdict `repetitious` beside the heuristic quality/lang gates
+    "q_curate_gopher" -> ((s, dir) =>
+      graft.text.Curate.curateGopherAudit(Tables.documents(s, dir))),
     // shard-at-a-time ingestion: store-backed first-wins exact dedup +
     // per-shard near-dup; loop hash-matches the flat batch twin
     "q_curate_incr" -> ((s, dir) =>
@@ -830,6 +834,7 @@ object SparkEntry {
       "q_drift_alerts" -> graft.operators.Drift.mixDriftAlertsSql(),
       "q_curate" -> graft.text.Curate.curateSql(),
       "q_curate_audit" -> graft.text.Curate.curateAuditSql(),
+      "q_curate_gopher" -> graft.text.Curate.curateGopherAuditSql(),
       "q_curate_incr" -> graft.text.Curate.incrCurateSql(),
       "q_curate_strict" -> graft.text.Curate.incrCurateStrictSql(),
       "q_chunk" -> graft.text.Chunking.chunkDocsSql(),

@@ -68,6 +68,22 @@ object CurateIngest {
         col("lang_pred").isin(langs: _*))
       .withColumn("fingerprint", md5(col("text")))
 
+  /** [[gateShard]] plus the GOPHER repetition gate — the Dolma/FineWeb
+    * heuristic stack on the ingest path: a shard doc dominated by
+    * repeated n-grams / duplicate lines
+    * ([[graft.text.Repetition.repetitionSignals]], Rae et al. 2021
+    * thresholds) is rejected alongside the quality/language gates,
+    * BEFORE any dedup store work is spent on it. The signals add one
+    * exploded-gram pass over the SHARD only — the store is never
+    * touched; the batch funnel twin is
+    * [[graft.text.Curate.curateGopherAudit]] (verdict `repetitious`). */
+  def gateShardGopher(shard: DataFrame, minQualityPm: Long = 600,
+                      langs: Seq[String] = Seq("en", "de")): DataFrame =
+    gateShard(shard, minQualityPm, langs)
+      .join(graft.text.Repetition.repetitionSignals(shard)
+        .filter(col("gopher_pass") === 1).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+
   /** [[gateShard]] over PRECOMPUTED signals
     * ([[graft.text.TextAnalysis.docSignals]] — quality_pm and
     * lang_pred already ride the rows): same filter, same fingerprint,

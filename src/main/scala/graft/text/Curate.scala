@@ -329,6 +329,91 @@ object Curate {
         col("quality_pm"), col("lang_pred"))
   }
 
+  /** [[curateAudit]] with the GOPHER REPETITION RULES as a gate stage
+    * beside the heuristic filters — the Dolma/FineWeb stack, where the
+    * Rae et al. 2021 repetition thresholds
+    * ([[Repetition.repetitionSignals]]: top-n-gram, duplicate-5-gram,
+    * duplicate-line/paragraph character fractions) run WITH the
+    * quality heuristics, before any dedup spends shuffle on
+    * boilerplate. One verdict per input document; `repetitious` slots
+    * after the language gate in stage order, and the exact/near-dedup
+    * stages rank only fully-gated docs (a repetitious doc neither
+    * survives nor shadows a clean exact-duplicate). Survivors are the
+    * `verdict = 'kept'` projection.
+    *
+    * Scale shape: the signals add [[Repetition.repetitionSignals]]'s
+    * one exploded-gram shuffle over the corpus; the verdict join is
+    * doc_id-keyed at input cardinality; everything downstream is
+    * [[curateAudit]]'s audited plan. */
+  def curateGopherAudit(docs: DataFrame, minQualityPm: Long = 600,
+                        langs: Seq[String] = Seq("en", "de")): DataFrame = {
+    val rep = Repetition.repetitionSignals(docs)
+      .select(col("doc_id"), col("gopher_pass"))
+    val scored = graft.Tables.spread(docs)
+      .withColumn("quality_pm", TextAnalysis.qualityExpr)
+      .withColumn("lang_pred", TextAnalysis.langPred)
+      .join(rep, Seq("doc_id"))
+      .withColumn("__gated", col("quality_pm") >= minQualityPm &&
+        col("lang_pred").isin(langs: _*) && col("gopher_pass") === 1)
+    val wMd5 = Window.partitionBy(col("__gated"), md5(col("text")))
+      .orderBy(col("doc_id"))
+    val ranked = scored.withColumn("__rn", row_number().over(wMd5))
+      .localCheckpoint()
+    val exact = ranked.filter(col("__gated") && col("__rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_chars"), col("quality_pm"))
+    val drops = graft.dedup.Clusters.dropsBest(exact)
+      .withColumn("__near_drop", lit(true))
+    ranked.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality_pm") < minQualityPm, "low_quality")
+          .when(!col("lang_pred").isin(langs: _*), "bad_lang")
+          .when(col("gopher_pass") === 0, "repetitious")
+          .when(col("__rn") > 1, "exact_dup")
+          .when(col("__near_drop") === true, "near_dup")
+          .otherwise("kept").as("verdict"),
+        col("quality_pm"), col("lang_pred"))
+  }
+
+  /** DuckDB twin of [[curateGopherAudit]]:
+    * [[Repetition.repetitionSignalsSql]] composed as the `rep` CTE of
+    * the funnel chain, the gopher verdict in stage order. */
+  def curateGopherAuditSql(minQualityPm: Long = 600,
+                           langs: Seq[String] = Seq("en", "de")): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH rep AS (
+       |  SELECT doc_id, gopher_pass FROM (
+       |${Repetition.repetitionSignalsSql}
+       |  )),
+       |scored AS (
+       |  SELECT d.doc_id, d.text, d.n_chars,
+       |         ${TextAnalysis.qualityPmSql} AS quality_pm,
+       |         ${TextAnalysis.langPredSql} AS lang_pred,
+       |         r.gopher_pass
+       |  FROM main.documents d JOIN rep r USING (doc_id)),
+       |exact AS (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred,
+       |         row_number() OVER (PARTITION BY md5(text)
+       |                            ORDER BY doc_id) AS rn
+       |  FROM scored
+       |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)
+       |    AND gopher_pass = 1),
+       |documents AS (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred
+       |  FROM exact WHERE rn = 1),
+       |${graft.dedup.Clusters.survivorsBestCtes()}
+       |SELECT s.doc_id,
+       |       CASE WHEN s.quality_pm < $minQualityPm THEN 'low_quality'
+       |            WHEN s.lang_pred NOT IN ($langList) THEN 'bad_lang'
+       |            WHEN s.gopher_pass = 0 THEN 'repetitious'
+       |            WHEN e.rn > 1 THEN 'exact_dup'
+       |            WHEN x.doc_id IS NOT NULL THEN 'near_dup'
+       |            ELSE 'kept' END AS verdict,
+       |       s.quality_pm, s.lang_pred
+       |FROM scored s
+       |LEFT JOIN exact e USING (doc_id)
+       |LEFT JOIN drops x ON x.doc_id = s.doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[curateAudit]] — the same staged CTEs the
     * survivor oracles compose, plus the verdict CASE in stage order. */
   def curateAuditSql(minQualityPm: Long = 600,

@@ -191,6 +191,28 @@ class CurateStreamSpec extends AnyFunSuite {
     assert(psiS(2L) > 0.25, s"sketch binning missed the shift: $psiS")
   }
 
+  test("gopher gate: a planted boilerplate doc is rejected with the repetitious reason") {
+    // clean: alternating stopword glue + unique words — passes quality
+    // (stopword-rich, 60 tokens) with no repeated n-gram
+    val clean = (0 until 30)
+      .map(i => f"the w$i%02da a x$i%02db").mkString(" ")
+    // boilerplate: quality-PASSING (stopword-rich, long, no punct) but
+    // dominated by one repeated bigram chain — exactly what the
+    // heuristic gate cannot see and the Gopher rules exist to catch
+    val boiler = "the cat and the dog " * 40
+    val d = docs((10L, clean), (20L, boiler))
+    // the ingest gate drops it before any store work…
+    val gated = CurateIngest.gateShardGopher(d)
+    assert(keptSet(gated) == Set(10L), s"gated ${keptSet(gated)}")
+    // …while the plain heuristic gate would have admitted it
+    assert(keptSet(CurateIngest.gateShard(d)) == Set(10L, 20L))
+    // and the batch funnel audit reports the dedicated reject reason
+    val verdicts = graft.text.Curate.curateGopherAudit(d)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(verdicts == Map(10L -> "kept", 20L -> "repetitious"),
+      s"verdicts $verdicts")
+  }
+
   test("qualityScoreDriftSketch: empty corpus yields the empty drift table, not an NPE") {
     // percentile_approx over zero rows returns null bounds
     val got = CurateIngest.qualityScoreDriftSketch(docs())
