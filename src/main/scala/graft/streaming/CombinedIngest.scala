@@ -24,6 +24,7 @@ import graft.text.SparseIndex
   *   pairs/ labels/            — cluster refresh (ClusterRefresh)
   *   counts/ dstats/           — quality model   (QualityRefresh)
   *   postings/                 — BM25 index      (SparseIndex store)
+  *   drift/                    — monitoring      (DriftMonitor)
   * }}}
   *
   * Replay discipline: every leg writes only `batch_id = B` partitions
@@ -128,6 +129,11 @@ object CombinedIngest {
       tokens, signals, minQualityPm)
     QualityRefresh.writeCountsDeltaFrom(cls, dstats, batchId,
       s"$root/counts", s"$root/dstats")
+    // leg 5 — drift monitoring: language-mix + deployed-model
+    // score-decile counts, riding the shared signals (sketch binning,
+    // no global sort; the PSI alert reads run over the store alone)
+    DriftMonitor.writeDriftDelta(batch, tokens, signals, batchId,
+      s"$root/drift", s"$root/counts", s"$root/dstats", minQualityPm)
     // leg 4 — BM25 postings of the batch's KEPT docs: the shared frame
     // restricted to the survivors (tf/dl are per-doc, so the
     // restriction equals tokenizing only the kept docs)
@@ -252,12 +258,15 @@ object CombinedIngest {
       .select(col("a_id"), col("b_id")).distinct()
     ClusterRefresh.refreshBatch(pairs, batchId, s"$root/pairs",
       s"$root/labels")
-    // legs 3+4 — identical to the plain mode (counts are a fold store,
-    // postings deltas land per batch and compact to the token table)
+    // legs 3+4+5 — identical to the plain mode (counts are a fold
+    // store, postings deltas land per batch and compact to the token
+    // table, drift rows ride the shared signals)
     val (cls, dstats) = graft.text.QualityModel.classCountsFromTokens(
       tokens, signals, minQualityPm)
     QualityRefresh.writeCountsDeltaFrom(cls, dstats, batchId,
       s"$root/counts", s"$root/dstats")
+    DriftMonitor.writeDriftDelta(batch, tokens, signals, batchId,
+      s"$root/drift", s"$root/counts", s"$root/dstats", minQualityPm)
     tokens
       .join(CurateIngest.keptBatch(spark, s"$root/kept", batchId),
         Seq("doc_id"))

@@ -93,11 +93,30 @@ object QualityRefresh {
     * [[QualityModel.modelFromCounts]] arithmetic. Returns the
     * broadcastable (token, w_u) table and the integer prior. */
   def modelState(spark: SparkSession, countsPath: String,
-                 dstatsPath: String): (DataFrame, Long) = {
-    val cls = liveStore(spark, countsPath, countsSchema)
+                 dstatsPath: String): (DataFrame, Long) =
+    modelStateUpTo(spark, countsPath, dstatsPath, Long.MaxValue)
+
+  /** The model over everything seen strictly BEFORE `beforeBatch` —
+    * the DEPLOYED-model view batch `beforeBatch` is scored with
+    * (pinned below the batch, so a crash-replayed batch scores with
+    * the identical model; compaction folds only committed batches, so
+    * a replayable batch's view never loses partitions it could see).
+    * Returns an empty weight table before any counts exist. */
+  def modelStateBefore(spark: SparkSession, countsPath: String,
+                       dstatsPath: String,
+                       beforeBatch: Long): (DataFrame, Long) =
+    modelStateUpTo(spark, countsPath, dstatsPath, beforeBatch)
+
+  private def modelStateUpTo(spark: SparkSession, countsPath: String,
+                             dstatsPath: String,
+                             beforeBatch: Long): (DataFrame, Long) = {
+    def bounded(df: DataFrame): DataFrame =
+      df.filter(col("batch_id") === CompactedId ||
+        col("batch_id") < beforeBatch)
+    val cls = bounded(liveStore(spark, countsPath, countsSchema))
       .groupBy(col("token"))
       .agg(sum(col("pc")).as("pc"), sum(col("nc")).as("nc"))
-    val d = liveStore(spark, dstatsPath, dstatsSchema)
+    val d = bounded(liveStore(spark, dstatsPath, dstatsSchema))
       .agg(coalesce(sum(col("p_docs")), lit(0L)).as("p"),
         coalesce(sum(col("n_docs")), lit(0L)).as("n")).head()
     QualityModel.modelFromCounts(cls, d.getLong(0), d.getLong(1))

@@ -175,6 +175,26 @@ object QualityModel {
         (coalesce(col("s_u"), lit(0L)) + priorU >= 0).cast("int").as("nb_pos"))
   }
 
+  /** [[scoreWith]] from the SHARED `(doc_id, token, tf)` frame — no
+    * re-tokenize: `s_u = Σ tf·w_u`, `n_tokens = Σ tf` (exact integer
+    * equality with the explode form, which sums `w_u` once per
+    * occurrence). Token-less docs ride in via the docs side and score
+    * the bare prior. */
+  def scoreWithTokens(docs: DataFrame, tokens: DataFrame,
+                      weights: DataFrame, priorU: Long): DataFrame = {
+    val s = tokens
+      .join(broadcast(weights), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * coalesce(col("w_u"), lit(0L))).as("s_u"))
+    docs.select(col("doc_id")).join(s, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("s_u"), lit(0L)) + priorU).as("nb_score_micro"),
+        (coalesce(col("s_u"), lit(0L)) + priorU >= 0).cast("int")
+          .as("nb_pos"))
+  }
+
   /** DuckDB twin of [[nbQuality]] — same CTE chain, same 1e-6 weight
     * grid, same add-one smoothing. */
   def nbQualitySql(minQualityPm: Long = 600): String =

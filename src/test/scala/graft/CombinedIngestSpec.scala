@@ -128,6 +128,18 @@ class CombinedIngestSpec extends AnyFunSuite {
       clsT.as[(String, Long, Long)].collect().toSet)
     assert(dstats.as[(Long, Long)].collect().toSet ==
       dstatsT.as[(Long, Long)].collect().toSet)
+    // scoring from the frame (the drift leg's path) equals the
+    // explode-scoring form, bit for bit, with no text scan
+    val (wgt, prior) = QualityModel.modelFromCounts(clsT, 4L, 2L)
+    val wPinned = wgt.localCheckpoint()
+    val fromFrameScores = QualityModel.scoreWithTokens(
+      batch, tokens, wPinned, prior)
+    noRetokenize(fromFrameScores, "frame scoring")
+    assert(fromFrameScores.select("doc_id", "n_tokens", "nb_score_micro",
+        "nb_pos").as[(Long, Long, Long, Int)].collect().toSet ==
+      QualityModel.scoreWith(batch, wPinned, prior)
+        .select("doc_id", "n_tokens", "nb_score_micro", "nb_pos")
+        .as[(Long, Long, Long, Int)].collect().toSet)
     // postings: the kept restriction of the shared frame equals
     // tokenizing only the kept docs
     val keptIds = Seq(10L, 20L).toDF("doc_id")
@@ -241,6 +253,69 @@ class CombinedIngestSpec extends AnyFunSuite {
       "postings never compacted")
     assert(new java.io.File(s"$r2/counts/batch_id=-1").exists,
       "counts never compacted")
+  }
+
+  test("drift leg: an injected shift fires the store-read alert after kill+restart; quiet batches stay quiet") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DriftMonitor
+    val work = java.nio.file.Files.createTempDirectory("combineddrift").toString
+    implicit val ctx = spark.sqlContext
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    def good(i: Long) = mk(i,
+      s"the cat and the dog walked over a bridge $i and the sun rose " * 4)
+    def junk(i: Long) = mk(i,
+      s"zzz qqq www ${java.lang.Long.toHexString(i * 2654435761L)} flux")
+    def de(i: Long) = mk(i,
+      s"der hund und die katze lief ueber das feld $i und der mond " * 12)
+    // batches 0-3: stable 4-good/1-junk mix; batch 4: junk-heavy AND
+    // German-heavy — both axes must fire there and only there
+    val batches: Seq[Seq[DocEv]] = Seq(
+      (0L to 3L).map(good) :+ junk(4L),
+      (10L to 13L).map(good) :+ junk(14L),
+      (20L to 23L).map(good) :+ junk(24L),
+      (30L to 33L).map(good) :+ junk(34L),
+      Seq(good(40L), junk(41L), junk(42L), junk(43L), junk(44L),
+        junk(45L), de(46L), de(47L), de(48L)))
+    val ms = MemoryStream[DocEv]
+    val root = s"$work/r"
+    def start() = CombinedIngest.start(ms.toDF(), root, s"$root/chk")
+    // feed 2 batches, kill, restart against the same checkpoint, drain
+    val q1 = start()
+    try {
+      ms.addData(batches(0): _*); q1.processAllAvailable()
+      ms.addData(batches(1): _*); q1.processAllAvailable()
+    } finally q1.stop() // crash here
+    val q2 = start()
+    try {
+      batches.drop(2).foreach { b =>
+        ms.addData(b: _*); q2.processAllAvailable()
+      }
+      assert(q2.exception.isEmpty, s"stream died: ${q2.exception}")
+    } finally q2.stop()
+    // the alert fires FROM THE STORE, for the injected batch only
+    for (axis <- Seq(DriftMonitor.LangAxis, DriftMonitor.ScoreAxis)) {
+      val alerts = DriftMonitor.driftAlerts(spark, s"$root/drift", axis)
+        .select("batch_id").as[Long].collect().toSet
+      assert(alerts == Set(4L), s"$axis alerts: $alerts")
+      // and the quiet batches are present in the read but quiet
+      val psis = DriftMonitor.driftRead(spark, s"$root/drift", axis)
+        .select("batch_id", "psi").as[(Long, Double)].collect().toMap
+      assert(psis.keySet.contains(3L) && psis(3L) < 0.25,
+        s"$axis psis: $psis")
+    }
+    // golden uninterrupted run: the drift store is byte-identical
+    val ms2 = MemoryStream[DocEv]
+    val root2 = s"$work/r2"
+    val qg = CombinedIngest.start(ms2.toDF(), root2, s"$root2/chk")
+    try {
+      batches.foreach { b => ms2.addData(b: _*); qg.processAllAvailable() }
+    } finally qg.stop()
+    def driftRows(r: String): Set[(String, String, Long, Long)] =
+      spark.read.parquet(s"$r/drift")
+        .select("axis", "key", "cnt", "batch_id")
+        .as[(String, String, Long, Long)].collect().toSet
+    assert(driftRows(root) == driftRows(root2),
+      "kill+restart drift store diverged from the golden run")
   }
 
   test("bucketed combined mode: kill+restart equality, batch twins, exchange-free store joins") {
