@@ -11,9 +11,11 @@ import graft.multimodal.Multimodal.MediaRow
   * image-descriptor blocks, length-prefixed data sub-blocks) plus the
   * frame-sampling operator a multimodal pipeline needs. Mirrors the
   * reference's opaque-payload treatment of media blobs (the reference
-  * pipelines JSON events and never decodes media;
-  * `/root/reference/services/processing/src/jobs/event_enrichment.py`
-  * treats payloads as schema + bytes), extended per the brief.
+  * pipelines JSON events and never decodes media; its source schema is
+  * typed fields only —
+  * `/root/reference/services/processing/src/core/schemas/event_source.py`
+  * — with payload bytes never interpreted beyond the declared
+  * columns), extended per the brief.
   *
   * The synthetic corpus is a genuine GIF89a byte stream whose frame
   * payloads are the document text's octets sliced frame-by-frame
