@@ -302,6 +302,33 @@ object ScaleSoak {
     }
   }
 
+  /** r11: the SECOND decade for the byte-touching curation families —
+    * 10× (bench10x's upper point) → 100× — where regime changes
+    * (shuffle spill, store-join fan-in, state growth) first appear if
+    * they are going to. Same corpus generator and shard-count
+    * discipline as [[bench10x]]; one warm pass at 1× pays JIT off the
+    * clock. */
+  def bench100x(spark: SparkSession, nDocs: Long = 5000L): Unit = {
+    import graft.streaming.CurateIngest
+    locally {
+      val d = docCorpus(spark, nDocs)
+      sink(graft.text.Curate.curateFull(d))
+      d.unpersist()
+    }
+    Seq(10L, 100L).foreach { mult =>
+      val nd = nDocs * mult
+      val d = docCorpus(spark, nd)
+      timed("bench100x", s"docs=$nd", "curate_full")(
+        sink(graft.text.Curate.curateFull(d)))
+      timed("bench100x", s"docs=$nd", "curate_scrub")(
+        sink(graft.text.Curate.curateScrubbed(d)))
+      timed("bench100x", s"docs=$nd", "curate_strict")(
+        sink(CurateIngest.incrCurateStrict(d, shardSize = nd / 4,
+          maxId = nd)))
+      d.unpersist()
+    }
+  }
+
   /** r11: per-batch wall time of the combined topology's SHARED-
     * tokenization processBatch vs the per-leg composition it replaced
     * (gate, classifier counts and postings each re-scanning the
@@ -391,6 +418,9 @@ object ScaleSoak {
         ingest(spark, nShards = 50, docsPerShard = 200, compactEvery = None)
         ingest(spark, nShards = 50, docsPerShard = 200,
           compactEvery = Some(5L))
+      case "bench100x" => bench100x(spark)
+      case s if s.startsWith("bench100x:") =>
+        bench100x(spark, s.drop(10).toLong)
       case "combinedtok" => combinedTok(spark)
       case s if s.startsWith("combinedtok:") =>
         val ps = s.drop(12).split(",")

@@ -89,12 +89,29 @@ object CombinedIngest {
     * SCALING.md). The only remaining text pass is the strict leg's
     * shingle/MinHash signature of post-gate survivors, which is the
     * signature store's write unit, not a tokenization. */
+  /** The curation-gate frame for one batch: the heuristic gate over
+    * the shared signals, optionally intersected with the Gopher
+    * repetition gate ([[CurateIngest.gateShardGopher]]'s rule — the
+    * Dolma/FineWeb stack on the stream; the signals' n-gram pass runs
+    * over the BATCH only and is the one leg the unigram token frame
+    * cannot feed). */
+  private def gateOf(batch: DataFrame, signals: DataFrame,
+                     minQualityPm: Long, langs: Seq[String],
+                     gopherGate: Boolean): DataFrame = {
+    val base = CurateIngest.gateFromSignals(signals, minQualityPm, langs)
+    if (!gopherGate) base
+    else base.join(graft.text.Repetition.repetitionSignals(batch)
+        .filter(col("gopher_pass") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
+
   def processBatch(batch: DataFrame, batchId: Long, root: String,
                    minQualityPm: Long = 600,
                    langs: Seq[String] = Seq("en", "de"),
                    minEstJaccard: Double = 0.5,
                    compactEvery: Option[Long] = None,
-                   sigRetentionBatches: Option[Long] = None): Unit = {
+                   sigRetentionBatches: Option[Long] = None,
+                   gopherGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // THE one tokenization of this batch, pinned; every leg derives
     val tokens = SparseIndex.postingsOf(
@@ -103,7 +120,7 @@ object CombinedIngest {
       .localCheckpoint()
     // leg 1 — strict curation: fps/sigs/kept land in partition batchId
     CurateIngest.writeShardStrictGated(
-      CurateIngest.gateFromSignals(signals, minQualityPm, langs),
+      gateOf(batch, signals, minQualityPm, langs, gopherGate),
       batchId, s"$root/fps", s"$root/sigs", s"$root/kept", minEstJaccard)
     // leg 2 — cluster refresh over this batch's near-dup pairs:
     // history signatures (strictly pre-batch) probed against the
@@ -165,12 +182,13 @@ object CombinedIngest {
             langs: Seq[String] = Seq("en", "de"),
             minEstJaccard: Double = 0.5,
             compactEvery: Option[Long] = None,
-            sigRetentionBatches: Option[Long] = None): StreamingQuery =
+            sigRetentionBatches: Option[Long] = None,
+            gopherGate: Boolean = false): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, minQualityPm, langs,
-          minEstJaccard, compactEvery, sigRetentionBatches)
+          minEstJaccard, compactEvery, sigRetentionBatches, gopherGate)
       }
       .start()
 
@@ -233,7 +251,8 @@ object CombinedIngest {
                            langs: Seq[String] = Seq("en", "de"),
                            minEstJaccard: Double = 0.5,
                            compactEvery: Option[Long] = None,
-                           sigRetentionBatches: Option[Long] = None): Unit = {
+                           sigRetentionBatches: Option[Long] = None,
+                           gopherGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val tokens = SparseIndex.postingsOf(
       batch.select(col("doc_id"), col("text"))).localCheckpoint()
@@ -241,7 +260,7 @@ object CombinedIngest {
       .localCheckpoint()
     // leg 1 — strict curation against the split (bucketed ∪ delta) stores
     CurateIngest.writeShardStrictBucketedGated(
-      CurateIngest.gateFromSignals(signals, minQualityPm, langs),
+      gateOf(batch, signals, minQualityPm, langs, gopherGate),
       batchId, s"$root/fps", s"$root/sigs", s"$root/kept", tablePrefix,
       minEstJaccard)
     // leg 2 — detection over the split history: bucketed table side
@@ -297,13 +316,14 @@ object CombinedIngest {
                     langs: Seq[String] = Seq("en", "de"),
                     minEstJaccard: Double = 0.5,
                     compactEvery: Option[Long] = None,
-                    sigRetentionBatches: Option[Long] = None): StreamingQuery =
+                    sigRetentionBatches: Option[Long] = None,
+                    gopherGate: Boolean = false): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatchBucketed(batch, batchId, root, tablePrefix,
           minQualityPm, langs, minEstJaccard, compactEvery,
-          sigRetentionBatches)
+          sigRetentionBatches, gopherGate)
       }
       .start()
 }

@@ -63,13 +63,15 @@ object DriftMonitor {
     val bounds = sent.filter(col("axis") === BoundsAxis)
       .select(col("key").cast("int").as("i"), col("cnt"))
       .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
-    if (bounds.isEmpty) None
-    else {
-      val prior = sent.filter(col("axis") === PriorAxis)
-        .select(col("cnt")).head().getLong(0)
-      val weights = sent.filter(col("axis") === ModelAxis)
-        .select(col("key").as("token"), col("cnt").as("w_u"))
-      Some(Frozen(weights, prior, bounds))
+    val prior = sent.filter(col("axis") === PriorAxis)
+      .select(col("cnt")).collect().headOption.map(_.getLong(0))
+    // all-or-nothing: a torn sentinel (crash mid-write) reads as
+    // absent, and the next batch freezes a fresh reference
+    (bounds.nonEmpty, prior) match {
+      case (true, Some(p)) =>
+        Some(Frozen(sent.filter(col("axis") === ModelAxis)
+          .select(col("key").as("token"), col("cnt").as("w_u")), p, bounds))
+      case _ => None
     }
   }
 

@@ -318,6 +318,30 @@ class CombinedIngestSpec extends AnyFunSuite {
       "kill+restart drift store diverged from the golden run")
   }
 
+  test("gopher-gated topology: a quality-passing boilerplate doc never reaches the stores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = java.nio.file.Files.createTempDirectory("combinedgopher").toString
+    implicit val ctx = spark.sqlContext
+    val clean = (0 until 30)
+      .map(i => f"the w$i%02da a x$i%02db").mkString(" ")
+    val boiler = "the cat and the dog " * 40 // passes quality, fails Gopher
+    val ms = MemoryStream[DocEv]
+    val root = s"$work/r"
+    val q = CombinedIngest.start(ms.toDF(), root, s"$root/chk",
+      gopherGate = true)
+    try {
+      ms.addData(DocEv(10L, clean, clean.length.toLong),
+        DocEv(20L, boiler, boiler.length.toLong))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      assert(keptSet(CurateIngest.keptState(spark, s"$root/kept")) ==
+        Set(10L))
+      // the gate ran BEFORE the signature store: no tombstone either
+      assert(CurateIngest.sigState(spark, s"$root/sigs", 99L)
+        .select("doc_id").as[Long].collect().toSet == Set(10L))
+    } finally q.stop()
+  }
+
   test("bucketed combined mode: kill+restart equality, batch twins, exchange-free store joins") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
