@@ -13,6 +13,17 @@ import org.apache.spark.sql.SparkSession
   *    200 partitions on a laptop-shaped box is pure task overhead.
   *  - AQE on: runtime coalescing + skew-join splitting are the levers
   *    the 100 TB plans assume.
+  *  - initialPartitionNum env lever: AQE coalesces but never SPLITS a
+  *    shuffle, so the pre-coalesce width caps reduce parallelism and
+  *    per-task sort size. The r11 second-decade soak A/B'd 32 vs 1024
+  *    on the spill-regime SpanScrub shuffle and 1024 measured ~1.5×
+  *    WORSE (scrub_exact 354→539 s at 500k docs): with 32 concurrent
+  *    task slots the total spill volume is set by execution memory,
+  *    not partition count, so narrower sort runs bought nothing while
+  *    1024 tasks × 1M shuffle blocks added real overhead. Default
+  *    therefore stays = cores; SPARK_GRAFT_INITIAL_PARTITIONS exists
+  *    for soak A/Bs (on a real cluster the equivalent lever is more
+  *    executors, which DOES add memory with the width).
   *  - ObjectHashAggregate fallback threshold: the 128-key default
   *    silently degrades exact-percentile/collect aggregates to
   *    sort-based aggregation on any realistic group count.
@@ -29,6 +40,9 @@ object Engine {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          cores.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.codegen.cache.maxEntries", "5000")

@@ -207,6 +207,44 @@ object ScaleSoak {
     report("ingest", s"shards=$nShards", s"$tag-last$window", tail)
   }
 
+  /** r11: per-shard cost of the INCREMENTAL span scrub as the gram
+    * store grows — the claim under test is the second-decade finding's
+    * counterpart: the streaming form pays the gram exchange only for
+    * the arriving shard (never re-sorts history), so per-shard wall
+    * must stay flat-ish and SPILL-FREE while the bucketed store grows
+    * by one shard's grams per batch (the store side of the probe join
+    * is a bucket-aligned scan — sequential read cost, no exchange, no
+    * corpus-scale sort). Corpus: ONE docCorpus slice per shard (unique
+    * text per shard; planted dup rate size-independent), the bucketed
+    * ScrubIngest path with mid-run compactions. */
+  def scrubIngest(spark: SparkSession, nShards: Int = 10,
+                  docsPerShard: Long = 50000L,
+                  compactEvery: Long = 3L): Unit = {
+    import graft.streaming.ScrubIngest
+    val dir = java.nio.file.Files
+      .createTempDirectory("soak_scrubingest").toString
+    val prefix = "soakscrub"
+    Seq("gram").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    try {
+      val corpus = docCorpus(spark, nShards * docsPerShard)
+      (0 until nShards).foreach { b =>
+        val shard = corpus.filter(
+          col("doc_id") >= b * docsPerShard &&
+            col("doc_id") < (b + 1) * docsPerShard)
+        timedSpill(spark, "scrubing", s"shard=$b",
+          s"docs=$docsPerShard") {
+          ScrubIngest.writeScrubShardBucketed(shard, b.toLong,
+            s"$dir/grams", s"$dir/out", prefix)
+          if (b > 0 && b % compactEvery == 0)
+            ScrubIngest.compactGramsBucketed(spark, s"$dir/grams",
+              upToBatch = b.toLong, prefix)
+        }
+      }
+      corpus.unpersist()
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${prefix}_gram")
+  }
+
   /** Synthetic document corpus with CORPUS-REALISTIC duplicate
     * structure for the 10x query probes: filler-dominant bodies (60
     * tokens alternating stopword glue with per-(doc,pos)-unique hex
@@ -329,6 +367,70 @@ object ScaleSoak {
     }
   }
 
+  /** Runs `f` with a task-metrics listener attached and reports wall
+    * time plus the spill / shuffle bytes the job actually moved — the
+    * attribution tool for superlinear soak exponents (a transition
+    * into the external-sort spill regime shows up here as spill bytes
+    * going 0 → tens of GB between sizes, which no wall clock alone
+    * can distinguish from algorithmic superlinearity). */
+  private def timedSpill(spark: SparkSession, family: String,
+                         size: String, path: String)(f: => Unit): Unit = {
+    import java.util.concurrent.atomic.AtomicLong
+    val memSpill = new AtomicLong; val diskSpill = new AtomicLong
+    val shufW = new AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val sec = time(f)
+      // listener bus is async (and private[spark], so no
+      // waitUntilEmpty) — give it a moment to drain before reading
+      Thread.sleep(2000)
+      val gb = (b: AtomicLong) => b.get / 1e9
+      println(f"[soak] $family%-9s $size%-12s $path%-10s $sec%8.2f s" +
+        f"  shufW=${gb(shufW)}%.1fGB memSpill=${gb(memSpill)}%.1fGB" +
+        f" diskSpill=${gb(diskSpill)}%.1fGB")
+    } catch { case e: Throwable =>
+      println(s"[soak] $family $size $path FAILED: " +
+        s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  /** r11: isolate the SpanScrub stage — the one stage unique to the
+    * two families the second decade measured superlinear (curate_full
+    * 1.24, curate_scrub 1.17 vs curate_strict 0.94). Times the exact
+    * substring-key variant and the 8-byte fingerprint variant across
+    * the two decades WITH spill attribution ([[timedSpill]]); run
+    * under SPARK_GRAFT_INITIAL_PARTITIONS={32,1024} to A/B the AQE
+    * pre-coalesce width (A/B verdict: 1024 measured ~1.5× WORSE —
+    * see Engine.sessionBuilder scaladoc and SCALING.md). */
+  def scrub100x(spark: SparkSession, nDocs: Long = 5000L): Unit = {
+    locally {
+      val d = docCorpus(spark, nDocs)
+      sink(graft.dedup.SpanScrub.spanScrub(d))
+      sink(graft.dedup.SpanScrub.spanScrubFp(d))
+      d.unpersist()
+    }
+    Seq(1L, 10L, 100L).foreach { mult =>
+      val nd = nDocs * mult
+      val d = docCorpus(spark, nd)
+      timedSpill(spark, "scrub100x", s"docs=$nd", "scrub_exact")(
+        sink(graft.dedup.SpanScrub.spanScrub(d)))
+      timedSpill(spark, "scrub100x", s"docs=$nd", "scrub_fp")(
+        sink(graft.dedup.SpanScrub.spanScrubFp(d)))
+      d.unpersist()
+    }
+  }
+
   /** r11: per-batch wall time of the combined topology's SHARED-
     * tokenization processBatch vs the per-leg composition it replaced
     * (gate, classifier counts and postings each re-scanning the
@@ -421,6 +523,13 @@ object ScaleSoak {
       case "bench100x" => bench100x(spark)
       case s if s.startsWith("bench100x:") =>
         bench100x(spark, s.drop(10).toLong)
+      case "scrub100x" => scrub100x(spark)
+      case s if s.startsWith("scrub100x:") =>
+        scrub100x(spark, s.drop(10).toLong)
+      case "scrubingest" => scrubIngest(spark)
+      case s if s.startsWith("scrubingest:") =>
+        val ps = s.drop(12).split(",")
+        scrubIngest(spark, ps(0).toInt, ps(1).toLong)
       case "combinedtok" => combinedTok(spark)
       case s if s.startsWith("combinedtok:") =>
         val ps = s.drop(12).split(",")

@@ -117,9 +117,13 @@ object SparkEntry {
       graft.dedup.SpanScrub.spanScrubFp(Tables.documents(s, dir))),
     "q_span_scrub" -> ((s, dir) =>
       graft.dedup.SpanScrub.spanScrub(Tables.documents(s, dir))),
+    "q_scrub_incr" -> ((s, dir) => // shard-at-a-time ExactSubstr vs gram store
+      graft.dedup.SpanScrub.incrScrub(Tables.documents(s, dir))),
     // FineWeb ordering: scrub repeated bytes FIRST, then score/gate/dedup
     "q_curate_full" -> ((s, dir) => // + benchmark-contamination gate (stage 5)
       graft.text.Curate.curateFull(Tables.documents(s, dir))),
+    "q_curate_full_fp" -> ((s, dir) => // fp gram wire, parity-pinned
+      graft.text.Curate.curateFullFp(Tables.documents(s, dir))),
     "q_curate_scrub" -> ((s, dir) =>
       graft.text.Curate.curateScrubbed(Tables.documents(s, dir))),
     "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
@@ -716,8 +720,16 @@ object SparkEntry {
       // parity pin: the fp-keyed variant must reproduce the exact-key
       // result bit-for-bit — a gram-hash collision would mismatch here
       "q_span_scrub_fp" -> graft.dedup.SpanScrub.spanScrubSql(),
+      // incrementality pin: the shard-looped store form must reproduce
+      // the flat batch scrub (doc_id-ordered shards make "in store" ⇔
+      // "has a global earlier occurrence"); bounded like q_curate_incr
+      "q_scrub_incr" -> graft.dedup.SpanScrub.spanScrubSql(source =
+        "(SELECT doc_id, text FROM main.documents WHERE doc_id < 600)"),
       "q_curate_scrub" -> graft.text.Curate.curateScrubbedSql(),
       "q_curate_full" -> graft.text.Curate.curateFullSql(),
+      // parity pin: the whole funnel on the fp gram wire must equal
+      // the exact-substring funnel bit-for-bit (q_span_scrub_fp lifted)
+      "q_curate_full_fp" -> graft.text.Curate.curateFullSql(),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_hard_negatives" -> graft.ann.Similarity.hardNegativesSql(),

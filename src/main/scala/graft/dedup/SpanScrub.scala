@@ -60,13 +60,99 @@ object SpanScrub {
     * an assumption. */
   def spanScrubFp(docs: DataFrame, k: Int = 40): DataFrame = {
     val base = graft.Tables.spread(docs).select(col("doc_id"), col("text"))
-    val grams = base
+    scrubByGram(base, fpGrams(base, k), k)
+  }
+
+  /** Per-position 63-bit rolling-hash grams: (doc_id, i, gram) with i
+    * 1-based like the exact variant's substr positions. */
+  private[graft] def fpGrams(base: DataFrame, k: Int): DataFrame =
+    base
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
         posexplode(graft.functions.TextFunctions.gram_fps(col("text"), k))
           .as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"), col("gram"))
-    scrubByGram(base, grams, k)
+
+  /** One shard scrubbed against the accumulated gram-fingerprint store
+    * — the ExactSubstr operation made INCREMENTAL, the byte-level
+    * sibling of [[graft.streaming.CurateIngest.ingestShard]]'s doc-level
+    * anti-join. Every shard gram already present in the store is a cut
+    * (its first occurrence lives in an earlier shard); within the
+    * shard, later occurrences of novel grams are cut by the usual
+    * first-occurrence window — shard-sized, so the window sort never
+    * sees the corpus. Returns (scrubbed docs in [[spanScrub]]'s output
+    * shape, novel first-occurrence grams to append to the store).
+    *
+    * Equality contract: when shards arrive in doc_id order, the store
+    * holds exactly the gram set of earlier docs, so "in store" ⇔
+    * "has a global earlier occurrence" and the loop reproduces the
+    * batch [[spanScrub]] bit-for-bit (q_scrub_incr pins this against
+    * the EXACT-substring oracle, which also checks fp collisions).
+    * Scale: the store is the big side (one row per distinct corpus
+    * gram) — it joins bucketed-by-gram in the streaming form so only
+    * the arriving shard's grams shuffle. */
+  def scrubShard(shard: DataFrame, gramStore: DataFrame,
+                 k: Int = 40): (DataFrame, DataFrame) = {
+    val base = shard.select(col("doc_id"), col("text"))
+    val grams = fpGrams(base, k)
+    val hitCuts = grams.join(gramStore, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
+    val novel = grams.join(gramStore, Seq("gram"), "left_anti")
+    val wS = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
+    val novelRn = novel.withColumn("rn", row_number().over(wS))
+    val selfCuts = novelRn.filter(col("rn") > 1)
+      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
+    val scrubbed = rebuildFromCuts(base, hitCuts.unionByName(selfCuts))
+    (scrubbed, novelRn.filter(col("rn") === 1).select(col("gram")))
+  }
+
+  /** [[scrubShard]] against a SPLIT store — (bucketed compacted gram
+    * table, recent broadcastable deltas), the
+    * [[graft.streaming.CurateIngest.freshAgainstSplitStores]] shape for
+    * the scrub store. The compacted side joins bucket-aligned on
+    * `gram` (no store-side exchange — plan-asserted in
+    * ScrubStreamSpec), the delta side broadcasts. The two store sides
+    * may overlap across a compaction crash window, so hit occurrences
+    * are deduped on (doc_id, i) — shard-sized — before the rebuild. */
+  def scrubShardSplit(shard: DataFrame, gramCompact: DataFrame,
+                      gramDelta: DataFrame,
+                      k: Int = 40): (DataFrame, DataFrame) = {
+    val base = shard.select(col("doc_id"), col("text"))
+    val grams = fpGrams(base, k)
+    val hitCuts = grams.join(gramCompact, Seq("gram"), "left_semi")
+      .unionByName(grams.join(broadcast(gramDelta), Seq("gram"), "left_semi"))
+      .dropDuplicates("doc_id", "i")
+      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
+    val novel = grams.join(gramCompact, Seq("gram"), "left_anti")
+      .join(broadcast(gramDelta), Seq("gram"), "left_anti")
+    val wS = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
+    val novelRn = novel.withColumn("rn", row_number().over(wS))
+    val selfCuts = novelRn.filter(col("rn") > 1)
+      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
+    val scrubbed = rebuildFromCuts(base, hitCuts.unionByName(selfCuts))
+    (scrubbed, novelRn.filter(col("rn") === 1).select(col("gram")))
+  }
+
+  /** The id-ordered incremental scrub as one deterministic loop — the
+    * q_scrub_incr engine side, hash-matched against [[spanScrubSql]]
+    * (the flat batch oracle: incrementality must be invisible in the
+    * output). Shards are doc_id ranges like
+    * [[graft.streaming.CurateIngest.incrCurate]]'s. */
+  def incrScrub(docs: DataFrame, shardSize: Long = 150,
+                maxId: Long = 600, k: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nShards = ((maxId + shardSize - 1) / shardSize).toInt
+    var store = Seq.empty[Long].toDF("gram")
+    var outs = List.empty[DataFrame]
+    for (i <- 0 until nShards) {
+      val shard = docs.filter(col("doc_id") >= i * shardSize &&
+        col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
+      val (scrubbed, novel) = scrubShard(shard, store, k)
+      outs = outs :+ scrubbed
+      store = store.unionByName(novel).localCheckpoint()
+    }
+    outs.reduce(_ unionByName _)
   }
 
   /** Shared tail: first-occurrence window over the gram key (string or
@@ -79,6 +165,16 @@ object SpanScrub {
       .withColumn("rn", row_number().over(wG)).filter(col("rn") > 1)
       .select(col("doc_id"), col("i").as("s"),
         (col("i") + (k - 1)).as("e"))
+    rebuildFromCuts(base, cuts)
+  }
+
+  /** The scrub's rebuild half, shared by the batch window form and the
+    * incremental store form: merge the (doc_id, s, e) cut ranges per
+    * doc by gaps-and-islands and re-assemble each survivor text from
+    * the complement slices. Everything here is island-count-sized per
+    * doc (kB), keyed by doc_id — no corpus-scale state. */
+  private[graft] def rebuildFromCuts(base: DataFrame,
+                                     cuts: DataFrame): DataFrame = {
     // merge overlapping/adjacent ranges per doc (gaps-and-islands)
     val wD = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val wRun = wD.rowsBetween(Window.unboundedPreceding, -1)

@@ -226,8 +226,34 @@ object Curate {
   def curateFull(docs: DataFrame, minQualityPm: Long = 600,
                  langs: Seq[String] = Seq("en", "de"),
                  n: Int = 8, benchMaxId: Long = 20,
-                 maxContamPm: Long = 800): DataFrame = {
-    val scrubbed = graft.dedup.SpanScrub.spanScrub(docs)
+                 maxContamPm: Long = 800): DataFrame =
+    fullFromScrubbed(graft.dedup.SpanScrub.spanScrub(docs), docs,
+      minQualityPm, langs, n, benchMaxId, maxContamPm)
+
+  /** [[curateFull]] with the scrub stage on the 100 TB wire: stage 0
+    * is [[graft.dedup.SpanScrub.spanScrubFp]], so the funnel's single
+    * most expensive exchange (the per-position gram shuffle — the
+    * stage the r11 second-decade soak measured dominant) carries 8-byte
+    * rolling-hash Longs instead of 40-char substrings. Everything
+    * downstream is [[curateFull]] verbatim. Correctness: q_curate_full_fp
+    * parity-pins this variant against the EXACT-substring oracle
+    * ([[curateFullSql]]) — a fp collision would scrub a span the exact
+    * key keeps and surface as a hash mismatch, the q_span_scrub_fp
+    * pattern lifted to the whole funnel. */
+  def curateFullFp(docs: DataFrame, minQualityPm: Long = 600,
+                   langs: Seq[String] = Seq("en", "de"),
+                   n: Int = 8, benchMaxId: Long = 20,
+                   maxContamPm: Long = 800): DataFrame =
+    fullFromScrubbed(graft.dedup.SpanScrub.spanScrubFp(docs), docs,
+      minQualityPm, langs, n, benchMaxId, maxContamPm)
+
+  /** Stages 1-5 of the full recipe, downstream of either scrub
+    * variant's (doc_id, …, text_clean) output. */
+  private def fullFromScrubbed(scrub: DataFrame, docs: DataFrame,
+                               minQualityPm: Long, langs: Seq[String],
+                               n: Int, benchMaxId: Long,
+                               maxContamPm: Long): DataFrame = {
+    val scrubbed = scrub
       .select(col("doc_id"), col("text_clean").as("text"),
         length(col("text_clean")).cast("long").as("n_chars"))
     val kept = curateDocs(scrubbed, minQualityPm, langs)

@@ -132,6 +132,18 @@ class CurateSpec extends AnyFunSuite {
     assert(scrub.contains(10L), "leaked doc must survive the gate-free recipe")
   }
 
+  test("fp-wire funnel is bit-equal to the exact-substring funnel") {
+    // the q_curate_full_fp parity pin, locally: the whole 6-stage
+    // funnel with the scrub exchange on the 8-byte rolling-hash key
+    // must reproduce the exact-key funnel row for row (a fp collision
+    // would cut a span the exact key keeps and show up here)
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Curate.curateFull(base).orderBy("doc_id").collect()
+    val fp = Curate.curateFullFp(base).orderBy("doc_id").collect()
+    assert(exact.nonEmpty)
+    assert(fp.toSeq == exact.toSeq)
+  }
+
   test("scrub-first curation: text only shrinks, floor still holds") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Curate.curateScrubbed(base).collect()
