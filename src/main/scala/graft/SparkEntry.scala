@@ -124,6 +124,12 @@ object SparkEntry {
       graft.text.Curate.curateFull(Tables.documents(s, dir))),
     "q_curate_full_fp" -> ((s, dir) => // fp gram wire, parity-pinned
       graft.text.Curate.curateFullFp(Tables.documents(s, dir))),
+    // the whole 6-stage funnel arriving shard-at-a-time: scrub vs the
+    // gram store, gate, exact vs fp store, strict near-dedup vs sig
+    // store, contamination vs the static benchmark grams
+    "q_curate_full_incr" -> ((s, dir) =>
+      graft.streaming.CurateIngest.incrCurateFullStrict(
+        Tables.documents(s, dir))),
     "q_curate_scrub" -> ((s, dir) =>
       graft.text.Curate.curateScrubbed(Tables.documents(s, dir))),
     "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
@@ -730,6 +736,9 @@ object SparkEntry {
       // parity pin: the whole funnel on the fp gram wire must equal
       // the exact-substring funnel bit-for-bit (q_span_scrub_fp lifted)
       "q_curate_full_fp" -> graft.text.Curate.curateFullSql(),
+      // the incremental full funnel vs its flat strict twin — the
+      // scrub/exact/near/contamination cancellations composed
+      "q_curate_full_incr" -> graft.text.Curate.curateFullStrictIncrSql(),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_hard_negatives" -> graft.ann.Similarity.hardNegativesSql(),

@@ -107,24 +107,56 @@ object SpanScrub {
   }
 
   /** [[scrubShard]] against a SPLIT store — (bucketed compacted gram
-    * table, recent broadcastable deltas), the
+    * table, recent deltas), the
     * [[graft.streaming.CurateIngest.freshAgainstSplitStores]] shape for
-    * the scrub store. The compacted side joins bucket-aligned on
-    * `gram` (no store-side exchange — plan-asserted in
-    * ScrubStreamSpec), the delta side broadcasts. The two store sides
-    * may overlap across a compaction crash window, so hit occurrences
-    * are deduped on (doc_id, i) — shard-sized — before the rebuild. */
+    * the scrub store, with two gram-store-specific deviations, both
+    * soak-measured (SCALING.md "incremental scrub soak"):
+    *
+    *  - The delta side is NOT broadcast. Unlike the doc-count-sized
+    *    fingerprint deltas, a gram delta is corpus-BYTES-sized (~740
+    *    grams per doc — one pre-compaction shard is already hundreds
+    *    of MB), and the first soak run showed the broadcast build
+    *    dominating then failing as deltas accumulated (45 → 77 →
+    *    211 s per shard, stage failures at shard 3). A shuffled join
+    *    bounds the delta cost at compactEvery × shard-sized.
+    *  - The compact-table probe is a SHUFFLED-HASH inner join with the
+    *    SHARD as build side, not an SMJ. Append-mode compaction leaves
+    *    multiple files per bucket, which keeps the table's hash
+    *    partitioning (no store-side Exchange) but loses per-bucket
+    *    sortedness — an SMJ would re-SORT the whole store every shard,
+    *    exactly the corpus-scale sort this store exists to avoid. The
+    *    hash probe streams the store once per shard with no sort and
+    *    no exchange (plan-asserted in ScrubStreamSpec); the shard-side
+    *    hash table is ~1M grams per bucket task.
+    *
+    * The store sides may carry duplicate rows (compaction crash
+    * window, append replays) — hit occurrences are deduped on
+    * (doc_id, i), shard-sized, and the inner-join form is immune to
+    * store-side duplicates beyond that. `hits` is pinned so the store
+    * is scanned ONCE per shard (both the cut ranges and the
+    * novel-gram complement read it). */
+  /** The split-store probe plan itself — the shuffled-hash scan of the
+    * bucket table plus the delta semi-join, deduped to occurrences.
+    * Factored out so the plan gate can EXECUTE exactly the frame
+    * [[scrubShardSplit]] pins (the localCheckpoint there materializes
+    * this plan before the caller can inspect it). */
+  private[graft] def storeProbe(grams: DataFrame, gramCompact: DataFrame,
+                                gramDelta: DataFrame): DataFrame =
+    grams.hint("SHUFFLE_HASH").join(gramCompact, Seq("gram"))
+      .select(col("doc_id"), col("i"))
+      .unionByName(grams.join(gramDelta, Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("i")))
+      .dropDuplicates("doc_id", "i")
+
   def scrubShardSplit(shard: DataFrame, gramCompact: DataFrame,
                       gramDelta: DataFrame,
                       k: Int = 40): (DataFrame, DataFrame) = {
     val base = shard.select(col("doc_id"), col("text"))
     val grams = fpGrams(base, k)
-    val hitCuts = grams.join(gramCompact, Seq("gram"), "left_semi")
-      .unionByName(grams.join(broadcast(gramDelta), Seq("gram"), "left_semi"))
-      .dropDuplicates("doc_id", "i")
+    val hits = storeProbe(grams, gramCompact, gramDelta).localCheckpoint()
+    val hitCuts = hits
       .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
-    val novel = grams.join(gramCompact, Seq("gram"), "left_anti")
-      .join(broadcast(gramDelta), Seq("gram"), "left_anti")
+    val novel = grams.join(hits, Seq("doc_id", "i"), "left_anti")
     val wS = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
     val novelRn = novel.withColumn("rn", row_number().over(wS))
     val selfCuts = novelRn.filter(col("rn") > 1)

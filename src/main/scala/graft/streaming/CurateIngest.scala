@@ -191,6 +191,94 @@ object CurateIngest {
         col("quality_pm"), col("n_chars"))
   }
 
+  /** The FULL 6-stage funnel ([[graft.text.Curate.curateFull]]'s
+    * recipe) as one id-ordered incremental loop — every cross-shard
+    * stage running against its own accumulated store:
+    *
+    *   0. span scrub vs the gram-fp store
+    *      ([[graft.dedup.SpanScrub.scrubShard]]) — repeated bytes cut
+    *      against everything seen so far, never re-sorting history;
+    *   1-2. quality/language gate on the SCRUBBED text (FineWeb
+    *      ordering — boilerplate removed before it can inflate or
+    *      mask the quality signal);
+    *   3. first-wins exact dedup vs the fingerprint store;
+    *   4. strict cross-shard near-dedup vs the signature store
+    *      (tombstones, no retraction) + within-shard keep-best;
+    *   5. benchmark-contamination gate vs the STATIC benchmark gram
+    *      set (a real benchmark is external and never scrubbed, so
+    *      the bench side is a fixed input, shard-local to apply).
+    *
+    * q_curate_full_incr hash-matches this loop against the flat
+    * [[graft.text.Curate.curateFullStrictIncrSql]] twin: the scrub
+    * store equality is q_scrub_incr's (id-ordered shards make "in
+    * store" ⇔ "global earlier occurrence"), the exact/near stages are
+    * [[incrCurateStrict]]'s (md5 transitivity, pair-local banding),
+    * and the contamination stage is per-doc arithmetic against a
+    * constant set — so the whole composition's order dependence
+    * cancels stage by stage. */
+  def incrCurateFullStrict(docs: DataFrame, shardSize: Long = 150,
+                           maxId: Long = 600, minQualityPm: Long = 600,
+                           langs: Seq[String] = Seq("en", "de"),
+                           minEstJaccard: Double = 0.5, n: Int = 8,
+                           benchMaxId: Long = 20,
+                           maxContamPm: Long = 800): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nShards = ((maxId + shardSize - 1) / shardSize).toInt
+    // static external-benchmark gram set (raw text, the curateFull
+    // contract), broadcast into every shard's stage 5
+    val bench = graft.dedup.Dedup.shingles(
+        docs.filter(col("doc_id") < benchMaxId && col("doc_id") < maxId), n)
+      .select(col("sh")).distinct().localCheckpoint()
+    var gramStore = Seq.empty[Long].toDF("gram")
+    var fpStore = Seq.empty[String].toDF("fingerprint")
+    var sigStore: DataFrame = null
+    var outs = List.empty[DataFrame]
+    for (i <- 0 until nShards) {
+      val shard = docs.filter(col("doc_id") >= i * shardSize &&
+        col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
+      val (scrubbed0, novel) =
+        graft.dedup.SpanScrub.scrubShard(shard, gramStore)
+      val scrubbed = scrubbed0
+        .select(col("doc_id"), col("text_clean").as("text"),
+          length(col("text_clean")).cast("long").as("n_chars"))
+        .localCheckpoint()
+      val store = if (sigStore == null)
+        sigBands(docs.limit(0).select(col("doc_id"), col("text"))) else sigStore
+      val (kept, fps, sigs) = ingestShardStrict(scrubbed, fpStore, store,
+        minQualityPm, langs, minEstJaccard)
+      outs = outs :+ kept.join(
+        contaminatedIds(kept, scrubbed, bench, n, benchMaxId, maxContamPm),
+        Seq("doc_id"), "left_anti")
+      gramStore = gramStore.unionByName(novel).localCheckpoint()
+      fpStore = fpStore.unionByName(fps).distinct().localCheckpoint()
+      sigStore = (if (sigStore == null) sigs
+        else sigStore.unionByName(sigs)).localCheckpoint()
+    }
+    outs.reduce(_ unionByName _)
+      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+        col("n_chars"))
+  }
+
+  /** Stage 5 of the full funnel, shard-local: ids of this shard's
+    * survivors whose distinct char n-gram overlap with the static
+    * benchmark gram set reaches `maxContamPm` per-mille
+    * ([[graft.text.Curate.curateFull]]'s gate over one shard; bench
+    * stand-ins — id < benchMaxId — pass through on their merits). */
+  private[streaming] def contaminatedIds(kept: DataFrame,
+                                         scrubbed: DataFrame,
+                                         bench: DataFrame, n: Int,
+                                         benchMaxId: Long,
+                                         maxContamPm: Long): DataFrame =
+    graft.dedup.Dedup.shingles(
+        kept.join(scrubbed.select(col("doc_id"), col("text")), "doc_id"), n)
+      .filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tot"), count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") * lit(1000L) >= col("n_tot") * lit(maxContamPm))
+      .select("doc_id")
+
   // ------------------------------------------------ disk-backed stream
 
   import org.apache.spark.sql.types._
@@ -363,6 +451,80 @@ object CurateIngest {
             compactStores(batch.sparkSession, storePath, keptPath,
               Some(sigPath), upToBatch = batchId,
               sigRetentionBatches = sigRetentionBatches)
+        }
+      }
+      .start()
+
+  /** One micro-batch of the FULL funnel ([[incrCurateFullStrict]]'s
+    * stages, [[writeShardStrict]]'s write discipline): scrub the
+    * arriving shard against the gram store, run the strict gated
+    * ingest over the SCRUBBED text, apply the contamination gate, then
+    * land novel grams / fingerprints / signatures / survivors each in
+    * their own batch_id partition. Every store read is pre-batch
+    * pinned, so a crash-replay rewrites all four partitions with
+    * identical content. Note the store appends (grams, fps, sigs) are
+    * PRE-contamination, exactly like the loop: a contaminated doc
+    * still owns its spans and tombstones. */
+  def writeShardFullStrict(batch: DataFrame, batchId: Long,
+                           gramPath: String, fpPath: String,
+                           sigPath: String, keptPath: String,
+                           bench: DataFrame, minQualityPm: Long = 600,
+                           langs: Seq[String] = Seq("en", "de"),
+                           minEstJaccard: Double = 0.5, n: Int = 8,
+                           benchMaxId: Long = 20,
+                           maxContamPm: Long = 800): Unit = {
+    val spark = batch.sparkSession
+    val (scrubbed0, novel0) = graft.dedup.SpanScrub.scrubShard(
+      batch.select(col("doc_id"), col("text")),
+      ScrubIngest.gramState(spark, gramPath, batchId))
+    val scrubbed = scrubbed0
+      .select(col("doc_id"), col("text_clean").as("text"),
+        length(col("text_clean")).cast("long").as("n_chars"))
+      .localCheckpoint()
+    val novel = novel0.localCheckpoint()
+    val (kept0, fps, sigs) = ingestShardStrict(scrubbed,
+      fpState(spark, fpPath, batchId), sigState(spark, sigPath, batchId),
+      minQualityPm, langs, minEstJaccard)
+    val kept = kept0.join(
+      contaminatedIds(kept0, scrubbed, bench, n, benchMaxId, maxContamPm),
+      Seq("doc_id"), "left_anti")
+    Seq((novel, gramPath), (fps, fpPath), (sigs, sigPath),
+        (kept, keptPath)).foreach { case (df, path) =>
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
+    }
+  }
+
+  /** The FULL-funnel pipeline: one document stream through all six
+    * stages against all four stores. `bench` is the STATIC external
+    * benchmark gram set (one `sh` column — compute it once from the
+    * raw benchmark docs and pin it; a real benchmark never arrives on
+    * the stream). Compaction folds the three doc-level stores via
+    * [[compactStores]] and the gram store via
+    * [[ScrubIngest.compactGrams]] on the same tick. */
+  def startFullStrict(docStream: DataFrame, gramPath: String,
+                      fpPath: String, sigPath: String, keptPath: String,
+                      checkpoint: String, bench: DataFrame,
+                      minQualityPm: Long = 600,
+                      langs: Seq[String] = Seq("en", "de"),
+                      minEstJaccard: Double = 0.5, n: Int = 8,
+                      benchMaxId: Long = 20, maxContamPm: Long = 800,
+                      compactEvery: Option[Long] = None): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShardFullStrict(batch, batchId, gramPath, fpPath, sigPath,
+          keptPath, bench, minQualityPm, langs, minEstJaccard, n,
+          benchMaxId, maxContamPm)
+        compactEvery.foreach { c =>
+          if (batchId > 0 && batchId % c == 0) {
+            compactStores(batch.sparkSession, fpPath, keptPath,
+              Some(sigPath), upToBatch = batchId)
+            ScrubIngest.compactGrams(batch.sparkSession, gramPath,
+              upToBatch = batchId)
+          }
         }
       }
       .start()

@@ -149,26 +149,38 @@ object ScrubIngest {
         .select(col("gram")))
   }
 
-  /** [[compactGrams]] writing a metastore table BUCKETED by `gram`
-    * instead of a clustered sentinel partition: the store-side
-    * exchange of every subsequent shard probe is paid once here at
-    * write time ([[CurateIngest.compactStoresBucketed]]'s move). A
-    * plain sentinel partition folds in alongside the deltas (set
-    * semantics absorb it) and is deleted — the one-run migration. */
+  /** [[compactGrams]] folding into a metastore table BUCKETED by
+    * `gram`, by APPEND — never rewriting the table. The first soak of
+    * a rewrite-the-world fold (read table ∪ deltas, distinct, write)
+    * showed the tick cost growing linearly with the store and its
+    * `distinct` entering the spill regime by the third tick (74 → 79
+    * → 146 s, 62 GB spill — SCALING.md); cumulatively that fold is
+    * O(corpus²/compactEvery). Appending only the un-folded delta
+    * partitions is delta-sized forever, and it is CORRECT because
+    * novel grams are disjoint from everything earlier BY CONSTRUCTION
+    * (each batch anti-joins the full pre-batch store), so the table is
+    * a disjoint union; the crash window (append landed, partition
+    * delete didn't) degrades to duplicate rows on replay, which every
+    * probe tolerates (inner-join + (doc_id, i) dedup / anti-join).
+    * Appends leave multiple files per bucket — hash partitioning (the
+    * exchange-free probe) survives, per-bucket sortedness does not,
+    * which is why the probe is a shuffled-hash join, not an SMJ
+    * ([[graft.dedup.SpanScrub.scrubShardSplit]]). A plain `batch_id=-1`
+    * sentinel (migration from [[compactGrams]]) folds in alongside the
+    * deltas and is deleted. */
   def compactGramsBucketed(spark: SparkSession, gramPath: String,
                            upToBatch: Long, tablePrefix: String,
                            buckets: Int = 32): Unit = {
-    val all = CurateIngest.tableOrEmpty(spark, s"${tablePrefix}_gram",
-        gramTableSchema)
-      .unionByName(readStore(spark, gramPath, gramSchema)
-        .filter(col("batch_id") < upToBatch)
-        .select(col("gram")))
-      .distinct()
-    all.repartition(buckets, col("gram"))
-      .sortWithinPartitions(col("gram"))
-      .localCheckpoint() // pin BEFORE overwriting a table we just read
-      .write.mode("overwrite")
-      .bucketBy(buckets, "gram").sortBy("gram")
+    // batch partitions still on disk are exactly the un-folded ones
+    // (folded partitions are deleted below); distinct is fold-sized,
+    // absorbing replay duplicates and sentinel/table overlap
+    val deltas = readStore(spark, gramPath, gramSchema)
+      .filter(col("batch_id") < upToBatch)
+      .select(col("gram")).distinct()
+      .repartition(buckets, col("gram"))
+      .localCheckpoint() // pin BEFORE deleting partitions we read
+    deltas.write.mode("append")
+      .bucketBy(buckets, "gram")
       .format("parquet").saveAsTable(s"${tablePrefix}_gram")
     Stores.dropBatchPartitions(spark, gramPath, upToBatch)
     Stores.dropCompactedPartition(spark, gramPath)

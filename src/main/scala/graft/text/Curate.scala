@@ -174,6 +174,85 @@ object Curate {
       .stripMargin
   }
 
+  /** DuckDB twin of
+    * [[graft.streaming.CurateIngest.incrCurateFullStrict]] — the FULL
+    * 6-stage funnel under shard-at-a-time arrival, still one flat
+    * query. Composition of three already-proven cancellations:
+    * the scrub store over id-ordered shards equals the flat global
+    * first-occurrence scrub (q_scrub_incr's argument), the strict
+    * exact/near stages are [[incrCurateStrictSql]]'s chain verbatim
+    * (md5 transitivity; banding pair-locality; tombstone first-wins
+    * spelled as "has an earlier-shard partner"), and the
+    * contamination stage is per-doc arithmetic against the static
+    * raw-text benchmark gram set. */
+  def curateFullStrictIncrSql(shardSize: Long = 150, maxId: Long = 600,
+                              minQualityPm: Long = 600,
+                              langs: Seq[String] = Seq("en", "de"),
+                              minEstJaccard: Double = 0.5, n: Int = 8,
+                              benchMaxId: Long = 20,
+                              maxContamPm: Long = 800): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    val notDropped = (id: String) =>
+      s"$id NOT IN (SELECT doc_id FROM crossdrop)"
+    val bounded =
+      s"(SELECT doc_id, text FROM main.documents WHERE doc_id < $maxId)"
+    s"""WITH scrub AS MATERIALIZED (
+       |${graft.dedup.SpanScrub.spanScrubSql(source = bounded)}
+       |),
+       |scrubbed AS MATERIALIZED (
+       |  SELECT doc_id, text_clean AS text,
+       |         CAST(length(text_clean) AS BIGINT) AS n_chars
+       |  FROM scrub),
+       |gated AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, text, n_chars,
+       |           ${TextAnalysis.qualityPmSql} AS quality_pm,
+       |           ${TextAnalysis.langPredSql} AS lang_pred
+       |    FROM scrubbed)
+       |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
+       |documents AS MATERIALIZED (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+       |                             ORDER BY doc_id) = 1),
+       |xc AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |${graft.dedup.Dedup.minhashCandidatesSql(4, minEstJaccard)}
+       |  )),
+       |crossdrop AS MATERIALIZED (
+       |  SELECT DISTINCT b_id AS doc_id FROM xc
+       |  WHERE a_id // $shardSize < b_id // $shardSize
+       |  UNION
+       |  SELECT DISTINCT a_id FROM xc
+       |  WHERE b_id // $shardSize < a_id // $shardSize),
+       |${graft.dedup.Clusters.survivorsBestCtes(pairWhere =
+           s"a_id // $shardSize = b_id // $shardSize AND " +
+             s"${notDropped("a_id")} AND ${notDropped("b_id")}")},
+       |skept AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text, d.lang_pred, d.quality_pm, d.n_chars
+       |  FROM documents d
+       |  WHERE ${notDropped("d.doc_id")}
+       |    AND NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)),
+       |bsh AS MATERIALIZED (
+       |  SELECT DISTINCT substr(text, i, $n) AS sh
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
+       |        FROM main.documents
+       |        WHERE doc_id < $benchMaxId AND doc_id < $maxId)),
+       |csh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
+       |        FROM skept)),
+       |contaminated AS MATERIALIZED (
+       |  SELECT s.doc_id FROM csh s LEFT JOIN bsh b ON s.sh = b.sh
+       |  WHERE s.doc_id >= $benchMaxId
+       |  GROUP BY 1
+       |  HAVING count(b.sh) * 1000 >= count(*) * $maxContamPm)
+       |SELECT doc_id, lang_pred, quality_pm, n_chars FROM skept k
+       |WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+       |                  WHERE c.doc_id = k.doc_id)""".stripMargin
+  }
+
   /** Curation with span-level surgical dedup as stage 0: the corpus is
     * [[graft.dedup.SpanScrub.spanScrub]]-cleaned FIRST (repeated-byte
     * removal), then scored/gated/deduped on the CLEANED text — the

@@ -213,6 +213,119 @@ class CurateStreamSpec extends AnyFunSuite {
       s"verdicts $verdicts")
   }
 
+  test("incrCurateFullStrict: each cross-shard stage isolated by its knob") {
+    // four stopword-rich sentence pools with disjoint content words, no
+    // internal repetition (so the scrub only cuts what we plant)
+    def pool(ws: Seq[String]): String = ws.grouped(2).zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        s"the $a went over the old $b and the ${a}s came back to the $b"
+      case (Seq(a), _) => s"the $a stood by the other $a all day long"
+    }.mkString(". ") + "."
+    val baseB = pool(Seq("ship", "harbor", "sailor", "mast", "anchor", "tide"))
+    val baseC = pool(Seq("miller", "field", "baker", "oven", "farmer", "cart"))
+    val baseD = pool(Seq("teacher", "school", "pupil", "desk", "writer", "book"))
+    val benchDoc = pool(Seq("falcon", "cliff", "otter", "river", "badger", "den"))
+    // 76-char boilerplate block >= the k=40 scrub threshold
+    val boiler = "this footer is the same legal boilerplate repeated " +
+      "on every single page here ok"
+    // < 40-char chunks re-ordered: no shared 40-char span survives for
+    // the scrub to cut, but the shingle multiset (→ MinHash) and the
+    // distinct 8-grams (→ contamination ratio) are ~3/4 preserved
+    def reshuffle(t: String): String =
+      t.split(" ").grouped(5).map(_.mkString(" ")).toSeq.reverse.mkString(" ")
+    val d = docs(
+      (1L, benchDoc),                // bench stand-in (id < 20), kept on merits
+      (10L, baseB + " " + boiler),   // first owner of the boilerplate
+      (170L, baseC),                 // shard 1
+      (180L, baseB + " " + boiler),  // exact copy of 10 → scrubbed to EMPTY
+      (320L, reshuffle(baseC) + " zq"),   // shard 2: near-dup of 170
+      (330L, reshuffle(benchDoc)),        // shard 2: benchmark leak
+      (470L, baseD))                 // shard 3: clean
+    def run(minEstJ: Double, maxContamPm: Long): Set[Long] =
+      CurateIngest.incrCurateFullStrict(d, minEstJaccard = minEstJ,
+          maxContamPm = maxContamPm)
+        .select("doc_id").as[Long].collect().toSet
+    // all stages on: 180 dies at the gate (its every span is owned by
+    // doc 10, the scrub empties it — the drop only the scrub∘gate
+    // composition produces), 320 dies against the signature store,
+    // 330 dies as a leak (or as a near-dup of 1 — either way gone)
+    val full = run(0.5, 700)
+    assert(full == Set(1L, 10L, 170L, 470L), s"kept $full")
+    // near-dup knob off → exactly 320 comes back (the sig store was
+    // its killer); 330 still dies: the contamination stage
+    val noNd = run(2.0, 700)
+    assert(noNd == Set(1L, 10L, 170L, 320L, 470L), s"kept $noNd")
+    // contamination knob off too → exactly 330 comes back; 180 never
+    // does (no knob disables the scrub∘gate composition)
+    val noC = run(2.0, 1001)
+    assert(noC == Set(1L, 10L, 170L, 320L, 330L, 470L), s"kept $noC")
+    // dup-free corpus: the loop equals the flat batch funnel
+    val clean = docs((10L, baseB), (170L, baseC), (330L, baseD))
+    val loopC = CurateIngest.incrCurateFullStrict(clean)
+      .select("doc_id").as[Long].collect().toSet
+    val batchC = graft.text.Curate.curateFull(clean)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loopC == batchC, s"loop $loopC vs batch $batchC")
+  }
+
+  test("full-funnel stream: kill+restart+replay equals the deterministic loop") {
+    // same planted corpus as the knob test, streamed in id order with
+    // a crash between shards and a manual replay of the last batch
+    def pool(ws: Seq[String]): String = ws.grouped(2).zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        s"the $a went over the old $b and the ${a}s came back to the $b"
+      case (Seq(a), _) => s"the $a stood by the other $a all day long"
+    }.mkString(". ") + "."
+    val baseB = pool(Seq("ship", "harbor", "sailor", "mast", "anchor", "tide"))
+    val baseC = pool(Seq("miller", "field", "baker", "oven", "farmer", "cart"))
+    val baseD = pool(Seq("teacher", "school", "pupil", "desk", "writer", "book"))
+    val benchDoc = pool(Seq("falcon", "cliff", "otter", "river", "badger", "den"))
+    val boiler = "this footer is the same legal boilerplate repeated " +
+      "on every single page here ok"
+    def reshuffle(t: String): String =
+      t.split(" ").grouped(5).map(_.mkString(" ")).toSeq.reverse.mkString(" ")
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    val shards = Seq(
+      Seq(mk(1L, benchDoc), mk(10L, baseB + " " + boiler)),
+      Seq(mk(170L, baseC), mk(180L, baseB + " " + boiler)),
+      Seq(mk(320L, reshuffle(baseC) + " zq"), mk(330L, reshuffle(benchDoc))),
+      Seq(mk(470L, baseD)))
+    val all = docs(shards.flatten.map(e => (e.doc_id, e.text)): _*)
+    val bench = graft.dedup.Dedup.shingles(
+        all.filter(col("doc_id") < 20L), 8)
+      .select(col("sh")).distinct().localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("fullfunnel").toString
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[DocEv]
+    def start() = CurateIngest.startFullStrict(ms.toDF(), s"$dir/grams",
+      s"$dir/fps", s"$dir/sigs", s"$dir/kept", s"$dir/chk", bench,
+      maxContamPm = 700, compactEvery = Some(2L))
+    val q1 = start()
+    try {
+      shards.take(2).foreach { s => ms.addData(s: _*); q1.processAllAvailable() }
+    } finally q1.stop() // crash between shards 1 and 2
+    val q2 = start()
+    try {
+      shards.drop(2).foreach { s => ms.addData(s: _*); q2.processAllAvailable() }
+      assert(q2.exception.isEmpty, s"stream died: ${q2.exception}")
+      val streamed = keptSet(CurateIngest.keptState(spark, s"$dir/kept"))
+      val loop = keptSet(CurateIngest.incrCurateFullStrict(all,
+        maxContamPm = 700))
+      assert(streamed == loop && streamed == Set(1L, 10L, 170L, 470L),
+        s"streamed $streamed vs loop $loop")
+      // crash-replay of the LAST batch: all four partitions rewrite
+      // with identical content (every store read is pre-batch pinned)
+      CurateIngest.writeShardFullStrict(shards(3).toDF(), batchId = 3L,
+        s"$dir/grams", s"$dir/fps", s"$dir/sigs", s"$dir/kept", bench,
+        maxContamPm = 700)
+      val replayed = keptSet(CurateIngest.keptState(spark, s"$dir/kept"))
+      assert(replayed == streamed, "replay changed the survivors")
+      // the gram compaction tick fired mid-stream
+      assert(spark.read.parquet(s"$dir/grams")
+        .filter(col("batch_id") === -1L).count() > 0, "grams not folded")
+    } finally q2.stop()
+  }
+
   test("qualityScoreDriftSketch: empty corpus yields the empty drift table, not an NPE") {
     // percentile_approx over zero rows returns null bounds
     val got = CurateIngest.qualityScoreDriftSketch(docs())

@@ -84,7 +84,6 @@ class ScrubStreamSpec extends AnyFunSuite {
   test("bucketed gram store: streamed == batch; probe has no store-side exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
-    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val dir = java.nio.file.Files.createTempDirectory("scrubbucket").toString
     val prefix = "sis"
     implicit val ctx = spark.sqlContext
@@ -110,8 +109,10 @@ class ScrubStreamSpec extends AnyFunSuite {
       // the POST-compaction shard really cut against the bucket table
       assert(streamed.find(_.getLong(0) == 320L).get
         .getAs[Long]("cut_chars") > 0)
-      // plan gate: the next shard's store probe — SMJ shape pinned,
-      // store side must be the bucketed scan with NO exchange below
+      // plan gate: the next shard's store probe — the compact-table
+      // join must be a SHUFFLED-HASH join (append-mode buckets are
+      // unsorted: an SMJ would re-sort the store every shard) whose
+      // store side is the bucketed scan with NO exchange and NO sort
       val prevAB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val prevAQE = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -119,20 +120,25 @@ class ScrubStreamSpec extends AnyFunSuite {
       try {
         val (gC, gD) = ScrubIngest.gramStateSplit(spark, s"$dir/grams",
           prefix, 4L)
-        val (scrubbed, _) = SpanScrub.scrubShardSplit(
-          docs((500L, novel("zeta") + " " + boiler)), gC, gD)
-        scrubbed.queryExecution.toRdd.count() // EXECUTED, not planned
-        val storeSides = scrubbed.queryExecution.executedPlan.collect {
-          case j: SortMergeJoinExec
-            if j.joinType.sql == "LEFT SEMI" || j.joinType.sql == "LEFT ANTI" =>
-            j.right
+        // the exact frame scrubShardSplit pins behind its checkpoint
+        val probe = SpanScrub.storeProbe(
+          SpanScrub.fpGrams(docs((500L, novel("zeta") + " " + boiler)), 40),
+          gC, gD)
+        probe.queryExecution.toRdd.count() // EXECUTED, not planned
+        val storeSides = probe.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType.sql == "INNER" => j.right
         }
-        assert(storeSides.nonEmpty, "no SMJ store probe in the plan")
+        assert(storeSides.nonEmpty, "no shuffled-hash store probe in " +
+          probe.queryExecution.executedPlan.toString)
         assert(storeSides.exists { r =>
           r.collect { case e: Exchange => e }.isEmpty &&
+            r.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+              .isEmpty &&
             r.collect { case s: FileSourceScanExec if s.bucketedScan => s }
               .nonEmpty
-        }, s"no exchange-free bucketed store side in\n${storeSides.mkString("\n---\n")}")
+        }, s"store side not an exchange-free sort-free bucketed scan:\n${
+          storeSides.mkString("\n---\n")}")
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAB)
         spark.conf.set("spark.sql.adaptive.enabled", prevAQE)
