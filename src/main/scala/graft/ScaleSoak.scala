@@ -245,6 +245,50 @@ object ScaleSoak {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${prefix}_gram")
   }
 
+  /** r11: per-shard cost of the WHOLE bucketed funnel (6 stages, 4
+    * stores — [[graft.streaming.CurateIngest.writeShardFullStrictBucketed]])
+    * as every store grows, with the same flatness claim as
+    * [[scrubIngest]] extended to the full composition: scrub probe +
+    * fp anti-join + sig collision probe all bucket-aligned, only the
+    * arriving shard shuffles, compaction append/bucket ticks
+    * delta-sized. */
+  def fullFunnel(spark: SparkSession, nShards: Int = 8,
+                 docsPerShard: Long = 50000L,
+                 compactEvery: Long = 3L): Unit = {
+    import graft.streaming.{CurateIngest, ScrubIngest}
+    val dir = java.nio.file.Files
+      .createTempDirectory("soak_fullfunnel").toString
+    val prefix = "soakfull"
+    def dropTables(): Unit = Seq("gram", "fp", "sig", "kept").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    dropTables()
+    try {
+      val corpus = docCorpus(spark, nShards * docsPerShard)
+      val bench = graft.dedup.Dedup.shingles(
+          corpus.filter(col("doc_id") < 20), 8)
+        .select(col("sh")).distinct().localCheckpoint()
+      (0 until nShards).foreach { b =>
+        val shard = corpus.filter(
+          col("doc_id") >= b * docsPerShard &&
+            col("doc_id") < (b + 1) * docsPerShard)
+        timedSpill(spark, "fullfun", s"shard=$b",
+          s"docs=$docsPerShard") {
+          CurateIngest.writeShardFullStrictBucketed(shard, b.toLong,
+            s"$dir/grams", s"$dir/fps", s"$dir/sigs", s"$dir/kept",
+            prefix, bench)
+          if (b > 0 && b % compactEvery == 0) {
+            CurateIngest.compactStoresBucketed(spark, s"$dir/fps",
+              s"$dir/kept", Some(s"$dir/sigs"), upToBatch = b.toLong,
+              tablePrefix = prefix)
+            ScrubIngest.compactGramsBucketed(spark, s"$dir/grams",
+              upToBatch = b.toLong, tablePrefix = prefix)
+          }
+        }
+      }
+      corpus.unpersist()
+    } finally dropTables()
+  }
+
   /** Synthetic document corpus with CORPUS-REALISTIC duplicate
     * structure for the 10x query probes: filler-dominant bodies (60
     * tokens alternating stopword glue with per-(doc,pos)-unique hex
@@ -530,6 +574,10 @@ object ScaleSoak {
       case s if s.startsWith("scrubingest:") =>
         val ps = s.drop(12).split(",")
         scrubIngest(spark, ps(0).toInt, ps(1).toLong)
+      case "fullfunnel" => fullFunnel(spark)
+      case s if s.startsWith("fullfunnel:") =>
+        val ps = s.drop(11).split(",")
+        fullFunnel(spark, ps(0).toInt, ps(1).toLong)
       case "combinedtok" => combinedTok(spark)
       case s if s.startsWith("combinedtok:") =>
         val ps = s.drop(12).split(",")

@@ -529,6 +529,77 @@ object CurateIngest {
       }
       .start()
 
+  /** [[writeShardFullStrict]] with every store join bucket-aligned —
+    * the 100 TB deployment shape for the whole funnel: the gram probe
+    * streams the `<prefix>_gram` bucket table sort-free
+    * ([[graft.dedup.SpanScrub.scrubShardSplit]]), the fp anti-join and
+    * sig collision probe read their bucket tables with no store-side
+    * exchange ([[ingestShardStrictSplitGated]]), and only the arriving
+    * shard ever shuffles. */
+  def writeShardFullStrictBucketed(batch: DataFrame, batchId: Long,
+                                   gramPath: String, fpPath: String,
+                                   sigPath: String, keptPath: String,
+                                   tablePrefix: String, bench: DataFrame,
+                                   minQualityPm: Long = 600,
+                                   langs: Seq[String] = Seq("en", "de"),
+                                   minEstJaccard: Double = 0.5, n: Int = 8,
+                                   benchMaxId: Long = 20,
+                                   maxContamPm: Long = 800): Unit = {
+    val spark = batch.sparkSession
+    val (gC, gD) = ScrubIngest.gramStateSplit(spark, gramPath,
+      tablePrefix, batchId)
+    val (scrubbed0, novel0) = graft.dedup.SpanScrub.scrubShardSplit(
+      batch.select(col("doc_id"), col("text")), gC, gD)
+    val scrubbed = scrubbed0
+      .select(col("doc_id"), col("text_clean").as("text"),
+        length(col("text_clean")).cast("long").as("n_chars"))
+      .localCheckpoint()
+    val novel = novel0.localCheckpoint()
+    val (fpC, fpD) = fpStateSplit(spark, fpPath, tablePrefix, batchId)
+    val (sigC, sigD) = sigStateSplit(spark, sigPath, tablePrefix, batchId)
+    val (kept0, fps, sigs) = ingestShardStrictSplitGated(
+      gateShard(scrubbed, minQualityPm, langs), fpC, fpD, sigC, sigD,
+      minEstJaccard)
+    val kept = kept0.join(
+      contaminatedIds(kept0, scrubbed, bench, n, benchMaxId, maxContamPm),
+      Seq("doc_id"), "left_anti")
+    Seq((novel, gramPath), (fps, fpPath), (sigs, sigPath),
+        (kept, keptPath)).foreach { case (df, path) =>
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
+    }
+  }
+
+  /** [[startFullStrict]] on the bucketed store family: the gram store
+    * compacts by APPEND to its bucket table, the doc-level stores via
+    * [[compactStoresBucketed]], on the same tick. */
+  def startFullStrictBucketed(docStream: DataFrame, gramPath: String,
+                              fpPath: String, sigPath: String,
+                              keptPath: String, checkpoint: String,
+                              tablePrefix: String, bench: DataFrame,
+                              minQualityPm: Long = 600,
+                              langs: Seq[String] = Seq("en", "de"),
+                              minEstJaccard: Double = 0.5, n: Int = 8,
+                              benchMaxId: Long = 20,
+                              maxContamPm: Long = 800,
+                              compactEvery: Long = 4L): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShardFullStrictBucketed(batch, batchId, gramPath, fpPath,
+          sigPath, keptPath, tablePrefix, bench, minQualityPm, langs,
+          minEstJaccard, n, benchMaxId, maxContamPm)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          compactStoresBucketed(batch.sparkSession, fpPath, keptPath,
+            Some(sigPath), upToBatch = batchId, tablePrefix = tablePrefix)
+          ScrubIngest.compactGramsBucketed(batch.sparkSession, gramPath,
+            upToBatch = batchId, tablePrefix = tablePrefix)
+        }
+      }
+      .start()
+
   // ------------------------------------------------- store compaction
 
   /** The compacted partition's id: strictly below every real batch id,

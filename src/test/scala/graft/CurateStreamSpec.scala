@@ -324,6 +324,35 @@ class CurateStreamSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$dir/grams")
         .filter(col("batch_id") === -1L).count() > 0, "grams not folded")
     } finally q2.stop()
+
+    // BUCKETED mode on the same shards: kill+restart equality again,
+    // every store join bucket-aligned (the per-join plan shapes are
+    // gated by the bucketed-compaction and gram-store tests)
+    val bdir = java.nio.file.Files.createTempDirectory("fullfunnelb").toString
+    val prefix = "cifb"
+    val ms2 = MemoryStream[DocEv]
+    def startB() = CurateIngest.startFullStrictBucketed(ms2.toDF(),
+      s"$bdir/grams", s"$bdir/fps", s"$bdir/sigs", s"$bdir/kept",
+      s"$bdir/chk", prefix, bench, maxContamPm = 700,
+      compactEvery = 2L)
+    val b1 = startB()
+    try {
+      shards.take(2).foreach { s => ms2.addData(s: _*); b1.processAllAvailable() }
+    } finally b1.stop()
+    val b2 = startB()
+    try {
+      shards.drop(2).foreach { s => ms2.addData(s: _*); b2.processAllAvailable() }
+      assert(b2.exception.isEmpty, s"bucketed stream died: ${b2.exception}")
+      val streamedB = keptSet(
+        CurateIngest.keptStateBucketed(spark, s"$bdir/kept", prefix))
+      assert(streamedB == Set(1L, 10L, 170L, 470L), s"bucketed $streamedB")
+      assert(spark.catalog.tableExists(s"${prefix}_gram") &&
+        spark.catalog.tableExists(s"${prefix}_fp"), "bucket tables missing")
+    } finally {
+      b2.stop()
+      Seq("gram", "fp", "sig", "kept").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    }
   }
 
   test("qualityScoreDriftSketch: empty corpus yields the empty drift table, not an NPE") {
