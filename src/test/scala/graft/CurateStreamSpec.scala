@@ -355,6 +355,13 @@ class CurateStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("incrCurateFullStrict: empty corpus yields the empty survivor set") {
+    val got = CurateIngest.incrCurateFullStrict(docs())
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "lang_pred", "quality_pm", "n_chars"))
+    assert(got.isEmpty)
+  }
+
   test("qualityScoreDriftSketch: empty corpus yields the empty drift table, not an NPE") {
     // percentile_approx over zero rows returns null bounds
     val got = CurateIngest.qualityScoreDriftSketch(docs())

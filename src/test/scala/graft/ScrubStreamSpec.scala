@@ -149,6 +149,36 @@ class ScrubStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("an all-short batch does not kill the scrub stream") {
+    // docs under k=40 chars produce no grams at all: the batch writes
+    // an empty gram partition and passes every text through untouched
+    val dir = java.nio.file.Files.createTempDirectory("scrubshort").toString
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[DocEv]
+    val q = ScrubIngest.start(ms.toDF(), s"$dir/grams", s"$dir/out",
+      s"$dir/chk")
+    try {
+      ms.addData(DocEv(10L, "tiny", 4L), DocEv(20L, "also tiny", 9L))
+      q.processAllAvailable()
+      val t30 = novel("omega") + " " + boiler
+      ms.addData(DocEv(30L, t30, t30.length.toLong))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      val out = ScrubIngest.scrubbedState(spark, s"$dir/out")
+        .orderBy("doc_id").collect().toSeq
+      assert(out.map(_.getLong(0)) == Seq(10L, 20L, 30L))
+      assert(out.forall(_.getAs[Long]("cut_chars") == 0L))
+      assert(out.head.getAs[String]("text_clean") == "tiny")
+    } finally q.stop()
+  }
+
+  test("empty corpus: incrScrub returns the empty result, not an error") {
+    val got = SpanScrub.incrScrub(docs())
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "n_cut_spans", "cut_chars", "text_clean"))
+    assert(got.isEmpty)
+  }
+
   test("kill + restart: the restored gram store still cuts pre-crash spans") {
     val dir = java.nio.file.Files.createTempDirectory("scrubrestart").toString
     implicit val ctx = spark.sqlContext
