@@ -137,7 +137,7 @@ object CombinedIngest {
         sigBatch, minEstJaccard)
       .unionByName(CurateIngest.crossShardNearDupsFromSigs(
         sigBatch, sigBatch, minEstJaccard))
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
     ClusterRefresh.refreshBatch(pairs, batchId, s"$root/pairs",
       s"$root/labels")
     // leg 3 — quality-classifier sufficient statistics, from the

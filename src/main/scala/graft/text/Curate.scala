@@ -254,15 +254,35 @@ object Curate {
   }
 
   /** Curation with span-level surgical dedup as stage 0: the corpus is
-    * [[graft.dedup.SpanScrub.spanScrub]]-cleaned FIRST (repeated-byte
-    * removal), then scored/gated/deduped on the CLEANED text — the
-    * FineWeb ordering, where boilerplate removal precedes quality
-    * scoring so that boilerplate neither inflates nor masks a page's
-    * quality signal. n_chars is recomputed from the cleaned text.
-    * Same plan downstream; the scrub stage's one gram shuffle happens
-    * before the gate (it must: the gate reads cleaned text). */
+    * scrub-cleaned FIRST (repeated-byte removal), then
+    * scored/gated/deduped on the CLEANED text — the FineWeb ordering,
+    * where boilerplate removal precedes quality scoring so that
+    * boilerplate neither inflates nor masks a page's quality signal.
+    * n_chars is recomputed from the cleaned text. Same plan
+    * downstream; the scrub stage's one gram shuffle happens before the
+    * gate (it must: the gate reads cleaned text).
+    *
+    * The DEFAULT scrub wire is [[graft.dedup.SpanScrub.spanScrubFp]]
+    * (flipped in r12): the second-decade soak measured the
+    * exact-substring wire superlinear at 500k docs (external-sort
+    * spill regime of the gram exchange — SCALING.md) while the 8-byte
+    * rolling-hash wire moves ~1.7× fewer shuffle bytes and is
+    * parity-pinned bit-for-bit against the exact-key oracle
+    * (q_curate_scrub / q_curate_full hash-match the EXACT-substring
+    * DuckDB twins with this wire underneath — a fp collision would
+    * surface as a hash mismatch). [[curateScrubbedExact]] keeps the
+    * exact wire reachable. */
   def curateScrubbed(docs: DataFrame, minQualityPm: Long = 600,
                      langs: Seq[String] = Seq("en", "de")): DataFrame =
+    curate(graft.dedup.SpanScrub.spanScrubFp(docs)
+      .select(col("doc_id"), col("text_clean").as("text"),
+        length(col("text_clean")).cast("long").as("n_chars")),
+      minQualityPm, langs)
+
+  /** [[curateScrubbed]] on the exact-substring scrub wire — the
+    * oracle-twin wire, kept reachable for A/B and parity work. */
+  def curateScrubbedExact(docs: DataFrame, minQualityPm: Long = 600,
+                          langs: Seq[String] = Seq("en", "de")): DataFrame =
     curate(graft.dedup.SpanScrub.spanScrub(docs)
       .select(col("doc_id"), col("text_clean").as("text"),
         length(col("text_clean")).cast("long").as("n_chars")),
@@ -301,30 +321,40 @@ object Curate {
     * SURVIVORS (every earlier gate already pruned), shared/total gram
     * counts come from ONE aggregation over a broadcast-left-join mark
     * (not two shuffles), and the final anti-join touches the
-    * contaminated-id list — survivor-count-sized at most. */
+    * contaminated-id list — survivor-count-sized at most.
+    *
+    * Stage 0 rides the FP WIRE by default (r12 flip —
+    * [[curateScrubbed]]'s rationale): the funnel's single most
+    * expensive exchange carries 8-byte rolling-hash Longs, and
+    * q_curate_full hash-matching the EXACT-substring oracle is the
+    * standing collision check. [[curateFullExact]] is the exact-key
+    * wire. */
   def curateFull(docs: DataFrame, minQualityPm: Long = 600,
                  langs: Seq[String] = Seq("en", "de"),
                  n: Int = 8, benchMaxId: Long = 20,
                  maxContamPm: Long = 800): DataFrame =
+    fullFromScrubbed(graft.dedup.SpanScrub.spanScrubFp(docs), docs,
+      minQualityPm, langs, n, benchMaxId, maxContamPm)
+
+  /** [[curateFull]] on the exact-substring scrub wire — the oracle
+    * twin's wire, kept reachable for the parity pin (CurateSpec
+    * compares it bit-for-bit against the fp wire) and for A/B soaks. */
+  def curateFullExact(docs: DataFrame, minQualityPm: Long = 600,
+                      langs: Seq[String] = Seq("en", "de"),
+                      n: Int = 8, benchMaxId: Long = 20,
+                      maxContamPm: Long = 800): DataFrame =
     fullFromScrubbed(graft.dedup.SpanScrub.spanScrub(docs), docs,
       minQualityPm, langs, n, benchMaxId, maxContamPm)
 
-  /** [[curateFull]] with the scrub stage on the 100 TB wire: stage 0
-    * is [[graft.dedup.SpanScrub.spanScrubFp]], so the funnel's single
-    * most expensive exchange (the per-position gram shuffle — the
-    * stage the r11 second-decade soak measured dominant) carries 8-byte
-    * rolling-hash Longs instead of 40-char substrings. Everything
-    * downstream is [[curateFull]] verbatim. Correctness: q_curate_full_fp
-    * parity-pins this variant against the EXACT-substring oracle
-    * ([[curateFullSql]]) — a fp collision would scrub a span the exact
-    * key keeps and surface as a hash mismatch, the q_span_scrub_fp
-    * pattern lifted to the whole funnel. */
+  /** The fp-wire funnel under its r11 name — since the r12 default
+    * flip this IS [[curateFull]]; the alias keeps q_curate_full_fp
+    * (the original parity pin against the EXACT-substring oracle
+    * [[curateFullSql]]) stable across rounds. */
   def curateFullFp(docs: DataFrame, minQualityPm: Long = 600,
                    langs: Seq[String] = Seq("en", "de"),
                    n: Int = 8, benchMaxId: Long = 20,
                    maxContamPm: Long = 800): DataFrame =
-    fullFromScrubbed(graft.dedup.SpanScrub.spanScrubFp(docs), docs,
-      minQualityPm, langs, n, benchMaxId, maxContamPm)
+    curateFull(docs, minQualityPm, langs, n, benchMaxId, maxContamPm)
 
   /** Stages 1-5 of the full recipe, downstream of either scrub
     * variant's (doc_id, …, text_clean) output. */

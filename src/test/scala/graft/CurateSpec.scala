@@ -138,7 +138,7 @@ class CurateSpec extends AnyFunSuite {
     // must reproduce the exact-key funnel row for row (a fp collision
     // would cut a span the exact key keeps and show up here)
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
-    val exact = Curate.curateFull(base).orderBy("doc_id").collect()
+    val exact = Curate.curateFullExact(base).orderBy("doc_id").collect()
     val fp = Curate.curateFullFp(base).orderBy("doc_id").collect()
     assert(exact.nonEmpty)
     assert(fp.toSeq == exact.toSeq)
