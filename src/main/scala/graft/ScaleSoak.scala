@@ -411,6 +411,12 @@ object ScaleSoak {
     }
   }
 
+  /** Set once a [[timedSpill]] body fails: later rows of the same soak
+    * series may start from partially-written stores, so they are
+    * labeled TAINTED rather than silently reported clean (series
+    * conclusions in SCALING.md must come from untainted rows only). */
+  private var spillSeriesTainted = false
+
   /** Runs `f` with a task-metrics listener attached and reports wall
     * time plus the spill / shuffle bytes the job actually moved — the
     * attribution tool for superlinear soak exponents (a transition
@@ -436,15 +442,28 @@ object ScaleSoak {
     spark.sparkContext.addSparkListener(l)
     try {
       val sec = time(f)
-      // listener bus is async (and private[spark], so no
-      // waitUntilEmpty) — give it a moment to drain before reading
-      Thread.sleep(2000)
+      // listener bus is async (and private[spark], so no waitUntilEmpty)
+      // — poll the counters until two consecutive reads agree (bounded
+      // at 10 s) instead of hoping a fixed sleep drained it
+      def snap() = (memSpill.get, diskSpill.get, shufW.get)
+      var prev = snap()
+      var stable = false
+      var polls = 0
+      while (!stable && polls < 50) {
+        Thread.sleep(200); polls += 1
+        val cur = snap()
+        stable = cur == prev
+        prev = cur
+      }
       val gb = (b: AtomicLong) => b.get / 1e9
+      val taint = if (spillSeriesTainted) " TAINTED(after-failure)" else ""
       println(f"[soak] $family%-9s $size%-12s $path%-10s $sec%8.2f s" +
         f"  shufW=${gb(shufW)}%.1fGB memSpill=${gb(memSpill)}%.1fGB" +
-        f" diskSpill=${gb(diskSpill)}%.1fGB")
+        f" diskSpill=${gb(diskSpill)}%.1fGB" + taint)
     } catch { case e: Throwable =>
-      println(s"[soak] $family $size $path FAILED: " +
+      spillSeriesTainted = true
+      println(s"[soak] $family $size $path FAILED" +
+        " (subsequent rows of this series are tainted): " +
         s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
     } finally spark.sparkContext.removeSparkListener(l)
   }
@@ -534,6 +553,179 @@ object ScaleSoak {
     report("combinedTok", s"docs=$docsPerShard", "legacy", math.min(l1, l2))
   }
 
+  /** r12: per-batch wall + spill of the BUCKETED combined topology
+    * under growing stores and mid-run bucket compactions, against the
+    * plain combined mode on the same shards — startBucketed was
+    * spec-proven (kill+restart equality, zero-Exchange plans) but
+    * never soak-measured. Fresh store roots per mode; the interesting
+    * signal is the per-shard series shape (flat vs climbing) and the
+    * compaction-tick cost under each compaction discipline. */
+  def combinedBucketed(spark: SparkSession, nShards: Int = 10,
+                       docsPerShard: Long = 20000L,
+                       compactEvery: Long = 3L): Unit = {
+    import graft.streaming.CombinedIngest
+    val prefix = "soakcbk"
+    def dropTables(): Unit =
+      Seq("fp", "sig", "kept", "postings").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    dropTables()
+    try {
+      val corpus = docCorpus(spark, nShards * docsPerShard)
+      val shards = (0 until nShards).map { i =>
+        corpus.filter(col("doc_id") >= i * docsPerShard &&
+          col("doc_id") < (i + 1) * docsPerShard).localCheckpoint()
+      }
+      val dirP = java.nio.file.Files
+        .createTempDirectory("soak_cbk_plain").toString
+      shards.zipWithIndex.foreach { case (b, i) =>
+        timedSpill(spark, "combined", s"shard=$i", "plain")(
+          CombinedIngest.processBatch(b, i.toLong, dirP,
+            compactEvery = Some(compactEvery)))
+      }
+      val dirB = java.nio.file.Files
+        .createTempDirectory("soak_cbk_bucket").toString
+      shards.zipWithIndex.foreach { case (b, i) =>
+        timedSpill(spark, "combined", s"shard=$i", "bucketed")(
+          CombinedIngest.processBatchBucketed(b, i.toLong, dirB, prefix,
+            compactEvery = Some(compactEvery)))
+      }
+      corpus.unpersist()
+    } finally dropTables()
+  }
+
+  /** r12: [[combinedTok]]'s A/B with the GOPHER GATE ON — the shared
+    * positional frame (one text scan feeding the tf frame AND the
+    * repetition n-gram explode, signals restricted to gate survivors)
+    * vs the r11 two-scan shape (tf tokenization of the text plus a
+    * second raw-text scan for the full-batch repetition signals).
+    * Interleaved runs, min-of-two per mode, first batches dropped —
+    * the combinedTok discipline. */
+  def combinedGopher(spark: SparkSession, nShards: Int = 12,
+                     docsPerShard: Long = 2000): Unit = {
+    import graft.streaming.{ClusterRefresh, CombinedIngest, CurateIngest,
+      QualityRefresh}
+    import graft.text.{Repetition, SparseIndex, TextAnalysis}
+    val corpus = docCorpus(spark, nShards * docsPerShard)
+    val shards = (0 until nShards).map { i =>
+      corpus.filter(col("doc_id") >= i * docsPerShard &&
+        col("doc_id") < (i + 1) * docsPerShard).localCheckpoint()
+    }
+    def freshDir(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"soak_cgoph_$tag").toString
+    def sharedRun(): Double = {
+      val dir = freshDir("shared")
+      val ts = shards.zipWithIndex.map { case (b, i) =>
+        time(CombinedIngest.processBatch(b, i.toLong, dir,
+          gopherGate = true))
+      }
+      ts.drop(2).sum / (nShards - 2)
+    }
+    def legacyRun(): Double = {
+      val dir = freshDir("legacy")
+      val ts = shards.zipWithIndex.map { case (b, i) =>
+        time {
+          // r11 shape: tf frame from text + SECOND full-text scan for
+          // the repetition signals of the WHOLE batch
+          val tokens = SparseIndex.postingsOf(
+            b.select(col("doc_id"), col("text"))).localCheckpoint()
+          val signals = TextAnalysis.docSignals(b, tokens).localCheckpoint()
+          val gated = CurateIngest.gateFromSignals(signals)
+            .join(Repetition.repetitionSignals(b)
+              .filter(col("gopher_pass") === 1).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+          CurateIngest.writeShardStrictGated(gated, i.toLong, s"$dir/fps",
+            s"$dir/sigs", s"$dir/kept")
+          val sigB = CurateIngest.sigBatch(spark, s"$dir/sigs", i.toLong)
+          val pairs = CurateIngest.crossShardNearDupsFromSigs(
+              CurateIngest.sigState(spark, s"$dir/sigs", i.toLong), sigB)
+            .unionByName(
+              CurateIngest.crossShardNearDupsFromSigs(sigB, sigB))
+            .select(col("a_id"), col("b_id")).distinct()
+          ClusterRefresh.refreshBatch(pairs, i.toLong, s"$dir/pairs",
+            s"$dir/labels")
+          val (cls, dstats) = graft.text.QualityModel.classCountsFromTokens(
+            tokens, signals)
+          QualityRefresh.writeCountsDeltaFrom(cls, dstats, i.toLong,
+            s"$dir/counts", s"$dir/dstats")
+          graft.streaming.DriftMonitor.writeDriftDelta(b, tokens, signals,
+            i.toLong, s"$dir/drift", s"$dir/counts", s"$dir/dstats")
+          tokens.join(CurateIngest.keptBatch(spark, s"$dir/kept", i.toLong),
+              Seq("doc_id"))
+            .withColumn("batch_id", lit(i.toLong))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$dir/postings")
+        }
+      }
+      ts.drop(2).sum / (nShards - 2)
+    }
+    val s1 = sharedRun(); val l1 = legacyRun()
+    val s2 = sharedRun(); val l2 = legacyRun()
+    report("combGoph", s"docs=$docsPerShard", "shared", math.min(s1, s2))
+    report("combGoph", s"docs=$docsPerShard", "twoscan", math.min(l1, l2))
+    corpus.unpersist()
+  }
+
+  /** r12: can a per-bucket (or per-file) sidecar let the incremental
+    * scrub's store probe SKIP store data a shard's grams cannot hit?
+    * This measures the two candidate skip indexes directly on a real
+    * store + arriving-shard pair:
+    *  - bucket skipping: how many of the store's hash buckets does the
+    *    shard's gram set touch (a bucket not touched could be skipped);
+    *  - file min/max skipping: for each store data file, does the
+    *    shard's gram RANGE intersect the file's [min, max] (a
+    *    non-intersecting file could be pruned row-group style).
+    * The gram key is a uniform 63-bit hash by construction, so the
+    * expected answer is "every bucket, every file" for any realistic
+    * shard (P[bucket untouched] = (1-1/B)^G) — this probe turns that
+    * expectation into a measured number for SCALING.md. */
+  def gramSidecar(spark: SparkSession, nStoreShards: Int = 4,
+                  docsPerShard: Long = 50000L, buckets: Int = 32): Unit = {
+    import graft.streaming.ScrubIngest
+    val prefix = "soaksidecar"
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_gram")
+    try {
+      val corpus = docCorpus(spark, (nStoreShards + 1) * docsPerShard)
+      val dir = java.nio.file.Files
+        .createTempDirectory("soak_sidecar").toString
+      (0 until nStoreShards).foreach { b =>
+        val shard = corpus.filter(col("doc_id") >= b * docsPerShard &&
+          col("doc_id") < (b + 1) * docsPerShard)
+        ScrubIngest.writeScrubShardBucketed(shard, b.toLong,
+          s"$dir/grams", s"$dir/out", prefix)
+        ScrubIngest.compactGramsBucketed(spark, s"$dir/grams",
+          upToBatch = b.toLong + 1, prefix, buckets)
+      }
+      // the arriving shard's gram profile
+      val next = corpus.filter(
+        col("doc_id") >= nStoreShards * docsPerShard &&
+          col("doc_id") < (nStoreShards + 1) * docsPerShard)
+      val grams = graft.dedup.SpanScrub
+        .fpGrams(next.select(col("doc_id"), col("text")), 40)
+        .select(col("gram")).localCheckpoint()
+      val g = grams.count()
+      val bucketsHit = grams
+        .select(pmod(hash(col("gram")), lit(buckets)).as("b"))
+        .distinct().count()
+      val rng = grams.agg(min(col("gram")), max(col("gram"))).head()
+      val (gMin, gMax) = (rng.getLong(0), rng.getLong(1))
+      // per-file min/max of the store table — the sidecar a file-level
+      // skip index would consult
+      val files = spark.table(s"${prefix}_gram")
+        .select(col("gram"),
+          org.apache.spark.sql.functions.input_file_name().as("f"))
+        .groupBy("f")
+        .agg(min(col("gram")).as("lo"), max(col("gram")).as("hi"))
+        .localCheckpoint()
+      val nFiles = files.count()
+      val prunable = files
+        .filter(col("hi") < gMin || col("lo") > gMax).count()
+      report("sidecar", s"grams=$g", s"bucketsHit=$bucketsHit/$buckets", 0.0)
+      report("sidecar", s"files=$nFiles", s"prunable=$prunable", 0.0)
+      corpus.unpersist()
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${prefix}_gram")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Engine.sessionBuilder(Engine.envCores(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -582,6 +774,18 @@ object ScaleSoak {
       case s if s.startsWith("combinedtok:") =>
         val ps = s.drop(12).split(",")
         combinedTok(spark, ps(0).toInt, ps(1).toLong)
+      case "combinedbucketed" => combinedBucketed(spark)
+      case s if s.startsWith("combinedbucketed:") =>
+        val ps = s.drop(17).split(",")
+        combinedBucketed(spark, ps(0).toInt, ps(1).toLong)
+      case "combinedgopher" => combinedGopher(spark)
+      case s if s.startsWith("combinedgopher:") =>
+        val ps = s.drop(15).split(",")
+        combinedGopher(spark, ps(0).toInt, ps(1).toLong)
+      case "gramsidecar" => gramSidecar(spark)
+      case s if s.startsWith("gramsidecar:") =>
+        val ps = s.drop(12).split(",")
+        gramSidecar(spark, ps(0).toInt, ps(1).toLong)
       case "bench10x" => bench10x(spark)
       case s if s.startsWith("bench10x:") =>
         val ps = s.drop(9).split(",")

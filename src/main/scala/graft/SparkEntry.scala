@@ -130,6 +130,11 @@ object SparkEntry {
     "q_curate_full_incr" -> ((s, dir) =>
       graft.streaming.CurateIngest.incrCurateFullStrict(
         Tables.documents(s, dir))),
+    // the 7-stage variant: Gopher repetition rules gate beside the
+    // quality/language heuristics on the incremental path
+    "q_curate_full_incr_gopher" -> ((s, dir) =>
+      graft.streaming.CurateIngest.incrCurateFullStrict(
+        Tables.documents(s, dir), gopherGate = true)),
     "q_curate_scrub" -> ((s, dir) =>
       graft.text.Curate.curateScrubbed(Tables.documents(s, dir))),
     "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
@@ -719,7 +724,7 @@ object SparkEntry {
         graft.streaming.CurateIngest.shardMixDriftSql(),
       "q_quality_drift" ->
         graft.streaming.CurateIngest.qualityScoreDriftSql(),
-      "q_rep_signals" -> graft.text.Repetition.repetitionSignalsSql,
+      "q_rep_signals" -> graft.text.Repetition.repetitionSignalsSql(),
       "q_simhash" -> graft.dedup.Dedup.simhashSql,
       "q_line_dedup" -> graft.dedup.Dedup.lineDedupSql(),
       "q_span_scrub" -> graft.dedup.SpanScrub.spanScrubSql(),
@@ -739,6 +744,8 @@ object SparkEntry {
       // the incremental full funnel vs its flat strict twin — the
       // scrub/exact/near/contamination cancellations composed
       "q_curate_full_incr" -> graft.text.Curate.curateFullStrictIncrSql(),
+      "q_curate_full_incr_gopher" ->
+        graft.text.Curate.curateFullStrictIncrSql(gopherGate = true),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_hard_negatives" -> graft.ann.Similarity.hardNegativesSql(),

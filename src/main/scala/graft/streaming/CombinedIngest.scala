@@ -92,18 +92,38 @@ object CombinedIngest {
   /** The curation-gate frame for one batch: the heuristic gate over
     * the shared signals, optionally intersected with the Gopher
     * repetition gate ([[CurateIngest.gateShardGopher]]'s rule — the
-    * Dolma/FineWeb stack on the stream; the signals' n-gram pass runs
-    * over the BATCH only and is the one leg the unigram token frame
-    * cannot feed). */
-  private def gateOf(batch: DataFrame, signals: DataFrame,
-                     minQualityPm: Long, langs: Seq[String],
-                     gopherGate: Boolean): DataFrame = {
+    * Dolma/FineWeb stack on the stream). With the gate on, the
+    * repetition signals derive from the SHARED positional frame
+    * (`repBase` — [[graft.text.Repetition.positionalBase]], the same
+    * pinned scan the tf frame exploded from: one tokenization even
+    * with the gate on), restricted to the heuristic-gate SURVIVORS so
+    * the exploded-gram shuffle never pays for docs the quality/
+    * language gate already rejected (the intersection is unchanged —
+    * gopher only ever removes docs from the heuristic-gate set). */
+  private def gateOf(signals: DataFrame, repBase: Option[DataFrame],
+                     minQualityPm: Long, langs: Seq[String]): DataFrame = {
     val base = CurateIngest.gateFromSignals(signals, minQualityPm, langs)
-    if (!gopherGate) base
-    else base.join(graft.text.Repetition.repetitionSignals(batch)
+    repBase.fold(base) { pb =>
+      base.join(graft.text.Repetition.signalsFromBase(
+          pb.join(base.select(col("doc_id")), Seq("doc_id"), "left_semi"))
         .filter(col("gopher_pass") === 1).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi")
+    }
   }
+
+  /** The batch's shared frames: with the Gopher gate OFF the single
+    * scan is the tf tokenization itself; with it ON the single scan is
+    * the pinned POSITIONAL frame (ws/lines/paras), from which both the
+    * tf frame and the repetition n-gram explode derive. */
+  private def sharedFrames(batch: DataFrame, gopherGate: Boolean)
+      : (DataFrame, Option[DataFrame]) =
+    if (!gopherGate)
+      (SparseIndex.postingsOf(batch.select(col("doc_id"), col("text")))
+        .localCheckpoint(), None)
+    else {
+      val pb = graft.text.Repetition.positionalBase(batch).localCheckpoint()
+      (SparseIndex.postingsFromBase(pb).localCheckpoint(), Some(pb))
+    }
 
   def processBatch(batch: DataFrame, batchId: Long, root: String,
                    minQualityPm: Long = 600,
@@ -114,13 +134,12 @@ object CombinedIngest {
                    gopherGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // THE one tokenization of this batch, pinned; every leg derives
-    val tokens = SparseIndex.postingsOf(
-      batch.select(col("doc_id"), col("text"))).localCheckpoint()
+    val (tokens, repBase) = sharedFrames(batch, gopherGate)
     val signals = graft.text.TextAnalysis.docSignals(batch, tokens)
       .localCheckpoint()
     // leg 1 — strict curation: fps/sigs/kept land in partition batchId
     CurateIngest.writeShardStrictGated(
-      gateOf(batch, signals, minQualityPm, langs, gopherGate),
+      gateOf(signals, repBase, minQualityPm, langs),
       batchId, s"$root/fps", s"$root/sigs", s"$root/kept", minEstJaccard)
     // leg 2 — cluster refresh over this batch's near-dup pairs:
     // history signatures (strictly pre-batch) probed against the
@@ -254,13 +273,12 @@ object CombinedIngest {
                            sigRetentionBatches: Option[Long] = None,
                            gopherGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val tokens = SparseIndex.postingsOf(
-      batch.select(col("doc_id"), col("text"))).localCheckpoint()
+    val (tokens, repBase) = sharedFrames(batch, gopherGate)
     val signals = graft.text.TextAnalysis.docSignals(batch, tokens)
       .localCheckpoint()
     // leg 1 — strict curation against the split (bucketed ∪ delta) stores
     CurateIngest.writeShardStrictBucketedGated(
-      gateOf(batch, signals, minQualityPm, langs, gopherGate),
+      gateOf(signals, repBase, minQualityPm, langs),
       batchId, s"$root/fps", s"$root/sigs", s"$root/kept", tablePrefix,
       minEstJaccard)
     // leg 2 — detection over the split history: bucketed table side

@@ -78,11 +78,18 @@ object CurateIngest {
     * touched; the batch funnel twin is
     * [[graft.text.Curate.curateGopherAudit]] (verdict `repetitious`). */
   def gateShardGopher(shard: DataFrame, minQualityPm: Long = 600,
-                      langs: Seq[String] = Seq("en", "de")): DataFrame =
-    gateShard(shard, minQualityPm, langs)
-      .join(graft.text.Repetition.repetitionSignals(shard)
-        .filter(col("gopher_pass") === 1).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+                      langs: Seq[String] = Seq("en", "de")): DataFrame = {
+    // gate first, signals over the SURVIVORS only: the exploded-gram
+    // shuffle never pays for docs the quality/language gate already
+    // rejected (the intersection is unchanged — gopher only removes
+    // docs from the gated set); pinned because both the output and
+    // the repetition leg read the 7-regex scoring pass
+    val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
+    gated.join(graft.text.Repetition.repetitionSignals(
+        gated.select(col("doc_id"), col("text")))
+      .filter(col("gopher_pass") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
 
   /** [[gateShard]] over PRECOMPUTED signals
     * ([[graft.text.TextAnalysis.docSignals]] — quality_pm and
@@ -221,7 +228,8 @@ object CurateIngest {
                            langs: Seq[String] = Seq("en", "de"),
                            minEstJaccard: Double = 0.5, n: Int = 8,
                            benchMaxId: Long = 20,
-                           maxContamPm: Long = 800): DataFrame = {
+                           maxContamPm: Long = 800,
+                           gopherGate: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nShards = ((maxId + shardSize - 1) / shardSize).toInt
@@ -245,8 +253,14 @@ object CurateIngest {
         .localCheckpoint()
       val store = if (sigStore == null)
         sigBands(docs.limit(0).select(col("doc_id"), col("text"))) else sigStore
-      val (kept, fps, sigs) = ingestShardStrict(scrubbed, fpStore, store,
-        minQualityPm, langs, minEstJaccard)
+      // gopher on: the repetition rules gate beside quality/lang, on
+      // the SCRUBBED text ([[gateShardGopher]] — the 7th FineWeb stage
+      // on the incremental path; q_curate_full_incr_gopher's subject)
+      val gated = if (gopherGate)
+        gateShardGopher(scrubbed, minQualityPm, langs)
+      else gateShard(scrubbed, minQualityPm, langs)
+      val (kept, fps, sigs) = ingestShardStrictGated(gated, fpStore, store,
+        minEstJaccard)
       outs = outs :+ kept.join(
         contaminatedIds(kept, scrubbed, bench, n, benchMaxId, maxContamPm),
         Seq("doc_id"), "left_anti")
@@ -472,7 +486,8 @@ object CurateIngest {
                            langs: Seq[String] = Seq("en", "de"),
                            minEstJaccard: Double = 0.5, n: Int = 8,
                            benchMaxId: Long = 20,
-                           maxContamPm: Long = 800): Unit = {
+                           maxContamPm: Long = 800,
+                           gopherGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (scrubbed0, novel0) = graft.dedup.SpanScrub.scrubShard(
       batch.select(col("doc_id"), col("text")),
@@ -482,9 +497,12 @@ object CurateIngest {
         length(col("text_clean")).cast("long").as("n_chars"))
       .localCheckpoint()
     val novel = novel0.localCheckpoint()
-    val (kept0, fps, sigs) = ingestShardStrict(scrubbed,
+    val gated = if (gopherGate)
+      gateShardGopher(scrubbed, minQualityPm, langs)
+    else gateShard(scrubbed, minQualityPm, langs)
+    val (kept0, fps, sigs) = ingestShardStrictGated(gated,
       fpState(spark, fpPath, batchId), sigState(spark, sigPath, batchId),
-      minQualityPm, langs, minEstJaccard)
+      minEstJaccard)
     val kept = kept0.join(
       contaminatedIds(kept0, scrubbed, bench, n, benchMaxId, maxContamPm),
       Seq("doc_id"), "left_anti")
@@ -511,13 +529,14 @@ object CurateIngest {
                       langs: Seq[String] = Seq("en", "de"),
                       minEstJaccard: Double = 0.5, n: Int = 8,
                       benchMaxId: Long = 20, maxContamPm: Long = 800,
-                      compactEvery: Option[Long] = None): StreamingQuery =
+                      compactEvery: Option[Long] = None,
+                      gopherGate: Boolean = false): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeShardFullStrict(batch, batchId, gramPath, fpPath, sigPath,
           keptPath, bench, minQualityPm, langs, minEstJaccard, n,
-          benchMaxId, maxContamPm)
+          benchMaxId, maxContamPm, gopherGate)
         compactEvery.foreach { c =>
           if (batchId > 0 && batchId % c == 0) {
             compactStores(batch.sparkSession, fpPath, keptPath,
@@ -544,7 +563,8 @@ object CurateIngest {
                                    langs: Seq[String] = Seq("en", "de"),
                                    minEstJaccard: Double = 0.5, n: Int = 8,
                                    benchMaxId: Long = 20,
-                                   maxContamPm: Long = 800): Unit = {
+                                   maxContamPm: Long = 800,
+                                   gopherGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (gC, gD) = ScrubIngest.gramStateSplit(spark, gramPath,
       tablePrefix, batchId)
@@ -557,9 +577,11 @@ object CurateIngest {
     val novel = novel0.localCheckpoint()
     val (fpC, fpD) = fpStateSplit(spark, fpPath, tablePrefix, batchId)
     val (sigC, sigD) = sigStateSplit(spark, sigPath, tablePrefix, batchId)
+    val gated = if (gopherGate)
+      gateShardGopher(scrubbed, minQualityPm, langs)
+    else gateShard(scrubbed, minQualityPm, langs)
     val (kept0, fps, sigs) = ingestShardStrictSplitGated(
-      gateShard(scrubbed, minQualityPm, langs), fpC, fpD, sigC, sigD,
-      minEstJaccard)
+      gated, fpC, fpD, sigC, sigD, minEstJaccard)
     val kept = kept0.join(
       contaminatedIds(kept0, scrubbed, bench, n, benchMaxId, maxContamPm),
       Seq("doc_id"), "left_anti")
@@ -584,13 +606,14 @@ object CurateIngest {
                               minEstJaccard: Double = 0.5, n: Int = 8,
                               benchMaxId: Long = 20,
                               maxContamPm: Long = 800,
-                              compactEvery: Long = 4L): StreamingQuery =
+                              compactEvery: Long = 4L,
+                              gopherGate: Boolean = false): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeShardFullStrictBucketed(batch, batchId, gramPath, fpPath,
           sigPath, keptPath, tablePrefix, bench, minQualityPm, langs,
-          minEstJaccard, n, benchMaxId, maxContamPm)
+          minEstJaccard, n, benchMaxId, maxContamPm, gopherGate)
         if (batchId > 0 && batchId % compactEvery == 0) {
           compactStoresBucketed(batch.sparkSession, fpPath, keptPath,
             Some(sigPath), upToBatch = batchId, tablePrefix = tablePrefix)

@@ -170,7 +170,8 @@ object ScrubIngest {
     * deltas and is deleted. */
   def compactGramsBucketed(spark: SparkSession, gramPath: String,
                            upToBatch: Long, tablePrefix: String,
-                           buckets: Int = 32): Unit = {
+                           buckets: Int = 32,
+                           maxFilesPerBucket: Int = 16): Unit = {
     // batch partitions still on disk are exactly the un-folded ones
     // (folded partitions are deleted below); distinct is fold-sized,
     // absorbing replay duplicates and sentinel/table overlap
@@ -184,7 +185,53 @@ object ScrubIngest {
       .format("parquet").saveAsTable(s"${tablePrefix}_gram")
     Stores.dropBatchPartitions(spark, gramPath, upToBatch)
     Stores.dropCompactedPartition(spark, gramPath)
+    // FILE HYGIENE: appends accumulate one file set per tick forever —
+    // at thousands of ticks the per-shard store stream pays O(ticks)
+    // file opens per bucket. When the table crosses the threshold,
+    // rewrite it once into one file per bucket (the hash layout — and
+    // with it the exchange-free probe — survives; per-bucket
+    // sortedness is not restored because the probe is a shuffled-hash
+    // join that never needed it). Cost is one full-store rewrite,
+    // amortized over the ~maxFilesPerBucket ticks that led to it.
+    // Crash contract matches [[graft.streaming.CurateIngest
+    // .compactStoresBucketed]]'s table overwrite: the replacement set
+    // is pinned (localCheckpoint) before the table it came from is
+    // overwritten.
+    if (tableDataFiles(spark, s"${tablePrefix}_gram") >
+        buckets.toLong * maxFilesPerBucket)
+      rewriteGramTable(spark, tablePrefix, buckets)
   }
+
+  /** Number of data files currently backing a metastore table (0 when
+    * it does not exist yet — no tick has run). */
+  private[graft] def tableDataFiles(spark: SparkSession,
+                                    table: String): Long = {
+    if (!spark.catalog.tableExists(table)) return 0L
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toLong
+  }
+
+  /** The hygiene rewrite: fold the gram table to exactly one file per
+    * bucket. distinct() absorbs the duplicate rows the append-mode
+    * crash window can leave behind (which the probes tolerate but a
+    * fold may as well collapse). */
+  private[graft] def rewriteGramTable(spark: SparkSession,
+                                          tablePrefix: String,
+                                          buckets: Int): Unit =
+    spark.table(s"${tablePrefix}_gram")
+      .distinct()
+      .repartition(buckets, col("gram"))
+      .localCheckpoint() // pin BEFORE overwriting the table we read
+      .write.mode("overwrite")
+      .bucketBy(buckets, "gram")
+      .format("parquet").saveAsTable(s"${tablePrefix}_gram")
 
   /** [[writeScrubShard]] under bucketed compaction: the probe joins
     * the bucketed gram table bucket-aligned, the recent deltas
@@ -213,7 +260,8 @@ object ScrubIngest {
                     outPath: String, checkpoint: String,
                     tablePrefix: String, k: Int = 40,
                     compactEvery: Long = 4L,
-                    buckets: Int = 32): StreamingQuery =
+                    buckets: Int = 32,
+                    maxFilesPerBucket: Int = 16): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -221,7 +269,7 @@ object ScrubIngest {
           tablePrefix, k)
         if (batchId > 0 && batchId % compactEvery == 0)
           compactGramsBucketed(batch.sparkSession, gramPath,
-            upToBatch = batchId, tablePrefix, buckets)
+            upToBatch = batchId, tablePrefix, buckets, maxFilesPerBucket)
       }
       .start()
 }

@@ -190,12 +190,27 @@ object Curate {
                               langs: Seq[String] = Seq("en", "de"),
                               minEstJaccard: Double = 0.5, n: Int = 8,
                               benchMaxId: Long = 20,
-                              maxContamPm: Long = 800): String = {
+                              maxContamPm: Long = 800,
+                              gopherGate: Boolean = false): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
     val notDropped = (id: String) =>
       s"$id NOT IN (SELECT doc_id FROM crossdrop)"
     val bounded =
       s"(SELECT doc_id, text FROM main.documents WHERE doc_id < $maxId)"
+    // gopher on: the repetition rules compose as a gate clause over the
+    // SCRUBBED text (the engine's gateShardGopher — signal computation
+    // is doc-local, so "over gate survivors" equals "over all scrubbed
+    // docs, intersected")
+    val repCte = if (!gopherGate) "" else
+      s"""rep AS MATERIALIZED (
+         |  SELECT doc_id, gopher_pass FROM (
+         |${Repetition.repetitionSignalsSql(source = "scrubbed")}
+         |  )),
+         |""".stripMargin
+    val gopherClause = if (!gopherGate) "" else
+      s"""
+         |    AND doc_id IN (SELECT doc_id FROM rep WHERE gopher_pass = 1)"""
+        .stripMargin
     s"""WITH scrub AS MATERIALIZED (
        |${graft.dedup.SpanScrub.spanScrubSql(source = bounded)}
        |),
@@ -203,13 +218,13 @@ object Curate {
        |  SELECT doc_id, text_clean AS text,
        |         CAST(length(text_clean) AS BIGINT) AS n_chars
        |  FROM scrub),
-       |gated AS (
+       |${repCte}gated AS (
        |  SELECT * FROM (
        |    SELECT doc_id, text, n_chars,
        |           ${TextAnalysis.qualityPmSql} AS quality_pm,
        |           ${TextAnalysis.langPredSql} AS lang_pred
        |    FROM scrubbed)
-       |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
+       |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)$gopherClause),
        |documents AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
@@ -517,7 +532,7 @@ object Curate {
     val langList = langs.map(l => s"'$l'").mkString(", ")
     s"""WITH rep AS (
        |  SELECT doc_id, gopher_pass FROM (
-       |${Repetition.repetitionSignalsSql}
+       |${Repetition.repetitionSignalsSql()}
        |  )),
        |scored AS (
        |  SELECT d.doc_id, d.text, d.n_chars,

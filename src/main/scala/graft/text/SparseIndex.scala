@@ -93,6 +93,19 @@ object SparseIndex {
     * [[fromStore]]. */
   def postingsOf(docs: DataFrame): DataFrame = tokenize(docs)
 
+  /** [[postingsOf]] from an already-extracted POSITIONAL token frame
+    * ([[graft.text.Repetition.positionalBase]]'s `ws` column) — the
+    * combined topology's single-text-scan entry when the Gopher gate
+    * also needs the ordered array: equal to [[tokenize]] because `ws`
+    * IS `regexp_extract_all(text, '\S+')` and `dl = size(ws)` rides
+    * each exploded row exactly as the lambda-bound form binds it
+    * (empty texts explode to no rows in both). */
+  def postingsFromBase(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(col("ws")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
   /** Rebuild the full Index read model from a persisted postings
     * table + doc-id inventory — exact, because every state table is a
     * function of the postings rows (df by per-token count, Σdl by

@@ -152,6 +152,59 @@ class CombinedIngestSpec extends AnyFunSuite {
         .as[(Long, String, Long, Int)].collect().toSet)
   }
 
+  test("gopher on: ONE positional text scan; tf frame and repetition signals both derive from it") {
+    import graft.text.{Repetition, SparseIndex}
+    // round-trip through parquet: a LOCAL relation constant-folds the
+    // projection (ConvertToLocalRelation) and the plan gate would see
+    // an empty LocalTableScan instead of the real scan shape
+    val work = java.nio.file.Files.createTempDirectory("posframe").toString
+    Seq(
+      10L -> nearA0, 20L -> bodyB,
+      30L -> "zzz qqq www eee flux",
+      40L -> "line one\nline one\n\npar two\n\npar two", // dup segments
+      50L -> "")                                         // token-less doc
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$work/batch")
+    val batch = spark.read.parquet(s"$work/batch")
+    def planOf(df: DataFrame): String = {
+      df.queryExecution.toRdd.count() // EXECUTED, not planned
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val textScan = """regexp_extract_all\(text#""".r
+    // THE one text scan: the positional frame holds the single
+    // regexp_extract_all over the text column and no explode at all
+    val pb0 = Repetition.positionalBase(batch)
+    val pbPlan = planOf(pb0)
+    assert(textScan.findAllIn(pbPlan).size == 1 &&
+      !pbPlan.contains("Generate explode"), s"positional frame:\n$pbPlan")
+    val pb = pb0.localCheckpoint()
+    // the tf frame explodes the PINNED ws array — zero text regexes —
+    // and equals tokenizing the text directly, doc by doc
+    val tokens0 = SparseIndex.postingsFromBase(pb)
+    val tokPlan = planOf(tokens0)
+    assert(textScan.findFirstIn(tokPlan).isEmpty,
+      s"tf frame re-scanned text:\n$tokPlan")
+    assert(tokens0.as[(Long, String, Long, Int)].collect().toSet ==
+      SparseIndex.postingsOf(batch.select($"doc_id", $"text"))
+        .as[(Long, String, Long, Int)].collect().toSet)
+    // the repetition signals explode the same pinned arrays — zero
+    // text regexes — and equal the direct text-scan form, doc by doc
+    // (incl. the dup-segment doc and the token-less doc)
+    val rep0 = Repetition.signalsFromBase(pb)
+    val repPlan = planOf(rep0)
+    assert(textScan.findFirstIn(repPlan).isEmpty,
+      s"repetition leg re-scanned text:\n$repPlan")
+    assert(rep0.collect().toSet ==
+      Repetition.repetitionSignals(batch).collect().toSet)
+    // the survivor restriction the gate applies commutes: per-doc
+    // signals over a restricted base == full signals, restricted
+    val survivors = Seq(10L, 40L, 50L).toDF("doc_id")
+    assert(Repetition.signalsFromBase(
+        pb.join(survivors, Seq("doc_id"), "left_semi")).collect().toSet ==
+      rep0.join(survivors, Seq("doc_id"), "left_semi").collect().toSet)
+  }
+
   /** One parquet FILE per shard, mtimes increasing so the file
     * source's (timestamp, path) order is the id order. */
   private def writeShardFiles(work: String): java.io.File = {
@@ -316,6 +369,77 @@ class CombinedIngestSpec extends AnyFunSuite {
         .as[(String, String, Long, Long)].collect().toSet
     assert(driftRows(root) == driftRows(root2),
       "kill+restart drift store diverged from the golden run")
+  }
+
+  test("drift re-freeze: a new scorer generation silences a persistent shift; kill+restart preserves the generation discipline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DriftMonitor
+    val work = java.nio.file.Files.createTempDirectory("refreeze").toString
+    implicit val ctx = spark.sqlContext
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    def good(i: Long) = mk(i,
+      s"the cat and the dog walked over a bridge $i and the sun rose " * 4)
+    def junk(i: Long) = mk(i,
+      s"zzz qqq www ${java.lang.Long.toHexString(i * 2654435761L)} flux")
+    // the corpus PERMANENTLY shifts junk-heavy at batch 4 — under one
+    // frozen scorer every later batch would keep a shifted histogram
+    def stable(base: Long) = (base to base + 3L).map(good) :+ junk(base + 4L)
+    def shifted(base: Long) = Seq(good(base)) ++
+      (base + 1L to base + 5L).map(junk)
+    val preBatches = Seq(stable(0L), stable(10L), stable(20L), stable(30L),
+      shifted(40L))
+    val postBatches = Seq(shifted(50L), shifted(60L), shifted(70L))
+    val root = s"$work/r"
+    val ms = MemoryStream[DocEv]
+    def start() = CombinedIngest.start(ms.toDF(), root, s"$root/chk")
+    val q1 = start()
+    try {
+      preBatches.foreach { b => ms.addData(b: _*); q1.processAllAvailable() }
+      assert(q1.exception.isEmpty, s"stream died: ${q1.exception}")
+    } finally q1.stop()
+    // the shift fired on the gen-0 scorer at batch 4
+    def scoreAlerts(): Set[Long] =
+      DriftMonitor.driftAlerts(spark, s"$root/drift", DriftMonitor.ScoreAxis)
+        .select("batch_id").as[Long].collect().toSet
+    assert(scoreAlerts() == Set(4L), s"pre-refreeze alerts: ${scoreAlerts()}")
+    // operator action: re-baseline on the post-shift mix
+    val refDocs = preBatches.last.toDF()
+    val gen = DriftMonitor.refreeze(spark, s"$root/drift", refDocs,
+      s"$root/counts", s"$root/dstats")
+    assert(gen.contains(1L), s"refreeze returned $gen")
+    // continue the stream (one batch), crash, restart, drain the rest:
+    // the restarted topology must keep binning under generation 1
+    val q2 = start()
+    try {
+      ms.addData(postBatches.head: _*); q2.processAllAvailable()
+    } finally q2.stop() // crash
+    val q3 = start()
+    try {
+      postBatches.tail.foreach { b =>
+        ms.addData(b: _*); q3.processAllAvailable()
+      }
+      assert(q3.exception.isEmpty, s"restarted stream died: ${q3.exception}")
+    } finally q3.stop()
+    // the persistent shift is QUIET under the new generation: batch 5
+    // has no same-generation predecessor (silent), batches 6-7 compare
+    // within generation 1 and match its baseline — the only alert ever
+    // is the original transition
+    assert(scoreAlerts() == Set(4L), s"post-refreeze alerts: ${scoreAlerts()}")
+    val psis = DriftMonitor.driftRead(spark, s"$root/drift",
+        DriftMonitor.ScoreAxis)
+      .select("batch_id", "psi").as[(Long, Double)].collect().toMap
+    assert(!psis.contains(5L),
+      s"first post-refreeze batch should have no same-gen predecessor: $psis")
+    assert(Seq(6L, 7L).forall(b => psis.contains(b) && psis(b) < 0.25),
+      s"generation-1 batches not quiet: $psis")
+    // the generation rows survived the crash: batches 5-7 binned under
+    // gen 1, batches 1-4 under gen 0 (batch 0 froze gen 0)
+    val genRows = spark.read.parquet(s"$root/drift")
+      .filter(col("axis") === "gen")
+      .select("batch_id", "cnt").as[(Long, Long)].collect().toMap
+    assert(genRows.filterKeys(_ >= 5L).values.toSet == Set(1L) &&
+      genRows.filterKeys(k => k >= 0L && k < 5L).values.toSet == Set(0L),
+      s"gen rows: $genRows")
   }
 
   test("gopher-gated topology: a quality-passing boilerplate doc never reaches the stores") {

@@ -289,34 +289,44 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, "solo"),                        // 1 word: no n-gram of any n
       (5L, ""),                            // empty text: zero words
       (6L, "x y\nx y\nzz\n\nppp\n\nppp"))  // duplicate lines + paragraphs
+    val cols = Seq("doc_id", "n_words", "top2_ppm", "top3_ppm",
+      "top4_ppm") ++ (5 to 10).map(n => s"dup${n}_ppm") ++
+      Seq("dup_line_ppm", "dup_para_ppm",
+        "dup_line_frac_ppm", "dup_para_frac_ppm", "gopher_pass")
     val got = graft.text.Repetition.repetitionSignals(d)
-      .select("doc_id", "n_words", "top2_ppm", "top3_ppm", "top4_ppm",
-        "dup5_ppm", "dup_line_ppm", "dup_para_ppm", "gopher_pass")
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Int)]
-      .collect().map(r => r._1 -> r).toMap
+      .select(cols.head, cols.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (r.toSeq.dropRight(1), r.getInt(15)))
+      .toMap
+    def row(vals: Long*)(pass: Int) = (vals.toSeq, pass)
     // doc 1 (c=14): top2 "aa bb"x2 ties "bb aa" -> lexicographic wins,
     // 2*5 chars = 714285 ppm; top3 "aa bb aa"x2 = 16 chars -> capped;
-    // top4 cnt-1 11 chars; no duplicate 5-gram; one line, one paragraph
-    assert(got(1L) == ((1L, 5L, 714285L, 1000000L, 785714L, 0L, 0L, 0L, 0)),
-      s"doc1: ${got(1L)}")
+    // top4 cnt-1 11 chars; no duplicate n-gram of any n (the single
+    // 5-gram is unique; 6..10 produce none); one line, one paragraph
+    assert(got(1L) == row(1L, 5L, 714285L, 1000000L, 785714L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)(0), s"doc1: ${got(1L)}")
     // doc 2 (c=27): every gram unique, top = lexicographically first
     // ("five six" / "four five six" / "one two three four")
-    assert(got(2L) == ((2L, 6L, 296296L, 481481L, 666666L, 0L, 0L, 0L, 0)),
-      s"doc2: ${got(2L)}")
+    assert(got(2L) == row(2L, 6L, 296296L, 481481L, 666666L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)(0), s"doc2: ${got(2L)}")
     // doc 3: 60 distinct words -> every fraction tiny, passes Gopher
-    assert(got(3L)._9 == 1 && got(3L)._3 < 200000L, s"doc3: ${got(3L)}")
+    assert(got(3L)._2 == 1 &&
+      got(3L)._1(2).asInstanceOf[Long] < 200000L, s"doc3: ${got(3L)}")
     // docs shorter than any n (1 word / empty) must report zeros, not
     // crash (sequence(1, 0) is descending in Spark) and not vanish
-    assert(got(4L) == ((4L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 1)),
-      s"doc4: ${got(4L)}")
-    assert(got(5L) == ((5L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1)),
-      s"doc5: ${got(5L)}")
-    // doc 6 (c=20): dup lines "x y"x2 + "ppp"x2 = 12 chars -> 600000;
-    // dup paragraphs "ppp"x2 = 6 chars -> 300000; top2 "x y"x2 = 6
-    // chars -> 300000; top3/top4 all-unique lexicographic firsts
-    // "x y x" (5) / "x y x y" (7); no duplicate 5-gram
-    assert(got(6L) == ((6L, 7L, 300000L, 250000L, 350000L, 0L,
-      600000L, 300000L, 0)), s"doc6: ${got(6L)}")
+    assert(got(4L) == row(4L, 1L, 0L, 0L, 0L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)(1), s"doc4: ${got(4L)}")
+    assert(got(5L) == row(5L, 0L, 0L, 0L, 0L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)(1), s"doc5: ${got(5L)}")
+    // doc 6 (c=20, words x y x y zz ppp ppp): dup lines "x y"x2 +
+    // "ppp"x2 = 12 chars -> 600000, 4 of 5 line occurrences -> 800000;
+    // dup paragraphs "ppp"x2 = 6 chars -> 300000, 2 of 3 -> 666666;
+    // top2 "x y"x2 = 6 chars -> 300000; top3/top4 all-unique
+    // lexicographic firsts "x y x" (5) / "x y x y" (7); every word
+    // n-gram n>=5 unique (zz/ppp positions differ), 8..10 produce none
+    assert(got(6L) == row(6L, 7L, 300000L, 250000L, 350000L,
+      0L, 0L, 0L, 0L, 0L, 0L, 600000L, 300000L, 800000L, 666666L)(0),
+      s"doc6: ${got(6L)}")
   }
 
   test("lang confusion diagonal dominates on marker-bearing docs") {

@@ -355,6 +355,67 @@ class CurateStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher stage in the incremental full funnel: boilerplate dies at the repetition gate, plain and bucketed") {
+    // clean docs: alternating stopword glue + unique words (quality-
+    // passing, repetition-free); boilerplate: quality-PASSING but
+    // gram-dominated — and it stays gram-dominated after the scrub
+    // stage trims its self-repeats (the scrubbed residue is still one
+    // repeated bigram chain), so only the gopher stage can catch it
+    val clean = (0 until 30).map(i => f"the w$i%02da a x$i%02db").mkString(" ")
+    val clean2 = (0 until 30).map(i => f"the y$i%02dc a z$i%02dd").mkString(" ")
+    val boiler = "the cat and the dog " * 40
+    val d = docs((10L, clean), (20L, boiler), (170L, clean2))
+    // the 6-stage loop admits the boilerplate (every other stage is
+    // blind to repetition)…
+    assert(keptSet(CurateIngest.incrCurateFullStrict(d)) ==
+      Set(10L, 20L, 170L))
+    // …the 7-stage loop kills exactly it
+    assert(keptSet(CurateIngest.incrCurateFullStrict(d, gopherGate = true)) ==
+      Set(10L, 170L))
+    val bench = graft.dedup.Dedup.shingles(
+        d.filter(col("doc_id") < 20L), 8)
+      .select(col("sh")).distinct().localCheckpoint()
+    val shards = Seq(
+      Seq(DocEv(10L, clean, clean.length.toLong),
+        DocEv(20L, boiler, boiler.length.toLong)),
+      Seq(DocEv(170L, clean2, clean2.length.toLong)))
+    implicit val ctx = spark.sqlContext
+    // plain stream with the gate on: the doc never reaches the stores
+    val dir = java.nio.file.Files.createTempDirectory("gopherfull").toString
+    val ms = MemoryStream[DocEv]
+    val q = CurateIngest.startFullStrict(ms.toDF(), s"$dir/grams",
+      s"$dir/fps", s"$dir/sigs", s"$dir/kept", s"$dir/chk", bench,
+      gopherGate = true)
+    try {
+      shards.foreach { s => ms.addData(s: _*); q.processAllAvailable() }
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      assert(keptSet(CurateIngest.keptState(spark, s"$dir/kept")) ==
+        Set(10L, 170L))
+      // gated BEFORE the signature store: no tombstone for the
+      // boilerplate either
+      assert(CurateIngest.sigState(spark, s"$dir/sigs", 99L)
+        .select("doc_id").as[Long].collect().toSet == Set(10L, 170L))
+    } finally q.stop()
+    // bucketed stream, same planting
+    val bdir = java.nio.file.Files.createTempDirectory("gopherfullb").toString
+    val prefix = "gfb"
+    val ms2 = MemoryStream[DocEv]
+    val qb = CurateIngest.startFullStrictBucketed(ms2.toDF(),
+      s"$bdir/grams", s"$bdir/fps", s"$bdir/sigs", s"$bdir/kept",
+      s"$bdir/chk", prefix, bench, compactEvery = 1L, gopherGate = true)
+    try {
+      shards.foreach { s => ms2.addData(s: _*); qb.processAllAvailable() }
+      assert(qb.exception.isEmpty, s"bucketed stream died: ${qb.exception}")
+      assert(keptSet(
+        CurateIngest.keptStateBucketed(spark, s"$bdir/kept", prefix)) ==
+        Set(10L, 170L))
+    } finally {
+      qb.stop()
+      Seq("gram", "fp", "sig", "kept").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    }
+  }
+
   test("incrCurateFullStrict: empty corpus yields the empty survivor set") {
     val got = CurateIngest.incrCurateFullStrict(docs())
     assert(got.columns.toSeq ==

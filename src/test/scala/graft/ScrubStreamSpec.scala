@@ -149,6 +149,86 @@ class ScrubStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("gram-store file hygiene: crossing the files-per-bucket threshold folds the table; content and probe plan unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val buckets = 4
+    val seeds = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val all = docs(seeds.zipWithIndex.map { case (s, i) =>
+      (i * 150L + 10L, novel(s) + " " + boiler) }: _*).localCheckpoint()
+    // drive the tick loop directly (compactEvery = 1): every tick
+    // appends ~`buckets` files, so file counts climb until the
+    // threshold fires the fold
+    def run(px: String, maxFiles: Int): (String, Seq[Long]) = {
+      val d = java.nio.file.Files.createTempDirectory(s"hyg$px").toString
+      val counts = seeds.indices.map { b =>
+        val shard = all.filter(col("doc_id") >= b * 150L &&
+          col("doc_id") < (b + 1) * 150L)
+        ScrubIngest.writeScrubShardBucketed(shard, b.toLong,
+          s"$d/grams", s"$d/out", px)
+        if (b > 0)
+          ScrubIngest.compactGramsBucketed(spark, s"$d/grams",
+            upToBatch = b.toLong, px, buckets, maxFiles)
+        ScrubIngest.tableDataFiles(spark, s"${px}_gram")
+      }
+      (d, counts)
+    }
+    val prefix = "hyg"; val ctl = "hygctl"
+    try {
+      val (hd, hygCounts) = run(prefix, maxFiles = 2)
+      val (cd, ctlCounts) = run(ctl, maxFiles = Int.MaxValue)
+      // control: appends only, file count never shrinks and ends past
+      // the hygiene bound — the unbounded growth the threshold exists for
+      assert(ctlCounts.last > buckets.toLong * 2, s"control $ctlCounts")
+      assert(ctlCounts.zip(ctlCounts.tail).forall { case (a, b) => b >= a })
+      // hygiene: the rewrite FIRED (a tick where the count drops back
+      // to one file per bucket) and the count stays bounded
+      assert(hygCounts.zip(hygCounts.tail).exists { case (a, b) =>
+        b < a && b <= buckets.toLong }, s"hygiene never fired: $hygCounts")
+      assert(hygCounts.last <= buckets.toLong * 2 + buckets,
+        s"hygiene unbounded: $hygCounts")
+      // the fold lost nothing: gram content identical to the control
+      def gramSet(d: String, px: String): Set[Long] = {
+        val (gC, gD) = ScrubIngest.gramStateSplit(spark, s"$d/grams", px, 99L)
+        gC.unionByName(gD).select("gram").as[Long].collect().toSet
+      }
+      assert(gramSet(hd, prefix) == gramSet(cd, ctl),
+        "hygiene rewrite changed the gram store")
+      // and the scrub output is still the flat batch answer
+      assert(ScrubIngest.scrubbedState(spark, s"$hd/out")
+        .orderBy("doc_id").collect().toSeq == fullScrub(all))
+      // probe plan after the rewrite: still a shuffled-hash join over
+      // an exchange-free, sort-free bucketed scan
+      val prevAB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAQE = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val (gC, gD) = ScrubIngest.gramStateSplit(spark, s"$hd/grams",
+          prefix, 99L)
+        val probe = SpanScrub.storeProbe(
+          SpanScrub.fpGrams(docs((900L, novel("eta") + " " + boiler)), 40),
+          gC, gD)
+        probe.queryExecution.toRdd.count() // EXECUTED, not planned
+        val storeSides = probe.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType.sql == "INNER" => j.right
+        }
+        assert(storeSides.exists { r =>
+          r.collect { case e: Exchange => e }.isEmpty &&
+            r.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+              .isEmpty &&
+            r.collect { case s: FileSourceScanExec if s.bucketedScan => s }
+              .nonEmpty
+        }, s"post-rewrite store side degraded:\n${storeSides.mkString("\n")}")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAQE)
+      }
+    } finally Seq(prefix, ctl).foreach(p =>
+      spark.sql(s"DROP TABLE IF EXISTS ${p}_gram"))
+  }
+
   test("an all-short batch does not kill the scrub stream") {
     // docs under k=40 chars produce no grams at all: the batch writes
     // an empty gram partition and passes every text through untouched
