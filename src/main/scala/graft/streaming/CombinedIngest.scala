@@ -114,14 +114,25 @@ object CombinedIngest {
   /** The batch's shared frames: with the Gopher gate OFF the single
     * scan is the tf tokenization itself; with it ON the single scan is
     * the pinned POSITIONAL frame (ws/lines/paras), from which both the
-    * tf frame and the repetition n-gram explode derive. */
+    * tf frame and the repetition n-gram explode derive.
+    *
+    * The positional frame is pinned with the COLUMNAR cache
+    * (`persist`), not `localCheckpoint`: the frame is a deterministic
+    * projection of the batch (recompute-on-eviction is safe — nothing
+    * here is a store read whose replay view must be frozen), and the
+    * A/B that chose this (SCALING.md r12 `combinedgopher`) measured
+    * the row-object RDD pin of 600-element string arrays costing more
+    * than the text scan it saves, while the compressed columnar form
+    * keeps the one-scan invariant AND the wall-clock win. The caller
+    * ([[processBatch]]/[[processBatchBucketed]]) unpersists it after
+    * the batch's legs have all written. */
   private def sharedFrames(batch: DataFrame, gopherGate: Boolean)
       : (DataFrame, Option[DataFrame]) =
     if (!gopherGate)
       (SparseIndex.postingsOf(batch.select(col("doc_id"), col("text")))
         .localCheckpoint(), None)
     else {
-      val pb = graft.text.Repetition.positionalBase(batch).localCheckpoint()
+      val pb = graft.text.Repetition.positionalBase(batch).persist()
       (SparseIndex.postingsFromBase(pb).localCheckpoint(), Some(pb))
     }
 
@@ -193,6 +204,9 @@ object CombinedIngest {
         compactPostings(spark, s"$root/postings", upToBatch = batchId)
       }
     }
+    // drop the batch's columnar positional cache (every leg has
+    // written; CacheManager entries are not GC-reclaimed)
+    repBase.foreach(_.unpersist())
   }
 
   /** The wired topology. */
@@ -325,6 +339,7 @@ object CombinedIngest {
           upToBatch = batchId, tablePrefix = tablePrefix)
       }
     }
+    repBase.foreach(_.unpersist())
   }
 
   /** The wired bucketed topology. */
