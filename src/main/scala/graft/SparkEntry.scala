@@ -355,6 +355,19 @@ object SparkEntry {
     // verdict `repetitious` beside the heuristic quality/lang gates
     "q_curate_gopher" -> ((s, dir) =>
       graft.text.Curate.curateGopherAudit(Tables.documents(s, dir))),
+    // the audit lifted to the FULL funnel: scrub-first scoring and the
+    // contamination stage join the verdict CASE (`contaminated`)
+    "q_curate_full_audit" -> ((s, dir) =>
+      graft.text.Curate.curateFullAudit(Tables.documents(s, dir))),
+    // the NON-repetition half of Gopher Table A1: word/line-shape
+    // heuristics as per-doc integer signals + verdict (no shuffle).
+    // Stop list pinned corpus-appropriate (the synthetic register has
+    // only `the`/`a` of the published function words) so the oracle
+    // exercises both verdict branches; the published set is the default
+    "q_gopher_quality" -> ((s, dir) =>
+      graft.text.GopherQuality.gopherQualitySignals(Tables.documents(s, dir),
+        stopWords = Seq("the", "a", "to", "of", "and", "that", "have",
+          "with"))),
     // shard-at-a-time ingestion: store-backed first-wins exact dedup +
     // per-shard near-dup; loop hash-matches the flat batch twin
     "q_curate_incr" -> ((s, dir) =>
@@ -863,6 +876,10 @@ object SparkEntry {
       "q_curate" -> graft.text.Curate.curateSql(),
       "q_curate_audit" -> graft.text.Curate.curateAuditSql(),
       "q_curate_gopher" -> graft.text.Curate.curateGopherAuditSql(),
+      "q_curate_full_audit" -> graft.text.Curate.curateFullAuditSql(),
+      "q_gopher_quality" -> graft.text.GopherQuality.gopherQualitySql(
+        stopWords = Seq("the", "a", "to", "of", "and", "that", "have",
+          "with")),
       "q_curate_incr" -> graft.text.Curate.incrCurateSql(),
       "q_curate_strict" -> graft.text.Curate.incrCurateStrictSql(),
       "q_chunk" -> graft.text.Chunking.chunkDocsSql(),

@@ -564,6 +564,134 @@ object Curate {
        |LEFT JOIN drops x ON x.doc_id = s.doc_id""".stripMargin
   }
 
+  /** [[curateAudit]] lifted to the FULL funnel: one verdict per input
+    * document across ALL the composed stages — scrub (which drops no
+    * documents, only bytes: a fully-boilerplate doc is scrubbed empty
+    * and then fails the quality floor), quality, language, exact dedup,
+    * near dedup, and the benchmark-contamination gate. This is the
+    * per-record provenance for [[curateFull]]'s survivors — the
+    * headline "why did each document die" statistics a FineWeb-style
+    * release publishes, now including the final decontamination stage
+    * (`contaminated`).
+    *
+    * Verdicts in stage order: `low_quality`, `bad_lang`, `exact_dup`,
+    * `near_dup`, `contaminated`, `kept`. Scoring/gating runs on the
+    * SCRUBBED text (the funnel's ordering); `verdict = 'kept'` equals
+    * [[curateFull]]'s survivor set by construction (spec-pinned).
+    *
+    * Scale shape: [[curateAudit]]'s audited plan over the scrubbed
+    * corpus (one ranked window pass, collision-sized drop list), plus
+    * the contamination stage's broadcast-bench mark join over the
+    * would-be survivors only — the same pieces as [[curateFull]], one
+    * extra doc_id-keyed left join for the verdict. */
+  def curateFullAudit(docs: DataFrame, minQualityPm: Long = 600,
+                      langs: Seq[String] = Seq("en", "de"),
+                      n: Int = 8, benchMaxId: Long = 20,
+                      maxContamPm: Long = 800): DataFrame = {
+    val scrubbed = graft.dedup.SpanScrub.spanScrubFp(docs)
+      .select(col("doc_id"), col("text_clean").as("text"),
+        length(col("text_clean")).cast("long").as("n_chars"))
+    val scored = graft.Tables.spread(scrubbed)
+      .withColumn("quality_pm", TextAnalysis.qualityExpr)
+      .withColumn("lang_pred", TextAnalysis.langPred)
+      .withColumn("__gated", col("quality_pm") >= minQualityPm &&
+        col("lang_pred").isin(langs: _*))
+    val wMd5 = Window.partitionBy(col("__gated"), md5(col("text")))
+      .orderBy(col("doc_id"))
+    val ranked = scored.withColumn("__rn", row_number().over(wMd5))
+      .localCheckpoint()
+    val exact = ranked.filter(col("__gated") && col("__rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_chars"), col("quality_pm"))
+    val drops = graft.dedup.Clusters.dropsBest(exact)
+      .withColumn("__near_drop", lit(true))
+    // contamination over the would-be survivors only, bench from RAW
+    // text (curateFull's contract)
+    val kept0 = exact.join(drops.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
+    val bench = graft.dedup.Dedup.shingles(
+        docs.filter(col("doc_id") < benchMaxId), n)
+      .select(col("sh")).distinct()
+    val contaminated = graft.dedup.Dedup.shingles(kept0, n)
+      .filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tot"), count(col("__hit")).as("n_shared"))
+      .filter(col("n_shared") * lit(1000L) >= col("n_tot") * lit(maxContamPm))
+      .select(col("doc_id")).withColumn("__contam", lit(true))
+    ranked.join(drops, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality_pm") < minQualityPm, "low_quality")
+          .when(!col("lang_pred").isin(langs: _*), "bad_lang")
+          .when(col("__rn") > 1, "exact_dup")
+          .when(col("__near_drop") === true, "near_dup")
+          .when(col("__contam") === true, "contaminated")
+          .otherwise("kept").as("verdict"),
+        col("quality_pm"), col("lang_pred"))
+  }
+
+  /** DuckDB twin of [[curateFullAudit]]: the curateFullSql CTE chain's
+    * scrub/score/rank/drops/contamination stages with the verdict CASE
+    * in stage order (scoring over the scrubbed text, bench over raw). */
+  def curateFullAuditSql(minQualityPm: Long = 600,
+                         langs: Seq[String] = Seq("en", "de"),
+                         n: Int = 8, benchMaxId: Long = 20,
+                         maxContamPm: Long = 800): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH scrub AS (
+       |${graft.dedup.SpanScrub.spanScrubSql(source = "main.documents")}
+       |),
+       |scrubbed AS (
+       |  SELECT doc_id, text_clean AS text,
+       |         CAST(length(text_clean) AS BIGINT) AS n_chars
+       |  FROM scrub),
+       |scored AS (
+       |  SELECT doc_id, text, n_chars,
+       |         ${TextAnalysis.qualityPmSql} AS quality_pm,
+       |         ${TextAnalysis.langPredSql} AS lang_pred
+       |  FROM scrubbed),
+       |exact AS (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred,
+       |         row_number() OVER (PARTITION BY md5(text)
+       |                            ORDER BY doc_id) AS rn
+       |  FROM scored
+       |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
+       |documents AS (
+       |  SELECT doc_id, text, n_chars, quality_pm, lang_pred
+       |  FROM exact WHERE rn = 1),
+       |${graft.dedup.Clusters.survivorsBestCtes()},
+       |kept0 AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)),
+       |bsh AS (
+       |  SELECT DISTINCT substr(text, i, $n) AS sh
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
+       |        FROM main.documents WHERE doc_id < $benchMaxId)),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
+       |        FROM kept0)),
+       |contaminated AS (
+       |  SELECT s.doc_id FROM csh s LEFT JOIN bsh b ON s.sh = b.sh
+       |  WHERE s.doc_id >= $benchMaxId
+       |  GROUP BY 1
+       |  HAVING count(b.sh) * 1000 >= count(*) * $maxContamPm)
+       |SELECT s.doc_id,
+       |       CASE WHEN s.quality_pm < $minQualityPm THEN 'low_quality'
+       |            WHEN s.lang_pred NOT IN ($langList) THEN 'bad_lang'
+       |            WHEN e.rn > 1 THEN 'exact_dup'
+       |            WHEN x.doc_id IS NOT NULL THEN 'near_dup'
+       |            WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       |            ELSE 'kept' END AS verdict,
+       |       s.quality_pm, s.lang_pred
+       |FROM scored s
+       |LEFT JOIN exact e USING (doc_id)
+       |LEFT JOIN drops x ON x.doc_id = s.doc_id
+       |LEFT JOIN contaminated c ON c.doc_id = s.doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[curateAudit]] — the same staged CTEs the
     * survivor oracles compose, plus the verdict CASE in stage order. */
   def curateAuditSql(minQualityPm: Long = 600,

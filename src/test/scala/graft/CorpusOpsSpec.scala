@@ -329,6 +329,36 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"doc6: ${got(6L)}")
   }
 
+  test("gopher quality signals: hand-computed Table A1 left-column values") {
+    // 16 words, 49 chars of words, repeated x4: 64 words, wlen_cpm
+    // floor(19600/64) = 306, six stop words, all-alpha, no symbols
+    val good = "the cat and the dog ran to the mill that day to have fun with it " * 4
+    val d = docs(
+      (1L, ""),                        // empty: fails the word floor
+      (2L, "# # # the be"),            // hash ratio 3/5, wlen 160
+      (3L, "one...\ntwo...\nthree"),   // ellipsis lines 2/3, words 2/3
+      (4L, "- a\n- b\n* c"),           // all-bullet lines, half alpha
+      (5L, good))                      // passes every rule
+    val cols = Seq("doc_id", "n_words", "wlen_cpm", "hash_word_ppm",
+      "ellipsis_word_ppm", "bullet_line_ppm", "ellipsis_line_ppm",
+      "alpha_word_ppm", "n_stop_hits", "gopher_quality_pass")
+    val got = graft.text.GopherQuality.gopherQualitySignals(d)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0)),
+      s"empty: ${got(1L)}")
+    // '#' is not a bullet; words {#,#,#,the,be}: 8 chars, 2 alpha, 2 stops
+    assert(got(2L) == ((2L, 5L, 160L, 600000L, 0L, 0L, 0L, 400000L, 2L, 0)),
+      s"hash: ${got(2L)}")
+    assert(got(3L) == ((3L, 3L, 566L, 0L, 666666L, 0L, 666666L,
+      1000000L, 0L, 0)), s"ellipsis: ${got(3L)}")
+    assert(got(4L) == ((4L, 6L, 100L, 0L, 0L, 1000000L, 0L, 500000L,
+      0L, 0)), s"bullets: ${got(4L)}")
+    assert(got(5L)._10 == 1 && got(5L)._2 == 64L && got(5L)._3 == 306L &&
+      got(5L)._9 == 6L, s"good: ${got(5L)}")
+  }
+
   test("lang confusion diagonal dominates on marker-bearing docs") {
     val d = Seq(
       (1L, "the cat and the dog", "en"),

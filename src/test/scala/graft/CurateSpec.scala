@@ -144,6 +144,44 @@ class CurateSpec extends AnyFunSuite {
     assert(fp.toSeq == exact.toSeq)
   }
 
+  test("full-funnel audit: one verdict per input; 'kept' is exactly curateFull's survivor set; leaks get 'contaminated'") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+    val verdicts = Curate.curateFullAudit(base)
+      .select("doc_id", "verdict").as[(Long, String)].collect()
+    assert(verdicts.length == base.count(), "not one verdict per doc")
+    val kept = verdicts.filter(_._2 == "kept").map(_._1).toSet
+    val full = Curate.curateFull(base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == full && kept.nonEmpty,
+      s"audit kept ${kept.size} != funnel survivors ${full.size}")
+    // the contamination stage gets its own reason: re-run the leak
+    // scenario (sentences re-chunked below the scrub threshold) and
+    // the leaked doc must die as 'contaminated', not as a dedup
+    val sentences = Seq(
+      "the cat saw the dog near the old bridge and the sun rose slowly",
+      "a ship sailed over the quiet sea while the wind pushed the sails",
+      "the miller ground the grain and the baker made the bread at dawn",
+      "a small bird flew over the green field and sang in the tall tree")
+    val benchText = sentences.mkString(". ") + "."
+    // ONE bench sentence, re-chunked twice at different widths: the
+    // char-4-gram jaccard vs the 4-sentence bench doc is 0.26 (well
+    // below the 0.5 near-dup gate — a 3-of-4-sentence leak measures
+    // 0.64 and dies as near_dup instead, computed offline), while 70%
+    // of the leaked doc's OWN char 8-grams still come from the
+    // benchmark — only the contamination stage can catch this shape
+    def revChunk(s: String, w: Int): String =
+      s.split(" ").grouped(w).map(_.mkString(" ")).toSeq.reverse.mkString(" ")
+    val leaked =
+      revChunk(sentences.head, 7) + " " + revChunk(sentences.head, 6) + "."
+    val d = docs((1L, benchText), (10L, leaked),
+      (20L, "completely different prose about a harbor and a whale " +
+        "where the captain told the crew a story of the deep cold water"))
+    val v = Curate.curateFullAudit(d, benchMaxId = 2, maxContamPm = 600)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(v(10L) == "contaminated" && v(20L) == "kept" && v(1L) == "kept",
+      s"verdicts $v")
+  }
+
   test("scrub-first curation: text only shrinks, floor still holds") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Curate.curateScrubbed(base).collect()
