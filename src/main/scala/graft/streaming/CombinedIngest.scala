@@ -101,12 +101,21 @@ object CombinedIngest {
     * language gate already rejected (the intersection is unchanged —
     * gopher only ever removes docs from the heuristic-gate set). */
   private def gateOf(signals: DataFrame, repBase: Option[DataFrame],
-                     minQualityPm: Long, langs: Seq[String]): DataFrame = {
+                     minQualityPm: Long, langs: Seq[String],
+                     gopherGate: Boolean,
+                     gopherQualityStops: Option[Seq[String]]): DataFrame = {
     val base = CurateIngest.gateFromSignals(signals, minQualityPm, langs)
-    repBase.fold(base) { pb =>
-      base.join(graft.text.Repetition.signalsFromBase(
-          pb.join(base.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-        .filter(col("gopher_pass") === 1).select(col("doc_id")),
+    def survivors: DataFrame = repBase.get
+      .join(base.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val afterRep =
+      if (!gopherGate) base
+      else base.join(graft.text.Repetition.signalsFromBase(survivors)
+          .filter(col("gopher_pass") === 1).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    gopherQualityStops.fold(afterRep) { stops =>
+      afterRep.join(
+        graft.text.GopherQuality.qualitySignalsFromBase(survivors, stops)
+          .filter(col("gopher_quality_pass") === 1).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     }
   }
@@ -136,21 +145,32 @@ object CombinedIngest {
       (SparseIndex.postingsFromBase(pb).localCheckpoint(), Some(pb))
     }
 
+  /** `gopherQualityStops = Some(stopList)` additionally gates on the
+    * NON-repetition Gopher Table A1 rules
+    * ([[graft.text.GopherQuality]]) — shape heuristics riding the SAME
+    * positional frame as the repetition gate (zero extra scans, zero
+    * shuffle: the signals are per-doc array arithmetic), restricted to
+    * heuristic-gate survivors like the repetition leg. The stop list
+    * is the one per-corpus knob (GopherQuality.DefaultStopWords is the
+    * published set). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
                    minQualityPm: Long = 600,
                    langs: Seq[String] = Seq("en", "de"),
                    minEstJaccard: Double = 0.5,
                    compactEvery: Option[Long] = None,
                    sigRetentionBatches: Option[Long] = None,
-                   gopherGate: Boolean = false): Unit = {
+                   gopherGate: Boolean = false,
+                   gopherQualityStops: Option[Seq[String]] = None): Unit = {
     val spark = batch.sparkSession
     // THE one tokenization of this batch, pinned; every leg derives
-    val (tokens, repBase) = sharedFrames(batch, gopherGate)
+    val (tokens, repBase) =
+      sharedFrames(batch, gopherGate || gopherQualityStops.nonEmpty)
     val signals = graft.text.TextAnalysis.docSignals(batch, tokens)
       .localCheckpoint()
     // leg 1 — strict curation: fps/sigs/kept land in partition batchId
     CurateIngest.writeShardStrictGated(
-      gateOf(signals, repBase, minQualityPm, langs),
+      gateOf(signals, repBase, minQualityPm, langs, gopherGate,
+        gopherQualityStops),
       batchId, s"$root/fps", s"$root/sigs", s"$root/kept", minEstJaccard)
     // leg 2 — cluster refresh over this batch's near-dup pairs:
     // history signatures (strictly pre-batch) probed against the
@@ -216,12 +236,14 @@ object CombinedIngest {
             minEstJaccard: Double = 0.5,
             compactEvery: Option[Long] = None,
             sigRetentionBatches: Option[Long] = None,
-            gopherGate: Boolean = false): StreamingQuery =
+            gopherGate: Boolean = false,
+            gopherQualityStops: Option[Seq[String]] = None): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, minQualityPm, langs,
-          minEstJaccard, compactEvery, sigRetentionBatches, gopherGate)
+          minEstJaccard, compactEvery, sigRetentionBatches, gopherGate,
+          gopherQualityStops)
       }
       .start()
 
@@ -285,14 +307,18 @@ object CombinedIngest {
                            minEstJaccard: Double = 0.5,
                            compactEvery: Option[Long] = None,
                            sigRetentionBatches: Option[Long] = None,
-                           gopherGate: Boolean = false): Unit = {
+                           gopherGate: Boolean = false,
+                           gopherQualityStops: Option[Seq[String]] = None)
+      : Unit = {
     val spark = batch.sparkSession
-    val (tokens, repBase) = sharedFrames(batch, gopherGate)
+    val (tokens, repBase) =
+      sharedFrames(batch, gopherGate || gopherQualityStops.nonEmpty)
     val signals = graft.text.TextAnalysis.docSignals(batch, tokens)
       .localCheckpoint()
     // leg 1 — strict curation against the split (bucketed ∪ delta) stores
     CurateIngest.writeShardStrictBucketedGated(
-      gateOf(signals, repBase, minQualityPm, langs),
+      gateOf(signals, repBase, minQualityPm, langs, gopherGate,
+        gopherQualityStops),
       batchId, s"$root/fps", s"$root/sigs", s"$root/kept", tablePrefix,
       minEstJaccard)
     // leg 2 — detection over the split history: bucketed table side
@@ -350,13 +376,15 @@ object CombinedIngest {
                     minEstJaccard: Double = 0.5,
                     compactEvery: Option[Long] = None,
                     sigRetentionBatches: Option[Long] = None,
-                    gopherGate: Boolean = false): StreamingQuery =
+                    gopherGate: Boolean = false,
+                    gopherQualityStops: Option[Seq[String]] = None)
+      : StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatchBucketed(batch, batchId, root, tablePrefix,
           minQualityPm, langs, minEstJaccard, compactEvery,
-          sigRetentionBatches, gopherGate)
+          sigRetentionBatches, gopherGate, gopherQualityStops)
       }
       .start()
 }

@@ -466,6 +466,43 @@ class CombinedIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gopher-quality-gated topology: a bullet-formatted quality-passing doc never reaches the stores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = java.nio.file.Files.createTempDirectory("combinedshape").toString
+    implicit val ctx = spark.sqlContext
+    // clean: 120 words, exactly at the mean-word-length floor (300
+    // cpm), two stop words from the pinned list — passes every rule
+    val clean = (0 until 30)
+      .map(i => f"the w$i%02da a x$i%02db").mkString(" ")
+    // listy: quality-PASSING (stopword-rich, no punct) and
+    // repetition-clean (unique words), but every line is a bullet —
+    // exactly the shape only the Table A1 left column catches
+    val listy = (0 until 30)
+      .map(i => f"- the l$i%02dc a m$i%02dd").mkString("\n")
+    // corpus-appropriate stop list (the synthetic register has only
+    // the/a of the published function words)
+    val stops = Seq("the", "a", "to", "of", "and", "that", "have", "with")
+    val ms = MemoryStream[DocEv]
+    val root = s"$work/r"
+    val q = CombinedIngest.start(ms.toDF(), root, s"$root/chk",
+      gopherQualityStops = Some(stops))
+    try {
+      ms.addData(DocEv(10L, clean, clean.length.toLong),
+        DocEv(20L, listy, listy.length.toLong))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      assert(keptSet(CurateIngest.keptState(spark, s"$root/kept")) ==
+        Set(10L))
+      // gated BEFORE the signature store — no tombstone either
+      assert(CurateIngest.sigState(spark, s"$root/sigs", 99L)
+        .select("doc_id").as[Long].collect().toSet == Set(10L))
+      // …while the plain heuristic gate would have admitted it
+      val d = Seq(10L -> clean, 20L -> listy).toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      assert(keptSet(CurateIngest.gateShard(d)) == Set(10L, 20L))
+    } finally q.stop()
+  }
+
   test("bucketed combined mode: kill+restart equality, batch twins, exchange-free store joins") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
