@@ -411,11 +411,13 @@ object ScaleSoak {
     }
   }
 
-  /** Set once a [[timedSpill]] body fails: later rows of the same soak
-    * series may start from partially-written stores, so they are
-    * labeled TAINTED rather than silently reported clean (series
-    * conclusions in SCALING.md must come from untainted rows only). */
-  private var spillSeriesTainted = false
+  /** Families with a failed [[timedSpill]] body: later rows of the
+    * SAME soak family may start from partially-written stores, so they
+    * are labeled TAINTED rather than silently reported clean (series
+    * conclusions in SCALING.md must come from untainted rows only).
+    * Scoped per family (ADVICE r12): a failure in one family must not
+    * taint unrelated series with fresh store roots in the same JVM. */
+  private var spillTaintedFamilies = Set.empty[String]
 
   /** Runs `f` with a task-metrics listener attached and reports wall
     * time plus the spill / shuffle bytes the job actually moved — the
@@ -456,12 +458,13 @@ object ScaleSoak {
         prev = cur
       }
       val gb = (b: AtomicLong) => b.get / 1e9
-      val taint = if (spillSeriesTainted) " TAINTED(after-failure)" else ""
+      val taint =
+        if (spillTaintedFamilies(family)) " TAINTED(after-failure)" else ""
       println(f"[soak] $family%-9s $size%-12s $path%-10s $sec%8.2f s" +
         f"  shufW=${gb(shufW)}%.1fGB memSpill=${gb(memSpill)}%.1fGB" +
         f" diskSpill=${gb(diskSpill)}%.1fGB" + taint)
     } catch { case e: Throwable =>
-      spillSeriesTainted = true
+      spillTaintedFamilies += family
       println(s"[soak] $family $size $path FAILED" +
         " (subsequent rows of this series are tainted): " +
         s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")

@@ -40,7 +40,10 @@ import org.apache.spark.sql.types._
   * partition with dynamic overwrite ([[CurateIngest]]'s contract);
   * each sentinel generation is written at most once and never
   * rewritten (a torn sentinel — crash mid-write — reads as absent and
-  * the reader falls back to the newest COMPLETE generation), so every
+  * the reader falls back to the newest COMPLETE generation), and a
+  * REPLAYED batch re-bins under the generation recorded by its own
+  * first-write `gen` row rather than the newest one (so a crash-replay
+  * window that straddles a [[refreeze]] still converges), so every
   * path through a crash window converges to the same store.
   *
   * Scale shape: scoring is a broadcast weight join over the batch's
@@ -72,18 +75,21 @@ object DriftMonitor {
                             bounds: Seq[Long])
 
   /** The newest COMPLETE frozen generation, if any batch (or
-    * [[refreeze]]) has written one. `cnt` carries the VALUE on the
-    * sentinel axes (boundary / weight / prior) — documented reuse of
-    * the one-schema store. A torn generation (crash mid-write) reads
-    * as absent and the scan falls back to the next-older complete one. */
-  private def frozenRef(spark: SparkSession,
-                        driftPath: String): Option[Frozen] = {
+    * [[refreeze]]) has written one — or, when `want` is set, exactly
+    * that generation (the replay-stickiness path). `cnt` carries the
+    * VALUE on the sentinel axes (boundary / weight / prior) —
+    * documented reuse of the one-schema store. A torn generation
+    * (crash mid-write) reads as absent and the scan falls back to the
+    * next-older complete one. */
+  private def frozenRef(spark: SparkSession, driftPath: String,
+                        want: Option[Long] = None): Option[Frozen] = {
     val sent = Stores.readStore(spark, driftPath, schema)
       .filter(col("batch_id") <= RefId).localCheckpoint()
     // generation-count-sized driver action: one distinct over the
     // sentinel partition column
     val gens = sent.select(col("batch_id")).distinct().collect()
       .map(r => genOf(r.getLong(0))).sorted.reverse
+      .filter(g => want.forall(_ == g))
     gens.iterator.map { g =>
       val part = sent.filter(col("batch_id") === sentinelId(g))
       val bounds = part.filter(col("axis") === BoundsAxis)
@@ -182,11 +188,27 @@ object DriftMonitor {
       .groupBy(col("lang_pred").as("key"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("axis", lit(LangAxis))
-    // axis 2 — score deciles against the newest frozen generation,
-    // plus the gen row recording which generation binned this batch;
-    // until a reference exists the leg tries to freeze one (first
-    // batch with a deployed model), staying silent before that
-    val score: Option[(DataFrame, Long)] = frozenRef(spark, driftPath) match {
+    // axis 2 — score deciles against the frozen generation this batch
+    // BELONGS to, plus the gen row recording it. Replay stickiness
+    // (ADVICE r12): a batch replayed across an operator re-freeze must
+    // re-bin under the generation that binned it originally, or the
+    // replayed rows differ from the first write and the crash-window
+    // convergence claim breaks for that interleaving. The batch's own
+    // store partition still holds its first-write gen row at replay
+    // time (dynamic overwrite replaces it only when this method's
+    // final write lands), so read it and pin the generation; a fresh
+    // batch has no gen row and takes the newest complete generation.
+    // Until any reference exists the leg tries to freeze one (first
+    // batch with a deployed model), staying silent before that.
+    val stickyGen: Option[Long] =
+      Stores.readStore(spark, driftPath, schema)
+        .filter(col("axis") === GenAxis && col("batch_id") === batchId)
+        .select(col("cnt")).collect().headOption.map(_.getLong(0))
+    val ref = frozenRef(spark, driftPath, stickyGen)
+      // a sticky generation whose sentinel reads torn (cannot happen
+      // post-write-once, but stores predate invariants): newest wins
+      .orElse(if (stickyGen.isDefined) frozenRef(spark, driftPath) else None)
+    val score: Option[(DataFrame, Long)] = ref match {
       case Some(f) =>
         Some((binned(graft.text.QualityModel.scoreWithTokens(
           batch, tokens, f.weights, f.prior)

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *  - `wlen_cpm` — mean word length in centi-chars
   *    (Σ len(word) · 100 / n_words, floor).
   *  - `hash_word_ppm` / `ellipsis_word_ppm` — '#' occurrences /
-  *    '...' occurrences per word, ppm (Table A1's symbol-to-word
-  *    ratios).
+  *    ellipsis occurrences (ASCII '...' OR the typographic U+2026
+  *    character, as the Gopher-derived Dolma/FineWeb stacks count
+  *    both) per word, ppm (Table A1's symbol-to-word ratios).
   *  - `bullet_line_ppm` — lines starting with a bullet ('-', '*',
   *    '•') per line, ppm.
-  *  - `ellipsis_line_ppm` — lines ending in '...' per line, ppm.
+  *  - `ellipsis_line_ppm` — lines ending in '...' or U+2026 per
+  *    line, ppm.
   *  - `alpha_word_ppm` — words containing at least one ASCII letter
   *    per word, ppm.
   *  - `n_stop_hits` — how many of Gopher's 8 stop words {the, be, to,
@@ -75,26 +77,33 @@ object GopherQuality {
     val nHash =
       (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
         .cast("long")
+    // exact integer division (matches DuckDB's '//' even past 2^53,
+    // where a floored double quotient can differ — ADVICE r12)
+    val intDiv = (a: Column, b: Column) =>
+      call_function("div", a.cast("long"), b.cast("long"))
+    // ASCII '...' (3 chars each) plus typographic U+2026 (1 char each)
     val nEllipsis =
-      ((length(col("text")) -
-        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
-        .cast("long")
+      (intDiv(length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", "")), lit(3L)) +
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "…", ""))).cast("long"))
     val bulletLines =
       size(expr("filter(lines, l -> l rlike '^[-*•]')")).cast("long")
     val ellipsisLines =
-      size(expr("filter(lines, l -> l rlike '\\\\.\\\\.\\\\.$')")).cast("long")
+      size(expr("filter(lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)$')"))
+        .cast("long")
     val alphaWords =
       size(expr("filter(ws, w -> w rlike '[A-Za-z]')")).cast("long")
     val stopHits = stopWords
       .map(w => when(array_contains(col("ws"), w), 1L).otherwise(0L))
       .reduce(_ + _)
     val perWord = (c: Column) =>
-      floor(c * lit(1000000L) / greatest(nWords, lit(1L))).cast("long")
+      intDiv(c * lit(1000000L), greatest(nWords, lit(1L)))
     val perLine = (c: Column) =>
-      floor(c * lit(1000000L) / greatest(nLines, lit(1L))).cast("long")
+      intDiv(c * lit(1000000L), greatest(nLines, lit(1L)))
     base.select(col("doc_id"),
         nWords.as("n_words"),
-        floor(charSum * lit(100L) / greatest(nWords, lit(1L))).cast("long")
+        intDiv(charSum * lit(100L), greatest(nWords, lit(1L)))
           .as("wlen_cpm"),
         perWord(nHash).as("hash_word_ppm"),
         perWord(nEllipsis).as("ellipsis_word_ppm"),
@@ -117,8 +126,11 @@ object GopherQuality {
     * string_split arrays, the same integer floors. */
   def gopherQualitySql(source: String = "main.documents",
                        stopWords: Seq[String] = DefaultStopWords): String = {
+    // single quotes doubled: a stop word like "don't" must interpolate
+    // into a valid (and non-injectable) SQL string literal
     val stopSum = stopWords
-      .map(w => s"CAST(list_contains(ws, '$w') AS BIGINT)").mkString(" + ")
+      .map(w => s"CAST(list_contains(ws, '${w.replace("'", "''")}') AS BIGINT)")
+      .mkString(" + ")
     s"""WITH w AS (
        |  SELECT doc_id, text,
        |         regexp_extract_all(text, '\\S+') AS ws,
@@ -134,10 +146,12 @@ object GopherQuality {
        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
        |      AS n_hash,
        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |         + (length(text) - length(replace(text, '…', '')))
        |         AS BIGINT) AS n_ellipsis,
        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
        |         AS BIGINT) AS bullet_lines,
-       |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$')))
+       |    CAST(len(list_filter(lines,
+       |             l -> regexp_matches(l, '(\\.\\.\\.|…)$$')))
        |         AS BIGINT) AS ellipsis_lines,
        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
        |         AS BIGINT) AS alpha_words,

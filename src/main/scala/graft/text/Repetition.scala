@@ -135,7 +135,10 @@ object Repetition {
       .agg(wideAggs.head, wideAggs.tail: _*)
     // one row for EVERY doc (a short doc with no 2-grams must still
     // report zeros, not vanish)
-    val intDiv = (a: Column, b: Column) => floor(a / b).cast("long")
+    // exact integer division (matches DuckDB's '//' even past 2^53,
+    // where a floored double quotient can differ — ADVICE r12)
+    val intDiv = (a: Column, b: Column) =>
+      call_function("div", a.cast("long"), b.cast("long"))
     def ppmOf(c0: Column): Column =
       least(lit(1000000L), intDiv(coalesce(c0, lit(0L)) * 1000000L,
         greatest(col("c"), lit(1L))))

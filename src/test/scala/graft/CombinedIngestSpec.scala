@@ -442,6 +442,42 @@ class CombinedIngestSpec extends AnyFunSuite {
       s"gen rows: $genRows")
   }
 
+  test("drift replay stickiness: a batch replayed across a re-freeze re-bins under its original generation") {
+    import graft.streaming.DriftMonitor
+    val work = java.nio.file.Files.createTempDirectory("stickygen").toString
+    val root = s"$work/r"
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    def good(i: Long) = mk(i,
+      s"the cat and the dog walked over a bridge $i and the sun rose " * 4)
+    def junk(i: Long) = mk(i,
+      s"zzz qqq www ${java.lang.Long.toHexString(i * 2654435761L)} flux")
+    def stable(b: Long) = (b to b + 3L).map(good) :+ junk(b + 4L)
+    val batches = Seq(stable(0L), stable(10L), stable(20L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CombinedIngest.processBatch(b.toDF(), i.toLong, root)
+    }
+    def driftRows(bid: Long): Set[(String, String, Long)] =
+      spark.read.parquet(s"$root/drift").filter(col("batch_id") === bid)
+        .select("axis", "key", "cnt")
+        .as[(String, String, Long)].collect().toSet
+    val before = driftRows(2L)
+    assert(before.exists(_._1 == "gen"), s"no gen row pre-replay: $before")
+    // the operator re-baselines BETWEEN the batch's first write and
+    // its crash-replay (the interleaving ADVICE r12 flagged)
+    val gen = DriftMonitor.refreeze(spark, s"$root/drift",
+      batches.last.toDF(), s"$root/counts", s"$root/dstats")
+    assert(gen.contains(1L), s"refreeze returned $gen")
+    // the replay lands AFTER the re-freeze: its rows must converge to
+    // the first write (gen-0 binning), not re-bin under generation 1
+    CombinedIngest.processBatch(batches.last.toDF(), 2L, root)
+    assert(driftRows(2L) == before,
+      "replayed batch diverged from its first write across the re-freeze")
+    // while a FRESH batch after the re-freeze bins under generation 1
+    CombinedIngest.processBatch(stable(30L).toDF(), 3L, root)
+    val gen3 = driftRows(3L).collect { case ("gen", _, g) => g }
+    assert(gen3 == Set(1L), s"fresh batch gen rows: $gen3")
+  }
+
   test("gopher-gated topology: a quality-passing boilerplate doc never reaches the stores") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val work = java.nio.file.Files.createTempDirectory("combinedgopher").toString

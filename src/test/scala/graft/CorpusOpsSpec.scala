@@ -338,7 +338,8 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, "# # # the be"),            // hash ratio 3/5, wlen 160
       (3L, "one...\ntwo...\nthree"),   // ellipsis lines 2/3, words 2/3
       (4L, "- a\n- b\n* c"),           // all-bullet lines, half alpha
-      (5L, good))                      // passes every rule
+      (5L, good),                      // passes every rule
+      (6L, "hmm… yes…\nokay"))         // typographic U+2026 counts too
     val cols = Seq("doc_id", "n_words", "wlen_cpm", "hash_word_ppm",
       "ellipsis_word_ppm", "bullet_line_ppm", "ellipsis_line_ppm",
       "alpha_word_ppm", "n_stop_hits", "gopher_quality_pass")
@@ -357,6 +358,10 @@ class CorpusOpsSpec extends AnyFunSuite {
       0L, 0)), s"bullets: ${got(4L)}")
     assert(got(5L)._10 == 1 && got(5L)._2 == 64L && got(5L)._3 == 306L &&
       got(5L)._9 == 6L, s"good: ${got(5L)}")
+    // U+2026 ellipses (ADVICE r12): 2 of 3 words carry '…' -> 666666;
+    // the first of 2 lines ends in '…' -> 500000; 12 word chars / 3
+    assert(got(6L) == ((6L, 3L, 400L, 0L, 666666L, 0L, 500000L,
+      1000000L, 0L, 0)), s"unicode ellipsis: ${got(6L)}")
   }
 
   test("lang confusion diagonal dominates on marker-bearing docs") {
