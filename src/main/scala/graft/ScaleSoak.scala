@@ -603,6 +603,33 @@ object ScaleSoak {
     * second raw-text scan for the full-batch repetition signals).
     * Interleaved runs, min-of-two per mode, first batches dropped —
     * the combinedTok discipline. */
+  /** r13: the narrow run-length repetition signals vs their exploded
+    * relational twin, two decades with spill attribution — the A/B
+    * behind making the shuffle-free form [[graft.text.Repetition]]'s
+    * default (the signals are per-doc, so the exploded form's
+    * (doc, n, gram) exchange of ~9× the corpus token count is pure
+    * overhead that only grows with corpus size). */
+  def repNarrow(spark: SparkSession, nDocs: Long = 10000L): Unit = {
+    import graft.text.Repetition
+    locally { // JIT/codegen warm pass off the clock
+      val d = docCorpus(spark, 2000L)
+      sink(Repetition.repetitionSignals(d))
+      sink(Repetition.signalsFromBaseExploded(
+        Repetition.positionalBase(d).localCheckpoint()))
+      d.unpersist()
+    }
+    Seq(1L, 10L, 100L).foreach { mult =>
+      val nd = nDocs * mult
+      val d = docCorpus(spark, nd)
+      timedSpill(spark, "repnarrow", s"docs=$nd", "narrow")(
+        sink(Repetition.repetitionSignals(d)))
+      timedSpill(spark, "repnarrow", s"docs=$nd", "exploded")(
+        sink(Repetition.signalsFromBaseExploded(
+          Repetition.positionalBase(d).localCheckpoint())))
+      d.unpersist()
+    }
+  }
+
   def combinedGopher(spark: SparkSession, nShards: Int = 12,
                      docsPerShard: Long = 2000): Unit = {
     import graft.streaming.{ClusterRefresh, CombinedIngest, CurateIngest,
@@ -785,6 +812,9 @@ object ScaleSoak {
       case s if s.startsWith("combinedgopher:") =>
         val ps = s.drop(15).split(",")
         combinedGopher(spark, ps(0).toInt, ps(1).toLong)
+      case "repnarrow" => repNarrow(spark)
+      case s if s.startsWith("repnarrow:") =>
+        repNarrow(spark, s.drop(10).toLong)
       case "gramsidecar" => gramSidecar(spark)
       case s if s.startsWith("gramsidecar:") =>
         val ps = s.drop(12).split(",")

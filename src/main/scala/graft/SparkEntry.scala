@@ -542,6 +542,8 @@ object SparkEntry {
         Seq("spark", "join", "window", "hash"))),
     "q_scrub" -> ((s, dir) =>
       graft.text.CorpusStats.scrub(Tables.documents(s, dir))),
+    "q_pii_scrub" -> ((s, dir) => // Dolma anonymization: email/IP/phone
+      graft.text.CorpusStats.piiScrubPlanted(Tables.documents(s, dir))),
     "q_sample_strat" -> ((s, dir) =>
       Sampling.stratifiedByHash(Tables.documents(s, dir))),
     "q_weighted_sample" -> ((s, dir) => // length-biased deterministic sample
@@ -778,6 +780,7 @@ object SparkEntry {
         Seq("doc_id", "chunk_idx"),
         Seq("spark", "join", "window", "hash")),
       "q_scrub" -> graft.text.CorpusStats.scrubSql,
+      "q_pii_scrub" -> graft.text.CorpusStats.piiScrubPlantedSql,
       "q_sample_strat" -> Sampling.stratifiedByHashSql(),
       "q_weighted_sample" -> Sampling.weightedSampleSql(),
       "q_temp_mixture" -> Sampling.temperatureMixtureSql(),

@@ -158,6 +158,83 @@ object CorpusStats {
        |  CAST(len(regexp_extract_all(text, '$numPat')) AS BIGINT) AS n_nums
        |FROM documents""".stripMargin
 
+  // --------------------------------------- PII anonymization (Dolma set)
+  /** The three PII classes the Dolma pipeline anonymizes (Soldaini et
+    * al. 2024, "Dolma: an Open Corpus...", §Anonymization): email
+    * addresses, IPv4 addresses, US-style phone numbers — each masked
+    * with Dolma's `|||…|||` sentinel tokens so downstream tokenizers
+    * see one opaque word. Patterns avoid lookaround so Java regex
+    * (Spark) and RE2 (DuckDB) match identically. */
+  val ipv4Pat: String = {
+    val oct = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+    s"\\b$oct(\\.$oct){3}\\b"
+  }
+  val phonePat: String =
+    "(\\(\\d{3}\\) ?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact the Dolma PII classes. Replacement order is email → IP →
+    * phone (a dotted-quad inside an email is already masked when the
+    * IP pass runs); counts are over the ORIGINAL text, per class
+    * independently. Pure regexp_replace chain — codegen'd, no shuffle,
+    * composes with [[scrub]]'s URL pass upstream when both are wanted. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailPat, "|||EMAIL_ADDRESS|||"),
+        ipv4Pat, "|||IP_ADDRESS|||"),
+      phonePat, "|||PHONE_NUMBER|||")
+    spread(docs).select(col("doc_id"), masked.as("text_anon"),
+      regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(ipv4Pat)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(phonePat)).cast("long").as("n_phones"))
+  }
+
+  /** [[piiScrub]] over the corpus with one deterministic PII instance
+    * PLANTED per doc-id residue class — the synthetic corpus carries
+    * no natural PII, so the oracle pin over the raw table would only
+    * exercise the no-op path; the planted variant makes the
+    * cross-engine hash check cover all three patterns and the mask
+    * text itself. The twin plants byte-identical strings. */
+  def piiScrubPlanted(docs: DataFrame): DataFrame =
+    piiScrub(spread(docs).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@ex-mail.com now")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
+              lit(".17")))
+          .when(col("doc_id") % 5 === 2,
+            lit(" call (555) 123-4567 or 555.123.4567"))
+          .otherwise(lit("")))))
+
+  def piiScrubPlantedSql: String = {
+    val plant =
+      """CASE WHEN doc_id % 5 = 0 THEN
+        |       ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |       '@ex-mail.com now'
+        |     WHEN doc_id % 5 = 1 THEN
+        |       ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.17'
+        |     WHEN doc_id % 5 = 2 THEN ' call (555) 123-4567 or 555.123.4567'
+        |     ELSE '' END""".stripMargin
+    s"""WITH planted AS (
+       |  SELECT doc_id, text || $plant AS text FROM documents)
+       |${piiScrubSql.replace("FROM documents", "FROM planted")}""".stripMargin
+  }
+
+  def piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailPat', '|||EMAIL_ADDRESS|||', 'g'),
+       |    '$ipv4Pat', '|||IP_ADDRESS|||', 'g'),
+       |    '$phonePat', '|||PHONE_NUMBER|||', 'g') AS text_anon,
+       |  CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ipv4Pat')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$phonePat')) AS BIGINT)
+       |    AS n_phones
+       |FROM documents""".stripMargin
+
   // ------------------------------------------- unigram LM quality score
   /** Per-doc average unigram surprisal (bits/token) against the
     * corpus's own unigram distribution — the cheap KenLM-perplexity

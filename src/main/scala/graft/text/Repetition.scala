@@ -39,11 +39,17 @@ import org.apache.spark.sql.functions._
   * 0.11/0.10, dup-line/para chars > 0.20, dup-line/para fraction
   * > 0.30.
   *
-  * Scale shape: one tokenization per document fanned into all nine n
-  * plus the line/para segments in a single exploded frame (one
-  * shuffle on (doc, n, gram)), a per-(doc, n) window top-1 over gram
-  * counts, then per-doc arithmetic — fully distributed, nothing
-  * corpus-global.
+  * Scale shape: every signal is PER-DOCUMENT, so nothing here needs an
+  * Exchange at all — [[signalsFromBase]] sorts each document's gram
+  * array in place and folds a run-length state machine over it with
+  * higher-order array functions (one `aggregate` per rule family),
+  * making the whole operator a narrow projection: zero shuffle, zero
+  * explode, embarrassingly parallel at any corpus size. The earlier
+  * exploded form ([[signalsFromBaseExploded]]: one (doc, n, gram)
+  * shuffle of ~9× the corpus token count, a per-(doc, n) window top-1)
+  * is kept as the A/B twin and equality pin — it computes the same
+  * integers through the relational plan, paying a corpus-sized
+  * exchange for a per-doc statistic (measured: SCALING.md r13).
   *
   * Reference: services/processing has no repetition filtering; this
   * extends the LLM-pipeline mandate's text-quality family.
@@ -85,8 +91,100 @@ object Repetition {
   /** [[repetitionSignals]] over an already-extracted positional frame
     * ([[positionalBase]], pinned by the caller) — no text scan here:
     * every gram and segment derives from the `ws`/`lines`/`paras`
-    * arrays. */
+    * arrays, and the whole computation is a NARROW per-row projection
+    * (zero shuffle; see the object scaladoc's scale-shape note).
+    *
+    * Per rule family the document's gram array is sorted and a
+    * run-length fold extracts, in one pass: the longest run with the
+    * lexicographically-smallest tie-break (ascending order + strict
+    * `>` replacement = Gopher's (cnt DESC, g ASC) top-1), the
+    * occurrence-weighted duplicate coverage (runs of length ≥ 2), and
+    * the duplicate occurrence count. The fold carries the previous
+    * element instead of indexing, so an empty gram array never touches
+    * the `sequence(1, 0)` descending-array trap. */
   def signalsFromBase(base: DataFrame): DataFrame = {
+    // run-length fold over the SORTED gram array `arr`: finalize a run
+    // when the next distinct value (or the finish lambda) arrives
+    def runStats(arr: String): String =
+      s"""aggregate(
+         |  array_sort($arr),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+         |    'best_cnt', 0L, 'best_cov', 0L, 'dcov', 0L, 'dcnt', 0L,
+         |    'tot', 0L),
+         |  (s, x) -> CASE WHEN s.prev IS NULL OR x <> s.prev THEN
+         |      named_struct('prev', x, 'run', 1L,
+         |        'best_cnt',
+         |          CASE WHEN s.run > s.best_cnt THEN s.run
+         |               ELSE s.best_cnt END,
+         |        'best_cov',
+         |          CASE WHEN s.run > s.best_cnt
+         |               THEN s.run * length(s.prev) ELSE s.best_cov END,
+         |        'dcov', s.dcov + CASE WHEN s.run >= 2
+         |               THEN s.run * length(s.prev) ELSE 0L END,
+         |        'dcnt', s.dcnt + CASE WHEN s.run >= 2
+         |               THEN s.run ELSE 0L END,
+         |        'tot', s.tot + 1L)
+         |    ELSE named_struct('prev', x, 'run', s.run + 1L,
+         |      'best_cnt', s.best_cnt, 'best_cov', s.best_cov,
+         |      'dcov', s.dcov, 'dcnt', s.dcnt, 'tot', s.tot + 1L) END,
+         |  s -> named_struct(
+         |    'top_cov', CASE WHEN s.run > s.best_cnt
+         |      THEN s.run * length(s.prev) ELSE s.best_cov END,
+         |    'dup_cov', s.dcov + CASE WHEN s.run >= 2
+         |      THEN s.run * length(s.prev) ELSE 0L END,
+         |    'dup_cnt', s.dcnt + CASE WHEN s.run >= 2
+         |      THEN s.run ELSE 0L END,
+         |    'tot_cnt', s.tot))""".stripMargin
+    def gramsOf(n: Int): String =
+      s"""CASE WHEN size(ws) >= $n THEN
+         |  transform(sequence(1, size(ws) - ${n - 1}),
+         |    i -> concat_ws(' ', slice(ws, i, $n)))
+         |ELSE array() END""".stripMargin
+    // exact integer division (matches DuckDB's '//' even past 2^53)
+    val intDiv = (a: Column, b: Column) =>
+      call_function("div", a.cast("long"), b.cast("long"))
+    def ppmOf(c0: Column): Column =
+      least(lit(1000000L), intDiv(coalesce(c0, lit(0L)) * 1000000L,
+        greatest(col("c"), lit(1L))))
+    def fracPpm(num: Column, den: Column): Column =
+      least(lit(1000000L), intDiv(coalesce(num, lit(0L)) * 1000000L,
+        greatest(coalesce(den, lit(0L)), lit(1L))))
+    val stats = base.select(
+      col("doc_id"), size(col("ws")).cast("long").as("n_words"), col("c"),
+      expr(s"""named_struct(
+        ${topRules.map { case (n, _) =>
+          s"'n$n', ${runStats(gramsOf(n))}" }.mkString(",")},
+        ${dupRules.map { case (n, _) =>
+          s"'n$n', ${runStats(gramsOf(n))}" }.mkString(",")},
+        'ln', ${runStats("lines")},
+        'pa', ${runStats("paras")})""").as("rs"))
+    val sigCols =
+      topRules.map { case (n, _) =>
+        ppmOf(col(s"rs.n$n.top_cov")).as(s"top${n}_ppm") } ++
+        dupRules.map { case (n, _) =>
+          ppmOf(col(s"rs.n$n.dup_cov")).as(s"dup${n}_ppm") } ++
+        Seq(ppmOf(col("rs.ln.dup_cov")).as("dup_line_ppm"),
+          ppmOf(col("rs.pa.dup_cov")).as("dup_para_ppm"),
+          fracPpm(col("rs.ln.dup_cnt"), col("rs.ln.tot_cnt"))
+            .as("dup_line_frac_ppm"),
+          fracPpm(col("rs.pa.dup_cnt"), col("rs.pa.tot_cnt"))
+            .as("dup_para_frac_ppm"))
+    val passCond =
+      (topRules.map { case (n, t) => col(s"top${n}_ppm") <= t } ++
+        dupRules.map { case (n, t) => col(s"dup${n}_ppm") <= t } ++
+        Seq(col("dup_line_ppm") <= SegCharPpm,
+          col("dup_para_ppm") <= SegCharPpm,
+          col("dup_line_frac_ppm") <= SegCntPpm,
+          col("dup_para_frac_ppm") <= SegCntPpm)).reduce(_ && _)
+    stats.select(col("doc_id") +: col("n_words") +: sigCols: _*)
+      .withColumn("gopher_pass", passCond.cast("int"))
+  }
+
+  /** The original RELATIONAL form of [[signalsFromBase]] — one
+    * (doc, n, gram) exploded frame (a shuffle of ~9× the corpus token
+    * count for a per-doc statistic), kept as the narrow form's
+    * equality pin and A/B twin. */
+  def signalsFromBaseExploded(base: DataFrame): DataFrame = {
     // every n's sliding grams in ONE exploded frame: (doc, n, gram).
     // The short-doc guard is load-bearing: sequence(1, 0) in Spark is
     // the DESCENDING array [1, 0] (not empty), and slice(ws, 0, n)

@@ -48,6 +48,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r._3 == 1L) // the url
   }
 
+  test("pii scrub masks emails, ipv4, and separator-form phones with the Dolma sentinels") {
+    val d = docs(
+      (1L, "mail bob@ex.com from 10.0.0.1 or call (555) 123-4567 now"),
+      (2L, "dial 555-123-4567 or 555.123.4567 or 555 123 4567"),
+      (3L, "v999.999.999.999 is no address and 5551234567 no phone"),
+      (4L, "clean text stays untouched"))
+    val got = CorpusStats.piiScrub(d).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got(0)._2 == "mail |||EMAIL_ADDRESS||| from |||IP_ADDRESS|||" +
+      " or call |||PHONE_NUMBER||| now", got(0)._2)
+    assert((got(0)._3, got(0)._4, got(0)._5) == (1L, 1L, 1L))
+    // all three separator forms count; a bare 10-digit run does not
+    assert(got(1)._5 == 3L && got(1)._2 ==
+      "dial |||PHONE_NUMBER||| or |||PHONE_NUMBER||| or |||PHONE_NUMBER|||",
+      got(1))
+    assert((got(2)._3, got(2)._4, got(2)._5) == (0L, 0L, 0L), got(2))
+    assert(got(3)._2 == "clean text stays untouched" &&
+      (got(3)._3, got(3)._4, got(3)._5) == (0L, 0L, 0L))
+  }
+
   test("repetition: integer per-mille of non-distinct tokens") {
     val d = docs((1L, "a a a b"), (2L, "x y z"))
     val got = CorpusStats.repetition(d).orderBy("doc_id")
@@ -327,6 +347,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(6L) == row(6L, 7L, 300000L, 250000L, 350000L,
       0L, 0L, 0L, 0L, 0L, 0L, 600000L, 300000L, 800000L, 666666L)(0),
       s"doc6: ${got(6L)}")
+  }
+
+  test("repetition signals: narrow run-length form equals the exploded relational form; executed plan has zero Exchange and zero Generate") {
+    import graft.text.Repetition
+    // varied corpus: heavy repeats, duplicate lines/paragraphs, empty
+    // and one-word docs, long clean text, modular token collisions
+    val rows = (0L until 300L).map { i =>
+      val body = (i % 7) match {
+        case 0 => "spam ham spam ham spam ham spam ham spam"
+        case 1 => (0 until 40)
+          .map(j => s"w${(i * 31 + j * 17) % 23}").mkString(" ")
+        case 2 => s"line a $i\nline a $i\nline b\n\npara\n\npara"
+        case 3 => ""
+        case 4 => "solo"
+        case 5 => ("the quick brown fox jumps over the lazy dog " * 3) + i
+        case _ => (0 until 80).map(j => s"t${(i + j) % 11}").mkString(" ")
+      }
+      (i, body)
+    }
+    // parquet round-trip so ConvertToLocalRelation can't fold the plan
+    val work = java.nio.file.Files.createTempDirectory("repnarrow").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$work/d")
+    val d = spark.read.parquet(s"$work/d")
+    val narrow = Repetition.repetitionSignals(d)
+    val exploded = Repetition.signalsFromBaseExploded(
+      Repetition.positionalBase(d).localCheckpoint())
+    assert(narrow.columns.toSeq == exploded.columns.toSeq)
+    val (ns, es) = (narrow.collect().toSet, exploded.collect().toSet)
+    assert(ns == es, s"narrow/exploded diverge: ${(ns -- es).take(3)} vs " +
+      s"${(es -- ns).take(3)}")
+    // the narrow form is a pure projection: the EXECUTED plan moves no
+    // data (no Exchange) and explodes nothing (no Generate)
+    val df = Repetition.signalsFromBase(Repetition.positionalBase(d))
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"narrow repetition plan not narrow:\n$plan")
   }
 
   test("gopher quality signals: hand-computed Table A1 left-column values") {
