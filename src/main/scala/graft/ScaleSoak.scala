@@ -630,6 +630,34 @@ object ScaleSoak {
     }
   }
 
+  /** r13: the narrow run-length tf frame ([[graft.text.SparseIndex]]
+    * postingsOf) vs the relational explode → groupBy(doc, token)
+    * twin, two decades with spill attribution. */
+  def tfNarrow(spark: SparkSession, nDocs: Long = 10000L): Unit = {
+    import graft.text.SparseIndex
+    def exploded(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '\\\\S+', 0)").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(col("ws")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    locally {
+      val d = docCorpus(spark, 2000L)
+      sink(SparseIndex.postingsOf(d)); sink(exploded(d))
+      d.unpersist()
+    }
+    Seq(1L, 10L, 100L).foreach { mult =>
+      val nd = nDocs * mult
+      val d = docCorpus(spark, nd)
+      timedSpill(spark, "tfnarrow", s"docs=$nd", "narrow")(
+        sink(SparseIndex.postingsOf(d)))
+      timedSpill(spark, "tfnarrow", s"docs=$nd", "exploded")(
+        sink(exploded(d)))
+      d.unpersist()
+    }
+  }
+
   def combinedGopher(spark: SparkSession, nShards: Int = 12,
                      docsPerShard: Long = 2000): Unit = {
     import graft.streaming.{ClusterRefresh, CombinedIngest, CurateIngest,
@@ -812,6 +840,9 @@ object ScaleSoak {
       case s if s.startsWith("combinedgopher:") =>
         val ps = s.drop(15).split(",")
         combinedGopher(spark, ps(0).toInt, ps(1).toLong)
+      case "tfnarrow" => tfNarrow(spark)
+      case s if s.startsWith("tfnarrow:") =>
+        tfNarrow(spark, s.drop(9).toLong)
       case "repnarrow" => repNarrow(spark)
       case s if s.startsWith("repnarrow:") =>
         repNarrow(spark, s.drop(10).toLong)

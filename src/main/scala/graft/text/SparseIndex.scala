@@ -39,7 +39,20 @@ object SparseIndex {
 
   /** One tokenization: (doc_id, token, tf, dl) with the doc length
     * lambda-bound onto the exploded rows (the [[CorpusStats.bm25Units]]
-    * trick — no second scan for dl). */
+    * trick — no second scan for dl).
+    *
+    * DELIBERATELY the relational explode → groupBy form, not the
+    * narrow run-length [[tfFromWs]]: tf is a per-doc statistic, but
+    * the r13 `ScaleSoak tfnarrow` A/B measured the narrow form ~1.8×
+    * SLOWER at 1M docs (8.1 s vs 4.4 s, zero spill both) — the
+    * exploded form's Exchange moves only partial-agg-COLLAPSED rows
+    * (each doc's tokens sit in one partition, so map-side combine
+    * collapses to exactly the rows the narrow form would produce) and
+    * whole-stage codegen beats interpreted higher-order functions on
+    * the fan-out-1 tokenize path. Contrast [[Repetition
+    * .signalsFromBase]], where the narrow form WINS 2.4× — its
+    * relational twin explodes 9 n-gram widths and windows them, a far
+    * heavier exchange. Measured negative recorded in SCALING.md r13. */
   private def tokenize(docs: DataFrame): DataFrame = {
     val wArr = expr("regexp_extract_all(text, '\\\\S+', 0)")
     graft.Tables.spread(docs)
@@ -51,6 +64,57 @@ object SparseIndex {
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
   }
+
+  /** Run-length encode the sorted token array per row: boundaries are
+    * the positions where the sorted array changes value, each run's
+    * tf is the gap to the next boundary. `sequence(1, 0)` is a
+    * DESCENDING array in Spark (the repo-wide short-doc trap), so the
+    * empty-doc case is guarded before any sequence is built; an empty
+    * pair array explodes to no rows, preserving the old contract that
+    * token-less documents vanish from the postings.
+    *
+    * MEASURED NEGATIVE — kept as the A/B twin, not used in
+    * production: `ScaleSoak tfnarrow` times this form ~1.8× slower
+    * than [[tokenize]]'s relational explode at 1M docs (see the
+    * [[tokenize]] scaladoc and SCALING.md r13). The equality pin in
+    * SparseIndexSpec keeps it honest.
+    *
+    * `withWs` must carry a `ws` array column; every OTHER column
+    * passes through onto the exploded rows (so per-doc labels ride
+    * along without a join). Column names `dl`, `pairs`, `p` are
+    * produced internally and must not be among the passthroughs.
+    * Output: passthroughs + (token, tf, dl).
+    *
+    * The sorted array and the boundary list are bound as LAMBDA
+    * variables (`transform(array(x), s -> …)[0]`, the repo's
+    * lambda-bind idiom) rather than projected columns: CollapseProject
+    * inlines a projected column into every lambda body that references
+    * it, and an `element_at(s, i)` whose `s` re-evaluates
+    * `array_sort(ws)` PER ELEMENT turns O(L log L) into O(L² log L) —
+    * measured 350× slower at 1M docs before the bind (SCALING.md
+    * r13). */
+  def tfFromWs(withWs: DataFrame): DataFrame = {
+    val keep = withWs.columns.filterNot(_ == "ws").map(col).toSeq
+    val pairs = expr(
+      """transform(array(array_sort(ws)), s ->
+        |  CASE WHEN size(s) = 0 THEN array()
+        |  ELSE transform(array(
+        |      filter(sequence(1, size(s)), i ->
+        |        i = 1 OR element_at(s, i) <> element_at(s, i - 1))), bnd ->
+        |    zip_with(
+        |      bnd,
+        |      concat(slice(bnd, 2, size(bnd) - 1), array(size(s) + 1)),
+        |      (a, b) -> named_struct(
+        |        'token', element_at(s, a),
+        |        'tf', CAST(b - a AS BIGINT))))[0]
+        |  END)[0]""".stripMargin)
+    withWs
+      .select(keep :+ size(col("ws")).as("dl") :+ pairs.as("pairs"): _*)
+      .select(keep :+ col("dl") :+ explode(col("pairs")).as("p"): _*)
+      .select(keep :+ col("p.token").as("token") :+ col("p.tf").as("tf")
+        :+ col("dl"): _*)
+  }
+
 
   private def dfOf(postings: DataFrame): DataFrame =
     postings.groupBy("token").agg(count(lit(1)).as("df"))
@@ -99,7 +163,8 @@ object SparseIndex {
     * also needs the ordered array: equal to [[tokenize]] because `ws`
     * IS `regexp_extract_all(text, '\S+')` and `dl = size(ws)` rides
     * each exploded row exactly as the lambda-bound form binds it
-    * (empty texts explode to no rows in both). */
+    * (empty texts explode to no rows in both). Relational form by the
+    * same tfnarrow A/B verdict as [[tokenize]]. */
   def postingsFromBase(base: DataFrame): DataFrame =
     base.select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("token"))
