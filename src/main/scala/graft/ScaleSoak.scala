@@ -658,6 +658,93 @@ object ScaleSoak {
     }
   }
 
+  /** r13 diagnostic: the narrow repetition fold's cost by positional-
+    * frame pin type (columnar persist vs row localCheckpoint) and vs
+    * the exploded twin, plus the gate-survivor semi-join shape the
+    * combined topology feeds it. */
+  def repDiag(spark: SparkSession, nDocs: Long = 20000L): Unit = {
+    import graft.text.Repetition
+    val d = docCorpus(spark, nDocs)
+    val pbP = Repetition.positionalBase(d).persist()
+    pbP.count()
+    val pbL = Repetition.positionalBase(d).localCheckpoint()
+    val ids = d.select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+      .localCheckpoint()
+    timedSpill(spark, "repdiag", s"docs=$nDocs", "nar-pers")(
+      sink(Repetition.signalsFromBase(pbP)))
+    timedSpill(spark, "repdiag", s"docs=$nDocs", "nar-lchk")(
+      sink(Repetition.signalsFromBase(pbL)))
+    timedSpill(spark, "repdiag", s"docs=$nDocs", "exp-pers")(
+      sink(Repetition.signalsFromBaseExploded(pbP)))
+    timedSpill(spark, "repdiag", s"docs=$nDocs", "nar-semi")(
+      sink(Repetition.signalsFromBase(
+        pbP.join(ids, Seq("doc_id"), "left_semi"))))
+    timedSpill(spark, "repdiag", s"docs=$nDocs", "nar-pers2")(
+      sink(Repetition.signalsFromBase(pbP)))
+    pbP.unpersist(); d.unpersist()
+  }
+
+  /** r13 diagnostic 2: one combined batch end-to-end, gopher on/off,
+    * plus the gate evaluated alone, on fresh store roots. */
+  def repDiag2(spark: SparkSession, nDocs: Long = 20000L): Unit = {
+    import graft.streaming.CombinedIngest
+    val d = docCorpus(spark, nDocs)
+    def fresh(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"repdiag2_$tag").toString
+    timedSpill(spark, "repdiag2", s"docs=$nDocs", "goph-off")(
+      CombinedIngest.processBatch(d, 0L, fresh("off")))
+    timedSpill(spark, "repdiag2", s"docs=$nDocs", "goph-on")(
+      CombinedIngest.processBatch(d, 0L, fresh("on"), gopherGate = true))
+    timedSpill(spark, "repdiag2", s"docs=$nDocs", "goph-on2")(
+      CombinedIngest.processBatch(d, 0L, fresh("on2"), gopherGate = true))
+    d.unpersist()
+  }
+
+  /** r13 diagnostic 3: the gopher-gated combined loop with PER-SHARD
+    * timing (combinedgopher reports only the mean), to locate whether
+    * a per-shard term grows with the stores. */
+  def repDiag3(spark: SparkSession, nShards: Int = 10,
+               docsPerShard: Long = 20000L): Unit = {
+    import graft.streaming.CombinedIngest
+    val corpus = docCorpus(spark, nShards * docsPerShard)
+    val dir = java.nio.file.Files.createTempDirectory("repdiag3").toString
+    (0 until nShards).foreach { i =>
+      val shard = corpus.filter(col("doc_id") >= i * docsPerShard &&
+        col("doc_id") < (i + 1) * docsPerShard).localCheckpoint()
+      timedSpill(spark, "repdiag3", s"shard=$i", "goph-on")(
+        CombinedIngest.processBatch(shard, i.toLong, dir, gopherGate = true))
+      shard.unpersist()
+    }
+    corpus.unpersist()
+  }
+
+  /** r13 diagnostic 4: does the narrow fold inherit partition skew a
+    * range-filtered shard carries (few non-empty partitions), where
+    * the exploded form's Exchange used to redistribute? */
+  def repDiag4(spark: SparkSession, docsPerShard: Long = 20000L): Unit = {
+    import graft.text.Repetition
+    val direct = docCorpus(spark, docsPerShard)
+    val corpus = docCorpus(spark, docsPerShard * 10)
+    val shard = corpus.filter(col("doc_id") >= docsPerShard * 4 &&
+      col("doc_id") < docsPerShard * 5).localCheckpoint()
+    def nonEmpty(df: DataFrame): Int =
+      df.rdd.mapPartitions(it => Iterator(if (it.hasNext) 1 else 0))
+        .collect().sum
+    println(s"[diag4] direct parts=${direct.rdd.getNumPartitions}" +
+      s" nonEmpty=${nonEmpty(direct)}; shard parts=" +
+      s"${shard.rdd.getNumPartitions} nonEmpty=${nonEmpty(shard)}")
+    timedSpill(spark, "repdiag4", "d=20k", "nar-direct")(
+      sink(Repetition.repetitionSignals(direct)))
+    timedSpill(spark, "repdiag4", "d=20k", "nar-shard")(
+      sink(Repetition.repetitionSignals(shard)))
+    timedSpill(spark, "repdiag4", "d=20k", "nar-repart")(
+      sink(Repetition.repetitionSignals(shard.repartition(32))))
+    timedSpill(spark, "repdiag4", "d=20k", "exp-shard")(
+      sink(Repetition.signalsFromBaseExploded(
+        Repetition.positionalBase(shard).localCheckpoint())))
+    corpus.unpersist(); direct.unpersist()
+  }
+
   def combinedGopher(spark: SparkSession, nShards: Int = 12,
                      docsPerShard: Long = 2000): Unit = {
     import graft.streaming.{ClusterRefresh, CombinedIngest, CurateIngest,
@@ -843,6 +930,17 @@ object ScaleSoak {
       case "tfnarrow" => tfNarrow(spark)
       case s if s.startsWith("tfnarrow:") =>
         tfNarrow(spark, s.drop(9).toLong)
+      case "repdiag4" => repDiag4(spark)
+      case "repdiag3" => repDiag3(spark)
+      case s if s.startsWith("repdiag3:") =>
+        val ps = s.drop(9).split(",")
+        repDiag3(spark, ps(0).toInt, ps(1).toLong)
+      case "repdiag2" => repDiag2(spark)
+      case s if s.startsWith("repdiag2:") =>
+        repDiag2(spark, s.drop(9).toLong)
+      case "repdiag" => repDiag(spark)
+      case s if s.startsWith("repdiag:") =>
+        repDiag(spark, s.drop(8).toLong)
       case "repnarrow" => repNarrow(spark)
       case s if s.startsWith("repnarrow:") =>
         repNarrow(spark, s.drop(10).toLong)

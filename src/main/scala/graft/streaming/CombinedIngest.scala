@@ -141,6 +141,11 @@ object CombinedIngest {
       (SparseIndex.postingsOf(batch.select(col("doc_id"), col("text")))
         .localCheckpoint(), None)
     else {
+      // positionalBase guarantees the batch's width itself (r13: its
+      // consumers are exchange-free narrow work, and a skew-packed
+      // micro-batch — one file, a range-contiguous shard — measured
+      // ~4× the wall through the cache build + narrow legs before the
+      // guarantee; ScaleSoak repdiag4)
       val pb = graft.text.Repetition.positionalBase(batch).persist()
       (SparseIndex.postingsFromBase(pb).localCheckpoint(), Some(pb))
     }

@@ -75,7 +75,16 @@ object Repetition {
     * tokenizes once ([[graft.streaming.CombinedIngest]]'s shared-scan
     * entry). Callers pin it (`localCheckpoint`) before fanning out. */
   def positionalBase(docs: DataFrame): DataFrame =
-    graft.Tables.spread(docs)
+    // unconditional width guarantee, not Tables.spread's count
+    // heuristic: everything downstream of this frame is EXCHANGE-FREE
+    // narrow work (the r13 fold, GopherQuality's array arithmetic), so
+    // input skew — a one-file micro-batch, a range-contiguous shard
+    // (4/32 non-empty partitions, ~2× fold wall, ~4× through the
+    // combined topology's cache build; ScaleSoak repdiag4) — would
+    // ride through to every consumer with nothing left to spread it.
+    // One input-sized round-robin exchange, still ~9× less traffic
+    // than the exploded form this replaced ever shuffled.
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"),
         expr("regexp_extract_all(text, '\\\\S+', 0)").as("ws"),
         expr("filter(split(text, '\\\\n'), x -> x <> '')").as("lines"),

@@ -377,14 +377,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     val (ns, es) = (narrow.collect().toSet, exploded.collect().toSet)
     assert(ns == es, s"narrow/exploded diverge: ${(ns -- es).take(3)} vs " +
       s"${(es -- ns).take(3)}")
-    // the narrow form is a pure projection: the EXECUTED plan moves no
-    // data (no Exchange) and explodes nothing (no Generate)
-    val df = Repetition.signalsFromBase(Repetition.positionalBase(d))
+    // the narrow FOLD is a pure projection: over a pinned positional
+    // frame the EXECUTED plan moves no data (no Exchange) and explodes
+    // nothing (no Generate). (positionalBase itself carries exactly
+    // one round-robin Exchange — its r13 width guarantee, asserted
+    // separately below.)
+    val df = Repetition.signalsFromBase(
+      Repetition.positionalBase(d).localCheckpoint())
     df.queryExecution.toRdd.count()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange") && !plan.contains("Generate"),
       s"narrow repetition plan not narrow:\n$plan")
+    // width guarantee: a skew-packed input (everything in a handful of
+    // partitions) comes out of positionalBase at full parallelism —
+    // the fold has no Exchange of its own to spread it (repdiag4)
+    val skewed = d.coalesce(1)
+    val pb = Repetition.positionalBase(skewed)
+    val widths = pb.rdd
+      .mapPartitions(it => Iterator(if (it.hasNext) 1 else 0))
+      .collect()
+    assert(widths.sum > 1, s"positionalBase kept the input skew: " +
+      s"${widths.sum} non-empty of ${widths.length} partitions")
   }
 
   test("gopher quality signals: hand-computed Table A1 left-column values") {
