@@ -630,6 +630,65 @@ object ScaleSoak {
     }
   }
 
+  /** r14: positionalBase's width gate on an ALREADY-WIDE input — the
+    * gated no-op (keep the input's partitioning) vs the r13
+    * unconditional behavior (forceSpread: full-text round-robin
+    * repartition down to #cores) — the A/B behind gating the exchange
+    * (VERDICT r13 #1). The corpus is pinned WIDER than
+    * defaultParallelism and balanced, the regime where the
+    * unconditional exchange is pure loss (and at 100 TB an
+    * unbounded-task-size hazard: corpus/cores per task). */
+  def repWide(spark: SparkSession, nDocs: Long = 1000000L): Unit = {
+    import graft.text.Repetition
+    val par = spark.sparkContext.defaultParallelism
+    locally { // JIT/codegen warm pass off the clock
+      val w = docCorpus(spark, 2000L).repartition(par * 4)
+        .localCheckpoint()
+      sink(Repetition.signalsFromBase(
+        Repetition.positionalBase(w).localCheckpoint()))
+      sink(Repetition.signalsFromBase(
+        Repetition.positionalBase(w, forceSpread = true).localCheckpoint()))
+      w.unpersist()
+    }
+    Seq(nDocs / 10, nDocs).foreach { nd =>
+      val d0 = docCorpus(spark, nd)
+      val wide = d0.repartition(par * 4).localCheckpoint()
+      d0.unpersist()
+      println(s"[repwide] docs=$nd parts=${wide.rdd.getNumPartitions}")
+      timedSpill(spark, "repwide", s"docs=$nd", "gated")(
+        sink(Repetition.signalsFromBase(
+          Repetition.positionalBase(wide).localCheckpoint())))
+      timedSpill(spark, "repwide", s"docs=$nd", "forced")(
+        sink(Repetition.signalsFromBase(
+          Repetition.positionalBase(wide, forceSpread = true)
+            .localCheckpoint())))
+      timedSpill(spark, "repwide", s"docs=$nd", "gated2")(
+        sink(Repetition.signalsFromBase(
+          Repetition.positionalBase(wide).localCheckpoint())))
+      wide.unpersist()
+    }
+  }
+
+  /** r14 (VERDICT r13 #5): the narrow repetition path's THIRD decade —
+    * narrow only, 3M and 10M docs — pinning the slope one decade past
+    * the 1M point where the exploded twin's regime change appeared one
+    * decade after ITS wash point. Any bend attributes to the per-row
+    * O(L·n log n) gram sort vs scan. */
+  def repNarrowDeep(spark: SparkSession,
+                    sizes: Seq[Long] = Seq(3000000L, 10000000L)): Unit = {
+    import graft.text.Repetition
+    locally {
+      val d = docCorpus(spark, 2000L)
+      sink(Repetition.repetitionSignals(d)); d.unpersist()
+    }
+    sizes.foreach { nd =>
+      val d = docCorpus(spark, nd)
+      timedSpill(spark, "repdeep", s"docs=$nd", "narrow")(
+        sink(Repetition.repetitionSignals(d)))
+      d.unpersist()
+    }
+  }
+
   /** r13: the narrow run-length tf frame ([[graft.text.SparseIndex]]
     * postingsOf) vs the relational explode → groupBy(doc, token)
     * twin, two decades with spill attribution. */
@@ -930,6 +989,12 @@ object ScaleSoak {
       case "tfnarrow" => tfNarrow(spark)
       case s if s.startsWith("tfnarrow:") =>
         tfNarrow(spark, s.drop(9).toLong)
+      case "repwide" => repWide(spark)
+      case s if s.startsWith("repwide:") =>
+        repWide(spark, s.drop(8).toLong)
+      case "repdeep" => repNarrowDeep(spark)
+      case s if s.startsWith("repdeep:") =>
+        repNarrowDeep(spark, s.drop(8).split(",").toSeq.map(_.toLong))
       case "repdiag4" => repDiag4(spark)
       case "repdiag3" => repDiag3(spark)
       case s if s.startsWith("repdiag3:") =>

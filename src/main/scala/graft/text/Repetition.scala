@@ -74,22 +74,37 @@ object Repetition {
     * needs order-sensitive AND bag-of-words views of a batch
     * tokenizes once ([[graft.streaming.CombinedIngest]]'s shared-scan
     * entry). Callers pin it (`localCheckpoint`) before fanning out. */
-  def positionalBase(docs: DataFrame): DataFrame =
-    // unconditional width guarantee, not Tables.spread's count
-    // heuristic: everything downstream of this frame is EXCHANGE-FREE
-    // narrow work (the r13 fold, GopherQuality's array arithmetic), so
-    // input skew — a one-file micro-batch, a range-contiguous shard
-    // (4/32 non-empty partitions, ~2× fold wall, ~4× through the
-    // combined topology's cache build; ScaleSoak repdiag4) — would
-    // ride through to every consumer with nothing left to spread it.
-    // One input-sized round-robin exchange, still ~9× less traffic
-    // than the exploded form this replaced ever shuffled.
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("text"),
+  def positionalBase(docs: DataFrame,
+                     forceSpread: Boolean = false): DataFrame = {
+    // Width guarantee, GATED (r14): everything downstream of this
+    // frame is EXCHANGE-FREE narrow work (the r13 fold, GopherQuality's
+    // array arithmetic), so input skew — a one-file micro-batch, a
+    // range-contiguous shard (4/32 non-empty partitions, ~1.9× fold
+    // wall; ScaleSoak repdiag4, SCALING.md r14) — would ride through to
+    // every consumer with nothing left to spread it. But the exchange
+    // must only fire when it can help: repartitioning DOWN would
+    // replace size-bounded (~128 MB) file splits with corpus/cores
+    // tasks — an unbounded-task-size hazard at 100 TB — and on an
+    // already-wide, already-balanced input it is a full-text shuffle
+    // for nothing (measured a pure loss at 1M docs, SCALING.md r14
+    // repwide). So: widen UPWARD only (partitions < cores), and let
+    // the one caller that actually observed non-empty-partition skew
+    // at full partition count — the combined topology's micro-batch
+    // path, where a range-contiguous shard arrives as 4/32 non-empty
+    // partitions — request the exchange explicitly via `forceSpread`
+    // (its batches are bounded by the trigger, so the shuffle is
+    // micro-batch-sized, never corpus-sized).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (forceSpread || docs.rdd.getNumPartitions < par)
+        docs.repartition(par)
+      else docs
+    wide.select(col("doc_id"), col("text"),
         expr("regexp_extract_all(text, '\\\\S+', 0)").as("ws"),
         expr("filter(split(text, '\\\\n'), x -> x <> '')").as("lines"),
         expr("filter(split(text, '\\\\n\\\\n'), x -> x <> '')").as("paras"),
         length(col("text")).cast("long").as("c"))
+  }
 
   /** One row per document with every Table A1 signal + the combined
     * `gopher_pass` verdict. */
