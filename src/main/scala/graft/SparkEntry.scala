@@ -124,6 +124,13 @@ object SparkEntry {
       graft.text.Curate.curateFull(Tables.documents(s, dir))),
     "q_curate_full_fp" -> ((s, dir) => // fp gram wire, parity-pinned
       graft.text.Curate.curateFullFp(Tables.documents(s, dir))),
+    // the Dolma anonymize stage composed into the funnel (r14): PII
+    // masked BEFORE the scrub, so grams/fps/sigs/kept text derive from
+    // masked text; planted corpus (no natural PII in the testdata)
+    "q_curate_full_anon" -> ((s, dir) =>
+      graft.text.Curate.curateFull(
+        graft.text.CorpusStats.plantPii(Tables.documents(s, dir)),
+        anonymize = true)),
     // the whole 6-stage funnel arriving shard-at-a-time: scrub vs the
     // gram store, gate, exact vs fp store, strict near-dedup vs sig
     // store, contamination vs the static benchmark grams
@@ -135,6 +142,12 @@ object SparkEntry {
     "q_curate_full_incr_gopher" -> ((s, dir) =>
       graft.streaming.CurateIngest.incrCurateFullStrict(
         Tables.documents(s, dir), gopherGate = true)),
+    // anonymize on the INCREMENTAL path (r14): each arriving shard is
+    // masked before any store-bound artifact derives from it
+    "q_curate_full_incr_anon" -> ((s, dir) =>
+      graft.streaming.CurateIngest.incrCurateFullStrict(
+        graft.text.CorpusStats.plantPii(Tables.documents(s, dir)),
+        maxId = 300, anonymize = true)),
     "q_curate_scrub" -> ((s, dir) =>
       graft.text.Curate.curateScrubbed(Tables.documents(s, dir))),
     "q_semantic_dedup" -> ((s, dir) => // SemDeDup: cluster + cosine prune
@@ -457,11 +470,14 @@ object SparkEntry {
       Skew.saltedCountDistinct(Tables.events(s, dir),
         keys = Seq("event_type"), distinctCol = "user_id",
         resultName = "user_distinct")),
-    // --- scale-out approximate variants (rows-only driver check) ---
+    // --- scale-out approximate variants, SELF-GATED (r14): each row
+    // carries exact-checkable columns + its sketch-guarantee verdict
+    // (bounds_ok, oracle-pinned at 1) — no more no_oracle artifact
+    // rows; raw estimates stay aggregateApprox/metricsApprox
     "q_event_agg_approx" -> ((s, dir) =>
-      EventAggregator.aggregateApprox(Tables.events(s, dir))),
+      ApproxBounds.eventAggApproxGated(Tables.events(s, dir))),
     "q_perf_approx" -> ((s, dir) =>
-      PerformanceTracker.metricsApprox(Tables.events(s, dir))),
+      ApproxBounds.perfApproxGated(Tables.events(s, dir))),
     // sketch-column rollup: per-day user sketches re-merged per type —
     // the "distinct across windows without raw data" pattern. The
     // replicable (md5-hash) sketch variant makes register contents and
@@ -654,6 +670,27 @@ object SparkEntry {
            |FROM events
            |WHERE value IS NOT NULL
            |GROUP BY 1, 2, 3""".stripMargin,
+      // the self-gated approx artifacts (r14): exact columns computed
+      // from the exact pipelines, bounds_ok pinned at the guarantee's
+      // promise — the hash match IS the per-group bounds verdict
+      "q_event_agg_approx" ->
+        s"""SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           |       (epoch_ms(ts) // 60000) * 60000 + 60000 AS window_end_ms,
+           |       event_type,
+           |       count(*) AS event_count,
+           |       CAST(1 AS INT) AS bounds_ok
+           |FROM events
+           |WHERE event_type IN $allowedIn
+           |GROUP BY 1, 2, 3""".stripMargin,
+      "q_perf_approx" ->
+        s"""SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
+           |       (epoch_ms(ts) // 300000) * 300000 + 300000 AS window_end_ms,
+           |       $catSql AS category,
+           |       ${graft.operators.PerformanceTracker.exactAvgSql()} AS avg_value,
+           |       CAST(1 AS INT) AS bounds_ok
+           |FROM events
+           |WHERE value IS NOT NULL
+           |GROUP BY 1, 2, 3""".stripMargin,
       "q_device_cat" ->
         s"SELECT event_id, $catSql AS category FROM events",
       "q_json_props" ->
@@ -761,6 +798,13 @@ object SparkEntry {
       "q_curate_full_incr" -> graft.text.Curate.curateFullStrictIncrSql(),
       "q_curate_full_incr_gopher" ->
         graft.text.Curate.curateFullStrictIncrSql(gopherGate = true),
+      // anonymize stage pins: piiMask composed ahead of the scrub CTE
+      // over the planted corpus, batch and incremental
+      "q_curate_full_anon" -> graft.text.Curate.curateFullAnonPlantedSql(),
+      "q_curate_full_incr_anon" ->
+        graft.text.Curate.curateFullStrictIncrSql(maxId = 300,
+          anonymize = true,
+          source = s"(${graft.text.CorpusStats.plantPiiSqlBody()})"),
       "q_semantic_dedup" -> graft.ann.KMeans.semanticDedupSql(),
       "q_knn_cosine" -> graft.ann.Similarity.knnBruteSql(),
       "q_hard_negatives" -> graft.ann.Similarity.hardNegativesSql(),

@@ -69,6 +69,57 @@ object ApproxBounds {
     hll.unionAll(gk)
   }
 
+  /** The q_event_agg_approx artifact shape (r14, VERDICT r13 #6): the
+    * approx scale path per group WITH its bound verdict folded into
+    * the row, so the correctness artifact is self-describing instead
+    * of carrying a perpetual `no_oracle` row whose gate lives one hop
+    * away in q_approx_bounds. `event_count` is the exact aggregate
+    * (oracle-checkable); `bounds_ok` applies the same per-group HLL
+    * guarantee [[bounds]] uses — the DuckDB twin pins it at 1, so an
+    * estimate drifting out of bounds breaks the hash match. The raw
+    * estimate surface stays [[EventAggregator.aggregateApprox]]. */
+  def eventAggApproxGated(events: DataFrame,
+                          rsd: Double = 0.05): DataFrame = {
+    val approx = EventAggregator.aggregateApprox(events, rsd = rsd)
+      .select(col("window_start_ms"), col("window_end_ms"),
+        col("event_type"), col("user_count").as("approx_users"))
+    EventAggregator.aggregate(events)
+      .join(approx, Seq("window_start_ms", "window_end_ms", "event_type"))
+      .select(col("window_start_ms"), col("window_end_ms"),
+        col("event_type"), col("event_count"),
+        (abs(col("user_count") - col("approx_users")) <=
+          greatest(lit(3.0 * rsd) * col("user_count"), lit(5.0)))
+          .cast("int").as("bounds_ok"))
+  }
+
+  /** q_perf_approx's artifact shape (r14): exact-checkable avg + the
+    * GK rank-guarantee verdict per group, oracle-pinned at 1. The raw
+    * estimate surface stays [[PerformanceTracker.metricsApprox]]. */
+  def perfApproxGated(events: DataFrame,
+                      accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val apx = PerformanceTracker.metricsApprox(events, accuracy = accuracy)
+      .select(col("window_start_ms"), col("window_end_ms"),
+        col("category"), col("avg_value"), col("p95_value").as("p95_apx"))
+    val ev = events.filter(col("value").isNotNull)
+      .withColumn("category", Categorizer.categorize(col("event_type")))
+      .withColumn("window_start_ms",
+        expr("(unix_millis(ts) div 300000) * 300000"))
+    val ranks = ev
+      .join(apx.select(col("window_start_ms"), col("category"),
+        col("p95_apx")), Seq("window_start_ms", "category"))
+      .groupBy(col("window_start_ms"), col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") <= col("p95_apx")).cast("long")).as("r_le"),
+        sum((col("value") < col("p95_apx")).cast("long")).as("r_lt"))
+    apx.join(ranks, Seq("window_start_ms", "category"))
+      .select(col("window_start_ms"), col("window_end_ms"),
+        col("category"), col("avg_value"),
+        (col("r_le") >= floor(lit(0.95 - eps) * col("n")) - 1 &&
+          col("r_lt") <= ceil(lit(0.95 + eps) * col("n")) + 1)
+          .cast("int").as("bounds_ok"))
+  }
+
   /** DuckDB twin: group counts from the EXACT pipelines, n_violations
     * pinned at the guarantee's promise (0). */
   def boundsSql(allowed: Seq[String] = EventAggregator.defaultAllowed): String = {

@@ -97,9 +97,11 @@ object CombinedIngest {
     * (`repBase` — [[graft.text.Repetition.positionalBase]], the same
     * pinned scan the tf frame exploded from: one tokenization even
     * with the gate on), restricted to the heuristic-gate SURVIVORS so
-    * the exploded-gram shuffle never pays for docs the quality/
-    * language gate already rejected (the intersection is unchanged —
-    * gopher only ever removes docs from the heuristic-gate set). */
+    * the narrow fold's per-doc gram sort/fold CPU (the signals are a
+    * zero-shuffle projection since r13) never pays for docs the
+    * quality/language gate already rejected (the intersection is
+    * unchanged — gopher only ever removes docs from the
+    * heuristic-gate set). */
   private def gateOf(signals: DataFrame, repBase: Option[DataFrame],
                      minQualityPm: Long, langs: Seq[String],
                      gopherGate: Boolean,
@@ -141,12 +143,15 @@ object CombinedIngest {
       (SparseIndex.postingsOf(batch.select(col("doc_id"), col("text")))
         .localCheckpoint(), None)
     else {
-      // positionalBase guarantees the batch's width itself (r13: its
-      // consumers are exchange-free narrow work, and a skew-packed
-      // micro-batch — one file, a range-contiguous shard — measured
-      // ~4× the wall through the cache build + narrow legs before the
-      // guarantee; ScaleSoak repdiag4)
-      val pb = graft.text.Repetition.positionalBase(batch).persist()
+      // forceSpread: the micro-batch path is where non-empty-partition
+      // skew was actually observed (a range-contiguous shard arriving
+      // as 4/32 non-empty partitions — the partition-COUNT gate can't
+      // see it — measured ~1.9× the fold wall and ~4× through the
+      // cache build + narrow legs; ScaleSoak repdiag4, SCALING.md r14).
+      // The batch is trigger-bounded, so the exchange is micro-batch-
+      // sized; batch entry points keep the upward-only gate.
+      val pb = graft.text.Repetition.positionalBase(batch,
+        forceSpread = true).persist()
       (SparseIndex.postingsFromBase(pb).localCheckpoint(), Some(pb))
     }
 
@@ -158,6 +163,19 @@ object CombinedIngest {
     * heuristic-gate survivors like the repetition leg. The stop list
     * is the one per-corpus knob (GopherQuality.DefaultStopWords is the
     * published set). */
+  /** Dolma-ordered anonymization on the combined topology
+    * ([[graft.text.CorpusStats.piiMask]]): masks the batch BEFORE the
+    * shared tokenization, so every derived artifact — postings tokens,
+    * signatures, fingerprints, kept text, drift rows — sees masked
+    * text and no persisted store ever holds a raw email/IP/phone.
+    * Codegen'd projection, zero shuffle. */
+  private def anonBatch(batch: DataFrame, anonymize: Boolean): DataFrame =
+    if (!anonymize) batch
+    else batch.select(col("doc_id"),
+        graft.text.CorpusStats.piiMask(col("text")).as("text"))
+      // n_chars describes the text the stores will actually hold
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   def processBatch(batch: DataFrame, batchId: Long, root: String,
                    minQualityPm: Long = 600,
                    langs: Seq[String] = Seq("en", "de"),
@@ -165,12 +183,14 @@ object CombinedIngest {
                    compactEvery: Option[Long] = None,
                    sigRetentionBatches: Option[Long] = None,
                    gopherGate: Boolean = false,
-                   gopherQualityStops: Option[Seq[String]] = None): Unit = {
+                   gopherQualityStops: Option[Seq[String]] = None,
+                   anonymize: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    val b = anonBatch(batch, anonymize)
     // THE one tokenization of this batch, pinned; every leg derives
     val (tokens, repBase) =
-      sharedFrames(batch, gopherGate || gopherQualityStops.nonEmpty)
-    val signals = graft.text.TextAnalysis.docSignals(batch, tokens)
+      sharedFrames(b, gopherGate || gopherQualityStops.nonEmpty)
+    val signals = graft.text.TextAnalysis.docSignals(b, tokens)
       .localCheckpoint()
     // leg 1 — strict curation: fps/sigs/kept land in partition batchId
     CurateIngest.writeShardStrictGated(
@@ -204,7 +224,7 @@ object CombinedIngest {
     // leg 5 — drift monitoring: language-mix + deployed-model
     // score-decile counts, riding the shared signals (sketch binning,
     // no global sort; the PSI alert reads run over the store alone)
-    DriftMonitor.writeDriftDelta(batch, tokens, signals, batchId,
+    DriftMonitor.writeDriftDelta(b, tokens, signals, batchId,
       s"$root/drift", s"$root/counts", s"$root/dstats", minQualityPm)
     // leg 4 — BM25 postings of the batch's KEPT docs: the shared frame
     // restricted to the survivors (tf/dl are per-doc, so the
@@ -242,13 +262,14 @@ object CombinedIngest {
             compactEvery: Option[Long] = None,
             sigRetentionBatches: Option[Long] = None,
             gopherGate: Boolean = false,
-            gopherQualityStops: Option[Seq[String]] = None): StreamingQuery =
+            gopherQualityStops: Option[Seq[String]] = None,
+            anonymize: Boolean = false): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, minQualityPm, langs,
           minEstJaccard, compactEvery, sigRetentionBatches, gopherGate,
-          gopherQualityStops)
+          gopherQualityStops, anonymize)
       }
       .start()
 
@@ -313,12 +334,14 @@ object CombinedIngest {
                            compactEvery: Option[Long] = None,
                            sigRetentionBatches: Option[Long] = None,
                            gopherGate: Boolean = false,
-                           gopherQualityStops: Option[Seq[String]] = None)
+                           gopherQualityStops: Option[Seq[String]] = None,
+                           anonymize: Boolean = false)
       : Unit = {
     val spark = batch.sparkSession
+    val b = anonBatch(batch, anonymize)
     val (tokens, repBase) =
-      sharedFrames(batch, gopherGate || gopherQualityStops.nonEmpty)
-    val signals = graft.text.TextAnalysis.docSignals(batch, tokens)
+      sharedFrames(b, gopherGate || gopherQualityStops.nonEmpty)
+    val signals = graft.text.TextAnalysis.docSignals(b, tokens)
       .localCheckpoint()
     // leg 1 — strict curation against the split (bucketed ∪ delta) stores
     CurateIngest.writeShardStrictBucketedGated(
@@ -347,7 +370,7 @@ object CombinedIngest {
       tokens, signals, minQualityPm)
     QualityRefresh.writeCountsDeltaFrom(cls, dstats, batchId,
       s"$root/counts", s"$root/dstats")
-    DriftMonitor.writeDriftDelta(batch, tokens, signals, batchId,
+    DriftMonitor.writeDriftDelta(b, tokens, signals, batchId,
       s"$root/drift", s"$root/counts", s"$root/dstats", minQualityPm)
     tokens
       .join(CurateIngest.keptBatch(spark, s"$root/kept", batchId),
@@ -382,14 +405,15 @@ object CombinedIngest {
                     compactEvery: Option[Long] = None,
                     sigRetentionBatches: Option[Long] = None,
                     gopherGate: Boolean = false,
-                    gopherQualityStops: Option[Seq[String]] = None)
+                    gopherQualityStops: Option[Seq[String]] = None,
+                    anonymize: Boolean = false)
       : StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatchBucketed(batch, batchId, root, tablePrefix,
           minQualityPm, langs, minEstJaccard, compactEvery,
-          sigRetentionBatches, gopherGate, gopherQualityStops)
+          sigRetentionBatches, gopherGate, gopherQualityStops, anonymize)
       }
       .start()
 }

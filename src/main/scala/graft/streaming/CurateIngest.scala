@@ -229,7 +229,8 @@ object CurateIngest {
                            minEstJaccard: Double = 0.5, n: Int = 8,
                            benchMaxId: Long = 20,
                            maxContamPm: Long = 800,
-                           gopherGate: Boolean = false): DataFrame = {
+                           gopherGate: Boolean = false,
+                           anonymize: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val nShards = ((maxId + shardSize - 1) / shardSize).toInt
@@ -243,8 +244,14 @@ object CurateIngest {
     var sigStore: DataFrame = null
     var outs = List.empty[DataFrame]
     for (i <- 0 until nShards) {
-      val shard = docs.filter(col("doc_id") >= i * shardSize &&
+      val shard0 = docs.filter(col("doc_id") >= i * shardSize &&
         col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
+      // Dolma ordering: the anonymize stage masks the ARRIVING text
+      // before any store-bound artifact (gram fps, fingerprints,
+      // signatures, kept text) derives from it
+      val shard = if (!anonymize) shard0
+        else shard0.select(col("doc_id"),
+          graft.text.CorpusStats.piiMask(col("text")).as("text"))
       val (scrubbed0, novel) =
         graft.dedup.SpanScrub.scrubShard(shard, gramStore)
       val scrubbed = scrubbed0
@@ -487,10 +494,11 @@ object CurateIngest {
                            minEstJaccard: Double = 0.5, n: Int = 8,
                            benchMaxId: Long = 20,
                            maxContamPm: Long = 800,
-                           gopherGate: Boolean = false): Unit = {
+                           gopherGate: Boolean = false,
+                           anonymize: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (scrubbed0, novel0) = graft.dedup.SpanScrub.scrubShard(
-      batch.select(col("doc_id"), col("text")),
+      anonBatch(batch, anonymize),
       ScrubIngest.gramState(spark, gramPath, batchId))
     val scrubbed = scrubbed0
       .select(col("doc_id"), col("text_clean").as("text"),
@@ -515,6 +523,18 @@ object CurateIngest {
     }
   }
 
+  /** The Dolma-ordered anonymization stage on the ingest path
+    * ([[graft.text.CorpusStats.piiMask]]): masks the arriving batch's
+    * text BEFORE the scrub/fingerprint/signature/kept artifacts derive
+    * from it, so raw emails/IPs/phones never land in any persisted
+    * store. Codegen'd projection, zero shuffle, batch-sized. */
+  private def anonBatch(batch: DataFrame, anonymize: Boolean): DataFrame = {
+    val b = batch.select(col("doc_id"), col("text"))
+    if (!anonymize) b
+    else b.select(col("doc_id"),
+      graft.text.CorpusStats.piiMask(col("text")).as("text"))
+  }
+
   /** The FULL-funnel pipeline: one document stream through all six
     * stages against all four stores. `bench` is the STATIC external
     * benchmark gram set (one `sh` column — compute it once from the
@@ -530,13 +550,14 @@ object CurateIngest {
                       minEstJaccard: Double = 0.5, n: Int = 8,
                       benchMaxId: Long = 20, maxContamPm: Long = 800,
                       compactEvery: Option[Long] = None,
-                      gopherGate: Boolean = false): StreamingQuery =
+                      gopherGate: Boolean = false,
+                      anonymize: Boolean = false): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeShardFullStrict(batch, batchId, gramPath, fpPath, sigPath,
           keptPath, bench, minQualityPm, langs, minEstJaccard, n,
-          benchMaxId, maxContamPm, gopherGate)
+          benchMaxId, maxContamPm, gopherGate, anonymize)
         compactEvery.foreach { c =>
           if (batchId > 0 && batchId % c == 0) {
             compactStores(batch.sparkSession, fpPath, keptPath,
@@ -564,12 +585,13 @@ object CurateIngest {
                                    minEstJaccard: Double = 0.5, n: Int = 8,
                                    benchMaxId: Long = 20,
                                    maxContamPm: Long = 800,
-                                   gopherGate: Boolean = false): Unit = {
+                                   gopherGate: Boolean = false,
+                                   anonymize: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (gC, gD) = ScrubIngest.gramStateSplit(spark, gramPath,
       tablePrefix, batchId)
     val (scrubbed0, novel0) = graft.dedup.SpanScrub.scrubShardSplit(
-      batch.select(col("doc_id"), col("text")), gC, gD)
+      anonBatch(batch, anonymize), gC, gD)
     val scrubbed = scrubbed0
       .select(col("doc_id"), col("text_clean").as("text"),
         length(col("text_clean")).cast("long").as("n_chars"))
@@ -607,13 +629,14 @@ object CurateIngest {
                               benchMaxId: Long = 20,
                               maxContamPm: Long = 800,
                               compactEvery: Long = 4L,
-                              gopherGate: Boolean = false): StreamingQuery =
+                              gopherGate: Boolean = false,
+                              anonymize: Boolean = false): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeShardFullStrictBucketed(batch, batchId, gramPath, fpPath,
           sigPath, keptPath, tablePrefix, bench, minQualityPm, langs,
-          minEstJaccard, n, benchMaxId, maxContamPm, gopherGate)
+          minEstJaccard, n, benchMaxId, maxContamPm, gopherGate, anonymize)
         if (batchId > 0 && batchId % compactEvery == 0) {
           compactStoresBucketed(batch.sparkSession, fpPath, keptPath,
             Some(sigPath), upToBatch = batchId, tablePrefix = tablePrefix)

@@ -80,11 +80,13 @@ object DriftMonitor {
     * VALUE on the sentinel axes (boundary / weight / prior) —
     * documented reuse of the one-schema store. A torn generation
     * (crash mid-write) reads as absent and the scan falls back to the
-    * next-older complete one. */
-  private def frozenRef(spark: SparkSession, driftPath: String,
+    * next-older complete one. `store` is the caller's ONE pinned read
+    * of the drift store ([[writeDriftDelta]] derives the sticky gen
+    * row and the sentinels from the same frame — ADVICE r13: no
+    * second store scan on the hot streaming path). */
+  private def frozenRef(store: DataFrame,
                         want: Option[Long] = None): Option[Frozen] = {
-    val sent = Stores.readStore(spark, driftPath, schema)
-      .filter(col("batch_id") <= RefId).localCheckpoint()
+    val sent = store.filter(col("batch_id") <= RefId)
     // generation-count-sized driver action: one distinct over the
     // sentinel partition column
     val gens = sent.select(col("batch_id")).distinct().collect()
@@ -194,21 +196,32 @@ object DriftMonitor {
     // re-bin under the generation that binned it originally, or the
     // replayed rows differ from the first write and the crash-window
     // convergence claim breaks for that interleaving. The batch's own
-    // store partition still holds its first-write gen row at replay
-    // time (dynamic overwrite replaces it only when this method's
-    // final write lands), so read it and pin the generation; a fresh
-    // batch has no gen row and takes the newest complete generation.
+    // store partition still holds its first-write rows at replay time
+    // (dynamic overwrite replaces them only when this method's final
+    // write lands), so ONE pinned store read (ADVICE r13: frozenRef
+    // reuses this frame instead of scanning the store again) yields:
+    //   - a gen row → pin that generation;
+    //   - own rows but NO gen row → the first write predates every
+    //     frozen generation (lang rows only), so the replay must NOT
+    //     score either (ADVICE r13: scoring it under a generation
+    //     frozen later would diverge from the first write);
+    //   - no own rows → fresh batch, newest complete generation.
     // Until any reference exists the leg tries to freeze one (first
     // batch with a deployed model), staying silent before that.
-    val stickyGen: Option[Long] =
-      Stores.readStore(spark, driftPath, schema)
-        .filter(col("axis") === GenAxis && col("batch_id") === batchId)
-        .select(col("cnt")).collect().headOption.map(_.getLong(0))
-    val ref = frozenRef(spark, driftPath, stickyGen)
+    val store = Stores.readStore(spark, driftPath, schema).localCheckpoint()
+    // bounded driver action: the batch's own partition holds at most
+    // #langs + #bins + 1 rows by construction
+    val ownAxes = store.filter(col("batch_id") === batchId)
+      .select(col("axis"), col("cnt")).collect()
+    val stickyGen: Option[Long] = ownAxes
+      .find(_.getString(0) == GenAxis).map(_.getLong(1))
+    val stickyNoScore = ownAxes.nonEmpty && stickyGen.isEmpty
+    val ref = frozenRef(store, stickyGen)
       // a sticky generation whose sentinel reads torn (cannot happen
       // post-write-once, but stores predate invariants): newest wins
-      .orElse(if (stickyGen.isDefined) frozenRef(spark, driftPath) else None)
-    val score: Option[(DataFrame, Long)] = ref match {
+      .orElse(if (stickyGen.isDefined) frozenRef(store) else None)
+    val score: Option[(DataFrame, Long)] = if (stickyNoScore) None
+    else ref match {
       case Some(f) =>
         Some((binned(graft.text.QualityModel.scoreWithTokens(
           batch, tokens, f.weights, f.prior)

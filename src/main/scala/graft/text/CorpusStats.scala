@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -172,17 +172,34 @@ object CorpusStats {
   val phonePat: String =
     "(\\(\\d{3}\\) ?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
 
-  /** Redact the Dolma PII classes. Replacement order is email → IP →
-    * phone (a dotted-quad inside an email is already masked when the
-    * IP pass runs); counts are over the ORIGINAL text, per class
-    * independently. Pure regexp_replace chain — codegen'd, no shuffle,
-    * composes with [[scrub]]'s URL pass upstream when both are wanted. */
-  def piiScrub(docs: DataFrame): DataFrame = {
-    val masked = regexp_replace(
+  /** The Dolma mask as a composable transform — the single definition
+    * both the standalone [[piiScrub]] operator and the curation-funnel
+    * `anonymize` stage ([[Curate.curateFull]],
+    * [[graft.streaming.CurateIngest]], [[graft.streaming.CombinedIngest]])
+    * apply, so the funnel's masked text is bit-identical to the
+    * operator's. Replacement order is email → IP → phone (a dotted-quad
+    * inside an email is already masked when the IP pass runs). */
+  def piiMask(c: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(col("text"), emailPat, "|||EMAIL_ADDRESS|||"),
+        regexp_replace(c, emailPat, "|||EMAIL_ADDRESS|||"),
         ipv4Pat, "|||IP_ADDRESS|||"),
       phonePat, "|||PHONE_NUMBER|||")
+
+  /** [[piiMask]] as a DuckDB expression over `inner` — the fragment
+    * funnel oracles compose into their CTE chains. */
+  def piiMaskSqlExpr(inner: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($inner,
+       |    '$emailPat', '|||EMAIL_ADDRESS|||', 'g'),
+       |    '$ipv4Pat', '|||IP_ADDRESS|||', 'g'),
+       |    '$phonePat', '|||PHONE_NUMBER|||', 'g')""".stripMargin
+
+  /** Redact the Dolma PII classes ([[piiMask]]); counts are over the
+    * ORIGINAL text, per class independently. Pure regexp_replace
+    * chain — codegen'd, no shuffle, composes with [[scrub]]'s URL pass
+    * upstream when both are wanted. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val masked = piiMask(col("text"))
     spread(docs).select(col("doc_id"), masked.as("text_anon"),
       regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(ipv4Pat)).cast("long").as("n_ips"),
@@ -196,7 +213,15 @@ object CorpusStats {
     * cross-engine hash check cover all three patterns and the mask
     * text itself. The twin plants byte-identical strings. */
   def piiScrubPlanted(docs: DataFrame): DataFrame =
-    piiScrub(spread(docs).withColumn("text",
+    piiScrub(plantPii(docs))
+
+  /** Append one deterministic PII instance per doc-id residue class —
+    * the cross-engine planting both the q_pii_scrub pin and the
+    * funnel-anonymization pin (q_curate_full_anon) run on, since the
+    * synthetic corpus carries no natural PII. [[plantPiiSqlCte]] plants
+    * byte-identical strings. */
+  def plantPii(docs: DataFrame): DataFrame =
+    spread(docs).withColumn("text",
       concat(col("text"),
         when(col("doc_id") % 5 === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -206,9 +231,11 @@ object CorpusStats {
               lit(".17")))
           .when(col("doc_id") % 5 === 2,
             lit(" call (555) 123-4567 or 555.123.4567"))
-          .otherwise(lit("")))))
+          .otherwise(lit(""))))
 
-  def piiScrubPlantedSql: String = {
+  /** The [[plantPii]] twin as a one-CTE body over `source`:
+    * (doc_id, text) with the planted suffix appended. */
+  def plantPiiSqlBody(source: String = "main.documents"): String = {
     val plant =
       """CASE WHEN doc_id % 5 = 0 THEN
         |       ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -217,10 +244,13 @@ object CorpusStats {
         |       ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.17'
         |     WHEN doc_id % 5 = 2 THEN ' call (555) 123-4567 or 555.123.4567'
         |     ELSE '' END""".stripMargin
-    s"""WITH planted AS (
-       |  SELECT doc_id, text || $plant AS text FROM documents)
-       |${piiScrubSql.replace("FROM documents", "FROM planted")}""".stripMargin
+    s"SELECT doc_id, text || $plant AS text FROM $source"
   }
+
+  def piiScrubPlantedSql: String =
+    s"""WITH planted AS (
+       |  ${plantPiiSqlBody(source = "documents")})
+       |${piiScrubSql.replace("FROM documents", "FROM planted")}""".stripMargin
 
   def piiScrubSql: String =
     s"""SELECT doc_id,

@@ -191,12 +191,19 @@ object Curate {
                               minEstJaccard: Double = 0.5, n: Int = 8,
                               benchMaxId: Long = 20,
                               maxContamPm: Long = 800,
-                              gopherGate: Boolean = false): String = {
+                              gopherGate: Boolean = false,
+                              anonymize: Boolean = false,
+                              source: String = "main.documents"): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
     val notDropped = (id: String) =>
       s"$id NOT IN (SELECT doc_id FROM crossdrop)"
+    // anonymize on: the mask is doc-local, so masking each arriving
+    // shard (the engine's loop) equals masking the flat bounded corpus
+    // before stage 0 — the bench grams stay raw either way
+    val textExpr = if (!anonymize) "text"
+      else s"${CorpusStats.piiMaskSqlExpr("text")} AS text"
     val bounded =
-      s"(SELECT doc_id, text FROM main.documents WHERE doc_id < $maxId)"
+      s"(SELECT doc_id, $textExpr FROM $source WHERE doc_id < $maxId)"
     // gopher on: the repetition rules compose as a gate clause over the
     // SCRUBBED text (the engine's gateShardGopher — signal computation
     // is doc-local, so "over gate survivors" equals "over all scrubbed
@@ -251,7 +258,7 @@ object Curate {
        |  SELECT DISTINCT substr(text, i, $n) AS sh
        |  FROM (SELECT text,
        |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
-       |        FROM main.documents
+       |        FROM $source
        |        WHERE doc_id < $benchMaxId AND doc_id < $maxId)),
        |csh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
@@ -347,9 +354,23 @@ object Curate {
   def curateFull(docs: DataFrame, minQualityPm: Long = 600,
                  langs: Seq[String] = Seq("en", "de"),
                  n: Int = 8, benchMaxId: Long = 20,
-                 maxContamPm: Long = 800): DataFrame =
-    fullFromScrubbed(graft.dedup.SpanScrub.spanScrubFp(docs), docs,
+                 maxContamPm: Long = 800,
+                 anonymize: Boolean = false): DataFrame =
+    fullFromScrubbed(
+      graft.dedup.SpanScrub.spanScrubFp(anonDocs(docs, anonymize)), docs,
       minQualityPm, langs, n, benchMaxId, maxContamPm)
+
+  /** The Dolma-ordered anonymization stage (Soldaini et al. 2024,
+    * §Anonymization): mask the PII classes in the RAW text, BEFORE any
+    * scrub gram, fingerprint, signature, posting, or curated output is
+    * derived — so no persisted store ever holds a raw email/IP/phone.
+    * Pure codegen'd projection ([[CorpusStats.piiMask]]), zero
+    * shuffle; the external-benchmark gram set deliberately stays raw
+    * (a real benchmark is external and never anonymized). */
+  private def anonDocs(docs: DataFrame, anonymize: Boolean): DataFrame =
+    if (!anonymize) docs
+    else docs.select(col("doc_id"),
+      CorpusStats.piiMask(col("text")).as("text"))
 
   /** [[curateFull]] on the exact-substring scrub wire — the oracle
     * twin's wire, kept reachable for the parity pin (CurateSpec
@@ -357,8 +378,10 @@ object Curate {
   def curateFullExact(docs: DataFrame, minQualityPm: Long = 600,
                       langs: Seq[String] = Seq("en", "de"),
                       n: Int = 8, benchMaxId: Long = 20,
-                      maxContamPm: Long = 800): DataFrame =
-    fullFromScrubbed(graft.dedup.SpanScrub.spanScrub(docs), docs,
+                      maxContamPm: Long = 800,
+                      anonymize: Boolean = false): DataFrame =
+    fullFromScrubbed(
+      graft.dedup.SpanScrub.spanScrub(anonDocs(docs, anonymize)), docs,
       minQualityPm, langs, n, benchMaxId, maxContamPm)
 
   /** The fp-wire funnel under its r11 name — since the r12 default
@@ -403,9 +426,19 @@ object Curate {
   def curateFullSql(minQualityPm: Long = 600,
                     langs: Seq[String] = Seq("en", "de"),
                     n: Int = 8, benchMaxId: Long = 20,
-                    maxContamPm: Long = 800): String =
-    s"""WITH scrub AS (
-       |${graft.dedup.SpanScrub.spanScrubSql(source = "main.documents")}
+                    maxContamPm: Long = 800,
+                    source: String = "main.documents",
+                    anonymize: Boolean = false,
+                    preCtes: String = ""): String = {
+    // the anonymize stage masks BEFORE the scrub (so grams/fps/text
+    // derive from masked text); the bench CTE stays on the raw source
+    // (external benchmark, never anonymized) — mirroring curateFull
+    val scrubSrc =
+      if (!anonymize) source
+      else s"(SELECT doc_id, ${CorpusStats.piiMaskSqlExpr("text")} AS text" +
+        s" FROM $source)"
+    s"""WITH ${preCtes}scrub AS (
+       |${graft.dedup.SpanScrub.spanScrubSql(source = scrubSrc)}
        |),
        |scrubbed AS (
        |  SELECT doc_id, text_clean AS text,
@@ -416,7 +449,7 @@ object Curate {
        |  SELECT DISTINCT substr(text, i, $n) AS sh
        |  FROM (SELECT text,
        |          unnest(generate_series(1, greatest(length(text) - ${n - 1}, 1))) AS i
-       |        FROM main.documents WHERE doc_id < $benchMaxId)),
+       |        FROM $source WHERE doc_id < $benchMaxId)),
        |csh AS (
        |  SELECT DISTINCT doc_id, substr(text, i, $n) AS sh
        |  FROM (SELECT doc_id, text,
@@ -430,6 +463,24 @@ object Curate {
        |SELECT doc_id, lang_pred, quality_pm, n_chars FROM kept k
        |WHERE NOT EXISTS (SELECT 1 FROM contaminated c
        |                  WHERE c.doc_id = k.doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of the ANONYMIZED funnel pin (q_curate_full_anon):
+    * [[CorpusStats.plantPiiSqlBody]]'s planted corpus (the synthetic
+    * tables carry no natural PII) through [[curateFullSql]] with the
+    * anonymize stage composed — [[CorpusStats.piiMaskSqlExpr]] masks
+    * the text ahead of the scrub CTE, so every downstream stage
+    * (grams, gate, dedup, contamination) sees masked text, exactly as
+    * [[curateFull]]`(anonymize = true)` computes it. */
+  def curateFullAnonPlantedSql(minQualityPm: Long = 600,
+                               langs: Seq[String] = Seq("en", "de"),
+                               n: Int = 8, benchMaxId: Long = 20,
+                               maxContamPm: Long = 800): String =
+    curateFullSql(minQualityPm, langs, n, benchMaxId, maxContamPm,
+      source = "planted", anonymize = true,
+      preCtes = s"""planted AS MATERIALIZED (
+                   |  ${CorpusStats.plantPiiSqlBody()}),
+                   |""".stripMargin)
 
   /** The curation funnel AUDIT: one verdict per INPUT document — which
     * stage dropped it, or `kept` — the per-record provenance the
@@ -492,7 +543,8 @@ object Curate {
     * `verdict = 'kept'` projection.
     *
     * Scale shape: the signals add [[Repetition.repetitionSignals]]'s
-    * one exploded-gram shuffle over the corpus; the verdict join is
+    * narrow per-doc sort/fold (zero shuffle since r13); the verdict
+    * join is
     * doc_id-keyed at input cardinality; everything downstream is
     * [[curateAudit]]'s audited plan. */
   def curateGopherAudit(docs: DataFrame, minQualityPm: Long = 600,

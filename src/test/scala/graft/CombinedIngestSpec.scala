@@ -478,6 +478,38 @@ class CombinedIngestSpec extends AnyFunSuite {
     assert(gen3 == Set(1L), s"fresh batch gen rows: $gen3")
   }
 
+  test("drift replay stickiness: a pre-generation batch (lang rows only) replayed after a re-freeze stays score-free") {
+    import graft.streaming.DriftMonitor
+    val work = java.nio.file.Files.createTempDirectory("stickynogen").toString
+    val root = s"$work/r"
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    def good(i: Long) = mk(i,
+      s"the cat and the dog walked over a bridge $i and the sun rose " * 4)
+    def stable(b: Long) = (b to b + 4L).map(good)
+    // batch 0 runs with NO model state (modelStateBefore(0) is empty):
+    // its drift partition is lang rows ONLY — no gen row, no sentinel
+    CombinedIngest.processBatch(stable(0L).toDF(), 0L, root)
+    def driftRows(bid: Long): Set[(String, String, Long)] =
+      spark.read.parquet(s"$root/drift").filter(col("batch_id") === bid)
+        .select("axis", "key", "cnt")
+        .as[(String, String, Long)].collect().toSet
+    val before = driftRows(0L)
+    assert(before.nonEmpty && before.forall(_._1 == "lang"),
+      s"batch 0 should be lang-only: $before")
+    // batch 1 freezes generation 0; the operator then re-baselines
+    CombinedIngest.processBatch(stable(10L).toDF(), 1L, root)
+    val gen = DriftMonitor.refreeze(spark, s"$root/drift",
+      stable(10L).toDF(), s"$root/counts", s"$root/dstats")
+    assert(gen.contains(1L), s"refreeze returned $gen")
+    // replaying batch 0 AFTER generations exist must not score it
+    // under a generation frozen later (ADVICE r13): its own partition
+    // without a gen row is sticky "no scoring" — rows converge to the
+    // first write exactly
+    CombinedIngest.processBatch(stable(0L).toDF(), 0L, root)
+    assert(driftRows(0L) == before,
+      "pre-generation batch diverged from its first write on replay")
+  }
+
   test("gopher-gated topology: a quality-passing boilerplate doc never reaches the stores") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val work = java.nio.file.Files.createTempDirectory("combinedgopher").toString

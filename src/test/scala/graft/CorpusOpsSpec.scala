@@ -68,6 +68,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       (got(3)._3, got(3)._4, got(3)._5) == (0L, 0L, 0L))
   }
 
+  test("pii scrub: overlapping PII counts per class over the ORIGINAL text but masks sequentially (documented divergence)") {
+    // an email whose domain embeds a dotted-quad: the email pass masks
+    // the whole address, so the IP pass finds nothing to mask — yet
+    // n_ips counts the quad (counts are per-class over the original
+    // text, independently; piiScrub's scaladoc documents exactly this).
+    // Pinned so a refactor can't silently change either side.
+    val d = docs((1L, "ping bob@10.0.0.1.example.com now"))
+    val r = CorpusStats.piiScrub(d).as[(Long, String, Long, Long, Long)]
+      .head()
+    assert(r._2 == "ping |||EMAIL_ADDRESS||| now", r._2) // no IP mask
+    assert((r._3, r._4, r._5) == ((1L, 1L, 0L)), r)      // but n_ips = 1
+  }
+
   test("repetition: integer per-mille of non-distinct tokens") {
     val d = docs((1L, "a a a b"), (2L, "x y z"))
     val got = CorpusStats.repetition(d).orderBy("doc_id")
@@ -379,9 +392,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"${(es -- ns).take(3)}")
     // the narrow FOLD is a pure projection: over a pinned positional
     // frame the EXECUTED plan moves no data (no Exchange) and explodes
-    // nothing (no Generate). (positionalBase itself carries exactly
-    // one round-robin Exchange — its r13 width guarantee, asserted
-    // separately below.)
+    // nothing (no Generate). (positionalBase itself may carry one
+    // round-robin Exchange when its upward-only width gate fires —
+    // asserted separately below.)
     val df = Repetition.signalsFromBase(
       Repetition.positionalBase(d).localCheckpoint())
     df.queryExecution.toRdd.count()
@@ -389,9 +402,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange") && !plan.contains("Generate"),
       s"narrow repetition plan not narrow:\n$plan")
-    // width guarantee: a skew-packed input (everything in a handful of
-    // partitions) comes out of positionalBase at full parallelism —
-    // the fold has no Exchange of its own to spread it (repdiag4)
+    // width guarantee, GATED (r14): a NARROW input (fewer partitions
+    // than cores) comes out of positionalBase at full parallelism —
+    // the fold has no Exchange of its own to spread it (repdiag4) —
     val skewed = d.coalesce(1)
     val pb = Repetition.positionalBase(skewed)
     val widths = pb.rdd
@@ -399,6 +412,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect()
     assert(widths.sum > 1, s"positionalBase kept the input skew: " +
       s"${widths.sum} non-empty of ${widths.length} partitions")
+    // — but an ALREADY-WIDE input is left untouched (no coalesce to
+    // #cores, no full-text shuffle: at 100 TB that would replace
+    // size-bounded file splits with corpus/cores tasks), and the
+    // micro-batch path's forceSpread knob still widens it on request
+    // (the 4/32-non-empty shard skew the count gate can't see).
+    val par = spark.sparkContext.defaultParallelism
+    val alreadyWide = d.repartition(par * 2)
+    assert(Repetition.positionalBase(alreadyWide).rdd.getNumPartitions
+      == par * 2, "positionalBase re-shuffled an already-wide input")
+    assert(Repetition.positionalBase(alreadyWide, forceSpread = true)
+      .rdd.getNumPartitions == par,
+      "forceSpread did not apply the width guarantee")
   }
 
   test("gopher quality signals: hand-computed Table A1 left-column values") {

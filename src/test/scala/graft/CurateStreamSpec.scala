@@ -416,6 +416,135 @@ class CurateStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("anonymize stage: planted PII never reaches any persisted store, plain and bucketed") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.StringType
+    val email = "jane.doe@ex-mail.com"
+    val fragments = Seq("ex-mail.com", "10.0.0.99", "555) 123-4567")
+    val clean = (0 until 30).map(i => f"the w$i%02da a x$i%02db").mkString(" ")
+    val withPii =
+      clean + s" contact $email or 10.0.0.99 or (555) 123-4567 now"
+    val maskedPii = clean + " contact |||EMAIL_ADDRESS||| or " +
+      "|||IP_ADDRESS||| or |||PHONE_NUMBER||| now"
+    // the Dolma mask itself (oracle-pinned by q_pii_scrub) produces
+    // exactly the literal the store assertions below expect
+    assert(docs((1L, withPii))
+      .select(graft.text.CorpusStats.piiMask(col("text"))).as[String]
+      .head() == maskedPii)
+    val clean2 = (0 until 30).map(i => f"the y$i%02dc a z$i%02dd").mkString(" ")
+    val d = docs((10L, withPii), (170L, clean2))
+    def md5Of(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // grep EVERY string column of a persisted store for a PII fragment
+    def hits(df: DataFrame, needle: String): Long = {
+      val sc = df.schema.fields
+        .filter(_.dataType == StringType).map(_.name)
+      if (sc.isEmpty) 0L
+      else df.filter(sc.map(c => col(c).contains(needle)).reduce(_ || _))
+        .count()
+    }
+    def assertCleanStores(paths: Seq[String]): Unit =
+      paths.filter(p => new java.io.File(p).exists()).foreach { p =>
+        val df = spark.read.parquet(p)
+        fragments.foreach { f =>
+          assert(hits(df, f) == 0L, s"raw PII '$f' found in store $p")
+        }
+      }
+    val bench = graft.dedup.Dedup.shingles(d.filter(col("doc_id") < 0L), 8)
+      .select(col("sh")).distinct().localCheckpoint()
+    val shards = Seq(
+      Seq(DocEv(10L, withPii, withPii.length.toLong)),
+      Seq(DocEv(170L, clean2, clean2.length.toLong)))
+    implicit val ctx = spark.sqlContext
+    // plain full-funnel stream, anonymize ON: the PII doc SURVIVES
+    // (masked, not dropped), its fp is md5(masked), and no store's
+    // string columns carry a PII fragment
+    val dir = java.nio.file.Files.createTempDirectory("anonfull").toString
+    val ms = MemoryStream[DocEv]
+    val q = CurateIngest.startFullStrict(ms.toDF(), s"$dir/grams",
+      s"$dir/fps", s"$dir/sigs", s"$dir/kept", s"$dir/chk", bench,
+      anonymize = true)
+    try {
+      shards.foreach { s => ms.addData(s: _*); q.processAllAvailable() }
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      assert(keptSet(CurateIngest.keptState(spark, s"$dir/kept")) ==
+        Set(10L, 170L))
+      assertCleanStores(Seq(s"$dir/grams", s"$dir/fps", s"$dir/sigs",
+        s"$dir/kept"))
+      // the fingerprint store holds md5 of the MASKED text — the mask
+      // ran BEFORE the fingerprint stage, not after
+      val fps = spark.read.parquet(s"$dir/fps")
+        .select("fingerprint").as[String].collect().toSet
+      assert(fps.contains(md5Of(maskedPii)),
+        "fp store missing the masked-text fingerprint")
+      assert(!fps.contains(md5Of(withPii)),
+        "fp store holds the RAW-text fingerprint — mask ran too late")
+    } finally q.stop()
+    // control (teeth): with the knob OFF the raw fingerprint and the
+    // raw email fragment DO land in the stores
+    val cdir = java.nio.file.Files.createTempDirectory("anonctrl").toString
+    val msc = MemoryStream[DocEv]
+    val qc = CurateIngest.startFullStrict(msc.toDF(), s"$cdir/grams",
+      s"$cdir/fps", s"$cdir/sigs", s"$cdir/kept", s"$cdir/chk", bench)
+    try {
+      shards.foreach { s => msc.addData(s: _*); qc.processAllAvailable() }
+      val fpsC = spark.read.parquet(s"$cdir/fps")
+        .select("fingerprint").as[String].collect().toSet
+      assert(fpsC.contains(md5Of(withPii)),
+        "control run should fingerprint the raw text")
+    } finally qc.stop()
+    // bucketed full-funnel stream, anonymize ON: bucket tables AND
+    // delta paths all clean, survivor set unchanged
+    val bdir = java.nio.file.Files.createTempDirectory("anonfullb").toString
+    val prefix = "anb"
+    val ms2 = MemoryStream[DocEv]
+    val qb = CurateIngest.startFullStrictBucketed(ms2.toDF(),
+      s"$bdir/grams", s"$bdir/fps", s"$bdir/sigs", s"$bdir/kept",
+      s"$bdir/chk", prefix, bench, compactEvery = 1L, anonymize = true)
+    try {
+      shards.foreach { s => ms2.addData(s: _*); qb.processAllAvailable() }
+      assert(qb.exception.isEmpty, s"bucketed stream died: ${qb.exception}")
+      assert(keptSet(
+        CurateIngest.keptStateBucketed(spark, s"$bdir/kept", prefix)) ==
+        Set(10L, 170L))
+      assertCleanStores(Seq(s"$bdir/grams", s"$bdir/fps", s"$bdir/sigs",
+        s"$bdir/kept"))
+      Seq("gram", "fp", "sig", "kept").foreach { t =>
+        if (spark.catalog.tableExists(s"${prefix}_$t"))
+          fragments.foreach { f =>
+            assert(hits(spark.table(s"${prefix}_$t"), f) == 0L,
+              s"raw PII '$f' found in bucket table ${prefix}_$t")
+          }
+      }
+    } finally {
+      qb.stop()
+      Seq("gram", "fp", "sig", "kept").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    }
+    // combined topology: the POSTINGS store is the one store that
+    // persists raw token strings — with the knob on, the email arrives
+    // as the |||EMAIL_ADDRESS||| token and never as a raw address
+    val rdir = java.nio.file.Files.createTempDirectory("anoncomb").toString
+    graft.streaming.CombinedIngest.processBatch(d, 0L, rdir,
+      anonymize = true)
+    val toks = spark.read.parquet(s"$rdir/postings")
+      .select("token").as[String].collect().toSet
+    fragments.foreach(f => assert(!toks.exists(_.contains(f)),
+      s"raw PII '$f' reached the postings store"))
+    assert(toks.contains("|||EMAIL_ADDRESS|||"),
+      "masked email token missing from postings — PII doc dropped?")
+    assertCleanStores(Seq(s"$rdir/fps", s"$rdir/sigs", s"$rdir/kept",
+      s"$rdir/postings", s"$rdir/drift"))
+    // control: knob off, the raw email IS a postings token
+    val rdirC = java.nio.file.Files.createTempDirectory("anoncombc").toString
+    graft.streaming.CombinedIngest.processBatch(d, 0L, rdirC)
+    val toksC = spark.read.parquet(s"$rdirC/postings")
+      .select("token").as[String].collect().toSet
+    assert(toksC.contains(email),
+      "control combined run should post the raw email token")
+  }
+
   test("incrCurateFullStrict: empty corpus yields the empty survivor set") {
     val got = CurateIngest.incrCurateFullStrict(docs())
     assert(got.columns.toSeq ==
