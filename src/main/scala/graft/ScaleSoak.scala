@@ -614,6 +614,8 @@ object ScaleSoak {
     locally { // JIT/codegen warm pass off the clock
       val d = docCorpus(spark, 2000L)
       sink(Repetition.repetitionSignals(d))
+      sink(Repetition.signalsFromBaseHof(
+        Repetition.positionalBase(d).localCheckpoint()))
       sink(Repetition.signalsFromBaseExploded(
         Repetition.positionalBase(d).localCheckpoint()))
       d.unpersist()
@@ -623,6 +625,12 @@ object ScaleSoak {
       val d = docCorpus(spark, nd)
       timedSpill(spark, "repnarrow", s"docs=$nd", "narrow")(
         sink(Repetition.repetitionSignals(d)))
+      // r14: the interpreted HOF fold (the r13 production form, now
+      // the equality twin) on the same pinned-frame shape it shipped
+      // with — the third arm that locates the native expression's win
+      timedSpill(spark, "repnarrow", s"docs=$nd", "hof")(
+        sink(Repetition.signalsFromBaseHof(
+          Repetition.positionalBase(d).localCheckpoint())))
       timedSpill(spark, "repnarrow", s"docs=$nd", "exploded")(
         sink(Repetition.signalsFromBaseExploded(
           Repetition.positionalBase(d).localCheckpoint())))
@@ -669,6 +677,59 @@ object ScaleSoak {
     }
   }
 
+  /** r14 diagnostic: WHERE does the already-wide input's fold slowdown
+    * live? repwide measured keep-128-partitions ~1.5-1.8× slower than
+    * coalesce-to-32 on identical data — the opposite of the
+    * keep-file-splits intuition. Separate the two timed components at
+    * each width on the SAME corpus: (a) the positionalBase
+    * localCheckpoint pin alone, (b) the narrow fold over the already-
+    * pinned frame, plus (c) fold over a columnar persist pin. Widths
+    * bracket 32 (= cores) and 128 (= repwide's input). */
+  def repWideDiag(spark: SparkSession, nDocs: Long = 200000L): Unit = {
+    import graft.text.Repetition
+    locally {
+      val d = docCorpus(spark, 2000L)
+      sink(Repetition.repetitionSignals(d)); d.unpersist()
+    }
+    val base = docCorpus(spark, nDocs)
+    // is the UNPINNED form single-evaluation? If CollapseProject
+    // inlined the regex into each of the 11 aggregate folds, the
+    // executed plan would carry 11 regexp_extract_all occurrences.
+    val nopinPlan = Repetition.signalsFromBase(
+      Repetition.positionalBase(base))
+      .queryExecution.executedPlan.toString
+    println(s"[repwidediag] nopin regex occurrences in plan: " +
+      s"${"regexp_extract_all".r.findAllIn(nopinPlan).size}")
+    Seq(32, 64, 128).foreach { parts =>
+      val d = base.repartition(parts).localCheckpoint()
+      var pinned: DataFrame = null
+      timedSpill(spark, "repwidediag", s"parts=$parts", "pin-lchk") {
+        pinned = Repetition.positionalBase(d).localCheckpoint()
+      }
+      timedSpill(spark, "repwidediag", s"parts=$parts", "fold")(
+        sink(Repetition.signalsFromBase(pinned)))
+      timedSpill(spark, "repwidediag", s"parts=$parts", "fold2")(
+        sink(Repetition.signalsFromBase(pinned)))
+      pinned.unpersist()
+      val pers = Repetition.positionalBase(d).persist()
+      timedSpill(spark, "repwidediag", s"parts=$parts", "pin-pers")(
+        pers.count())
+      timedSpill(spark, "repwidediag", s"parts=$parts", "fold-pers")(
+        sink(Repetition.signalsFromBase(pers)))
+      pers.unpersist()
+      // the no-pin form: scan → regex project → fold in ONE codegen
+      // pass, zero materialization — the candidate 100 TB shape (the
+      // 10M repdeep GC death was the pinned form's corpus-sized
+      // block-manager materialization, not the fold)
+      timedSpill(spark, "repwidediag", s"parts=$parts", "nopin")(
+        sink(Repetition.signalsFromBase(Repetition.positionalBase(d))))
+      timedSpill(spark, "repwidediag", s"parts=$parts", "nopin2")(
+        sink(Repetition.signalsFromBase(Repetition.positionalBase(d))))
+      d.unpersist()
+    }
+    base.unpersist()
+  }
+
   /** r14 (VERDICT r13 #5): the narrow repetition path's THIRD decade —
     * narrow only, 3M and 10M docs — pinning the slope one decade past
     * the 1M point where the exploded twin's regime change appeared one
@@ -687,6 +748,48 @@ object ScaleSoak {
         sink(Repetition.repetitionSignals(d)))
       d.unpersist()
     }
+  }
+
+  /** r14: what the Dolma anonymization stage COSTS — the new r14
+    * `anonymize` knob runs [[graft.text.CorpusStats.piiMask]] (a
+    * codegen'd regexp_replace chain) over every batch before the
+    * shared tokenization, and that stage shipped without a measured
+    * price. Two measurements: (1) the mask projection alone vs a
+    * same-shape no-regex projection at 1M docs — the marginal
+    * scan-time cost per corpus byte on miss-heavy text (the realistic
+    * case: almost all web text has no PII, so the regexes scan and
+    * fail); (2) one full combined batch, anonymize off/on/on, fresh
+    * store roots — the stage's share of a real batch wall. */
+  def anonCost(spark: SparkSession, nDocs: Long = 1000000L,
+               batchDocs: Long = 20000L): Unit = {
+    import graft.streaming.CombinedIngest
+    import graft.text.CorpusStats
+    locally { // JIT/codegen warm pass off the clock
+      val d = docCorpus(spark, 2000L)
+      sink(d.select(col("doc_id"), CorpusStats.piiMask(col("text"))))
+      d.unpersist()
+    }
+    val d = docCorpus(spark, nDocs)
+    timedSpill(spark, "anoncost", s"docs=$nDocs", "plain-proj")(
+      sink(d.select(col("doc_id"), length(col("text")).as("l"))))
+    timedSpill(spark, "anoncost", s"docs=$nDocs", "mask-proj")(
+      sink(d.select(col("doc_id"),
+        length(CorpusStats.piiMask(col("text"))).as("l"))))
+    timedSpill(spark, "anoncost", s"docs=$nDocs", "plain-proj2")(
+      sink(d.select(col("doc_id"), length(col("text")).as("l"))))
+    d.unpersist()
+    val b = docCorpus(spark, batchDocs)
+    def fresh(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"anoncost_$tag").toString
+    timedSpill(spark, "anoncost", s"batch=$batchDocs", "funnel-raw")(
+      CombinedIngest.processBatch(b, 0L, fresh("raw"), gopherGate = true))
+    timedSpill(spark, "anoncost", s"batch=$batchDocs", "funnel-anon")(
+      CombinedIngest.processBatch(b, 0L, fresh("anon"), gopherGate = true,
+        anonymize = true))
+    timedSpill(spark, "anoncost", s"batch=$batchDocs", "funnel-anon2")(
+      CombinedIngest.processBatch(b, 0L, fresh("anon2"), gopherGate = true,
+        anonymize = true))
+    b.unpersist()
   }
 
   /** r13: the narrow run-length tf frame ([[graft.text.SparseIndex]]
@@ -824,6 +927,18 @@ object ScaleSoak {
       }
       ts.drop(2).sum / (nShards - 2)
     }
+    // r14: the pin-type A/B under the native repetition leg — the
+    // columnar-cache twin of the (now-default) localCheckpoint pin.
+    // This arm DECIDED the r14 default flip: under the native leg the
+    // columnar read is the bottleneck (14.88 vs 9.57 s/batch).
+    def colRun(): Double = {
+      val dir = freshDir("col")
+      val ts = shards.zipWithIndex.map { case (b, i) =>
+        time(CombinedIngest.processBatch(b, i.toLong, dir,
+          gopherGate = true, repBasePinColumnar = true))
+      }
+      ts.drop(2).sum / (nShards - 2)
+    }
     def legacyRun(): Double = {
       val dir = freshDir("legacy")
       val ts = shards.zipWithIndex.map { case (b, i) =>
@@ -863,9 +978,11 @@ object ScaleSoak {
       }
       ts.drop(2).sum / (nShards - 2)
     }
-    val s1 = sharedRun(); val l1 = legacyRun()
-    val s2 = sharedRun(); val l2 = legacyRun()
+    val s1 = sharedRun(); val c1 = colRun(); val l1 = legacyRun()
+    val s2 = sharedRun(); val c2 = colRun(); val l2 = legacyRun()
     report("combGoph", s"docs=$docsPerShard", "shared", math.min(s1, s2))
+    report("combGoph", s"docs=$docsPerShard", "sharedcol",
+      math.min(c1, c2))
     report("combGoph", s"docs=$docsPerShard", "twoscan", math.min(l1, l2))
     corpus.unpersist()
   }
@@ -995,6 +1112,13 @@ object ScaleSoak {
       case "repdeep" => repNarrowDeep(spark)
       case s if s.startsWith("repdeep:") =>
         repNarrowDeep(spark, s.drop(8).split(",").toSeq.map(_.toLong))
+      case "repwidediag" => repWideDiag(spark)
+      case s if s.startsWith("repwidediag:") =>
+        repWideDiag(spark, s.drop(12).toLong)
+      case "anoncost" => anonCost(spark)
+      case s if s.startsWith("anoncost:") =>
+        val ps = s.drop(9).split(",")
+        anonCost(spark, ps(0).toLong, ps(1).toLong)
       case "repdiag4" => repDiag4(spark)
       case "repdiag3" => repDiag3(spark)
       case s if s.startsWith("repdiag3:") =>

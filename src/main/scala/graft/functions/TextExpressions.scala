@@ -281,6 +281,92 @@ case class MinhashSigs(child: Expression, n: Int, b1: Long, b2: Long,
     copy(child = newChild)
 }
 
+/** Sorted-run statistics of a document's word n-grams in one native
+  * pass — the hot inner loop of the Gopher repetition signals
+  * ([[graft.text.Repetition.signalsFromBase]]). Replaces the
+  * `aggregate(array_sort(transform(sequence(...), …)), …)` HOF fold,
+  * whose higher-order functions are CodegenFallback and evaluate
+  * INTERPRETED per array element (a named_struct allocation + lambda
+  * rebinding per gram: measured ~0.3 ms/doc at 60 words — ScaleSoak
+  * repwidediag, SCALING.md r14), with a tight JVM loop: build the
+  * sliding grams once, `Arrays.sort` them, one run-length sweep.
+  *
+  * Semantics are bit-identical to the HOF fold (equality-pinned in
+  * CorpusOpsSpec; the DuckDB oracle of q_rep_signals is unchanged):
+  *  - grams = the n-word sliding windows of the input array joined
+  *    with one space (n = 1: the elements themselves — the line/
+  *    paragraph segment form); fewer than n words → zero grams;
+  *  - sort order = `array_sort`'s binary UTF8 ordering
+  *    (UTF8String.compareTo), so the longest-run tie-break (first
+  *    maximum in ascending order ≡ Gopher's (cnt DESC, g ASC) top-1)
+  *    picks the identical gram;
+  *  - lengths are CHARACTER counts (`length()` ≡ numChars), null
+  *    input → null row, empty array → all-zero struct.
+  *
+  * Eval-only (CodegenFallback) for the [[WinnowFps]] reason: the work
+  * is O(grams · log grams) per ROW, amortizing the one interpreted
+  * dispatch; operating on UTF8String directly keeps the sort
+  * allocation-light (no String decode). */
+case class GramRunStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_cov", LongType, nullable = false),
+    StructField("dup_cov", LongType, nullable = false),
+    StructField("dup_cnt", LongType, nullable = false),
+    StructField("tot_cnt", LongType, nullable = false)))
+  override def prettyName: String = "gram_run_stats"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = arr.numElements()
+    val cnt = if (n == 1) m else if (m >= n) m - n + 1 else 0
+    if (cnt == 0) return InternalRow(0L, 0L, 0L, 0L)
+    val grams = new Array[UTF8String](cnt)
+    if (n == 1) {
+      var i = 0
+      while (i < cnt) { grams(i) = arr.getUTF8String(i); i += 1 }
+    } else {
+      val words = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { words(i) = arr.getUTF8String(i); i += 1 }
+      val window = new Array[UTF8String](n)
+      i = 0
+      while (i < cnt) {
+        System.arraycopy(words, i, window, 0, n)
+        grams(i) = UTF8String.concatWs(space, window: _*)
+        i += 1
+      }
+    }
+    // binary UTF8 order ≡ array_sort (UTF8String.compareTo)
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var bestCnt = 0L; var bestCov = 0L
+    var dupCov = 0L; var dupCnt = 0L
+    var i = 0
+    while (i < cnt) {
+      var j = i + 1
+      while (j < cnt && grams(j).equals(grams(i))) j += 1
+      val run = (j - i).toLong
+      if (run > bestCnt) {
+        bestCnt = run
+        bestCov = run * grams(i).numChars()
+      }
+      if (run >= 2L) {
+        dupCov += run * grams(i).numChars()
+        dupCnt += run
+      }
+      i = j
+    }
+    InternalRow(bestCov, dupCov, dupCnt, cnt.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Per-block winnowed fingerprints (see [[WinnowFps]]). */
   def winnow_fps(text: Column, k: Int, w: Int, b: Long, p: Long): Column =
@@ -296,6 +382,11 @@ object TextFunctions {
   def gram_fps(text: Column, k: Int): Column =
     GraftColumnBridge.toColumn(GramFps(
       GraftColumnBridge.toExpr(text), k))
+
+  /** Sorted n-gram run statistics (see [[GramRunStats]]). */
+  def gram_run_stats(arr: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(GramRunStats(
+      GraftColumnBridge.toExpr(arr), n))
 
   /** One-pass MinHash signature array (see [[MinhashSigs]]). */
   def minhash_sigs(text: Column, n: Int, b1: Long, b2: Long,

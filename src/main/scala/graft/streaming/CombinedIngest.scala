@@ -127,17 +127,27 @@ object CombinedIngest {
     * the pinned POSITIONAL frame (ws/lines/paras), from which both the
     * tf frame and the repetition n-gram explode derive.
     *
-    * The positional frame is pinned with the COLUMNAR cache
-    * (`persist`), not `localCheckpoint`: the frame is a deterministic
-    * projection of the batch (recompute-on-eviction is safe — nothing
-    * here is a store read whose replay view must be frozen), and the
-    * A/B that chose this (SCALING.md r12 `combinedgopher`) measured
-    * the row-object RDD pin of 600-element string arrays costing more
-    * than the text scan it saves, while the compressed columnar form
-    * keeps the one-scan invariant AND the wall-clock win. The caller
-    * ([[processBatch]]/[[processBatchBucketed]]) unpersists it after
-    * the batch's legs have all written. */
-  private def sharedFrames(batch: DataFrame, gopherGate: Boolean)
+    * The positional frame is pinned with `localCheckpoint` (row
+    * objects), not the columnar cache — a verdict that has FLIPPED
+    * once and is therefore kept as a measured knob: the r12
+    * `combinedgopher` A/B chose `persist` when the repetition leg was
+    * the exploded relational form (columnar 32.0 vs lchk 34.3 s/batch),
+    * but under the r14 native run-stats leg the same A/B measures
+    * lchk 9.57 vs columnar 14.88 s/batch — rebuilding 600-element
+    * string arrays from the compressed columnar cache per row now
+    * costs more than the row-object pin, because the consumers got
+    * ~10× cheaper and the cache READ became the bottleneck (SCALING.md
+    * r14 `combinedgopher`). The frame is micro-batch-sized (trigger-
+    * bounded), so the row-object pin is not a memory hazard; the
+    * caller ([[processBatch]]/[[processBatchBucketed]]) unpersists it
+    * after the batch's legs have all written.
+    *
+    * `pinColumnar = true` pins with the columnar cache instead — the
+    * losing arm, kept runnable so the trade-off stays re-measurable as
+    * the consumers' plan shapes evolve (ScaleSoak `combinedgopher`
+    * runs both arms). */
+  private def sharedFrames(batch: DataFrame, gopherGate: Boolean,
+                           pinColumnar: Boolean = false)
       : (DataFrame, Option[DataFrame]) =
     if (!gopherGate)
       (SparseIndex.postingsOf(batch.select(col("doc_id"), col("text")))
@@ -150,8 +160,9 @@ object CombinedIngest {
       // cache build + narrow legs; ScaleSoak repdiag4, SCALING.md r14).
       // The batch is trigger-bounded, so the exchange is micro-batch-
       // sized; batch entry points keep the upward-only gate.
-      val pb = graft.text.Repetition.positionalBase(batch,
-        forceSpread = true).persist()
+      val pb0 = graft.text.Repetition.positionalBase(batch,
+        forceSpread = true)
+      val pb = if (pinColumnar) pb0.persist() else pb0.localCheckpoint()
       (SparseIndex.postingsFromBase(pb).localCheckpoint(), Some(pb))
     }
 
@@ -184,12 +195,14 @@ object CombinedIngest {
                    sigRetentionBatches: Option[Long] = None,
                    gopherGate: Boolean = false,
                    gopherQualityStops: Option[Seq[String]] = None,
-                   anonymize: Boolean = false): Unit = {
+                   anonymize: Boolean = false,
+                   repBasePinColumnar: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val b = anonBatch(batch, anonymize)
     // THE one tokenization of this batch, pinned; every leg derives
     val (tokens, repBase) =
-      sharedFrames(b, gopherGate || gopherQualityStops.nonEmpty)
+      sharedFrames(b, gopherGate || gopherQualityStops.nonEmpty,
+        repBasePinColumnar)
     val signals = graft.text.TextAnalysis.docSignals(b, tokens)
       .localCheckpoint()
     // leg 1 — strict curation: fps/sigs/kept land in partition batchId

@@ -107,10 +107,24 @@ object Repetition {
   }
 
   /** One row per document with every Table A1 signal + the combined
-    * `gopher_pass` verdict. */
+    * `gopher_pass` verdict.
+    *
+    * NO pin here (r14): [[signalsFromBase]] consumes the positional
+    * frame exactly once, so the old corpus-sized `localCheckpoint` was
+    * pure overhead — worse, it was the operator's one memory-unbounded
+    * term (at 10M docs the ~5 KB/doc row-object materialization
+    * GC-killed the JVM while the unpinned fold streams at O(row);
+    * ScaleSoak repdeep, SCALING.md r14). CollapseProject does NOT
+    * inline the regex into the per-family folds (ws is referenced by
+    * every rule family, and non-cheap multiply-referenced aliases are
+    * kept as their own Project — plan-asserted in CorpusOpsSpec), so
+    * the unpinned plan is scan → regex project → stats project in one
+    * codegen pass: one text scan, one regex evaluation, zero
+    * materialization. Callers that fan the frame out to MULTIPLE
+    * consumers pin it themselves ([[graft.streaming.CombinedIngest]]). */
   def repetitionSignals(docs: DataFrame): DataFrame =
     // one tokenization feeds all n branches
-    signalsFromBase(positionalBase(docs).localCheckpoint())
+    signalsFromBase(positionalBase(docs))
 
   /** [[repetitionSignals]] over an already-extracted positional frame
     * ([[positionalBase]], pinned by the caller) — no text scan here:
@@ -119,14 +133,40 @@ object Repetition {
     * (zero shuffle; see the object scaladoc's scale-shape note).
     *
     * Per rule family the document's gram array is sorted and a
-    * run-length fold extracts, in one pass: the longest run with the
+    * run-length sweep extracts, in one pass: the longest run with the
     * lexicographically-smallest tie-break (ascending order + strict
     * `>` replacement = Gopher's (cnt DESC, g ASC) top-1), the
     * occurrence-weighted duplicate coverage (runs of length ≥ 2), and
-    * the duplicate occurrence count. The fold carries the previous
-    * element instead of indexing, so an empty gram array never touches
-    * the `sequence(1, 0)` descending-array trap. */
+    * the duplicate occurrence count. Since r14 the per-family
+    * sort+sweep is ONE native expression
+    * ([[graft.functions.GramRunStats]]: build the sliding grams,
+    * `Arrays.sort`, run-length in a tight JVM loop) — the previous
+    * `aggregate` HOF formulation ([[signalsFromBaseHof]], kept as the
+    * equality twin) evaluated INTERPRETED per gram (HOFs are
+    * CodegenFallback; a named_struct allocation per element — measured
+    * ~0.3 ms/doc, the dominant cost of the whole operator; ScaleSoak
+    * repwidediag, SCALING.md r14). */
   def signalsFromBase(base: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.gram_run_stats
+    val fams =
+      (topRules ++ dupRules).map { case (n, _) =>
+        gram_run_stats(col("ws"), n).as(s"n$n") } ++
+      Seq(gram_run_stats(col("lines"), 1).as("ln"),
+        gram_run_stats(col("paras"), 1).as("pa"))
+    signalsFromStats(base.select(
+      col("doc_id"), size(col("ws")).cast("long").as("n_words"), col("c"),
+      struct(fams: _*).as("rs")))
+  }
+
+  /** The r13 higher-order-function form of [[signalsFromBase]] — the
+    * same sort + run-length fold written as `aggregate(array_sort(…))`
+    * SQL lambdas. Kept as the native expression's equality twin
+    * (CorpusOpsSpec pins all three forms on the adversarial corpus):
+    * the fold carries the previous element instead of indexing, so an
+    * empty gram array never touches the `sequence(1, 0)`
+    * descending-array trap. Interpreted per element → ~0.3 ms/doc;
+    * production uses the native form. */
+  def signalsFromBaseHof(base: DataFrame): DataFrame = {
     // run-length fold over the SORTED gram array `arr`: finalize a run
     // when the next distinct value (or the finish lambda) arrives
     def runStats(arr: String): String =
@@ -164,6 +204,22 @@ object Repetition {
          |  transform(sequence(1, size(ws) - ${n - 1}),
          |    i -> concat_ws(' ', slice(ws, i, $n)))
          |ELSE array() END""".stripMargin
+    signalsFromStats(base.select(
+      col("doc_id"), size(col("ws")).cast("long").as("n_words"), col("c"),
+      expr(s"""named_struct(
+        ${topRules.map { case (n, _) =>
+          s"'n$n', ${runStats(gramsOf(n))}" }.mkString(",")},
+        ${dupRules.map { case (n, _) =>
+          s"'n$n', ${runStats(gramsOf(n))}" }.mkString(",")},
+        'ln', ${runStats("lines")},
+        'pa', ${runStats("paras")})""").as("rs")))
+  }
+
+  /** The shared ppm/verdict tail over a per-family run-stats frame
+    * (doc_id, n_words, c, rs = struct of per-family (top_cov, dup_cov,
+    * dup_cnt, tot_cnt)) — both the native and the HOF form feed it, so
+    * their equality pin covers exactly the run-stats computation. */
+  private def signalsFromStats(stats: DataFrame): DataFrame = {
     // exact integer division (matches DuckDB's '//' even past 2^53)
     val intDiv = (a: Column, b: Column) =>
       call_function("div", a.cast("long"), b.cast("long"))
@@ -173,15 +229,6 @@ object Repetition {
     def fracPpm(num: Column, den: Column): Column =
       least(lit(1000000L), intDiv(coalesce(num, lit(0L)) * 1000000L,
         greatest(coalesce(den, lit(0L)), lit(1L))))
-    val stats = base.select(
-      col("doc_id"), size(col("ws")).cast("long").as("n_words"), col("c"),
-      expr(s"""named_struct(
-        ${topRules.map { case (n, _) =>
-          s"'n$n', ${runStats(gramsOf(n))}" }.mkString(",")},
-        ${dupRules.map { case (n, _) =>
-          s"'n$n', ${runStats(gramsOf(n))}" }.mkString(",")},
-        'ln', ${runStats("lines")},
-        'pa', ${runStats("paras")})""").as("rs"))
     val sigCols =
       topRules.map { case (n, _) =>
         ppmOf(col(s"rs.n$n.top_cov")).as(s"top${n}_ppm") } ++

@@ -534,6 +534,34 @@ class CombinedIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("repBase pin type is semantics-free: localCheckpoint pin writes byte-identical stores") {
+    // the pin A/B knob (ScaleSoak combinedgopher re-runs both arms
+    // under the r13 narrow leg) must never change results — only cost
+    val work = java.nio.file.Files.createTempDirectory("pintype").toString
+    val mk = (id: Long, t: String) => DocEv(id, t, t.length.toLong)
+    val clean = (0 until 30)
+      .map(i => f"the w$i%02da a x$i%02db").mkString(" ")
+    val boiler = "the cat and the dog " * 40 // passes quality, fails Gopher
+    // same shape as clean (gate-passing), distinct words
+    val clean2 = (0 until 30)
+      .map(i => f"the y$i%02dc a z$i%02dd").mkString(" ")
+    val batch = Seq(mk(10L, clean), mk(20L, boiler), mk(30L, clean2))
+    def run(pinColumnar: Boolean): (Set[Long], Set[(Long, String, Long)]) = {
+      val root = s"$work/${if (pinColumnar) "col" else "lchk"}"
+      CombinedIngest.processBatch(batch.toDF(), 0L, root,
+        gopherGate = true, repBasePinColumnar = pinColumnar)
+      (keptSet(CurateIngest.keptState(spark, s"$root/kept")),
+        spark.read.parquet(s"$root/postings")
+          .select("doc_id", "token", "tf")
+          .as[(Long, String, Long)].collect().toSet)
+    }
+    val (keptCol, postCol) = run(pinColumnar = true)
+    val (keptLchk, postLchk) = run(pinColumnar = false)
+    assert(keptCol == Set(10L, 30L), s"gate broke: $keptCol")
+    assert(keptLchk == keptCol && postLchk == postCol,
+      "pin type changed the topology's outputs")
+  }
+
   test("gopher-quality-gated topology: a bullet-formatted quality-passing doc never reaches the stores") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val work = java.nio.file.Files.createTempDirectory("combinedshape").toString

@@ -390,6 +390,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     val (ns, es) = (narrow.collect().toSet, exploded.collect().toSet)
     assert(ns == es, s"narrow/exploded diverge: ${(ns -- es).take(3)} vs " +
       s"${(es -- ns).take(3)}")
+    // …and the r13 HOF fold (the native expression's equality twin):
+    // same sort order, tie-break, char lengths, empty/short-doc zeros
+    val hof = Repetition.signalsFromBaseHof(
+      Repetition.positionalBase(d).localCheckpoint()).collect().toSet
+    assert(hof == ns, s"native/HOF diverge: ${(ns -- hof).take(3)} vs " +
+      s"${(hof -- ns).take(3)}")
+    // the UNPINNED batch entry point stays single-evaluation: ws is
+    // referenced by every rule family, but CollapseProject keeps the
+    // non-cheap multiply-referenced regex in its own Project — exactly
+    // ONE regexp_extract_all in the executed plan (the r13 tf narrow
+    // probe's lambda-inlining trap, asserted never to return)
+    val nRegex = "regexp_extract_all".r
+      .findAllIn(narrow.queryExecution.executedPlan.toString).size
+    assert(nRegex == 1,
+      s"unpinned narrow plan evaluates the regex $nRegex times")
     // the narrow FOLD is a pure projection: over a pinned positional
     // frame the EXECUTED plan moves no data (no Exchange) and explodes
     // nothing (no Generate). (positionalBase itself may carry one
