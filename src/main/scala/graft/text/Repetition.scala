@@ -41,15 +41,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: every signal is PER-DOCUMENT, so nothing here needs an
   * Exchange at all — [[signalsFromBase]] sorts each document's gram
-  * array in place and folds a run-length state machine over it with
-  * higher-order array functions (one `aggregate` per rule family),
-  * making the whole operator a narrow projection: zero shuffle, zero
-  * explode, embarrassingly parallel at any corpus size. The earlier
-  * exploded form ([[signalsFromBaseExploded]]: one (doc, n, gram)
-  * shuffle of ~9× the corpus token count, a per-(doc, n) window top-1)
-  * is kept as the A/B twin and equality pin — it computes the same
-  * integers through the relational plan, paying a corpus-sized
-  * exchange for a per-doc statistic (measured: SCALING.md r13).
+  * array and sweeps a run-length state machine over it in ONE native
+  * expression per rule family ([[graft.functions.GramRunStats]],
+  * r14), making the whole operator a narrow projection: zero shuffle,
+  * zero explode, zero pin, embarrassingly parallel at any corpus size
+  * (10M docs in 235 s, zero spill — SCALING.md r14 repdeep). Two
+  * equality twins are kept: [[signalsFromBaseHof]] (the r13 `aggregate`
+  * HOF fold — same algorithm, interpreted per element, measured ~10×
+  * the native cost) and the earlier exploded form
+  * ([[signalsFromBaseExploded]]: one (doc, n, gram) shuffle of ~9× the
+  * corpus token count, a per-(doc, n) window top-1) — both compute the
+  * same integers, the exploded one paying a corpus-sized exchange for
+  * a per-doc statistic (measured: SCALING.md r13/r14).
   *
   * Reference: services/processing has no repetition filtering; this
   * extends the LLM-pipeline mandate's text-quality family.
