@@ -10,13 +10,25 @@ object Verify {
     val spark = Engine.sessionBuilder(Engine.envCores(4)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query dump seconds + row counts, shipped beside oracle_sql.json
+    // so an empty/partial driver correctness artifact can be attributed
+    // from the repo side alone (r14's came back {} with zero repo-side
+    // evidence of which phase died)
+    val meta = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // footer-metadata count on the single just-written file: cheap
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        meta(name) = ((System.nanoTime() - t0) / 1e9, rows)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        meta(name) = (-1.0, -1L)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -34,6 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val metaJson = meta
+      .map { case (k, (sec, rows)) =>
+        // Double.toString is locale-independent (f"%.3f" is not)
+        s"${q(k)}: {\"sec\": ${math.round(sec * 1000) / 1000.0}, \"rows\": $rows}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), metaJson)
     spark.stop()
   }
 }

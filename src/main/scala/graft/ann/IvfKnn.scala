@@ -139,7 +139,7 @@ object IvfKnn {
       s"""SELECT $np AS nprobe, count(*) AS n_hits FROM m_np$np a
          |    JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id"""
         .stripMargin).mkString("\n  UNION ALL\n  ")
-    s"""WITH brute AS (
+    s"""WITH brute AS MATERIALIZED (
        |${graft.ann.Similarity.knnBruteSql(queryMaxId, k)}
        |),
        |$cte,

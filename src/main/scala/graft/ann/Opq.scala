@@ -226,13 +226,13 @@ object Opq {
         .stripMargin
     } :+ "SELECT 'exhaustive' AS cfg, count(*) AS n_hits FROM brute")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH brute AS (
+    s"""WITH brute AS MATERIALIZED (
        |${Similarity.knnBruteSql(queryMaxId, topK)}
        |),
-       |alloc AS (
+       |alloc AS MATERIALIZED (
        |${allocationSql(m)}
        |),
-       |pemb AS (
+       |pemb AS MATERIALIZED (
        |  SELECT e.vec_id, e.label,
        |         list_transform(s.src, i -> e.embedding[i + 1]) AS embedding
        |  FROM embeddings e CROSS JOIN

@@ -717,7 +717,7 @@ object Pq {
         .stripMargin
     } :+ "SELECT 'exhaustive' AS cfg, count(*) AS n_hits FROM brute")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH brute AS (
+    s"""WITH brute AS MATERIALIZED (
        |${Similarity.knnBruteSql(queryMaxId, topK)}
        |),
        |$cfgCtes,
@@ -829,17 +829,17 @@ object Pq {
       "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
     val lloyd = (1 until iters).map { it =>
       val prev = if (it == 1) "seeds" else s"c${it - 1}"
-      s"""a$it AS (
+      s"""a$it AS MATERIALIZED (
          |  SELECT vec_id, sub, cid, svec FROM (
          |    SELECT s.vec_id, s.sub, c.cid, s.svec,
          |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
          |        ${d2Sql("s.svec", "c.cvec")}, c.cid) AS rn
          |    FROM pool s JOIN $prev c USING (sub)) WHERE rn = 1),
-         |px$it AS (
+         |px$it AS MATERIALIZED (
          |  SELECT sub, cid, unnest(svec) AS code,
          |         unnest(range(1, len(svec) + 1)) AS pos
          |  FROM a$it),
-         |c$it AS (
+         |c$it AS MATERIALIZED (
          |  SELECT sub, cid, list(code ORDER BY pos) AS cvec FROM (
          |    SELECT sub, cid, pos,
          |           CAST(floor(CAST(sum(code) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS code
@@ -848,7 +848,7 @@ object Pq {
     }.mkString("\n")
     val cLast = if (iters > 1) s"c${iters - 1}" else "seeds"
     s"""WITH RECURSIVE
-       |q AS (
+       |q AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
        |      (CASE WHEN list_aggregate(list_transform(embedding,
@@ -857,17 +857,17 @@ object Pq {
        |              x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END)
        |      + 0.5) AS INTEGER)) AS qvec
        |  FROM $source),
-       |sv AS (
+       |sv AS MATERIALIZED (
        |  SELECT vec_id, j.sub,
        |         qvec[j.sub * (len(qvec) // $m) + 1 :
        |              j.sub * (len(qvec) // $m) + (len(qvec) // $m)] AS svec
        |  FROM q CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
-       |poolv AS (
+       |poolv AS MATERIALIZED (
        |  SELECT vec_id, hr FROM (
        |    SELECT vec_id,
        |           row_number() OVER (ORDER BY $hashExpr, vec_id) AS hr
        |    FROM $source) WHERE hr <= $p),
-       |pool AS (
+       |pool AS MATERIALIZED (
        |  SELECT s.sub, s.vec_id, s.svec, v.hr
        |  FROM sv s JOIN poolv v USING (vec_id)),
        |ff AS (
@@ -883,7 +883,7 @@ object Pq {
        |             PARTITION BY f.sub ORDER BY f.mind DESC, f.vec_id) AS ns
        |    FROM ff f) f
        |  WHERE f.step < ${k - 1}),
-       |seeds AS (
+       |seeds AS MATERIALIZED (
        |  SELECT DISTINCT sub, vec_id AS cid, svec AS cvec FROM (
        |    SELECT sub, vec_id, svec FROM pool WHERE hr = 1
        |    UNION ALL
@@ -893,13 +893,13 @@ object Pq {
        |               ORDER BY mind DESC, vec_id) AS rn
        |      FROM ff WHERE mind > 0) WHERE rn = 1)),
        |$lloyd
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT vec_id, sub, cid AS code FROM (
        |    SELECT s.vec_id, s.sub, c.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
        |        ${d2Sql("s.svec", "c.cvec")}, c.cid) AS rn
        |    FROM sv s JOIN $cLast c USING (sub)) WHERE rn = 1),
-       |rsv AS (
+       |rsv AS MATERIALIZED (
        |  SELECT vec_id, j.sub,
        |         rvec[j.sub * (len(rvec) // $m) + 1 :
        |              j.sub * (len(rvec) // $m) + (len(rvec) // $m)] AS svec
@@ -908,20 +908,20 @@ object Pq {
        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
        |    FROM $source WHERE vec_id < $queryMaxId)
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
-       |dt AS (
+       |dt AS MATERIALIZED (
        |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
        |         list_dot_product(s.svec,
        |           list_transform(c.cvec, x -> CAST(x AS DOUBLE))) AS pd,
        |         list_dot_product(list_transform(c.cvec, x -> CAST(x AS DOUBLE)),
        |                          list_transform(c.cvec, x -> CAST(x AS DOUBLE))) AS cn
        |  FROM rsv s JOIN $cLast c USING (sub)),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT dt.query_id, codes.vec_id,
        |         round(sum(dt.pd) / sqrt(sum(dt.cn)), 4) AS ascore
        |  FROM codes JOIN dt USING (sub, code)
        |  WHERE codes.vec_id <> dt.query_id
        |  GROUP BY 1, 2),
-       |pqranked AS (
+       |pqranked AS MATERIALIZED (
        |  SELECT query_id, vec_id,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY ascore DESC, vec_id) AS rank
@@ -969,7 +969,7 @@ object Pq {
         .stripMargin
     } :+ "SELECT 'exhaustive' AS cfg, count(*) AS n_hits FROM brute")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH brute AS (
+    s"""WITH brute AS MATERIALIZED (
        |${Similarity.knnBruteSql(queryMaxId, topK)}
        |),
        |$cfgCtes,
@@ -1036,7 +1036,7 @@ object Pq {
            |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
            |    FROM embeddings WHERE vec_id < $queryMaxId)
            |  CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
-           |dt AS (
+           |dt AS MATERIALIZED (
            |  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
            |         list_dot_product(s.svec,
            |           list_transform(c.cvec, x -> CAST(x AS DOUBLE))) AS pd,
@@ -1052,7 +1052,7 @@ object Pq {
            |  WHERE s.vec_id < $queryMaxId)""".stripMargin)
     val qCte = if (fixedScale)
       s"""${gsCte(source)},
-         |q AS (
+         |q AS MATERIALIZED (
          |  SELECT vec_id,
          |    ${qvecFixedSql("embedding")} AS qvec
          |  FROM $source CROSS JOIN gs)""".stripMargin
@@ -1062,7 +1062,7 @@ object Pq {
          |    ${qvecSql("embedding")} AS qvec
          |  FROM $source)""".stripMargin
     s"""$qCte,
-       |sv AS (
+       |sv AS MATERIALIZED (
        |  SELECT vec_id, j.sub,
        |         qvec[j.sub * (len(qvec) // $m) + 1 :
        |              j.sub * (len(qvec) // $m) + (len(qvec) // $m)] AS svec
@@ -1087,7 +1087,7 @@ object Pq {
        |           CAST(floor(CAST(sum(code) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS code
        |    FROM px GROUP BY sub, cid, pos)
        |  GROUP BY sub, cid),
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT vec_id, sub, cid AS code FROM (
        |    SELECT s.vec_id, s.sub, c.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
@@ -1240,7 +1240,7 @@ object Pq {
          |         qvec[j.sub * (len(qvec) // $m) + 1 :
          |              j.sub * (len(qvec) // $m) + (len(qvec) // $m)] AS svec
          |  FROM qres CROSS JOIN (SELECT unnest(range(0, $m)) AS sub) j),
-         |dt AS (
+         |dt AS MATERIALIZED (
          |  SELECT s.query_id, s.cell, s.sub, c.cid AS code,
          |         list_dot_product(s.svec, s.svec) + list_dot_product(c.cvec, c.cvec)
          |           - 2 * list_dot_product(s.svec, c.cvec) AS pd2
@@ -1336,7 +1336,7 @@ object Pq {
                     k: Int, iters: Int, adc: Boolean): String = {
     require(iters == 2, "oracle spells out the iters=2 case")
     s"""WITH ${pqBaseCtes(queryMaxId, m, k, adc)},
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT dt.query_id, codes.vec_id,
        |         ${lookupScoreSql(adc)} AS ${scoreName(adc)}
        |  FROM codes JOIN dt USING (sub, code)

@@ -327,7 +327,7 @@ object Similarity {
   /** DuckDB oracle for [[annRecall]]: the three approximate oracles and
     * the brute oracle as CTEs, intersected and counted. */
   def annRecallSql(queryMaxId: Long = 10, k: Int = 5): String =
-    s"""WITH brute AS (
+    s"""WITH brute AS MATERIALIZED (
        |${knnBruteSql(queryMaxId, k)}
        |),
        |m_ivf AS (

@@ -292,13 +292,13 @@ object Clusters {
     * in scope. */
   def survivorsBestCtes(n: Int = 4, minEstJaccard: Double = 0.5,
                         pairWhere: String = ""): String =
-    s"""clusters AS (
+    s"""clusters AS MATERIALIZED (
        |${dupClustersSql(n, minEstJaccard, pairWhere)}
        |),
-       |quality AS (
+       |quality AS MATERIALIZED (
        |${graft.text.TextAnalysis.qualityScoreSql}
        |),
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT c.doc_id,
        |         row_number() OVER (PARTITION BY c.cluster_id
        |                            ORDER BY q.quality_pm DESC, c.doc_id) AS rn
@@ -404,11 +404,11 @@ object Clusters {
   def dupClustersSql(n: Int = 4, minEstJaccard: Double = 0.5,
                      pairWhere: String = ""): String = {
     val w = if (pairWhere.isEmpty) "" else s"\n  WHERE $pairWhere"
-    s"""WITH RECURSIVE cand AS (
+    s"""WITH RECURSIVE cand AS MATERIALIZED (
        |  SELECT a_id, b_id FROM (
        |${Dedup.minhashCandidatesSql(n, minEstJaccard)}
        |  )$w),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT a_id AS src, b_id AS dst FROM cand
        |  UNION ALL
        |  SELECT b_id, a_id FROM cand),

@@ -419,6 +419,12 @@ object Dedup {
       .distinct()
   }
 
+  /** `sig` feeds the $numBands band selects plus both signature joins
+    * and `bands` self-joins; DuckDB inlines plain CTEs, re-running the
+    * whole upstream chain — including any scrub/score CTEs a composite
+    * prepends via a `documents` shadow — once per reference. The
+    * MATERIALIZED fences below cut q_curate_full's oracle from 208 s to
+    * 5 s at sf0.01 (r15). */
   def minhashCandidatesSql(n: Int = 4, minEstJaccard: Double = 0.0): String = {
     val minExprs = (0 until numHashes).map { i =>
       val (a, b, c) = hashConsts(i)
@@ -441,11 +447,11 @@ object Dedup {
        |    ${charPolyHashSql("sh", n, 257L)} AS ha,
        |    ${charPolyHashSql("sh", n, 263L)} AS hb
        |  FROM shs),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $minExprs
        |  FROM hh GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id

@@ -263,7 +263,7 @@ object SpanScrub {
        |                AND 1 PRECEDING), 0) + 1
        |              THEN 1 ELSE 0 END AS new_isl
        |  FROM cuts),
-       |islands AS (
+       |islands AS MATERIALIZED (
        |  SELECT doc_id, grp, min(s) AS s, max(e) AS e
        |  FROM (SELECT doc_id, s, e,
        |          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s

@@ -85,12 +85,12 @@ object Curate {
        |           ${TextAnalysis.langPredSql} AS lang_pred
        |    FROM $source)
        |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
-       |documents AS (
+       |documents AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
        |                             ORDER BY doc_id) = 1),
        |${graft.dedup.Clusters.survivorsBestCtes(pairWhere = pairWhere)},
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT d.doc_id, d.text, d.lang_pred, d.quality_pm, d.n_chars
        |  FROM documents d
        |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id))""".stripMargin
@@ -149,15 +149,15 @@ object Curate {
        |           ${TextAnalysis.langPredSql} AS lang_pred
        |    FROM bounded)
        |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
-       |documents AS (
+       |documents AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred FROM gated
        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
        |                             ORDER BY doc_id) = 1),
-       |xc AS (
+       |xc AS MATERIALIZED (
        |  SELECT a_id, b_id FROM (
        |${graft.dedup.Dedup.minhashCandidatesSql(4, minEstJaccard)}
        |  )),
-       |crossdrop AS (
+       |crossdrop AS MATERIALIZED (
        |  SELECT DISTINCT b_id AS doc_id FROM xc
        |  WHERE a_id // $shardSize < b_id // $shardSize
        |  UNION
@@ -312,10 +312,10 @@ object Curate {
 
   def curateScrubbedSql(minQualityPm: Long = 600,
                         langs: Seq[String] = Seq("en", "de")): String =
-    s"""WITH scrub AS (
+    s"""WITH scrub AS MATERIALIZED (
        |${graft.dedup.SpanScrub.spanScrubSql(source = "main.documents")}
        |),
-       |scrubbed AS (
+       |scrubbed AS MATERIALIZED (
        |  SELECT doc_id, text_clean AS text,
        |         CAST(length(text_clean) AS BIGINT) AS n_chars
        |  FROM scrub),
@@ -437,10 +437,10 @@ object Curate {
       if (!anonymize) source
       else s"(SELECT doc_id, ${CorpusStats.piiMaskSqlExpr("text")} AS text" +
         s" FROM $source)"
-    s"""WITH ${preCtes}scrub AS (
+    s"""WITH ${preCtes}scrub AS MATERIALIZED (
        |${graft.dedup.SpanScrub.spanScrubSql(source = scrubSrc)}
        |),
-       |scrubbed AS (
+       |scrubbed AS MATERIALIZED (
        |  SELECT doc_id, text_clean AS text,
        |         CAST(length(text_clean) AS BIGINT) AS n_chars
        |  FROM scrub),
@@ -690,29 +690,29 @@ object Curate {
                          n: Int = 8, benchMaxId: Long = 20,
                          maxContamPm: Long = 800): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
-    s"""WITH scrub AS (
+    s"""WITH scrub AS MATERIALIZED (
        |${graft.dedup.SpanScrub.spanScrubSql(source = "main.documents")}
        |),
-       |scrubbed AS (
+       |scrubbed AS MATERIALIZED (
        |  SELECT doc_id, text_clean AS text,
        |         CAST(length(text_clean) AS BIGINT) AS n_chars
        |  FROM scrub),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars,
        |         ${TextAnalysis.qualityPmSql} AS quality_pm,
        |         ${TextAnalysis.langPredSql} AS lang_pred
        |  FROM scrubbed),
-       |exact AS (
+       |exact AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred,
        |         row_number() OVER (PARTITION BY md5(text)
        |                            ORDER BY doc_id) AS rn
        |  FROM scored
        |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
-       |documents AS (
+       |documents AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred
        |  FROM exact WHERE rn = 1),
        |${graft.dedup.Clusters.survivorsBestCtes()},
-       |kept0 AS (
+       |kept0 AS MATERIALIZED (
        |  SELECT d.doc_id, d.text FROM documents d
        |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)),
        |bsh AS (
@@ -749,18 +749,18 @@ object Curate {
   def curateAuditSql(minQualityPm: Long = 600,
                      langs: Seq[String] = Seq("en", "de")): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")
-    s"""WITH scored AS (
+    s"""WITH scored AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars,
        |         ${TextAnalysis.qualityPmSql} AS quality_pm,
        |         ${TextAnalysis.langPredSql} AS lang_pred
        |  FROM main.documents),
-       |exact AS (
+       |exact AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred,
        |         row_number() OVER (PARTITION BY md5(text)
        |                            ORDER BY doc_id) AS rn
        |  FROM scored
        |  WHERE quality_pm >= $minQualityPm AND lang_pred IN ($langList)),
-       |documents AS (
+       |documents AS MATERIALIZED (
        |  SELECT doc_id, text, n_chars, quality_pm, lang_pred
        |  FROM exact WHERE rn = 1),
        |${graft.dedup.Clusters.survivorsBestCtes()}

@@ -9,11 +9,19 @@ Registers each parquet table as a DuckDB view, runs every oracle SQL from
 outdir/oracle_sql.json, and diffs against the Spark-written parquet with
 columns sorted by name and rows sorted — the same normalization the
 driver applies before hashing. NOT part of the shipped library.
+
+Prints a per-query oracle-seconds column and flags any oracle over
+BUDGET_SEC: the r14 round artifact came back empty because four flat
+curate_full-family oracles had quietly grown to 180-640 s each (DuckDB
+re-evaluating inlined CTEs) and blew the driver's correctness budget.
+Exit code stays 0 on budget flags (they are a warning, not a failure);
+any mismatch still exits 1.
 """
-import duckdb, sys, json, math
+import duckdb, sys, json, math, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+BUDGET_SEC = 20.0
 
 def normalize(df):
     cols = sorted(df.columns)
@@ -27,8 +35,10 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    failed = []
+    failed, over_budget, times = [], [], {}
+    t_start = time.time()
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
@@ -36,6 +46,10 @@ def main():
             print(f"FAIL {name}: {e}")
             failed.append(name)
             continue
+        dt = time.time() - t0
+        times[name] = dt
+        if dt > BUDGET_SEC:
+            over_budget.append(name)
         gc, gr = normalize(got)
         wc, wr = normalize(want)
         if gc != wc:
@@ -48,8 +62,19 @@ def main():
             bad = [(a, b) for a, b in zip(gr, wr) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             failed.append(name); continue
-        print(f"OK   {name}: {len(gr)} rows")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+        flag = "  ** OVER ORACLE BUDGET **" if dt > BUDGET_SEC else ""
+        print(f"OK   {name}: {len(gr)} rows  {dt:7.2f}s{flag}")
+    wall = time.time() - t_start
+    top = sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    print("\nslowest oracles (compare sec, includes got-read):")
+    for name, dt in top:
+        print(f"  {dt:7.2f}s  {name}")
+    print(f"\ncompare wall: {wall:.1f}s")
+    if over_budget:
+        print(f"WARNING: {len(over_budget)} oracle(s) over {BUDGET_SEC:.0f}s "
+              f"budget: {', '.join(over_budget)} — the driver's correctness "
+              f"step may time out (see SCALING.md oracle-cost table)")
+    print(f"{len(oracle) - len(failed)}/{len(oracle)} queries match")
     sys.exit(1 if failed else 0)
 
 if __name__ == "__main__":
