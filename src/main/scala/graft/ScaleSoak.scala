@@ -820,6 +820,53 @@ object ScaleSoak {
     }
   }
 
+  /** r15: the tf-frame A/B with the NATIVE sort+sweep arm
+    * ([[graft.functions.TokenTfs]]) beside the r13 pair — relational
+    * explode → groupBy (production), lambda-bound HOF run-length
+    * (the r13 1.8× loser), native run-length expression. */
+  def tfNative(spark: SparkSession, nDocs: Long = 10000L): Unit = {
+    import graft.text.SparseIndex
+    def ws(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      expr("regexp_extract_all(text, '\\\\S+', 0)").as("ws"))
+    locally {
+      val d = docCorpus(spark, 2000L)
+      sink(SparseIndex.tokenizeRelational(d)); sink(SparseIndex.tokenizeNative(d))
+      sink(SparseIndex.tfFromWs(ws(d)))
+      d.unpersist()
+    }
+    Seq(1L, 10L, 100L).foreach { mult =>
+      val nd = nDocs * mult
+      val d = docCorpus(spark, nd)
+      timedSpill(spark, "tfnative", s"docs=$nd", "relational")(
+        sink(SparseIndex.tokenizeRelational(d)))
+      timedSpill(spark, "tfnative", s"docs=$nd", "native")(
+        sink(SparseIndex.tokenizeNative(d)))
+      timedSpill(spark, "tfnative", s"docs=$nd", "hof")(
+        sink(SparseIndex.tfFromWs(ws(d))))
+      timedSpill(spark, "tfnative", s"docs=$nd", "native2")(
+        sink(SparseIndex.tokenizeNative(d)))
+      timedSpill(spark, "tfnative", s"docs=$nd", "relational2")(
+        sink(SparseIndex.tokenizeRelational(d)))
+      d.unpersist()
+    }
+  }
+
+  /** r15: what GopherQuality's per-element HOFs (the char-sum
+    * `aggregate` fold + three regex `filter`s) actually cost on a
+    * pinned positional frame — the measure-before-native gate
+    * (VERDICT r14 #5). */
+  def gopherCost(spark: SparkSession, nDocs: Long = 1000000L): Unit = {
+    import graft.text.{GopherQuality, Repetition}
+    val d = docCorpus(spark, nDocs)
+    val pb = Repetition.positionalBase(d).localCheckpoint()
+    sink(GopherQuality.qualitySignalsFromBase(pb)) // warm
+    Seq("hof1", "hof2", "hof3").foreach { tag =>
+      timedSpill(spark, "gophercost", s"docs=$nDocs", tag)(
+        sink(GopherQuality.qualitySignalsFromBase(pb)))
+    }
+    d.unpersist()
+  }
+
   /** r13 diagnostic: the narrow repetition fold's cost by positional-
     * frame pin type (columnar persist vs row localCheckpoint) and vs
     * the exploded twin, plus the gate-survivor semi-join shape the
@@ -1106,6 +1153,12 @@ object ScaleSoak {
       case "tfnarrow" => tfNarrow(spark)
       case s if s.startsWith("tfnarrow:") =>
         tfNarrow(spark, s.drop(9).toLong)
+      case "tfnative" => tfNative(spark)
+      case s if s.startsWith("tfnative:") =>
+        tfNative(spark, s.drop(9).toLong)
+      case "gophercost" => gopherCost(spark)
+      case s if s.startsWith("gophercost:") =>
+        gopherCost(spark, s.drop(11).toLong)
       case "repwide" => repWide(spark)
       case s if s.startsWith("repwide:") =>
         repWide(spark, s.drop(8).toLong)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -301,15 +301,26 @@ case class MinhashSigs(child: Expression, n: Int, b1: Long, b2: Long,
   *    maximum in ascending order ≡ Gopher's (cnt DESC, g ASC) top-1)
   *    picks the identical gram;
   *  - lengths are CHARACTER counts (`length()` ≡ numChars), null
-  *    input → null row, empty array → all-zero struct.
+  *    input → null row, empty array → all-zero struct;
+  *  - NULL ELEMENTS are ignored — dropped before gram construction and
+  *    excluded from every count. The in-repo producers
+  *    (regexp_extract_all, filter(split(...))) never emit null
+  *    elements; this contract exists because the expression is public
+  *    API (the HOF twin sorts nulls last via array_sort — a behavior
+  *    no caller or spec ever pinned, so "ignored" is the documented
+  *    semantics rather than an NPE).
   *
   * Eval-only (CodegenFallback) for the [[WinnowFps]] reason: the work
   * is O(grams · log grams) per ROW, amortizing the one interpreted
   * dispatch; operating on UTF8String directly keeps the sort
   * allocation-light (no String decode). */
 case class GramRunStats(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   require(n >= 1, s"gram size must be >= 1, got $n")
+
+  // Seq is covariant, so Seq[DataType] conforms to the inherited
+  // Seq[AbstractDataType] without naming the private[sql] parent type
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = StructType(Seq(
     StructField("top_cov", LongType, nullable = false),
@@ -322,19 +333,23 @@ case class GramRunStats(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val m = arr.numElements()
+    val m0 = arr.numElements()
+    // drop null elements (documented contract; in-repo inputs have none)
+    val words = new Array[UTF8String](m0)
+    var m = 0
+    var r = 0
+    while (r < m0) {
+      if (!arr.isNullAt(r)) { words(m) = arr.getUTF8String(r); m += 1 }
+      r += 1
+    }
     val cnt = if (n == 1) m else if (m >= n) m - n + 1 else 0
     if (cnt == 0) return InternalRow(0L, 0L, 0L, 0L)
     val grams = new Array[UTF8String](cnt)
     if (n == 1) {
-      var i = 0
-      while (i < cnt) { grams(i) = arr.getUTF8String(i); i += 1 }
+      System.arraycopy(words, 0, grams, 0, cnt)
     } else {
-      val words = new Array[UTF8String](m)
-      var i = 0
-      while (i < m) { words(i) = arr.getUTF8String(i); i += 1 }
       val window = new Array[UTF8String](n)
-      i = 0
+      var i = 0
       while (i < cnt) {
         System.arraycopy(words, i, window, 0, n)
         grams(i) = UTF8String.concatWs(space, window: _*)
@@ -367,6 +382,81 @@ case class GramRunStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-document term frequencies in one native pass: sort the token
+  * array, run-length encode — one (token, tf) struct per DISTINCT
+  * token, ready to explode straight into a postings frame with no
+  * groupBy and no interpreted higher-order functions.
+  *
+  * The third arm of the tf-frame A/B (`ScaleSoak tfnative`): r13
+  * measured the lambda-bound HOF run-length form
+  * ([[graft.text.SparseIndex.tfFromWs]]) losing 1.8× to relational
+  * explode → groupBy — but that compared INTERPRETED HOFs against
+  * codegen'd aggregation; this is the same sort+sweep as a tight JVM
+  * loop (the [[GramRunStats]] pattern), so the loss's ~10×
+  * interpretation tax is gone while the explode stays collapsed to
+  * distinct-token fan-out and the map-side combine disappears.
+  *
+  * Semantics equal [[graft.text.SparseIndex.tfFromWs]]'s pairs (and
+  * therefore the relational groupBy): empty array → empty array
+  * (explodes to no rows — token-less docs vanish from postings);
+  * null input → null (same); tf is the run length as a Long. NULL
+  * ELEMENTS are ignored (the [[GramRunStats]] public-API contract; no
+  * in-repo producer emits them). Output order is sorted-token order —
+  * postings consumers are order-free aggregations/joins.
+  *
+  * Eval-only (CodegenFallback) for the [[WinnowFps]] reason: O(L log L)
+  * per ROW amortizes the one interpreted dispatch; tokens going into
+  * output rows are cloned (the input array may be backed by a reused
+  * unsafe buffer; everything else about the sweep is allocation-free). */
+case class TokenTfs(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  // Seq is covariant, so Seq[DataType] conforms to the inherited
+  // Seq[AbstractDataType] without naming the private[sql] parent type
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_tfs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m0 = arr.numElements()
+    val toks = new Array[UTF8String](m0)
+    var m = 0
+    var r = 0
+    while (r < m0) {
+      if (!arr.isNullAt(r)) { toks(m) = arr.getUTF8String(r); m += 1 }
+      r += 1
+    }
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]], 0, m)
+    // first sweep counts distinct runs so the output array is exact-size
+    var nRuns = 0
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && toks(j).equals(toks(i))) j += 1
+      nRuns += 1
+      i = j
+    }
+    val out = new Array[Any](nRuns)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && toks(j).equals(toks(i))) j += 1
+      out(k) = InternalRow(toks(i).clone(), (j - i).toLong)
+      k += 1
+      i = j
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Per-block winnowed fingerprints (see [[WinnowFps]]). */
   def winnow_fps(text: Column, k: Int, w: Int, b: Long, p: Long): Column =
@@ -387,6 +477,10 @@ object TextFunctions {
   def gram_run_stats(arr: Column, n: Int): Column =
     GraftColumnBridge.toColumn(GramRunStats(
       GraftColumnBridge.toExpr(arr), n))
+
+  /** Per-doc (token, tf) run-length pairs (see [[TokenTfs]]). */
+  def token_tfs(arr: Column): Column =
+    GraftColumnBridge.toColumn(TokenTfs(GraftColumnBridge.toExpr(arr)))
 
   /** One-pass MinHash signature array (see [[MinhashSigs]]). */
   def minhash_sigs(text: Column, n: Int, b1: Long, b2: Long,

@@ -37,23 +37,27 @@ object SparseIndex {
   final case class Index(postings: DataFrame, df: DataFrame,
                          stats: DataFrame, docIds: DataFrame)
 
-  /** One tokenization: (doc_id, token, tf, dl) with the doc length
-    * lambda-bound onto the exploded rows (the [[CorpusStats.bm25Units]]
-    * trick — no second scan for dl).
-    *
-    * DELIBERATELY the relational explode → groupBy form, not the
-    * narrow run-length [[tfFromWs]]: tf is a per-doc statistic, but
-    * the r13 `ScaleSoak tfnarrow` A/B measured the narrow form ~1.8×
-    * SLOWER at 1M docs (8.1 s vs 4.4 s, zero spill both) — the
-    * exploded form's Exchange moves only partial-agg-COLLAPSED rows
-    * (each doc's tokens sit in one partition, so map-side combine
-    * collapses to exactly the rows the narrow form would produce) and
-    * whole-stage codegen beats interpreted higher-order functions on
-    * the fan-out-1 tokenize path. Contrast [[Repetition
-    * .signalsFromBase]], where the narrow form WINS 2.4× — its
-    * relational twin explodes 9 n-gram widths and windows them, a far
-    * heavier exchange. Measured negative recorded in SCALING.md r13. */
-  private def tokenize(docs: DataFrame): DataFrame = {
+  /** One tokenization: (doc_id, token, tf, dl) — since r15 the NATIVE
+    * run-length form ([[tokenizeNative]]): the [[graft.functions.TokenTfs]]
+    * sort+sweep emits one (token, tf) struct per distinct token, so
+    * postings are born collapsed — no groupBy, no map-side-combine
+    * hash table, no aggregate at all. The r15 `ScaleSoak tfnative`
+    * A/B: native 3.8 s / ZERO spill at 1M docs vs relational 11.4 s
+    * with 13.7 GB memory + 1.5 GB disk spill (the combine hash table
+    * is the spill source — the very thing the r13 verdict credited
+    * with collapsing the exchange) vs the interpreted HOF 11.6 s. The
+    * r13 tfnarrow loss was the HOF interpretation tax, not the
+    * run-length idea. At 100 TB the postings build is now a pure map
+    * over file splits with bounded memory. [[tokenizeRelational]] is
+    * the equality-pinned A/B twin (SparseIndexSpec). */
+  private def tokenize(docs: DataFrame): DataFrame = tokenizeNative(docs)
+
+  /** The r13-r14 production form, relational explode → groupBy — kept
+    * reachable for A/B soaks and the SparseIndexSpec equality pin.
+    * Superseded in r15 by [[tokenizeNative]] (see [[tokenize]]): its
+    * map-side combine hash table spills at 1M docs, and the native
+    * sort+sweep produces the collapsed rows without any aggregate. */
+  private[graft] def tokenizeRelational(docs: DataFrame): DataFrame = {
     val wArr = expr("regexp_extract_all(text, '\\\\S+', 0)")
     graft.Tables.spread(docs)
       .select(col("doc_id"), explode(
@@ -116,6 +120,33 @@ object SparseIndex {
   }
 
 
+  /** The native [[graft.functions.TokenTfs]] run-length tokenization —
+    * PRODUCTION since r15 (see [[tokenize]] for the A/B verdict): same
+    * sort+sweep as the HOF [[tfFromWs]] but as a tight JVM loop, so
+    * the ~10× interpretation tax that made the r13 A/B a 1.8× loss is
+    * gone. The explode fans out to DISTINCT tokens only and there is
+    * no map-side-combine hash table and no groupBy exchange — postings
+    * are born collapsed. Equality-pinned against [[tokenizeRelational]]
+    * in SparseIndexSpec; A/B'd in `ScaleSoak tfnative`. */
+  private[graft] def tokenizeNative(docs: DataFrame): DataFrame = {
+    val wArr = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), wArr.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(graft.functions.TextFunctions.token_tfs(col("ws"))).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"),
+        col("p.tf").as("tf"), col("dl"))
+  }
+
+  /** [[postingsFromBase]] on the native run-length expression — see
+    * [[tokenizeNative]]. */
+  private[graft] def postingsFromBaseNative(base: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(graft.functions.TextFunctions.token_tfs(col("ws"))).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"),
+        col("p.tf").as("tf"), col("dl"))
+
   private def dfOf(postings: DataFrame): DataFrame =
     postings.groupBy("token").agg(count(lit(1)).as("df"))
 
@@ -162,10 +193,15 @@ object SparseIndex {
     * combined topology's single-text-scan entry when the Gopher gate
     * also needs the ordered array: equal to [[tokenize]] because `ws`
     * IS `regexp_extract_all(text, '\S+')` and `dl = size(ws)` rides
-    * each exploded row exactly as the lambda-bound form binds it
-    * (empty texts explode to no rows in both). Relational form by the
-    * same tfnarrow A/B verdict as [[tokenize]]. */
+    * each exploded row (empty texts explode to no rows in both).
+    * Native run-length form since r15 — same verdict as [[tokenize]];
+    * [[postingsFromBaseRelational]] is the pinned twin. */
   def postingsFromBase(base: DataFrame): DataFrame =
+    postingsFromBaseNative(base)
+
+  /** The r13-r14 relational form of [[postingsFromBase]] — the
+    * equality-pinned A/B twin (see [[tokenizeRelational]]). */
+  private[graft] def postingsFromBaseRelational(base: DataFrame): DataFrame =
     base.select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("token"))
       .groupBy("doc_id", "token")

@@ -394,6 +394,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     // same sort order, tie-break, char lengths, empty/short-doc zeros
     val hof = Repetition.signalsFromBaseHof(
       Repetition.positionalBase(d).localCheckpoint()).collect().toSet
+    // public-API null contract (r15, ADVICE r14): null ELEMENTS are
+    // ignored, not an NPE — in-repo producers never emit them, but the
+    // expression is exposed through TextFunctions
+    locally {
+      import graft.functions.TextFunctions.gram_run_stats
+      val withNulls = spark.sql(
+        "SELECT array('a', CAST(NULL AS STRING), 'a', 'b') AS ws")
+      val got = withNulls.select(gram_run_stats(col("ws"), 1).as("s"),
+          gram_run_stats(col("ws"), 2).as("s2"))
+        .selectExpr("s.top_cov", "s.tot_cnt", "s2.tot_cnt").collect()(0)
+      // nulls dropped: 3 unigrams (run 'a a' top), 2 bigrams
+      assert(got.getLong(0) == 2L && got.getLong(1) == 3L &&
+        got.getLong(2) == 2L, s"null-element contract broken: $got")
+      // misuse is an analysis-time error, not a runtime ClassCast
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT 1 AS x")
+          .select(gram_run_stats(col("x"), 1)).collect()
+      }
+    }
     assert(hof == ns, s"native/HOF diverge: ${(ns -- hof).take(3)} vs " +
       s"${(hof -- ns).take(3)}")
     // the UNPINNED batch entry point stays single-evaluation: ws is
@@ -401,8 +420,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     // non-cheap multiply-referenced regex in its own Project — exactly
     // ONE regexp_extract_all in the executed plan (the r13 tf narrow
     // probe's lambda-inlining trap, asserted never to return)
+    // count on the final plan only: if positionalBase's width gate
+    // fires (parquet packs into fewer partitions than cores on some
+    // hosts), AQE prints both '== Final Plan ==' and '== Initial
+    // Plan ==' sections and the raw string would count the regex twice
     val nRegex = "regexp_extract_all".r
-      .findAllIn(narrow.queryExecution.executedPlan.toString).size
+      .findAllIn(narrow.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).size
     assert(nRegex == 1,
       s"unpinned narrow plan evaluates the regex $nRegex times")
     // the narrow FOLD is a pure projection: over a pinned positional

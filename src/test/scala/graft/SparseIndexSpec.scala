@@ -105,7 +105,7 @@ class SparseIndexSpec extends AnyFunSuite {
     val narrow = SparseIndex.tfFromWs(d.select(col("doc_id"),
         expr("regexp_extract_all(text, '\\\\S+', 0)").as("ws")))
       .select("doc_id", "token", "tf", "dl")
-    val relational = SparseIndex.postingsOf(d)
+    val relational = SparseIndex.tokenizeRelational(d)
     assert(narrow.columns.toSeq == relational.columns.toSeq)
     assert(narrow.collect().toSet == relational.collect().toSet)
     // the empty doc produced no rows in either form
@@ -116,6 +116,43 @@ class SparseIndexSpec extends AnyFunSuite {
     val plan = narrow.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange"), s"narrow tf twin shuffled:\n$plan")
+  }
+
+  test("tokenizeNative (the r15 native run-length arm) equals the production relational tf; zero Exchange, zero HashAggregate") {
+    import org.apache.spark.sql.functions._
+    // same adversarial shapes as the HOF-twin pin, plus null text
+    val rows = (0L until 200L).map { i =>
+      val t = (i % 6) match {
+        case 0 => "a a a b b c"
+        case 1 => (0 until 30).map(j => s"w${(i + j) % 7}").mkString(" ")
+        case 2 => ""
+        case 3 => "solo"
+        case 4 => null
+        case _ => s"héllo wörld héllo $i zz zz zz"
+      }
+      (i, t)
+    }
+    val work = java.nio.file.Files.createTempDirectory("nativetf").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$work/d")
+    val d = spark.read.parquet(s"$work/d")
+    val native = SparseIndex.tokenizeNative(d)
+    val relational = SparseIndex.tokenizeRelational(d)
+    assert(native.columns.toSeq == relational.columns.toSeq)
+    assert(native.collect().toSet == relational.collect().toSet)
+    // empty and null docs produced no rows in either form
+    assert(native.filter(col("doc_id").isin(2L, 4L)).count() == 0)
+    // postings are born collapsed: no Exchange, no aggregate at all
+    native.queryExecution.toRdd.count()
+    val plan = native.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
+      s"native tf not map-side-only:\n$plan")
+    // postingsFromBase twin over a pinned ws frame
+    val base = d.select(col("doc_id"),
+      expr("regexp_extract_all(text, '\\\\S+', 0)").as("ws"))
+      .localCheckpoint()
+    assert(SparseIndex.postingsFromBaseNative(base).collect().toSet ==
+      SparseIndex.postingsFromBaseRelational(base).collect().toSet)
   }
 
   test("executed append plan tokenizes the shard only") {
