@@ -851,6 +851,26 @@ object ScaleSoak {
     }
   }
 
+  /** r15: the native postings build alone across decades (the repdeep
+    * shape) — is the production [[graft.functions.TokenTfs]] path flat
+    * per doc and spill-free where the relational form spilled 13.7 GB
+    * at 1M? */
+  def tfDeep(spark: SparkSession,
+             sizes: Seq[Long] = Seq(1000000L, 3000000L, 10000000L)): Unit = {
+    import graft.text.SparseIndex
+    locally {
+      val d = docCorpus(spark, 2000L)
+      sink(SparseIndex.postingsOf(d))
+      d.unpersist()
+    }
+    sizes.foreach { nd =>
+      val d = docCorpus(spark, nd)
+      timedSpill(spark, "tfdeep", s"docs=$nd", "native")(
+        sink(SparseIndex.postingsOf(d)))
+      d.unpersist()
+    }
+  }
+
   /** r15: what GopherQuality's per-element HOFs (the char-sum
     * `aggregate` fold + three regex `filter`s) actually cost on a
     * pinned positional frame — the measure-before-native gate
@@ -1156,6 +1176,9 @@ object ScaleSoak {
       case "tfnative" => tfNative(spark)
       case s if s.startsWith("tfnative:") =>
         tfNative(spark, s.drop(9).toLong)
+      case "tfdeep" => tfDeep(spark)
+      case s if s.startsWith("tfdeep:") =>
+        tfDeep(spark, s.drop(7).split(",").toSeq.map(_.toLong))
       case "gophercost" => gopherCost(spark)
       case s if s.startsWith("gophercost:") =>
         gopherCost(spark, s.drop(11).toLong)
