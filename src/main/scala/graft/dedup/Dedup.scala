@@ -639,11 +639,18 @@ object Dedup {
     * +1/-1; fingerprint bit = sign of the vote sum. Frequency-weighted
     * (duplicate tokens vote repeatedly). One explode + one groupBy. */
   def simhash(docs: DataFrame): DataFrame = {
+    // collapsed (doc, tok, tf) rows (r15 tf-frame flip): each distinct
+    // token votes once with weight tf — identical vote sums, the md5
+    // hash computed per distinct token instead of per occurrence, and
+    // the 60 bit-vote aggregates fold tf-fold fewer rows
     val toks = spread(docs).select(col("doc_id"),
-      explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
+        explode(graft.functions.TextFunctions.token_tfs(
+          expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("p"))
+      .select(col("doc_id"), col("p.token").as("tok"), col("p.tf").as("tf"))
     val h = seededHash(0, col("tok"))
     val bitVotes = (0 until simhashBits).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$b")
     }
     val fp = (0 until simhashBits).map { b =>
       when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)

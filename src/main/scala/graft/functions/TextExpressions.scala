@@ -408,8 +408,9 @@ case class GramRunStats(child: Expression, n: Int)
   * per ROW amortizes the one interpreted dispatch; tokens going into
   * output rows are cloned (the input array may be backed by a reused
   * unsafe buffer; everything else about the sweep is allocation-free). */
-case class TokenTfs(child: Expression)
+case class TokenTfs(child: Expression, n: Int = 1)
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(n >= 1, s"gram size must be >= 1, got $n")
 
   // Seq is covariant, so Seq[DataType] conforms to the inherited
   // Seq[AbstractDataType] without naming the private[sql] parent type
@@ -419,17 +420,37 @@ case class TokenTfs(child: Expression)
     StructField("tf", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "token_tfs"
 
+  private val space = UTF8String.fromString(" ")
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val m0 = arr.numElements()
-    val toks = new Array[UTF8String](m0)
+    val words = new Array[UTF8String](m0)
     var m = 0
     var r = 0
     while (r < m0) {
-      if (!arr.isNullAt(r)) { toks(m) = arr.getUTF8String(r); m += 1 }
+      if (!arr.isNullAt(r)) { words(m) = arr.getUTF8String(r); m += 1 }
       r += 1
     }
-    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    // n >= 2: the "tokens" are the n-word sliding grams joined with one
+    // space (the GramRunStats gram construction) — fewer than n words
+    // means zero grams and the doc vanishes from the exploded frame
+    val cnt = if (n == 1) m else if (m >= n) m - n + 1 else 0
+    if (cnt == 0) return new GenericArrayData(Array.empty[Any])
+    val toks =
+      if (n == 1) words
+      else {
+        val grams = new Array[UTF8String](cnt)
+        val window = new Array[UTF8String](n)
+        var i = 0
+        while (i < cnt) {
+          System.arraycopy(words, i, window, 0, n)
+          grams(i) = UTF8String.concatWs(space, window: _*)
+          i += 1
+        }
+        grams
+      }
+    m = cnt
     java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]], 0, m)
     // first sweep counts distinct runs so the output array is exact-size
     var nRuns = 0
@@ -478,9 +499,10 @@ object TextFunctions {
     GraftColumnBridge.toColumn(GramRunStats(
       GraftColumnBridge.toExpr(arr), n))
 
-  /** Per-doc (token, tf) run-length pairs (see [[TokenTfs]]). */
-  def token_tfs(arr: Column): Column =
-    GraftColumnBridge.toColumn(TokenTfs(GraftColumnBridge.toExpr(arr)))
+  /** Per-doc (token, tf) run-length pairs (see [[TokenTfs]]); n >= 2
+    * counts the n-word space-joined sliding grams instead. */
+  def token_tfs(arr: Column, n: Int = 1): Column =
+    GraftColumnBridge.toColumn(TokenTfs(GraftColumnBridge.toExpr(arr), n))
 
   /** One-pass MinHash signature array (see [[MinhashSigs]]). */
   def minhash_sigs(text: Column, n: Int, b1: Long, b2: Long,

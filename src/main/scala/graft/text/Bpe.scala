@@ -28,11 +28,17 @@ object Bpe {
 
   private val EOW = "</w>"
 
-  /** word → n_words frequency table (the only full-corpus pass). */
+  /** word → n_words frequency table (the only full-corpus pass).
+    * Per-doc counts come collapsed from the native run-length
+    * expression (r15 tf-frame flip), so the one exchange carries
+    * distinct-(doc, word) rows and the map side holds no vocab-sized
+    * combine hash table. */
   def wordFreq(docs: DataFrame): DataFrame =
     graft.Tables.spread(docs)
-      .select(explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(explode(graft.functions.TextFunctions.token_tfs(
+        expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("p"))
+      .groupBy(col("p.token").as("word"))
+      .agg(sum(col("p.tf")).as("freq"))
 
   /** Character symbols + end-of-word marker for one word. */
   private def charSyms(word: Column): Column =
@@ -237,13 +243,18 @@ object Bpe {
     // checkpoint of the exploded words table would be a write
     // amplification, not a save
     val dw = graft.Tables.spread(docs).select(col("doc_id"),
-      explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("word"))
+      explode(graft.functions.TextFunctions.token_tfs(
+        expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("p"))
+      .select(col("doc_id"), col("p.token").as("word"),
+        col("p.tf").as("tf"))
     val vocab = dw.select(col("word")).distinct()
       .withColumn("syms", merges.foldLeft(charSyms(col("word"))) {
         case (s, (l, r)) => applyMerge(s, l, r) })
       .select(col("word"), size(col("syms")).as("n_syms"))
+    // collapsed rows: each distinct (doc, word) joins once, weighted
+    // by its run-length count — Σ tf·n_syms ≡ the per-occurrence sum
     val cnt = dw.join(vocab, "word")
-      .groupBy("doc_id").agg(sum(col("n_syms")).as("n"))
+      .groupBy("doc_id").agg(sum(col("n_syms") * col("tf")).as("n"))
     docs.select(col("doc_id")).join(cnt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).cast("long").as("n_bpe_tokens"))

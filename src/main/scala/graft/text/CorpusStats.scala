@@ -19,24 +19,31 @@ object CorpusStats {
 
   private def spread(docs: DataFrame): DataFrame = graft.Tables.spread(docs)
 
-  /** Map-side tokenizer: whitespace-delimited tokens, one row each
-    * (spread first — the regex+explode must not run in a single scan
-    * task; no-op at scale, see [[graft.Tables.spread]]). */
-  private def tokens(docs: DataFrame): DataFrame =
-    spread(docs).select(col("doc_id"),
-      explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
-
   private val toksSql =
     "SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents"
 
+  /** Collapsed per-(doc, token) term counts via the native run-length
+    * expression ([[graft.functions.TokenTfs]] — the r15 tf-frame flip,
+    * SCALING.md tfnative): (doc_id, token, tf) born collapsed, no
+    * groupBy, no map-side-combine hash table (the relational form's
+    * measured 13.7 GB spill source at 1M docs), and every downstream
+    * shuffle carries distinct-(doc, token) rows instead of token
+    * occurrences. */
+  private def docTokenTf(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+        explode(graft.functions.TextFunctions.token_tfs(
+          expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"), col("p.tf").as("tf"))
+
   // -------------------------------------------------- document frequency
-  /** Per-token document frequency + total term frequency. One shuffle:
-    * countDistinct(doc_id) partial-aggregates map-side because the
-    * explode keeps each doc's tokens within one partition. */
+  /** Per-token document frequency + total term frequency. One shuffle
+    * of collapsed (doc, token, tf) rows: df is a plain count (one row
+    * per doc carrying the token) and tf_total the tf sum — the
+    * countDistinct expand the occurrence-row form needed is gone. */
   def docFreq(docs: DataFrame): DataFrame =
-    tokens(docs).groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("tf_total"))
+    docTokenTf(docs).groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"))
 
   def docFreqSql: String =
     s"""WITH toks AS ($toksSql)
@@ -49,10 +56,10 @@ object CorpusStats {
     * small; at web scale the token join shuffles both sides on the
     * token — still one shuffle each. Rank ties break on token. */
   def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = tokens(docs).groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = docTokenTf(docs)
     // df derived FROM the tf table (one row per (doc, token), so a
     // plain count per token IS the document frequency) — the corpus is
-    // tokenized and exploded once, not once per statistic
+    // tokenized once, already collapsed (native run-length form)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "token")
       .select(col("doc_id"), col("token"),
@@ -289,8 +296,8 @@ object CorpusStats {
     // of O(10) bits accumulate ~1e-12 of order-dependent error, five
     // orders below the 1e-4 rounding grid — unlike the per-window
     // averages over thousands of values that motivated FixedPoint.
-    val dtf = tokens(docs).groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("c"))
+    val dtf = docTokenTf(docs).select(col("doc_id"), col("token"),
+      col("tf").as("c"))
     val tf = dtf.groupBy("token").agg(sum(col("c")).as("cnt"))
     val total = tf.agg(sum(col("cnt")).cast("double").as("total"))
     dtf.join(broadcast(tf), "token")
@@ -333,16 +340,19 @@ object CorpusStats {
     * the double log-sum is safely below the 4 dp grid (same argument
     * as unigram). */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
-    val pairs = spread(docs)
-      .select(col("doc_id"), expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(
-        zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
-          (l, r) => struct(l.as("w1"), r.as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val dbf = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    // collapsed per-(doc, bigram) counts straight from the native
+    // run-length expression at n = 2 (r15 tf-frame flip): the gram is
+    // "w1 w2" with exactly one space (tokens are \S+), so the two
+    // words split back exactly; docs under 2 words emit zero grams and
+    // vanish, matching the old size(w) >= 2 filter
+    val dbf = spread(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.token_tfs(
+          expr("regexp_extract_all(text, '\\\\S+', 0)"), 2)).as("p"))
+      .select(col("doc_id"),
+        substring_index(col("p.token"), " ", 1).as("w1"),
+        substring_index(col("p.token"), " ", -1).as("w2"),
+        col("p.tf").as("c"))
     val bf = dbf.groupBy("w1", "w2").agg(sum(col("c")).as("bc"))
     val lf = bf.groupBy("w1").agg(sum(col("bc")).as("lc"))
     // NO broadcast hints: unlike the unigram vocabulary, the bigram
@@ -406,13 +416,17 @@ object CorpusStats {
     * pair-joined. */
   def importanceWeights(docs: DataFrame, targetMaxId: Long = 50,
                         buckets: Int = 64): DataFrame = {
-    val toks = tokens(docs).withColumn("bucket",
+    // collapsed (doc, token, tf) rows (r15 native tf frame): every
+    // count below becomes a tf-weighted sum — identical arithmetic,
+    // and the bucket hash + distribution scans touch distinct
+    // (doc, token) rows instead of token occurrences
+    val toks = docTokenTf(docs).withColumn("bucket",
       pmod(expr("conv(substring(md5(token), 1, 15), 16, 10)").cast("long"),
         lit(buckets.toLong)))
     def dist(t: DataFrame, pcol: String): DataFrame = t
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("bucket").agg(sum(col("tf")).as("cnt"))
       .withColumn("__k", lit(1))
-      .join(broadcast(t.agg((count(lit(1)) + buckets).as("total"))
+      .join(broadcast(t.agg((sum(col("tf")) + buckets).as("total"))
         .withColumn("__k", lit(1))), "__k")
       // add-one smoothing, parts-per-million quantization. `div` (not
       // `/`): Spark's / on longs is DOUBLE division — inexact past
@@ -424,10 +438,13 @@ object CorpusStats {
     val ratio = p.join(q, "bucket")
       .select(col("bucket"),
         expr("(p_ppm * 10000) div greatest(q_ppm, 1)").as("ratio_fp"))
+    // ratio_fp ≤ 1e10, tf ≤ doc length: the per-term product stays
+    // ≤ ~1e14 and the per-doc sum far below Long overflow (the same
+    // documented headroom as the ppm lanes above)
     toks.join(broadcast(ratio), "bucket")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("ratio_fp")).as("imp_score"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("ratio_fp") * col("tf")).as("imp_score"))
   }
 
   def importanceWeightsSql(targetMaxId: Long = 50, buckets: Int = 64): String =

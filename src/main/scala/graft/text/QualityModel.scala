@@ -51,11 +51,14 @@ object QualityModel {
       .select(col("doc_id"), col("text"),
         (TextAnalysis.qualityExpr >= minQualityPm).cast("int").as("pos"))
       .localCheckpoint()
+    // collapsed per-(doc, token) counts from the native run-length
+    // expression (r15 tf-frame flip) — no groupBy, no combine table
     val dtf = base
       .select(col("doc_id"), col("pos"),
-        explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
-      .groupBy(col("doc_id"), col("pos"), col("token"))
-      .agg(count(lit(1)).as("c"))
+        explode(graft.functions.TextFunctions.token_tfs(
+          expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("p"))
+      .select(col("doc_id"), col("pos"),
+        col("p.token").as("token"), col("p.tf").as("c"))
     val cls = dtf.groupBy(col("token"))
       .agg(sum(when(col("pos") === 1, col("c")).otherwise(0L)).as("pc"),
         sum(when(col("pos") === 0, col("c")).otherwise(0L)).as("nc"))
@@ -106,10 +109,11 @@ object QualityModel {
       .localCheckpoint()
     val cls = base
       .select(col("pos"),
-        explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
-      .groupBy(col("token"))
-      .agg(sum(when(col("pos") === 1, 1L).otherwise(0L)).as("pc"),
-        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("nc"))
+        explode(graft.functions.TextFunctions.token_tfs(
+          expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("p"))
+      .groupBy(col("p.token").as("token"))
+      .agg(sum(when(col("pos") === 1, col("p.tf")).otherwise(0L)).as("pc"),
+        sum(when(col("pos") === 0, col("p.tf")).otherwise(0L)).as("nc"))
     val dstats = base.agg(
       sum(col("pos")).cast("long").as("p_docs"),
       sum(lit(1) - col("pos")).cast("long").as("n_docs"))
@@ -163,11 +167,13 @@ object QualityModel {
                 priorU: Long): DataFrame = {
     val s = graft.Tables.spread(docs)
       .select(col("doc_id"),
-        explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("token"))
+        explode(graft.functions.TextFunctions.token_tfs(
+          expr("regexp_extract_all(text, '\\\\S+', 0)"))).as("p"))
+      .select(col("doc_id"), col("p.token").as("token"), col("p.tf").as("tf"))
       .join(broadcast(weights), Seq("token"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("w_u"), lit(0L))).as("s_u"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(coalesce(col("w_u"), lit(0L)) * col("tf")).as("s_u"))
     docs.select(col("doc_id")).join(s, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
