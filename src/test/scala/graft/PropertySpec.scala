@@ -181,6 +181,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: TokenTfs run-length counts equal explode+groupBy, n=1 and n=2") {
+    import graft.functions.TextFunctions.token_tfs
+    check(forAll(genDocs) { texts =>
+      val df = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        Seq((1000L, null.asInstanceOf[String]), (1001L, "")))
+        .toDF("doc_id", "text")
+        .select($"doc_id", expr("regexp_extract_all(text, '\\\\S+', 0)").as("ws"))
+      def native(n: Int) = df
+        .select($"doc_id", explode(token_tfs($"ws", n)).as("p"))
+        .select($"doc_id", $"p.token", $"p.tf")
+        .as[(Long, String, Long)].collect().toSet
+      // declarative reference: explode the n-word space-joined grams,
+      // count occurrences
+      def ref(n: Int) = df
+        .filter(size($"ws") >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
+            s"array_join(slice(ws, i, $n), ' '))")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        .as[(Long, String, Long)].collect().toSet
+      val u = native(1); val b = native(2)
+      // null/empty docs vanish from both forms
+      u == ref(1) && b == ref(2) &&
+        !u.exists(r => r._1 == 1000L || r._1 == 1001L)
+    })
+  }
+
   test("property: native winnow equals the per-position reference") {
     check(forAll(genDocs) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
