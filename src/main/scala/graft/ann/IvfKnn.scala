@@ -165,7 +165,7 @@ object IvfKnn {
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
        |         embedding AS c_emb
        |  FROM hashed ORDER BY h, vec_id LIMIT $kCells),
-       |cellrank AS (
+       |cellrank AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn

@@ -123,7 +123,7 @@ object Quantize {
        |           x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 END AS scale,
        |    embedding
        |  FROM embeddings),
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT vec_id, scale,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qvec

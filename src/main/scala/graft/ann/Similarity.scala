@@ -402,7 +402,7 @@ object Similarity {
     val bandCols = (0 until nBands)
       .map(b => s"      ${bandExpr(b)} AS b$b").mkString(",\n")
     val orCollide = (0 until nBands).map(b => s"q.b$b = c.b$b").mkString(" OR ")
-    s"""WITH sig AS (
+    s"""WITH sig AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |$bandCols
        |  FROM embeddings),
