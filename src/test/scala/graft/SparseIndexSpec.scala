@@ -147,6 +147,12 @@ class SparseIndexSpec extends AnyFunSuite {
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
       s"native tf not map-side-only:\n$plan")
+    // ws feeds BOTH size() and token_tfs(): CollapseProject must keep
+    // the multiply-referenced non-cheap regex in its own Project —
+    // exactly ONE regexp_extract_all in the executed plan (the
+    // repetitionSignals nRegex gate, applied to the tokenizer)
+    val nRegex = "regexp_extract_all".r.findAllIn(plan).size
+    assert(nRegex == 1, s"native tokenize evaluates the regex $nRegex times")
     // postingsFromBase twin over a pinned ws frame
     val base = d.select(col("doc_id"),
       expr("regexp_extract_all(text, '\\\\S+', 0)").as("ws"))
