@@ -871,6 +871,33 @@ object ScaleSoak {
     }
   }
 
+  /** r15: the scrub's hot-gram skew exposure, measured. ExactSubstr
+    * cannot df-cap (every later occurrence of a gram is a cut), so a
+    * corpus-wide boilerplate prefix funnels its whole occurrence list
+    * into a few window partitions. Plant an identical 60-char prefix on
+    * EVERY doc (the worst case: ~21 hot gram positions × nDocs rows
+    * each) and compare against the organic corpus. */
+  def scrubSkew(spark: SparkSession, nDocs: Long = 1000000L): Unit = {
+    import graft.dedup.SpanScrub
+    val organic = docCorpus(spark, nDocs)
+    val boiler = organic.select(col("doc_id"),
+      concat(lit("This content is licensed for personal use only - see terms. "),
+        col("text")).as("text")).localCheckpoint()
+    locally {
+      val d = docCorpus(spark, 2000L)
+      sink(SpanScrub.spanScrubFp(d)); d.unpersist()
+    }
+    timedSpill(spark, "scrubskew", s"docs=$nDocs", "organic")(
+      sink(SpanScrub.spanScrubFp(organic)))
+    timedSpill(spark, "scrubskew", s"docs=$nDocs", "boiler")(
+      sink(SpanScrub.spanScrubFp(boiler)))
+    timedSpill(spark, "scrubskew", s"docs=$nDocs", "organic2")(
+      sink(SpanScrub.spanScrubFp(organic)))
+    timedSpill(spark, "scrubskew", s"docs=$nDocs", "boiler2")(
+      sink(SpanScrub.spanScrubFp(boiler)))
+    organic.unpersist(); boiler.unpersist()
+  }
+
   /** r15: what GopherQuality's per-element HOFs (the char-sum
     * `aggregate` fold + three regex `filter`s) actually cost on a
     * pinned positional frame — the measure-before-native gate
@@ -1179,6 +1206,9 @@ object ScaleSoak {
       case "tfdeep" => tfDeep(spark)
       case s if s.startsWith("tfdeep:") =>
         tfDeep(spark, s.drop(7).split(",").toSeq.map(_.toLong))
+      case "scrubskew" => scrubSkew(spark)
+      case s if s.startsWith("scrubskew:") =>
+        scrubSkew(spark, s.drop(10).toLong)
       case "gophercost" => gopherCost(spark)
       case s if s.startsWith("gophercost:") =>
         gopherCost(spark, s.drop(11).toLong)

@@ -23,10 +23,18 @@ import org.apache.spark.sql.functions._
   * chars) rows and its ONE shuffle partitions by gram — [[spanScrubFp]]
   * is the 100 TB variant whose exchange carries the 63-bit
   * [[graft.functions.GramFps]] rolling hash (8-byte keys instead of
-  * k-char strings), ubiquitous grams are df-capped exactly like
-  * [[graft.text.TextAnalysis.sharedSpans]] boilerplate, and everything
-  * downstream of the explode is island-count-sized (kB per doc). The
-  * oracle keeps the exact substring key: collision-free by
+  * k-char strings), and everything downstream of the explode is
+  * island-count-sized (kB per doc). Ubiquitous grams CANNOT be
+  * df-capped here (unlike [[graft.text.TextAnalysis.sharedSpans]],
+  * whose cap defuses a self-join quadratic): ExactSubstr's contract is
+  * that EVERY later occurrence is a cut, so a boilerplate gram's whole
+  * occurrence list must reach one window partition. That skew is
+  * linear, not quadratic — the hot task sorts (gram, doc_id, i)
+  * triples, ~24 B/occurrence — and measured benign at 1M docs with
+  * 100%-planted boilerplate (`ScaleSoak scrubskew`, SCALING.md r15);
+  * the shard-at-a-time store form ([[scrubShard]]) bounds the same
+  * window to shard size, which is the production shape at corpus
+  * scale. The oracle keeps the exact substring key: collision-free by
   * construction, DuckDB replays it verbatim, and the fp variant is
   * parity-pinned against it (q_span_scrub_fp).
   */
