@@ -79,6 +79,28 @@ object Bench {
       }
     }
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    // -------- host sentinel (r16, VERDICT r15 #2). Two rounds of
+    // driver artifacts carried multi-minute host stalls that only
+    // forensics on per-pass arrays could see (r14 pass-0 1292s vs 229s;
+    // r15 passes 1344/827/1158s where a quiet run totals ~175s). The
+    // sentinel is a CONSTANT-WORK query — fixed row count, fixed
+    // arithmetic, one exchange, zero data dependence — timed around
+    // every pass. Its variance measures the MACHINE, never the code:
+    // sentinel[p]/min(sentinel) is the host factor in effect at that
+    // pass boundary, so a stalled pass is attributable from the
+    // artifact alone (read protocol in SCALING.md r16).
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      // summand bounded so the per-group sum stays far from Long
+      // overflow under ANSI mode (64M rows × <1e6 ≈ 6.6e13 per group)
+      spark.range(0, 64L * 1000L * 1000L, 1, 32)
+        .selectExpr("id % 97 AS k", "(id * 2654435761) % 1000003 AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // warm the sentinel's own codegen off the clock
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     // pass hygiene, run BEFORE every pass (r5 verdict: late passes
     // showed ~1.5× bursts on a handful of queries). A single System.gc()
     // is not enough: it only ENQUEUES dead broadcast/shuffle/checkpoint
@@ -91,10 +113,19 @@ object Bench {
     def hygiene(): Unit = { System.gc(); Thread.sleep(2000); System.gc() }
     val byPass = (0 until nPasses).map { p =>
       hygiene()
+      val s = sentinel()
+      sentinels += s
+      System.err.println(f"[bench] sentinel pre-pass=$p $s%.3f")
       val r = timeAll(p, nPasses)
       System.err.println(f"[bench] pass=$p total=${r.map(_._2).sum}%.2f")
       r
     }
+    // closing sample: brackets the final pass so a stall in pass N-1
+    // shows on at least one side
+    sentinels += sentinel()
+    System.err.println(f"[bench] sentinel post-run ${sentinels.last}%.3f")
+    val sentinelJson =
+      sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
     // headline stays min-of-N (steady state under host steal); the
     // per-pass arrays make any drift self-diagnosing — a query slow in
     // ONE pass was hit by a burst (environment), slow in EVERY pass
@@ -188,14 +219,14 @@ object Bench {
     // exact truncation this split-artifact design exists to survive
     val normJson = normJsonOf(flagged)
     val normJsonTop = normJsonOf(flagged.take(8))
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$normJson,"queries":$qs,"passes":$passesJson,"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$normJson,"sentinel":$sentinelJson,"queries":$qs,"passes":$passesJson,"pass_totals":$passTotals,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] full artifact write failed: ${e.getMessage}")
     }
     val slowestFirst = results.sortBy { case (_, v) => (-v, "") }
-    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","pass_totals":$passTotals,$normJsonTop,"full":"$fullPath","queries_total":${results.size},"""
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","pass_totals":$passTotals,"sentinel":$sentinelJson,$normJsonTop,"full":"$fullPath","queries_total":${results.size},"""
     val budget = 1950 - header.length - 60 // room for the closing fields
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0

@@ -911,6 +911,9 @@ object ScaleSoak {
       timedSpill(spark, "gophercost", s"docs=$nDocs", tag)(
         sink(GopherQuality.qualitySignalsFromBase(pb)))
     }
+    // free the checkpoint blocks for the rest of the soak session
+    // (ADVICE r15 — matches the scrubSkew cleanup pattern)
+    pb.unpersist()
     d.unpersist()
   }
 

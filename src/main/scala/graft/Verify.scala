@@ -22,9 +22,20 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // footer-metadata count on the single just-written file: cheap
-        val rows = spark.read.parquet(s"$outDir/$name").count()
-        meta(name) = ((System.nanoTime() - t0) / 1e9, rows)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // footer-metadata count on the single just-written file: cheap.
+        // Its OWN try (ADVICE r15): the parquet is already on disk and
+        // compare.py can still validate it, so a count failure records
+        // the healthy dump time with rows=-1 instead of marking the
+        // whole query dead
+        val rows =
+          try spark.read.parquet(s"$outDir/$name").count()
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name row-count re-read failed " +
+              s"(dump itself succeeded): ${e.getMessage}")
+            -1L
+          }
+        meta(name) = (sec, rows)
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -302,18 +302,82 @@ case class MinhashSigs(child: Expression, n: Int, b1: Long, b2: Long,
   *    picks the identical gram;
   *  - lengths are CHARACTER counts (`length()` ≡ numChars), null
   *    input → null row, empty array → all-zero struct;
-  *  - NULL ELEMENTS are ignored — dropped before gram construction and
-  *    excluded from every count. The in-repo producers
-  *    (regexp_extract_all, filter(split(...))) never emit null
-  *    elements; this contract exists because the expression is public
-  *    API (the HOF twin sorts nulls last via array_sort — a behavior
-  *    no caller or spec ever pinned, so "ignored" is the documented
-  *    semantics rather than an NPE).
+  *  - NULL ELEMENTS are dropped from every count and, for n >= 2, act
+  *    as a run break — no gram spans the gap (see [[GramBuild]] for
+  *    the full contract and why the HOF twin is allowed to differ on
+  *    inputs no in-repo producer emits).
   *
   * Eval-only (CodegenFallback) for the [[WinnowFps]] reason: the work
   * is O(grams · log grams) per ROW, amortizing the one interpreted
   * dispatch; operating on UTF8String directly keeps the sort
   * allocation-light (no String decode). */
+/** Shared gram construction for [[GramRunStats]] and [[TokenTfs]].
+  *
+  * Null-element contract (r16, ADVICE r15): a null element is dropped
+  * from every count AND, for n >= 2, acts as a RUN BREAK — no sliding
+  * gram spans the gap where a null sat, because such a gram never
+  * appeared adjacently in the input. (The pre-r16 form compacted nulls
+  * out first, which fabricated phantom cross-gap grams.) In-repo
+  * producers (regexp_extract_all, filter(split(...))) never emit null
+  * elements, so this is a public-API contract only; the HOF twin
+  * (array_sort, nulls last) still differs on null-containing arrays
+  * and remains undocumented there. */
+private[functions] object GramBuild {
+  private val space = UTF8String.fromString(" ")
+
+  /** Returns (grams, count). For n == 1 the array is the compacted
+    * non-null elements and MAY BE OVERSIZED — callers must read (and
+    * sort) only [0, count). For n >= 2 it is the exact-sized array of
+    * space-joined n-word sliding grams of each null-free run. */
+  def grams(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            n: Int): (Array[UTF8String], Int) = {
+    val m0 = arr.numElements()
+    val words = new Array[UTF8String](m0)
+    // maximal runs of consecutive non-null elements, as lengths over
+    // the compacted words array (segments are contiguous in it)
+    val segLens = new Array[Int](m0 + 1)
+    var nSegs = 0
+    var cur = 0
+    var m = 0
+    var r = 0
+    while (r < m0) {
+      if (arr.isNullAt(r)) {
+        if (cur > 0) { segLens(nSegs) = cur; nSegs += 1; cur = 0 }
+      } else {
+        words(m) = arr.getUTF8String(r); m += 1; cur += 1
+      }
+      r += 1
+    }
+    if (cur > 0) { segLens(nSegs) = cur; nSegs += 1 }
+    if (n == 1) return (words, m)
+    var cnt = 0
+    var s = 0
+    while (s < nSegs) {
+      if (segLens(s) >= n) cnt += segLens(s) - n + 1
+      s += 1
+    }
+    if (cnt == 0) return (Array.empty[UTF8String], 0)
+    val grams = new Array[UTF8String](cnt)
+    val window = new Array[UTF8String](n)
+    var base = 0
+    var k = 0
+    s = 0
+    while (s < nSegs) {
+      val len = segLens(s)
+      var i = 0
+      while (i + n <= len) {
+        System.arraycopy(words, base + i, window, 0, n)
+        grams(k) = UTF8String.concatWs(space, window: _*)
+        k += 1
+        i += 1
+      }
+      base += len
+      s += 1
+    }
+    (grams, cnt)
+  }
+}
+
 case class GramRunStats(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   require(n >= 1, s"gram size must be >= 1, got $n")
@@ -329,35 +393,13 @@ case class GramRunStats(child: Expression, n: Int)
     StructField("tot_cnt", LongType, nullable = false)))
   override def prettyName: String = "gram_run_stats"
 
-  private val space = UTF8String.fromString(" ")
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val m0 = arr.numElements()
-    // drop null elements (documented contract; in-repo inputs have none)
-    val words = new Array[UTF8String](m0)
-    var m = 0
-    var r = 0
-    while (r < m0) {
-      if (!arr.isNullAt(r)) { words(m) = arr.getUTF8String(r); m += 1 }
-      r += 1
-    }
-    val cnt = if (n == 1) m else if (m >= n) m - n + 1 else 0
+    val (grams, cnt) = GramBuild.grams(arr, n)
     if (cnt == 0) return InternalRow(0L, 0L, 0L, 0L)
-    val grams = new Array[UTF8String](cnt)
-    if (n == 1) {
-      System.arraycopy(words, 0, grams, 0, cnt)
-    } else {
-      val window = new Array[UTF8String](n)
-      var i = 0
-      while (i < cnt) {
-        System.arraycopy(words, i, window, 0, n)
-        grams(i) = UTF8String.concatWs(space, window: _*)
-        i += 1
-      }
-    }
-    // binary UTF8 order ≡ array_sort (UTF8String.compareTo)
-    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    // binary UTF8 order ≡ array_sort (UTF8String.compareTo); the n=1
+    // array may be oversized — sort only the live prefix
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]], 0, cnt)
     var bestCnt = 0L; var bestCov = 0L
     var dupCov = 0L; var dupCnt = 0L
     var i = 0
@@ -400,9 +442,10 @@ case class GramRunStats(child: Expression, n: Int)
   * therefore the relational groupBy): empty array → empty array
   * (explodes to no rows — token-less docs vanish from postings);
   * null input → null (same); tf is the run length as a Long. NULL
-  * ELEMENTS are ignored (the [[GramRunStats]] public-API contract; no
-  * in-repo producer emits them). Output order is sorted-token order —
-  * postings consumers are order-free aggregations/joins.
+  * ELEMENTS are dropped and break runs for n >= 2 (the [[GramBuild]]
+  * public-API contract; no in-repo producer emits them). Output order
+  * is sorted-token order — postings consumers are order-free
+  * aggregations/joins.
   *
   * Eval-only (CodegenFallback) for the [[WinnowFps]] reason: O(L log L)
   * per ROW amortizes the one interpreted dispatch; tokens going into
@@ -420,37 +463,14 @@ case class TokenTfs(child: Expression, n: Int = 1)
     StructField("tf", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "token_tfs"
 
-  private val space = UTF8String.fromString(" ")
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val m0 = arr.numElements()
-    val words = new Array[UTF8String](m0)
-    var m = 0
-    var r = 0
-    while (r < m0) {
-      if (!arr.isNullAt(r)) { words(m) = arr.getUTF8String(r); m += 1 }
-      r += 1
-    }
     // n >= 2: the "tokens" are the n-word sliding grams joined with one
-    // space (the GramRunStats gram construction) — fewer than n words
-    // means zero grams and the doc vanishes from the exploded frame
-    val cnt = if (n == 1) m else if (m >= n) m - n + 1 else 0
-    if (cnt == 0) return new GenericArrayData(Array.empty[Any])
-    val toks =
-      if (n == 1) words
-      else {
-        val grams = new Array[UTF8String](cnt)
-        val window = new Array[UTF8String](n)
-        var i = 0
-        while (i < cnt) {
-          System.arraycopy(words, i, window, 0, n)
-          grams(i) = UTF8String.concatWs(space, window: _*)
-          i += 1
-        }
-        grams
-      }
-    m = cnt
+    // space (the GramBuild construction) — fewer than n words in every
+    // null-free run means zero grams and the doc vanishes from the
+    // exploded frame
+    val (toks, m) = GramBuild.grams(arr, n)
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
     java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]], 0, m)
     // first sweep counts distinct runs so the output array is exact-size
     var nRuns = 0

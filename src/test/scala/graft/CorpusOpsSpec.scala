@@ -394,19 +394,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     // same sort order, tie-break, char lengths, empty/short-doc zeros
     val hof = Repetition.signalsFromBaseHof(
       Repetition.positionalBase(d).localCheckpoint()).collect().toSet
-    // public-API null contract (r15, ADVICE r14): null ELEMENTS are
-    // ignored, not an NPE — in-repo producers never emit them, but the
-    // expression is exposed through TextFunctions
+    // public-API null contract (r16, ADVICE r15): null ELEMENTS are
+    // dropped from counts AND act as a run break for n >= 2 — no gram
+    // may span the gap where a null sat (pre-r16 compaction fabricated
+    // a phantom 'a a' bigram here). In-repo producers never emit null
+    // elements, but the expressions are exposed through TextFunctions.
     locally {
-      import graft.functions.TextFunctions.gram_run_stats
+      import graft.functions.TextFunctions.{gram_run_stats, token_tfs}
       val withNulls = spark.sql(
         "SELECT array('a', CAST(NULL AS STRING), 'a', 'b') AS ws")
       val got = withNulls.select(gram_run_stats(col("ws"), 1).as("s"),
           gram_run_stats(col("ws"), 2).as("s2"))
         .selectExpr("s.top_cov", "s.tot_cnt", "s2.tot_cnt").collect()(0)
-      // nulls dropped: 3 unigrams (run 'a a' top), 2 bigrams
+      // nulls dropped: 3 unigrams (run 'a a' top); bigrams only within
+      // the null-free runs ['a'] and ['a','b'] → just 'a b'
       assert(got.getLong(0) == 2L && got.getLong(1) == 3L &&
-        got.getLong(2) == 2L, s"null-element contract broken: $got")
+        got.getLong(2) == 1L, s"null-element contract broken: $got")
+      // content assertion: the surviving bigram is 'a b' — the
+      // cross-gap 'a a' must NOT exist
+      val pairs = withNulls
+        .select(explode(token_tfs(col("ws"), 2)).as("p"))
+        .selectExpr("p.token", "p.tf")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(pairs == Set(("a b", 1L)),
+        s"n=2 grams must not span a dropped null: $pairs")
+      // trailing/leading nulls and an all-null array stay well-defined
+      val edge = spark.sql("SELECT array(CAST(NULL AS STRING), 'x', 'y', " +
+          "CAST(NULL AS STRING)) AS ws")
+        .select(explode(token_tfs(col("ws"), 2)).as("p"))
+        .selectExpr("p.token", "p.tf")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(edge == Set(("x y", 1L)), s"edge-null grams wrong: $edge")
+      val allNull = spark.sql(
+          "SELECT array(CAST(NULL AS STRING), CAST(NULL AS STRING)) AS ws")
+        .select(gram_run_stats(col("ws"), 2).as("s"))
+        .selectExpr("s.tot_cnt").collect()(0).getLong(0)
+      assert(allNull == 0L, s"all-null array must yield zero grams: $allNull")
       // misuse is an analysis-time error, not a runtime ClassCast
       intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql("SELECT 1 AS x")

@@ -38,18 +38,28 @@ def main():
     failed, over_budget, times = [], [], {}
     t_start = time.time()
     for name, sql in sorted(oracle.items()):
+        # time the got-parquet read and the oracle separately, and record
+        # both even when a query FAILS — a slow-and-failing oracle must
+        # still appear in the budget WARN / top-10 (ADVICE r15: the old
+        # shape skipped timing on the continue, hiding exactly the
+        # regression class this instrumentation exists to catch)
         t0 = time.time()
+        err = None
+        t_read = 0.0
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            t_read = time.time() - t0
             want = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: {e}")
-            failed.append(name)
-            continue
+            err = e
         dt = time.time() - t0
         times[name] = dt
         if dt > BUDGET_SEC:
             over_budget.append(name)
+        if err is not None:
+            print(f"FAIL {name}: {err}  ({dt:.2f}s, got-read {t_read:.2f}s)")
+            failed.append(name)
+            continue
         gc, gr = normalize(got)
         wc, wr = normalize(want)
         if gc != wc:
@@ -63,7 +73,8 @@ def main():
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             failed.append(name); continue
         flag = "  ** OVER ORACLE BUDGET **" if dt > BUDGET_SEC else ""
-        print(f"OK   {name}: {len(gr)} rows  {dt:7.2f}s{flag}")
+        print(f"OK   {name}: {len(gr)} rows  {dt:7.2f}s"
+              f" (oracle {dt - t_read:.2f})" + flag)
     wall = time.time() - t_start
     top = sorted(times.items(), key=lambda kv: -kv[1])[:10]
     print("\nslowest oracles (compare sec, includes got-read):")
