@@ -30,11 +30,16 @@ import org.apache.spark.sql.functions._
   * that EVERY later occurrence is a cut, so a boilerplate gram's whole
   * occurrence list must reach one window partition. That skew is
   * linear, not quadratic — the hot task sorts (gram, doc_id, i)
-  * triples, ~24 B/occurrence — and measured benign at 1M docs with
-  * 100%-planted boilerplate (`ScaleSoak scrubskew`, SCALING.md r15);
-  * the shard-at-a-time store form ([[scrubShard]]) bounds the same
-  * window to shard size, which is the production shape at corpus
-  * scale. The oracle keeps the exact substring key: collision-free by
+  * triples, ~24 B/occurrence — and measured benign at 1M docs with a
+  * 100%-planted 60-char boilerplate prefix (`ScaleSoak scrubskew`,
+  * SCALING.md r16: boiler/organic = 1.12× wall, 1.06× shuffle, no
+  * straggler death). The same table shows the batch form's ABSOLUTE
+  * cost honestly: at 1M docs the per-position frame is in the
+  * external-sort spill regime (~39 GB shuffle, ~56 GB disk spill,
+  * ~6.4 min/M docs steady) — linear in corpus positions and it
+  * completes, but the spill is why the shard-at-a-time store form
+  * ([[scrubShard]]) — which bounds the window input to one shard's
+  * positions — is the production shape at corpus scale. The oracle keeps the exact substring key: collision-free by
   * construction, DuckDB replays it verbatim, and the fp variant is
   * parity-pinned against it (q_span_scrub_fp).
   */
