@@ -135,7 +135,7 @@ object Opq {
   }
 
   /** One sampled-codebook ADC scoring pass over `base` — the
-    * [[Pq.pqRecallCurve]] cell body (local kmeans++ train,
+    * [[Pq.pqRecallCurve]] cell body (local hash-seeded train,
     * [[graft.functions.PqEncode]] codegen encode, broadcast distance
     * tables), returned unranked so the plain and refine rows share
     * one training + encode. */

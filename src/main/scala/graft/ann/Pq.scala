@@ -101,7 +101,7 @@ object Pq {
   /** Per-subspace codebooks after `iters` Lloyd rounds: (sub, cid,
     * cvec), seeded per subspace by the k lowest vec_ids' subvectors
     * (same deterministic convention as [[KMeans.assign]]). For the
-    * codebook-quality sweep (larger k, more iters, kmeans++ init) see
+    * codebook-quality sweep (larger k, more iters, hash-seeded init) see
     * [[codebooksSampled]] — the q_pq_curve training path. */
   def codebooks(embs: DataFrame, m: Int = defaultM, k: Int = 16,
                 iters: Int = 2): DataFrame =
@@ -175,43 +175,24 @@ object Pq {
     s
   }
 
-  /** kmeans++-style init (deterministic farthest-first traversal,
-    * Gonzalez 1985 — the derandomized form of Arthur & Vassilvitskii's
-    * D² seeding): start from the pool's first hash-ranked point, then
-    * repeatedly add the point farthest (squared L2, vec_id tiebreak)
-    * from every seed chosen so far. Input rows must be one subspace's
-    * pool sorted by hash rank; fewer than k distinct points end the
-    * traversal early. */
+  /** Hash-sampled init (r16): the k lowest hash-ranked pool points.
+    * The pool is already md5-hash-ordered ([[trainPool]]'s `hr`), so
+    * its prefix IS a deterministic uniform sample — the derandomized
+    * form of FAISS's random-permutation k-means init, and the same
+    * pattern the IVF half uses for its probe centroids
+    * ([[IvfKnn.centroids]]). Replaces the r-earlier farthest-first
+    * traversal (Gonzalez 1985): that walk was O(pool·k) SEQUENTIAL
+    * steps, and its DuckDB twin — a recursive CTE re-windowing the
+    * working set per step — was the oracle suite's entire cost tail
+    * (q_opq_recall ~70 % seed-walk by measured CTE A/B, SCALING.md
+    * r16; up to 74 s under host stall, the only oracles left within
+    * an order of magnitude of the r14 timeout regime). The curve's
+    * purpose is recall-vs-budget measurement, and the k-axis ordering
+    * it reports is preserved under hash seeding (re-measured values
+    * in [[pqRecallCurve]]'s scaladoc). */
   private[ann] def seedsFromPool(pts: Array[(Long, Array[Int])],
-                                 k: Int): Seq[(Long, Array[Int])] = {
-    val mind = Array.fill(pts.length)(Long.MaxValue)
-    val chosen = Seq.newBuilder[(Long, Array[Int])]
-    var seed = pts(0)
-    chosen += seed
-    var nChosen = 1
-    var done = false
-    while (nChosen < k && !done) {
-      // fold the newest seed into every point's min-distance, then
-      // argmax (mind DESC, vec_id ASC) over still-distinct points —
-      // the exact order the SQL twin's window uses
-      var bi = -1
-      var i = 0
-      while (i < pts.length) {
-        val d = math.min(mind(i), d2i(pts(i)._2, seed._2))
-        mind(i) = d
-        if (d > 0 && (bi < 0 || d > mind(bi) ||
-          (d == mind(bi) && pts(i)._1 < pts(bi)._1))) bi = i
-        i += 1
-      }
-      if (bi < 0) done = true
-      else {
-        seed = pts(bi)
-        chosen += seed
-        nChosen += 1
-      }
-    }
-    chosen.result()
-  }
+                                 k: Int): Seq[(Long, Array[Int])] =
+    pts.take(k).toSeq
 
   /** Local integer Lloyd over one subspace's pool, bit-identical to
     * the distributed loop in [[codebooks]] (argmin by (d², cid);
@@ -244,7 +225,7 @@ object Pq {
 
   /** Sample-trained codebooks — the q_pq_curve training path and the
     * production shape (FAISS trains codebooks on a bounded sample, not
-    * the corpus): kmeans++-style seeds + `iters` Lloyd rounds over the
+    * the corpus): hash-prefix seeds + `iters` Lloyd rounds over the
     * hash-ranked pool of [[trainPool]], all on the driver (the pool is
     * kB-sized; the sequential seeding is O(pool·k) integer ops), then
     * the corpus-side encode/search run distributed exactly as with
@@ -731,7 +712,7 @@ object Pq {
 
   /** The recall-vs-codebook tuning grid for [[pqRecallCurve]]: the
     * full (k, iters) cross — codebook size is one axis, Lloyd budget
-    * the other; every cell trains with the kmeans++-style init over
+    * the other; every cell trains with the hash-sampled init over
     * the sampled pool. */
   val curveCfgs: Seq[(Int, Int, String)] = Seq(
     (16, 2, "k16_i2"), (16, 8, "k16_i8"),
@@ -746,8 +727,11 @@ object Pq {
     * that ADC vs SDC moves recall only 0.224→0.236 while the ceiling
     * sat at ~0.24-0.30 — the CODEBOOK, not the lookup metric, is the
     * limiter; this curve is the measured basis for choosing its budget
-    * against a recall SLO (at sf0.01: k=16 ≈ 0.19-0.24, k=64 ≈ 0.40,
-    * k=256 ≈ 0.68 — size dominates, extra Lloyd rounds fine-tune).
+    * against a recall SLO (at sf0.01 under the r16 hash-sampled init:
+    * k=16 ≈ 0.20-0.21, k=64 ≈ 0.37, k=256 ≈ 0.66-0.67 — size
+    * dominates, extra Lloyd rounds fine-tune; the farthest-first init
+    * this replaced measured within 0.01-0.03 recall at every cell, so
+    * the budget ordering the curve exists to report is unchanged).
     *
     * Scale shape: training cost is driver-side kB work per cell; each
     * cell's corpus cost is the standard PQ search plan against
@@ -810,14 +794,24 @@ object Pq {
   private def d2Sql(a: String, b: String): String =
     s"list_dot_product($a, $a) + list_dot_product($b, $b) - 2 * list_dot_product($a, $b)"
 
-  /** One curve cell's full DuckDB query (pool → recursive
-    * farthest-first seeds → unrolled Lloyd → encode → ADC top-k),
-    * self-contained so [[pqRecallCurveSql]] can nest one per config.
-    * The recursive `ff` CTE replays [[seedsFromPool]] exactly: the
-    * working set carries every pool point's min-distance-to-chosen, the
-    * per-step window argmax (mind DESC, vec_id ASC) IS the next seed,
-    * and steps with no positive distance left contribute nothing (the
-    * traversal's early stop). */
+  /** (d², cid) lexicographic argmin as ONE hash-aggregable scalar:
+    * d² · 2⁶³ + cid in HUGEINT (128-bit; d² of int8 subvectors is an
+    * exact small integer, cid a non-negative vec_id, so the packing is
+    * collision-free and order-preserving). `arg_min` over this key
+    * replaces a `row_number() OVER (PARTITION BY vec_id, sub ORDER BY
+    * d², cid)` window — same pick, but a parallel hash aggregate
+    * instead of sorting the vecs×k joined frame (the measured
+    * dominant cost of the sampled-cfg oracles once the seed walk was
+    * gone: WINDOW over 1.02M rows per Lloyd round, SCALING.md r16). */
+  private def argminKeySql(d2: String, cid: String): String =
+    s"CAST($d2 AS HUGEINT) * 9223372036854775808::HUGEINT + CAST($cid AS HUGEINT)"
+
+  /** One curve cell's full DuckDB query (pool → hash-prefix seeds →
+    * unrolled Lloyd → encode → ADC top-k), self-contained so
+    * [[pqRecallCurveSql]] can nest one per config. Seeds replay
+    * [[seedsFromPool]] exactly: the pool is hash-ranked, the first k
+    * rows per subspace are the seeds (r16 — replaced the recursive
+    * farthest-first CTE, the oracle suite's measured cost tail). */
   private[ann] def pqSampledCfgSql(queryMaxId: Long, topK: Int, m: Int,
                                    k: Int, iters: Int,
                                    source: String = "embeddings",
@@ -830,11 +824,11 @@ object Pq {
     val lloyd = (1 until iters).map { it =>
       val prev = if (it == 1) "seeds" else s"c${it - 1}"
       s"""a$it AS MATERIALIZED (
-         |  SELECT vec_id, sub, cid, svec FROM (
-         |    SELECT s.vec_id, s.sub, c.cid, s.svec,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
-         |        ${d2Sql("s.svec", "c.cvec")}, c.cid) AS rn
-         |    FROM pool s JOIN $prev c USING (sub)) WHERE rn = 1),
+         |  SELECT s.vec_id, s.sub,
+         |    arg_min(c.cid, ${argminKeySql(d2Sql("s.svec", "c.cvec"), "c.cid")}) AS cid,
+         |    s.svec
+         |  FROM pool s JOIN $prev c USING (sub)
+         |  GROUP BY s.vec_id, s.sub, s.svec),
          |px$it AS MATERIALIZED (
          |  SELECT sub, cid, unnest(svec) AS code,
          |         unnest(range(1, len(svec) + 1)) AS pos
@@ -847,7 +841,7 @@ object Pq {
          |  GROUP BY sub, cid),""".stripMargin
     }.mkString("\n")
     val cLast = if (iters > 1) s"c${iters - 1}" else "seeds"
-    s"""WITH RECURSIVE
+    s"""WITH
        |q AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
@@ -870,35 +864,15 @@ object Pq {
        |pool AS MATERIALIZED (
        |  SELECT s.sub, s.vec_id, s.svec, v.hr
        |  FROM sv s JOIN poolv v USING (vec_id)),
-       |ff AS (
-       |  SELECT 1 AS step, p.sub, p.vec_id, p.svec,
-       |         ${d2Sql("p.svec", "s.svec")} AS mind
-       |  FROM pool p JOIN (SELECT sub, svec FROM pool WHERE hr = 1) s
-       |    USING (sub)
-       |  UNION ALL
-       |  SELECT f.step + 1, f.sub, f.vec_id, f.svec,
-       |         least(f.mind, ${d2Sql("f.svec", "f.ns")})
-       |  FROM (
-       |    SELECT f.*, first_value(f.svec) OVER (
-       |             PARTITION BY f.sub ORDER BY f.mind DESC, f.vec_id) AS ns
-       |    FROM ff f) f
-       |  WHERE f.step < ${k - 1}),
        |seeds AS MATERIALIZED (
-       |  SELECT DISTINCT sub, vec_id AS cid, svec AS cvec FROM (
-       |    SELECT sub, vec_id, svec FROM pool WHERE hr = 1
-       |    UNION ALL
-       |    SELECT sub, vec_id, svec FROM (
-       |      SELECT sub, vec_id, svec,
-       |             row_number() OVER (PARTITION BY sub, step
-       |               ORDER BY mind DESC, vec_id) AS rn
-       |      FROM ff WHERE mind > 0) WHERE rn = 1)),
+       |  SELECT sub, vec_id AS cid, svec AS cvec FROM pool
+       |  WHERE hr <= $k),
        |$lloyd
        |codes AS MATERIALIZED (
-       |  SELECT vec_id, sub, cid AS code FROM (
-       |    SELECT s.vec_id, s.sub, c.cid,
-       |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
-       |        ${d2Sql("s.svec", "c.cvec")}, c.cid) AS rn
-       |    FROM sv s JOIN $cLast c USING (sub)) WHERE rn = 1),
+       |  SELECT s.vec_id, s.sub,
+       |    arg_min(c.cid, ${argminKeySql(d2Sql("s.svec", "c.cvec"), "c.cid")}) AS code
+       |  FROM sv s JOIN $cLast c USING (sub)
+       |  GROUP BY s.vec_id, s.sub),
        |rsv AS MATERIALIZED (
        |  SELECT vec_id, j.sub,
        |         rvec[j.sub * (len(rvec) // $m) + 1 :
