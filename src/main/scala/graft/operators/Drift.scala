@@ -143,15 +143,20 @@ object Drift {
         greatest(col("prev_ppm"), lit(1L)).cast("double"))
     windowMixDrift(events, windowMs)
       .groupBy("window_start_ms")
-      .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+      // boundary-stable fixed-point sum (r16): sf0.1 surfaced windows
+      // whose exact psi sits ON the 4 dp half boundary, where
+      // round(sum(round(c,6)),4) let the engines' summation order
+      // pick the side — see FixedPoint.sum6Round4
+      .agg(FixedPoint.sum6Round4(contrib).as("psi"),
         count(lit(1)).cast("int").as("n_types"))
   }
 
   def windowPsiSql(windowMs: Long = 60000L): String =
     s"""SELECT window_start_ms,
-       |       round(sum(round(((ppm - prev_ppm) / 1e6) *
-       |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
-       |            CAST(greatest(prev_ppm, 1) AS DOUBLE)), 6)), 4) AS psi,
+       |       ${FixedPoint.sum6Round4Sql(
+               """((ppm - prev_ppm) / 1e6) *
+                 |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
+                 |            CAST(greatest(prev_ppm, 1) AS DOUBLE))""".stripMargin)} AS psi,
        |       CAST(count(*) AS INT) AS n_types
        |FROM (${windowMixDriftSql(windowMs)})
        |GROUP BY window_start_ms""".stripMargin
@@ -366,7 +371,9 @@ object Drift {
     eventTypeDrift(events)
       .select(col("event_type"), col("ppm_early"), col("ppm_late"),
         round(contrib, 6).as("psi_contrib"))
-      .withColumn("psi_total", round(sum(round(contrib, 6)).over(w), 4))
+      // boundary-stable total (r16, FixedPoint.sum6Round4 rationale)
+      .withColumn("psi_total",
+        FixedPoint.units6To4(sum(FixedPoint.units6(contrib)).over(w)))
   }
 
   def psiDriftSql: String =
@@ -379,7 +386,8 @@ object Drift {
        |  FROM etd)
        |SELECT event_type, ppm_early, ppm_late,
        |       round(contrib, 6) AS psi_contrib,
-       |       round(sum(round(contrib, 6)) OVER (), 4) AS psi_total
+       |       ${FixedPoint.units6To4Sql(
+              s"sum(${FixedPoint.units6Sql("contrib")}) OVER ()")} AS psi_total
        |FROM c""".stripMargin
 
   def eventTypeDriftSql: String =
@@ -437,7 +445,9 @@ object Drift {
       .withColumn("ppm_late", expr("n_late * 1000000 div nullif(tl, 0)"))
       .select(col("cluster"), col("ppm_early"), col("ppm_late"),
         round(contrib, 6).as("psi_contrib"))
-      .withColumn("psi_total", round(sum(round(contrib, 6)).over(w), 4))
+      // boundary-stable total (r16, FixedPoint.sum6Round4 rationale)
+      .withColumn("psi_total",
+        FixedPoint.units6To4(sum(FixedPoint.units6(contrib)).over(w)))
   }
 
   /** DuckDB twin: [[graft.ann.KMeans.assignSql]] as the binning CTE,
@@ -467,6 +477,7 @@ object Drift {
        |  FROM p)
        |SELECT cluster, ppm_early, ppm_late,
        |       round(contrib, 6) AS psi_contrib,
-       |       round(sum(round(contrib, 6)) OVER (), 4) AS psi_total
+       |       ${FixedPoint.units6To4Sql(
+              s"sum(${FixedPoint.units6Sql("contrib")}) OVER ()")} AS psi_total
        |FROM x""".stripMargin
 }

@@ -940,7 +940,7 @@ object CurateIngest {
         greatest(col("prev_ppm"), lit(1L)).cast("double"))
     graft.operators.Drift.mixDriftOfCounts(counts)
       .groupBy(col("window_start_ms").as("shard_id"))
-      .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+      .agg(graft.operators.FixedPoint.sum6Round4(contrib).as("psi"),
         count(lit(1)).cast("int").as("n_langs"))
   }
 
@@ -981,9 +981,10 @@ object CurateIngest {
        |           AS prev_ppm
        |  FROM ppmt)
        |SELECT shard_id,
-       |       round(sum(round(((ppm - prev_ppm) / 1e6) *
-       |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
-       |            CAST(greatest(prev_ppm, 1) AS DOUBLE)), 6)), 4) AS psi,
+       |       ${graft.operators.FixedPoint.sum6Round4Sql(
+              """((ppm - prev_ppm) / 1e6) *
+                |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
+                |            CAST(greatest(prev_ppm, 1) AS DOUBLE))""".stripMargin)} AS psi,
        |       CAST(count(*) AS INT) AS n_langs
        |FROM lagd WHERE prev_ppm IS NOT NULL
        |GROUP BY 1""".stripMargin
@@ -1021,7 +1022,7 @@ object CurateIngest {
         greatest(col("prev_ppm"), lit(1L)).cast("double"))
     graft.operators.Drift.mixDriftOfCounts(counts)
       .groupBy(col("window_start_ms").as("shard_id"))
-      .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+      .agg(graft.operators.FixedPoint.sum6Round4(contrib).as("psi"),
         count(lit(1)).cast("int").as("n_bins"))
   }
 
@@ -1059,7 +1060,7 @@ object CurateIngest {
         greatest(col("prev_ppm"), lit(1L)).cast("double"))
     graft.operators.Drift.mixDriftOfCounts(counts)
       .groupBy(col("window_start_ms").as("shard_id"))
-      .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+      .agg(graft.operators.FixedPoint.sum6Round4(contrib).as("psi"),
         count(lit(1)).cast("int").as("n_bins"))
   }
 
@@ -1100,9 +1101,10 @@ object CurateIngest {
        |           AS prev_ppm
        |  FROM ppmt)
        |SELECT shard_id,
-       |       round(sum(round(((ppm - prev_ppm) / 1e6) *
-       |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
-       |            CAST(greatest(prev_ppm, 1) AS DOUBLE)), 6)), 4) AS psi,
+       |       ${graft.operators.FixedPoint.sum6Round4Sql(
+              """((ppm - prev_ppm) / 1e6) *
+                |         ln(CAST(greatest(ppm, 1) AS DOUBLE) /
+                |            CAST(greatest(prev_ppm, 1) AS DOUBLE))""".stripMargin)} AS psi,
        |       CAST(count(*) AS INT) AS n_bins
        |FROM lagd WHERE prev_ppm IS NOT NULL
        |GROUP BY 1""".stripMargin

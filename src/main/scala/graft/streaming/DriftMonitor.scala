@@ -283,7 +283,7 @@ object DriftMonitor {
     def chain(c: DataFrame): DataFrame =
       graft.operators.Drift.mixDriftOfCounts(c)
         .groupBy(col("window_start_ms").as("batch_id"))
-        .agg(round(sum(round(contrib, 6)), 4).as("psi"),
+        .agg(graft.operators.FixedPoint.sum6Round4(contrib).as("psi"),
           count(lit(1)).cast("int").as("n_keys"))
     if (axis != ScoreAxis) chain(counts.localCheckpoint())
     else {
