@@ -1145,6 +1145,19 @@ object ScaleSoak {
   }
 
   def main(args: Array[String]): Unit = {
+    // heap banner: build.sbt forks with -Xmx${SPARK_DRIVER_MEM:-8g},
+    // and a soak silently run at the 8 GB default produces a DIFFERENT
+    // MEMORY REGIME (r16: fullfunnel died shard-over-shard on hash-
+    // relation OOM, scrubskew spill magnitudes inflated — both at 8 GB
+    // while the r13 tables were measured at 48 GB+). Every soak log
+    // now carries the heap so a regime mismatch is attributable from
+    // the table alone; big families want SPARK_DRIVER_MEM=48g+.
+    val maxHeapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    println(s"[soak] heap maxGB=$maxHeapGb " +
+      s"(SPARK_DRIVER_MEM=${sys.env.getOrElse("SPARK_DRIVER_MEM", "unset, 8g default")})")
+    if (maxHeapGb < 30)
+      println("[soak] WARNING: heap < 30 GB — large-corpus arms will " +
+        "spill/OOM in a regime the committed tables were not measured in")
     val spark = Engine.sessionBuilder(Engine.envCores(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fams = if (args.isEmpty) Seq("cc", "salt", "kmeans", "pagerank")
