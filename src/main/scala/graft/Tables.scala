@@ -21,10 +21,27 @@ object Tables {
     * core. The cheap row shuffle buys full parallelism. Adaptive: when
     * the input already has enough splits (the 100 TB case — thousands of
     * row groups), this is a no-op, so operators that call it don't pay a
-    * gratuitous full-corpus shuffle at scale. */
+    * gratuitous full-corpus shuffle at scale.
+    *
+    * The partition-count probe must NOT touch `df.rdd` on a plan that
+    * contains a shuffle: under AQE, `.rdd` materializes every upstream
+    * query stage to finalize the plan, and the probe's result is then
+    * thrown away — the caller's action re-executes the whole upstream
+    * (measured r16: `curateDocs(scrub)` ran the scrub pipeline TWICE,
+    * 4.0 s vs 1.6 s for the scrub itself). A plan that already has an
+    * exchange needs no spread anyway — its post-shuffle width is
+    * conf-governed (shuffle.partitions = cores here, and AQE's
+    * parallelismFirst coalescing keeps ~defaultParallelism partitions) —
+    * so the probe is only taken on shuffle-free plans, where `.rdd` is
+    * pure planning (no jobs run). */
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= par) df.repartition(par) else df
+    val hasShuffle = df.queryExecution.sparkPlan.find {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }.isDefined
+    if (hasShuffle) df
+    else if (df.rdd.getNumPartitions * 2 <= par) df.repartition(par) else df
   }
 
   /** events.parquet has shipped `ts` as parquet TIMESTAMP(NANOS) —

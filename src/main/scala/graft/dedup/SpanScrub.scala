@@ -108,15 +108,30 @@ object SpanScrub {
                  k: Int = 40): (DataFrame, DataFrame) = {
     val base = shard.select(col("doc_id"), col("text"))
     val grams = fpGrams(base, k)
-    val hitCuts = grams.join(gramStore, Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
-    val novel = grams.join(gramStore, Seq("gram"), "left_anti")
+    // ONE store probe + ONE first-occurrence window over a single
+    // pinned frame, serving BOTH outputs. The previous shape probed
+    // the store twice (semi + anti) and, because the two outputs are
+    // consumed in different ACTIONS by every caller (the scrubbed text
+    // in the result DAG, the novel grams in the store-update
+    // checkpoint), re-executed the whole gram window per shard —
+    // measured r16: the per-shard store join + window ran 2× in every
+    // incremental loop. `__in` marks store membership via a left join
+    // (precondition: the store is gram-distinct, which every
+    // incremental loop maintains — novel grams are emitted rn=1-deduped
+    // and a stored gram can never be novel again); rn is the
+    // within-shard occurrence rank. Store-hit occurrences are all
+    // cuts; novel occurrences cut from rn>1 (identical to ranking the
+    // novel subset alone, since store membership is per-gram).
     val wS = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
-    val novelRn = novel.withColumn("rn", row_number().over(wS))
-    val selfCuts = novelRn.filter(col("rn") > 1)
+    val marked = grams
+      .join(gramStore.withColumn("__in", lit(1)), Seq("gram"), "left")
+      .withColumn("rn", row_number().over(wS))
+      .localCheckpoint()
+    val cuts = marked.filter(col("__in") === 1 || col("rn") > 1)
       .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
-    val scrubbed = rebuildFromCuts(base, hitCuts.unionByName(selfCuts))
-    (scrubbed, novelRn.filter(col("rn") === 1).select(col("gram")))
+    val scrubbed = rebuildFromCuts(base, cuts)
+    (scrubbed,
+      marked.filter(col("__in").isNull && col("rn") === 1).select(col("gram")))
   }
 
   /** [[scrubShard]] against a SPLIT store — (bucketed compacted gram

@@ -44,16 +44,26 @@ object LabelProp {
     * run the identical iteration over its accumulated edge store —
     * same code path, so streaming == batch is structural. */
   def labelsFromEdges(edges: DataFrame, seeds: DataFrame,
-                      iters: Int = 3): DataFrame = {
+                      iters: Int = 3,
+                      broadcastLabels: Boolean = true): DataFrame = {
     var labels = seeds.localCheckpoint()
     val rn = row_number().over(Window.partitionBy(col("dst"))
       .orderBy(col("sw").desc, col("label")))
+    // The label table is node-sized — the same size class as
+    // [[PageRank.iterate]]'s rank table, so it rides the same
+    // broadcast-vs-shuffle decision: callers gate on |V| (see
+    // [[labelPropagation]]). Without the hint, the checkpointed label
+    // RDD has no stats (defaultSizeInBytes), so the static plan
+    // SMJ-sorts the EDGE table against it every round; AQE can only
+    // rescue this at runtime, one materialized stage late.
+    def lab(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
     for (r <- 1 to iters) {
       val fresh = edges
-        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .join(lab(labels.select(col("node").as("src"), col("label"))), "src")
         .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("sw"))
         .withColumn("rn", rn).filter(col("rn") === 1)
-        .join(labels.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .join(lab(labels.select(col("node").as("dst"))), Seq("dst"), "left_anti")
         .select(col("dst").as("node"), col("label"),
           lit(r.toLong).as("round"))
       labels = labels.unionByName(fresh).localCheckpoint()
@@ -78,9 +88,16 @@ object LabelProp {
 
   def labelPropagation(orders: DataFrame, lineitem: DataFrame,
                        customer: DataFrame, seedMax: Long = 30,
-                       iters: Int = 3): DataFrame =
-    labelsFromEdges(edgesOf(orders, lineitem),
-      nationSeeds(customer, seedMax), iters)
+                       iters: Int = 3,
+                       broadcastMaxNodes: Long =
+                         PageRank.DefaultBroadcastMaxNodes): DataFrame = {
+    val edges = edgesOf(orders, lineitem)
+    // |V| from the materialized edge table — one bounded count, the
+    // PageRank gate applied to the label table (labels ≤ |V| rows)
+    val n = edges.select(col("dst")).distinct().count()
+    labelsFromEdges(edges, nationSeeds(customer, seedMax), iters,
+      broadcastLabels = n <= broadcastMaxNodes)
+  }
 
   /** DuckDB twin: the rounds unrolled as CTE pairs (candidate argmax,
     * then the fill-only union) — the [[PageRank.supplierRankSql]]

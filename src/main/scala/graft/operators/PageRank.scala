@@ -98,7 +98,13 @@ object PageRank {
       val contrib = edges.join(rankSide, col("src") === col("node"))
         .select(col("dst"), expr("pr * w div ow").as("cb"))
         .groupBy("dst").agg(sum("cb").as("cs"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+      // contrib is ≤ |V| rows — the same size class as the rank table —
+      // so it rides the same broadcast gate: below the threshold the
+      // rank-update join is a map-side BHJ (the initial plan otherwise
+      // SMJ-sorts BOTH sides per iteration — 2 exchanges + 2 sorts × 5
+      // iterations that AQE can only partially rescue at runtime)
+      val contribSide = if (broadcastRanks) broadcast(contrib) else contrib
+      ranks = nodes.join(contribSide, col("node") === col("dst"), "left")
         .select(col("node"), (teleport +
           expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("pr"))
     }

@@ -189,9 +189,16 @@ object CurateIngest {
       val (kept, fps, sigs) = ingestShardStrict(shard, fpStore, store,
         minQualityPm, langs, minEstJaccard)
       outs = outs :+ kept.withColumn("shard_id", lit(i.toLong))
-      fpStore = fpStore.unionByName(fps).distinct().localCheckpoint()
-      sigStore = (if (sigStore == null) sigs
-        else sigStore.unionByName(sigs)).localCheckpoint()
+      // independent store updates as concurrent jobs (guide §2.6; same
+      // rationale as [[incrCurateFullStrict]])
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
+      val fSig = Future((if (sigStore == null) sigs
+        else sigStore.unionByName(sigs)).localCheckpoint())
+      fpStore = Await.result(fFp, Duration.Inf)
+      sigStore = Await.result(fSig, Duration.Inf)
     }
     outs.reduce(_ unionByName _)
       .select(col("doc_id"), col("shard_id"), col("lang_pred"),
@@ -271,10 +278,24 @@ object CurateIngest {
       outs = outs :+ kept.join(
         contaminatedIds(kept, scrubbed, bench, n, benchMaxId, maxContamPm),
         Seq("doc_id"), "left_anti")
-      gramStore = gramStore.unionByName(novel).localCheckpoint()
-      fpStore = fpStore.unionByName(fps).distinct().localCheckpoint()
-      sigStore = (if (sigStore == null) sigs
-        else sigStore.unionByName(sigs)).localCheckpoint()
+      // the three store updates are mutually independent — materialize
+      // them as CONCURRENT jobs (guide §2.6: actions are only
+      // sequential because the driver calls them sequentially; the
+      // scheduler happily back-fills). Each checkpoint's result is
+      // identical to the sequential form — only the wall-clock of the
+      // per-shard store-maintenance barrier changes (3 job latencies
+      // → ~1). Futures block before the next shard, which needs all
+      // three stores.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fGram = Future(gramStore.unionByName(novel).localCheckpoint())
+      val fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
+      val fSig = Future((if (sigStore == null) sigs
+        else sigStore.unionByName(sigs)).localCheckpoint())
+      gramStore = Await.result(fGram, Duration.Inf)
+      fpStore = Await.result(fFp, Duration.Inf)
+      sigStore = Await.result(fSig, Duration.Inf)
     }
     outs.reduce(_ unionByName _)
       .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
