@@ -60,6 +60,101 @@ object Profile16 {
           noop(graft.streaming.CurateIngest.incrCurateFullStrict(docs))
         }
       }
+      if (what == "rebuildAB") {
+        val docs = Tables.documents(spark, sfDir)
+        val base = Tables.spread(docs).select(col("doc_id"), col("text"))
+        val k = 40
+        val grams = graft.dedup.SpanScrub.fpGrams(base, k)
+        val wG = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
+        val cuts = grams.withColumn("rn", row_number().over(wG))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
+          .localCheckpoint()
+        def rebuildNew(base: org.apache.spark.sql.DataFrame,
+                       cuts: org.apache.spark.sql.DataFrame) = {
+          val merged = cuts.groupBy(col("doc_id"))
+            .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cs"))
+            .select(col("doc_id"), expr(
+              """aggregate(cs, cast(array() as array<struct<s:bigint,e:bigint>>),
+                 (acc, x) -> if(size(acc) > 0 AND x.s <= element_at(acc, -1).e + 1,
+                   concat(slice(acc, 1, size(acc) - 1),
+                     array(named_struct('s', element_at(acc, -1).s,
+                       'e', greatest(element_at(acc, -1).e, x.e)))),
+                   concat(acc, array(named_struct('s', x.s, 'e', x.e)))))"""
+            ).as("isl"))
+          base.join(merged, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(size(col("isl")), lit(0)).as("n_cut_spans"),
+              coalesce(expr("aggregate(isl, cast(0 as bigint), (a, x) -> a + x.e - x.s + 1)"),
+                lit(0L)).as("cut_chars"),
+              when(col("isl").isNull, col("text")).otherwise(expr(
+                """aggregate(isl, named_struct('p', cast(0 as bigint), 't', ''),
+                   (a, x) -> named_struct('p', x.e,
+                     't', concat(a.t, substr(text, cast(a.p + 1 as int),
+                                             cast(x.s - a.p - 1 as int)))),
+                   a -> concat(a.t, substr(text, cast(a.p + 1 as int))))"""))
+                .as("text_clean"))
+        }
+        t("rbA.current") {
+          noop(graft.dedup.SpanScrub.rebuildFromCuts(base, cuts))
+        }
+        t("rbB.hof") { noop(rebuildNew(base, cuts)) }
+        // equality check
+        val aDf = graft.dedup.SpanScrub.rebuildFromCuts(base, cuts)
+        val bDf = rebuildNew(base, cuts)
+        val d1 = aDf.exceptAll(bDf).count()
+        val d2 = bDf.exceptAll(aDf).count()
+        println(s"[p16] rebuild equal: exceptA=$d1 exceptB=$d2")
+      }
+      if (what == "scrubAB") {
+        val docs = Tables.documents(spark, sfDir)
+        val base = Tables.spread(docs).select(col("doc_id"), col("text"))
+        val grams = graft.dedup.SpanScrub.fpGrams(base, 40)
+        val k = 40
+        t("scrubA.window-cuts") {
+          val wG = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
+          noop(grams.withColumn("rn", row_number().over(wG))
+            .filter(col("rn") > 1)
+            .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e")))
+        }
+        t("scrubB.minagg-cuts") {
+          val firsts = grams.groupBy(col("gram"))
+            .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+          noop(grams.join(firsts, "gram")
+            .filter(!(col("doc_id") === col("f.doc_id") && col("i") === col("f.i")))
+            .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e")))
+        }
+        t("scrubC.minagg-shj-cuts") {
+          val firsts = grams.groupBy(col("gram"))
+            .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+          noop(grams.hint("SHUFFLE_HASH").join(firsts, "gram")
+            .filter(!(col("doc_id") === col("f.doc_id") && col("i") === col("f.i")))
+            .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e")))
+        }
+        t("scrubD.full-window (prod)") {
+          noop(graft.dedup.SpanScrub.spanScrubFp(docs))
+        }
+      }
+      if (what == "aqe") {
+        val docs = Tables.documents(spark, sfDir)
+        for (aqe <- Seq("true", "false", "true", "false")) {
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          val jobs = new java.util.concurrent.atomic.AtomicInteger
+          val l = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          }
+          spark.sparkContext.addSparkListener(l)
+          t(s"aqe=$aqe incrCurateFullStrict") {
+            noop(graft.streaming.CurateIngest.incrCurateFullStrict(docs))
+          }
+          spark.sparkContext.removeSparkListener(l)
+          println(s"[p16]   jobs=${jobs.get}")
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
       if (what == "shard") {
         val docs = Tables.documents(spark, sfDir)
         import spark.implicits._
@@ -122,7 +217,8 @@ object Profile16 {
         val l = new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             jobs.incrementAndGet()
-            val cs = Option(e.properties.getProperty("callSite.short")).getOrElse("?")
+            val cs = e.stageInfos.lastOption.map(_.name.takeWhile(_ != '+'))
+              .getOrElse("?")
             sites.merge(cs, 1, (a, b) => a + b)
           }
           override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

@@ -919,7 +919,13 @@ object CurateIngest {
     import graft.dedup.Dedup.numHashes
     val gated = gated0.localCheckpoint()
     val fresh = freshAgainstStore(gated, fpStore).localCheckpoint()
-    val newBands = sigBands(fresh).localCheckpoint()
+    // NOT pinned: sigBands is a narrow map over the pinned `fresh`
+    // (native minhash_sigs + posexplode, zero exchanges), so its two
+    // consumers (the store-collision probe here and the caller's sig
+    // store append) re-run a cheap shard-sized map instead of paying a
+    // materialization barrier per shard (r16: the loop families are
+    // job-latency-bound, ~50 jobs/shard measured)
+    val newBands = sigBands(fresh)
     val matches = (0 until numHashes)
       .map(i => when(col(s"n.h$i") === col(s"o.h$i"), 1).otherwise(0))
       .reduce(_ + _)
