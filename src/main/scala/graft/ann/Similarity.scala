@@ -294,8 +294,12 @@ object Similarity {
     * nothing a 100 TB corpus would notice beyond the three index scans
     * it audits. */
   def annRecall(embs: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
+    // pinned: the brute truth table is broadcast into EVERY method's
+    // intersection join plus the n_possible aggregate — unpinned it
+    // re-ran the full query×corpus scoring 9 times per recall run
+    // (the same consumed->1x rule opqRecall/pqRecallCurve follow)
     val brute = knnBrute(embs, queryMaxId, k)
-      .select(col("query_id"), col("vec_id"))
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
     val possible = brute.agg(count(lit(1)).as("n_possible"))
     // the two PQ searches share ONE trained index (codebook + codes),
     // and the two LSH rows share ONE signature table — identical
