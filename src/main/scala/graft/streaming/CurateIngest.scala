@@ -126,16 +126,33 @@ object CurateIngest {
                   minQualityPm: Long = 600,
                   langs: Seq[String] = Seq("en", "de"))
       : (DataFrame, DataFrame) = {
+    val (keptThunk, fps) = ingestShardDeferred(shard, fpStore,
+      minQualityPm, langs)
+    (keptThunk(), fps)
+  }
+
+  /** [[ingestShard]] with the survivor tail deferred as a thunk — the
+    * same split as [[ingestShardStrictGatedDeferred]]: the fps the
+    * next shard's store needs come straight from the gated shard, so
+    * the fresh checkpoint + keep-best clustering (eager bounded CC
+    * actions) can run on a background thread while the loop advances. */
+  private[graft] def ingestShardDeferred(shard: DataFrame,
+                                         fpStore: DataFrame,
+                                         minQualityPm: Long = 600,
+                                         langs: Seq[String] = Seq("en", "de"))
+      : (() => DataFrame, DataFrame) = {
     // gate ONCE: the 7 scoring regexes are the measured dominant cost
     // of this stage (the Clusters.dropsBest rescore lesson), and both
     // the survivor chain and the fps append read the gated shard
     val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
-    val fresh = freshAgainstStore(gated, fpStore).localCheckpoint()
-    val kept = fresh
-      .join(Clusters.dropsBest(fresh), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
-        col("n_chars"))
-    (kept, gated.select(col("fingerprint")).distinct())
+    val keptThunk = () => {
+      val fresh = freshAgainstStore(gated, fpStore).localCheckpoint()
+      fresh
+        .join(Clusters.dropsBest(fresh), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+          col("n_chars"))
+    }
+    (keptThunk, gated.select(col("fingerprint")).distinct())
   }
 
   /** The whole id-ordered ingestion as one deterministic loop — the
@@ -150,15 +167,21 @@ object CurateIngest {
     import spark.implicits._
     val nShards = ((maxId + shardSize - 1) / shardSize).toInt
     var store = Seq.empty[String].toDF("fingerprint")
-    var outs = List.empty[DataFrame]
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var outs = List.empty[Future[DataFrame]]
     for (i <- 0 until nShards) {
       val shard = docs.filter(col("doc_id") >= i * shardSize &&
         col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
-      val (kept, fps) = ingestShard(shard, store, minQualityPm, langs)
-      outs = outs :+ kept.withColumn("shard_id", lit(i.toLong))
+      val (keptThunk, fps) = ingestShardDeferred(shard, store,
+        minQualityPm, langs)
+      // survivor tail overlaps the next shard's store work (§2.6;
+      // same split as the strict loops)
+      outs = outs :+ Future(keptThunk().withColumn("shard_id", lit(i.toLong)))
       store = store.unionByName(fps).distinct().localCheckpoint()
     }
-    outs.reduce(_ unionByName _)
+    outs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
       .select(col("doc_id"), col("shard_id"), col("lang_pred"),
         col("quality_pm"), col("n_chars"))
   }
@@ -180,27 +203,30 @@ object CurateIngest {
     val nShards = ((maxId + shardSize - 1) / shardSize).toInt
     var fpStore = Seq.empty[String].toDF("fingerprint")
     var sigStore: DataFrame = null
-    var outs = List.empty[DataFrame]
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var outs = List.empty[Future[DataFrame]]
     for (i <- 0 until nShards) {
       val shard = docs.filter(col("doc_id") >= i * shardSize &&
         col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
       val store = if (sigStore == null)
         sigBands(docs.limit(0).select(col("doc_id"), col("text"))) else sigStore
-      val (kept, fps, sigs) = ingestShardStrict(shard, fpStore, store,
-        minQualityPm, langs, minEstJaccard)
-      outs = outs :+ kept.withColumn("shard_id", lit(i.toLong))
+      val (keptThunk, fps, sigs) = ingestShardStrictGatedDeferred(
+        gateShard(shard, minQualityPm, langs), fpStore, store, minEstJaccard)
+      // survivor tail on a background thread: shard i's keep-best
+      // clustering (eager bounded CC actions) overlaps shard i+1's
+      // store-bound stages — the stores below never read it (§2.6)
+      outs = outs :+ Future(keptThunk().withColumn("shard_id", lit(i.toLong)))
       // independent store updates as concurrent jobs (guide §2.6; same
       // rationale as [[incrCurateFullStrict]])
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       val fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
       val fSig = Future((if (sigStore == null) sigs
         else sigStore.unionByName(sigs)).localCheckpoint())
       fpStore = Await.result(fFp, Duration.Inf)
       sigStore = Await.result(fSig, Duration.Inf)
     }
-    outs.reduce(_ unionByName _)
+    outs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
       .select(col("doc_id"), col("shard_id"), col("lang_pred"),
         col("quality_pm"), col("n_chars"))
   }
@@ -249,7 +275,10 @@ object CurateIngest {
     var gramStore = Seq.empty[Long].toDF("gram")
     var fpStore = Seq.empty[String].toDF("fingerprint")
     var sigStore: DataFrame = null
-    var outs = List.empty[DataFrame]
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var outs = List.empty[Future[DataFrame]]
     for (i <- 0 until nShards) {
       val shard0 = docs.filter(col("doc_id") >= i * shardSize &&
         col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
@@ -273,11 +302,18 @@ object CurateIngest {
       val gated = if (gopherGate)
         gateShardGopher(scrubbed, minQualityPm, langs)
       else gateShard(scrubbed, minQualityPm, langs)
-      val (kept, fps, sigs) = ingestShardStrictGated(gated, fpStore, store,
-        minEstJaccard)
-      outs = outs :+ kept.join(
-        contaminatedIds(kept, scrubbed, bench, n, benchMaxId, maxContamPm),
-        Seq("doc_id"), "left_anti")
+      val (keptThunk, fps, sigs) = ingestShardStrictGatedDeferred(
+        gated, fpStore, store, minEstJaccard)
+      // survivor tail (near-dedup checkpoint + keep-best CC + the
+      // shard-local contamination gate) on a background thread: the
+      // stores the next shard depends on never read it, so shard i's
+      // CC latencies overlap shard i+1's store-bound stages (§2.6)
+      outs = outs :+ Future {
+        val kept = keptThunk()
+        kept.join(
+          contaminatedIds(kept, scrubbed, bench, n, benchMaxId, maxContamPm),
+          Seq("doc_id"), "left_anti")
+      }
       // the three store updates are mutually independent — materialize
       // them as CONCURRENT jobs (guide §2.6: actions are only
       // sequential because the driver calls them sequentially; the
@@ -286,9 +322,6 @@ object CurateIngest {
       // per-shard store-maintenance barrier changes (3 job latencies
       // → ~1). Futures block before the next shard, which needs all
       // three stores.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       val fGram = Future(gramStore.unionByName(novel).localCheckpoint())
       val fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
       val fSig = Future((if (sigStore == null) sigs
@@ -297,7 +330,7 @@ object CurateIngest {
       fpStore = Await.result(fFp, Duration.Inf)
       sigStore = Await.result(fSig, Duration.Inf)
     }
-    outs.reduce(_ unionByName _)
+    outs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
       .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
         col("n_chars"))
   }
@@ -916,6 +949,27 @@ object CurateIngest {
                              sigStore: DataFrame,
                              minEstJaccard: Double = 0.5)
       : (DataFrame, DataFrame, DataFrame) = {
+    val (keptThunk, fps, sigs) =
+      ingestShardStrictGatedDeferred(gated0, fpStore, sigStore, minEstJaccard)
+    (keptThunk(), fps, sigs)
+  }
+
+  /** [[ingestShardStrictGated]] with the survivor tail DEFERRED: the
+    * `kept` pipeline (near-dedup'd shard checkpoint + keep-best
+    * clustering, whose CC path runs eager bounded driver actions) is
+    * returned as a thunk instead of a built frame. The stores the NEXT
+    * shard depends on (fps, sigs) never read that tail, so a loop can
+    * fire the thunk on a background thread and move straight on to
+    * shard i+1 — the per-shard CC latencies of the whole run then
+    * overlap instead of summing (guide §2.6; the r16 job-count
+    * profile put the kept tail at ~1.3 s of each shard's ~2.9 s).
+    * Calling the thunk is exactly the old inline construction —
+    * [[ingestShardStrictGated]] delegates here, so the two entries
+    * cannot diverge. */
+  private[graft] def ingestShardStrictGatedDeferred(
+      gated0: DataFrame, fpStore: DataFrame, sigStore: DataFrame,
+      minEstJaccard: Double = 0.5)
+      : (() => DataFrame, DataFrame, DataFrame) = {
     import graft.dedup.Dedup.numHashes
     val gated = gated0.localCheckpoint()
     val fresh = freshAgainstStore(gated, fpStore).localCheckpoint()
@@ -926,21 +980,23 @@ object CurateIngest {
     // materialization barrier per shard (r16: the loop families are
     // job-latency-bound, ~50 jobs/shard measured)
     val newBands = sigBands(fresh)
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"n.h$i") === col(s"o.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val dropIds = newBands.as("n")
-      .join(sigStore.as("o"),
-        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
-      .filter(round(matches.cast("double") / numHashes, 4) >= minEstJaccard)
-      .select(col("n.doc_id")).distinct()
-    val freshNd = fresh.join(dropIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    val kept = freshNd
-      .join(Clusters.dropsBest(freshNd), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
-        col("n_chars"))
-    (kept, gated.select(col("fingerprint")).distinct(), newBands)
+    val keptThunk = () => {
+      val matches = (0 until numHashes)
+        .map(i => when(col(s"n.h$i") === col(s"o.h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val dropIds = newBands.as("n")
+        .join(sigStore.as("o"),
+          col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+        .filter(round(matches.cast("double") / numHashes, 4) >= minEstJaccard)
+        .select(col("n.doc_id")).distinct()
+      val freshNd = fresh.join(dropIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      freshNd
+        .join(Clusters.dropsBest(freshNd), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
+          col("n_chars"))
+    }
+    (keptThunk, gated.select(col("fingerprint")).distinct(), newBands)
   }
 
   /** Ingestion-side drift monitoring: PSI of the post-gate LANGUAGE
