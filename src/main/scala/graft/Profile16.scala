@@ -2,8 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** r16 scratch profiler: phase-level timing inside the hot queries.
-  * Not driver-facing; deleted at round end. */
+/** r16 optimization-round measurement harness (not driver-facing):
+  * phase-level timings inside the hot queries, job/stage listeners,
+  * and the formulation A/Bs cited in OPTIMIZATION_r16.md (`scrubAB`,
+  * `rebuildAB`, `aqe`, `jobs`, `shard`, `pr2`, `stages` arms). Kept
+  * for reproducibility, like ScaleSoak; the `shard` arm replicates
+  * the PRE-deferral loop structure (a historical probe, not the
+  * production path — see CurateIngest.ingestShard*Deferred). */
 object Profile16 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
