@@ -272,12 +272,18 @@ object CurateIngest {
     val bench = graft.dedup.Dedup.shingles(
         docs.filter(col("doc_id") < benchMaxId && col("doc_id") < maxId), n)
       .select(col("sh")).distinct().localCheckpoint()
-    var gramStore = Seq.empty[Long].toDF("gram")
-    var fpStore = Seq.empty[String].toDF("fingerprint")
-    var sigStore: DataFrame = null
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    var gramStore = Seq.empty[Long].toDF("gram")
+    // fp/sig stores as FUTURES across iterations: shard i+1's HEAD
+    // (scrub vs the gram store, gate) does not read them, so their
+    // materialization from shard i overlaps the next scrub+gate; the
+    // await sits exactly where the first consumer (the exact-dedup
+    // anti-join / the sig collision probe) needs the frame (§2.6)
+    var fFp: Future[DataFrame] =
+      Future.successful(Seq.empty[String].toDF("fingerprint"))
+    var fSig: Future[DataFrame] = null
     var outs = List.empty[Future[DataFrame]]
     for (i <- 0 until nShards) {
       val shard0 = docs.filter(col("doc_id") >= i * shardSize &&
@@ -294,14 +300,19 @@ object CurateIngest {
         .select(col("doc_id"), col("text_clean").as("text"),
           length(col("text_clean")).cast("long").as("n_chars"))
         .localCheckpoint()
-      val store = if (sigStore == null)
-        sigBands(docs.limit(0).select(col("doc_id"), col("text"))) else sigStore
       // gopher on: the repetition rules gate beside quality/lang, on
       // the SCRUBBED text ([[gateShardGopher]] — the 7th FineWeb stage
       // on the incremental path; q_curate_full_incr_gopher's subject)
       val gated = if (gopherGate)
         gateShardGopher(scrubbed, minQualityPm, langs)
       else gateShard(scrubbed, minQualityPm, langs)
+      // first consumers of the fp/sig stores sit in the deferred head
+      // below — await here, AFTER the scrub+gate work the stores'
+      // in-flight materialization was overlapping
+      val fpStore = Await.result(fFp, Duration.Inf)
+      val sigStore = if (fSig == null) null else Await.result(fSig, Duration.Inf)
+      val store = if (sigStore == null)
+        sigBands(docs.limit(0).select(col("doc_id"), col("text"))) else sigStore
       val (keptThunk, fps, sigs) = ingestShardStrictGatedDeferred(
         gated, fpStore, store, minEstJaccard)
       // survivor tail (near-dedup checkpoint + keep-best CC + the
@@ -318,17 +329,15 @@ object CurateIngest {
       // them as CONCURRENT jobs (guide §2.6: actions are only
       // sequential because the driver calls them sequentially; the
       // scheduler happily back-fills). Each checkpoint's result is
-      // identical to the sequential form — only the wall-clock of the
-      // per-shard store-maintenance barrier changes (3 job latencies
-      // → ~1). Futures block before the next shard, which needs all
-      // three stores.
+      // identical to the sequential form. Only the GRAM store blocks
+      // the next iteration (its scrub reads it first); the fp/sig
+      // futures stay in flight into the next shard's scrub+gate, and
+      // are awaited right before their first consumers there.
       val fGram = Future(gramStore.unionByName(novel).localCheckpoint())
-      val fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
-      val fSig = Future((if (sigStore == null) sigs
+      fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
+      fSig = Future((if (sigStore == null) sigs
         else sigStore.unionByName(sigs)).localCheckpoint())
       gramStore = Await.result(fGram, Duration.Inf)
-      fpStore = Await.result(fFp, Duration.Inf)
-      sigStore = Await.result(fSig, Duration.Inf)
     }
     outs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
       .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
