@@ -164,9 +164,6 @@ object Profile16 {
         val docs = Tables.documents(spark, sfDir)
         import spark.implicits._
         import graft.streaming.CurateIngest
-        val bench = graft.dedup.Dedup.shingles(
-            docs.filter(col("doc_id") < 20), 8)
-          .select(col("sh")).distinct().localCheckpoint()
         var gramStore = Seq.empty[Long].toDF("gram")
         var fpStore = Seq.empty[String].toDF("fingerprint")
         var sigStore: org.apache.spark.sql.DataFrame = null

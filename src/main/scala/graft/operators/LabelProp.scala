@@ -45,24 +45,34 @@ object LabelProp {
     * same code path, so streaming == batch is structural. */
   def labelsFromEdges(edges: DataFrame, seeds: DataFrame,
                       iters: Int = 3,
-                      broadcastLabels: Boolean = true): DataFrame = {
+                      broadcastLabels: Boolean = false): DataFrame = {
     var labels = seeds.localCheckpoint()
-    val rn = row_number().over(Window.partitionBy(col("dst"))
-      .orderBy(col("sw").desc, col("label")))
     // The label table is node-sized — the same size class as
     // [[PageRank.iterate]]'s rank table, so it rides the same
-    // broadcast-vs-shuffle decision: callers gate on |V| (see
-    // [[labelPropagation]]). Without the hint, the checkpointed label
+    // broadcast-vs-shuffle decision: EVERY caller gates on |V| against
+    // [[PageRank.DefaultBroadcastMaxNodes]] ([[labelPropagation]],
+    // [[graft.streaming.GraphRank.refreshLabels]]) — the default is the
+    // path that survives an unbounded graph (r17, ADVICE: the streaming
+    // edge store grows without bound, and the PageRank soak measured
+    // ungated node-table broadcasts losing 2-4.5× past 4M nodes).
+    // Under the gate the hint matters because the checkpointed label
     // RDD has no stats (defaultSizeInBytes), so the static plan
     // SMJ-sorts the EDGE table against it every round; AQE can only
     // rescue this at runtime, one materialized stage late.
     def lab(df: DataFrame): DataFrame =
       if (broadcastLabels) broadcast(df) else df
     for (r <- 1 to iters) {
+      // argmax by (sw DESC, label ASC) as a partial-aggregable
+      // max(struct(sw, -label)) instead of a row_number window: the
+      // map side combines the (dst, label) candidate rows before the
+      // exchange and no sort runs (labels are non-negative nation keys,
+      // so the negation is order-exact; r17, guide §2.3/§4).
       val fresh = edges
         .join(lab(labels.select(col("node").as("src"), col("label"))), "src")
         .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("sw"))
-        .withColumn("rn", rn).filter(col("rn") === 1)
+        .groupBy(col("dst"))
+        .agg(max(struct(col("sw"), (-col("label")).as("nl"))).as("best"))
+        .select(col("dst"), (-col("best.nl")).as("label"))
         .join(lab(labels.select(col("node").as("dst"))), Seq("dst"), "left_anti")
         .select(col("dst").as("node"), col("label"),
           lit(r.toLong).as("round"))

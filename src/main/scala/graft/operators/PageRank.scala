@@ -95,18 +95,23 @@ object PageRank {
     var ranks = nodes.select(col("node"), init.as("pr"))
     for (_ <- 1 to iters) {
       val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
-      val contrib = edges.join(rankSide, col("src") === col("node"))
+      // The contribution aggregate's key set IS the node set: the graph
+      // is both-direction by construction ([[graphFromPairs]] emits
+      // every pair reversed), so every node has an in-edge, and the
+      // rank table inductively covers all nodes — the join drops no
+      // edge. The rank update therefore reads straight off the
+      // aggregate (distinct dst = nodes, cs never null), deleting the
+      // per-iteration nodes ⋈ contrib join the previous shape used to
+      // re-attach zero-contribution nodes that cannot exist here
+      // (r17; spec-pinned against the unrolled-CTE oracle, which keeps
+      // the LEFT JOIN form — equal outputs prove the no-dangling-nodes
+      // invariant each run).
+      ranks = edges.join(rankSide, col("src") === col("node"))
         .select(col("dst"), expr("pr * w div ow").as("cb"))
         .groupBy("dst").agg(sum("cb").as("cs"))
-      // contrib is ≤ |V| rows — the same size class as the rank table —
-      // so it rides the same broadcast gate: below the threshold the
-      // rank-update join is a map-side BHJ (the initial plan otherwise
-      // SMJ-sorts BOTH sides per iteration — 2 exchanges + 2 sorts × 5
-      // iterations that AQE can only partially rescue at runtime)
-      val contribSide = if (broadcastRanks) broadcast(contrib) else contrib
-      ranks = nodes.join(contribSide, col("node") === col("dst"), "left")
-        .select(col("node"), (teleport +
-          expr(s"($dampingPct * coalesce(cs, 0L)) div 100")).as("pr"))
+        .select(col("dst").as("node"), col("cs"))
+        .select(col("node"),
+          (teleport + expr(s"($dampingPct * cs) div 100")).as("pr"))
     }
     ranks
   }

@@ -80,11 +80,19 @@ object GraphRank {
     * aggregate is materialized once per refresh so the per-round edge
     * scan reads a checkpoint, not the delta partitions re-grouped. */
   def refreshLabels(spark: SparkSession, statePath: String,
-                    seeds: DataFrame, iters: Int = 3): DataFrame =
-    graft.operators.LabelProp.labelsFromEdges(
-      graft.operators.LabelProp.edgesFromPairs(
-        edgeState(spark, statePath)).localCheckpoint(),
-      seeds, iters)
+                    seeds: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = graft.operators.LabelProp.edgesFromPairs(
+      edgeState(spark, statePath)).localCheckpoint()
+    // |V| gate from the materialized edge table — the same measured
+    // broadcast-vs-shuffle decision the batch labelPropagation applies
+    // (r17, ADVICE: the edge store grows without bound across batches,
+    // so an unconditional label broadcast is exactly the ungated
+    // node-table broadcast the PageRank soak measured dying at scale)
+    val n = edges.select(col("dst")).distinct().count()
+    graft.operators.LabelProp.labelsFromEdges(edges, seeds, iters,
+      broadcastLabels =
+        n <= graft.operators.PageRank.DefaultBroadcastMaxNodes)
+  }
 
   /** The wired pipeline: a stream of (c, s) pair events; each batch
     * writes its delta then overwrites the rank snapshot at `ranksPath`
