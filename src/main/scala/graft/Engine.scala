@@ -52,4 +52,34 @@ object Engine {
   /** Cores from the driver contract's env var, else `default`. */
   def envCores(default: Int): Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(default)
+
+  /** Dedicated pool for driver threads that BLOCK on Spark actions
+    * (guide §2.6 overlap): a cached daemon pool, NOT the global
+    * ForkJoinPool — Spark actions park their thread for the whole job,
+    * and #cores blocked thunks on the global pool starve every other
+    * library using it (and can deadlock nested fan-outs on a fixed
+    * pool). Thread count is bounded by call-site fan-out (2-4 per
+    * operator), never by data. */
+  implicit lazy val blockingPool: scala.concurrent.ExecutionContext = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool { r =>
+        val t = new Thread(r, s"graft-par-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      })
+  }
+
+  /** Run independent Spark-action thunks as CONCURRENT jobs and return
+    * their results in input order — identical values to calling each
+    * thunk sequentially (the scheduler back-fills executors freed by
+    * one job's stragglers with the next job's tasks; actions are only
+    * sequential because a driver calls them sequentially, guide §2.6).
+    * Any thunk failure rethrows at the await, like the sequential
+    * form. */
+  def inParallel[A](thunks: (() => A)*): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val fs = thunks.map(th => Future(th())(blockingPool))
+    fs.map(Await.result(_, Duration.Inf))
+  }
 }

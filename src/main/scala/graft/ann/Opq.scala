@@ -178,12 +178,17 @@ object Opq {
   def opqRecall(embs: DataFrame, queryMaxId: Long = 50, topK: Int = 5,
                 m: Int = Pq.defaultM, k: Int = 256, iters: Int = 8,
                 refine: Int = 4): DataFrame = {
-    val brute = Similarity.knnBrute(embs, queryMaxId, topK)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    // the three legs are independent until the hit counting: brute
+    // truth, the plain-PQ leg (train pool collect + driver Lloyd +
+    // checkpoint — consumed twice: top-k row + refine shortlist), and
+    // the OPQ leg's eager driver work (allocation collect + train pool
+    // + Lloyd) — run them as concurrent jobs (guide §2.6, r17)
+    val Seq(brute, plain, opq) = graft.Engine.inParallel(
+      () => Similarity.knnBrute(embs, queryMaxId, topK)
+        .select(col("query_id"), col("vec_id")).localCheckpoint(),
+      () => adcScored(embs, m, k, iters, queryMaxId).localCheckpoint(),
+      () => adcScored(permute(embs, m), m, k, iters, queryMaxId))
     val possible = brute.agg(count(lit(1)).as("n_possible"))
-    // plain scored is consumed twice (top-k row + refine shortlist)
-    val plain = adcScored(embs, m, k, iters, queryMaxId).localCheckpoint()
-    val opq = adcScored(permute(embs, m), m, k, iters, queryMaxId)
     val refined = Pq.exactRerank(embs, topkOf(plain, refine * topK),
         queryMaxId, topK)
       .select(col("query_id"), col("vec_id"))

@@ -653,11 +653,14 @@ object Pq {
                            topK: Int = 5, kCells: Int = 16, nprobe: Int = 4,
                            m: Int = defaultM, k: Int = 16, iters: Int = 2,
                            refine: Int = 4): DataFrame = {
-    val brute = Similarity.knnBrute(embs, queryMaxId, topK)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    // brute truth and the residual pipeline are independent until the
+    // hit counting — concurrent jobs (guide §2.6, r17)
+    val Seq(brute, ranked) = graft.Engine.inParallel(
+      () => Similarity.knnBrute(embs, queryMaxId, topK)
+        .select(col("query_id"), col("vec_id")).localCheckpoint(),
+      () => ivfPqResRanked(embs, queryMaxId, kCells, nprobe, m, k,
+        iters).localCheckpoint()) // ranked: consumed once per refine budget
     val possible = brute.agg(count(lit(1)).as("n_possible"))
-    val ranked = ivfPqResRanked(embs, queryMaxId, kCells, nprobe, m, k,
-      iters).localCheckpoint() // consumed once per refine budget
     val cells = Seq(1, refine).map { r =>
       s"ivfpq_res_r$r" -> exactRerank(embs,
         ranked.filter(col("arank") <= topK * r)
@@ -746,15 +749,25 @@ object Pq {
     val spark = embs.sparkSession
     import spark.implicits._
     val maxP = curveCfgs.map(c => poolSize(c._1)).max
-    val pool = trainPool(embs, m, maxP)
-    val brute = Similarity.knnBrute(embs, queryMaxId, topK)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
-    // the corpus-side quantize+explode and the raw query subvectors are
-    // config-independent — materialize once, share across all 6 cells
-    // (the "consumed >1×" rule; each cell only swaps its codebook in)
-    val subs = subvectors(embs, m).localCheckpoint()
-    val rawQ = subvectorsRaw(embs, m).filter(col("vec_id") < queryMaxId)
-      .localCheckpoint()
+    // the four eager legs — train-pool collect, brute truth, the shared
+    // corpus-side quantize+explode, and the raw query subvectors — are
+    // mutually independent: materialize them as concurrent jobs (guide
+    // §2.6, r17). subs/rawQ stay config-independent and shared across
+    // all 6 cells (the "consumed >1×" rule; each cell only swaps its
+    // codebook in).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Engine.blockingPool
+    val fPool = Future(trainPool(embs, m, maxP))
+    val fBrute = Future(Similarity.knnBrute(embs, queryMaxId, topK)
+      .select(col("query_id"), col("vec_id")).localCheckpoint())
+    val fSubs = Future(subvectors(embs, m).localCheckpoint())
+    val fRawQ = Future(subvectorsRaw(embs, m)
+      .filter(col("vec_id") < queryMaxId).localCheckpoint())
+    val pool = Await.result(fPool, Duration.Inf)
+    val brute = Await.result(fBrute, Duration.Inf)
+    val subs = Await.result(fSubs, Duration.Inf)
+    val rawQ = Await.result(fRawQ, Duration.Inf)
     val possible = brute.agg(count(lit(1)).as("n_possible"))
     val rows = curveCfgs.map { case (k, iters, label) =>
       val centsL = codebooksSampledLocal(embs, m, k, iters, Some(pool))

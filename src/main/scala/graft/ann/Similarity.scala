@@ -298,15 +298,26 @@ object Similarity {
     // intersection join plus the n_possible aggregate — unpinned it
     // re-ran the full query×corpus scoring 9 times per recall run
     // (the same consumed->1x rule opqRecall/pqRecallCurve follow)
-    val brute = knnBrute(embs, queryMaxId, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
-    val possible = brute.agg(count(lit(1)).as("n_possible"))
     // the two PQ searches share ONE trained index (codebook + codes),
     // and the two LSH rows share ONE signature table — identical
-    // values, half the index-build work per recall run
-    val pqCb = Pq.codebooks(embs).localCheckpoint()
-    val pqCodes = Pq.encodeWith(embs, pqCb, Pq.defaultM).localCheckpoint()
-    val lshSig = withLshBandSignatures(embs, 64, 12, 6).localCheckpoint()
+    // values, half the index-build work per recall run. The brute
+    // truth, the PQ train+encode chain, and the LSH signature build
+    // are mutually independent — materialized as concurrent jobs
+    // (guide §2.6, r17)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Engine.blockingPool
+    val fBrute = Future(knnBrute(embs, queryMaxId, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint())
+    val fPq = Future {
+      val cb = Pq.codebooks(embs).localCheckpoint()
+      (cb, Pq.encodeWith(embs, cb, Pq.defaultM).localCheckpoint())
+    }
+    val fLsh = Future(withLshBandSignatures(embs, 64, 12, 6).localCheckpoint())
+    val brute = Await.result(fBrute, Duration.Inf)
+    val (pqCb, pqCodes) = Await.result(fPq, Duration.Inf)
+    val lshSig = Await.result(fLsh, Duration.Inf)
+    val possible = brute.agg(count(lit(1)).as("n_possible"))
     Seq(
       "ivf" -> IvfKnn.ivfKnn(embs, queryMaxId, k),
       "ivfpq" -> Pq.ivfPqKnnWith(embs, pqCb, pqCodes, queryMaxId, k),

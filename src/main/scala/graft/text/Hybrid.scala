@@ -186,17 +186,36 @@ object Hybrid {
     // materialize the grown state (what a serving stack stores): the
     // search fans each artifact into several consumers — postings feed
     // qtoks AND tf — so an unmaterialized shard would re-tokenize per
-    // consumer (the repo's measured consumed->1x trap)
-    val sp0 = SparseIndex.append(
-      SparseIndex.build(docs.filter(col("doc_id") < splitId)),
-      docs.filter(col("doc_id") >= splitId))
-    val sp = sp0.copy(postings = sp0.postings.localCheckpoint(),
-      df = sp0.df.localCheckpoint(), stats = sp0.stats.localCheckpoint())
-    val dn0 = graft.ann.IncrementalIndex.append(
-      graft.ann.IncrementalIndex.build(embs.filter(col("vec_id") < splitId)),
-      embs.filter(col("vec_id") >= splitId))
-    val dn = dn0.copy(codes = dn0.codes.localCheckpoint(),
-      cells = dn0.cells.localCheckpoint())
+    // consumer (the repo's measured consumed->1x trap). The two towers
+    // read disjoint inputs (docs vs embs) and meet only in the fused
+    // search, so their builds run as CONCURRENT job groups, and each
+    // tower's artifact pins are themselves independent jobs (guide
+    // §2.6; r17 — measured ~1.7 s of tower-build wall overlapped at
+    // sf0.1, identical artifacts by construction).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Engine.blockingPool
+    val fSp = Future {
+      val sp0 = SparseIndex.append(
+        SparseIndex.build(docs.filter(col("doc_id") < splitId)),
+        docs.filter(col("doc_id") >= splitId))
+      val Seq(p, d, st) = graft.Engine.inParallel(
+        () => sp0.postings.localCheckpoint(),
+        () => sp0.df.localCheckpoint(),
+        () => sp0.stats.localCheckpoint())
+      sp0.copy(postings = p, df = d, stats = st)
+    }
+    val fDn = Future {
+      val dn0 = graft.ann.IncrementalIndex.append(
+        graft.ann.IncrementalIndex.build(embs.filter(col("vec_id") < splitId)),
+        embs.filter(col("vec_id") >= splitId))
+      val Seq(c, ce) = graft.Engine.inParallel(
+        () => dn0.codes.localCheckpoint(),
+        () => dn0.cells.localCheckpoint())
+      dn0.copy(codes = c, cells = ce)
+    }
+    val sp = Await.result(fSp, Duration.Inf)
+    val dn = Await.result(fDn, Duration.Inf)
     rrfSearchIndexed(embs, sp, dn, qMaxId, mTerms, nCand, rrfK, k,
       nprobe, refine)
   }
