@@ -169,7 +169,10 @@ object CurateIngest {
     var store = Seq.empty[String].toDF("fingerprint")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // dedicated pool, not the global ForkJoinPool: these thunks BLOCK
+    // on Spark actions, and #cores of them would starve every other
+    // user of the global pool (r17, ADVICE)
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Engine.blockingPool
     var outs = List.empty[Future[DataFrame]]
     for (i <- 0 until nShards) {
       val shard = docs.filter(col("doc_id") >= i * shardSize &&
@@ -177,8 +180,12 @@ object CurateIngest {
       val (keptThunk, fps) = ingestShardDeferred(shard, store,
         minQualityPm, langs)
       // survivor tail overlaps the next shard's store work (§2.6;
-      // same split as the strict loops)
+      // same split as the strict loops). In-flight tails are capped by
+      // awaiting the tail from two shards back — bounds thread count at
+      // any nShards and surfaces a failed shard within two iterations
+      // instead of at the terminal await (r17, ADVICE).
       outs = outs :+ Future(keptThunk().withColumn("shard_id", lit(i.toLong)))
+      if (outs.size >= 2) Await.result(outs(outs.size - 2), Duration.Inf)
       store = store.unionByName(fps).distinct().localCheckpoint()
     }
     outs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
@@ -205,7 +212,8 @@ object CurateIngest {
     var sigStore: DataFrame = null
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // dedicated pool + bounded in-flight tails — see [[incrCurate]]
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Engine.blockingPool
     var outs = List.empty[Future[DataFrame]]
     for (i <- 0 until nShards) {
       val shard = docs.filter(col("doc_id") >= i * shardSize &&
@@ -218,6 +226,7 @@ object CurateIngest {
       // clustering (eager bounded CC actions) overlaps shard i+1's
       // store-bound stages — the stores below never read it (§2.6)
       outs = outs :+ Future(keptThunk().withColumn("shard_id", lit(i.toLong)))
+      if (outs.size >= 2) Await.result(outs(outs.size - 2), Duration.Inf)
       // independent store updates as concurrent jobs (guide §2.6; same
       // rationale as [[incrCurateFullStrict]])
       val fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
@@ -274,7 +283,8 @@ object CurateIngest {
       .select(col("sh")).distinct().localCheckpoint()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // dedicated pool + bounded in-flight tails — see [[incrCurate]]
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Engine.blockingPool
     var gramStore = Seq.empty[Long].toDF("gram")
     // fp/sig stores as FUTURES across iterations: shard i+1's HEAD
     // (scrub vs the gram store, gate) does not read them, so their
@@ -325,6 +335,7 @@ object CurateIngest {
           contaminatedIds(kept, scrubbed, bench, n, benchMaxId, maxContamPm),
           Seq("doc_id"), "left_anti")
       }
+      if (outs.size >= 2) Await.result(outs(outs.size - 2), Duration.Inf)
       // the three store updates are mutually independent — materialize
       // them as CONCURRENT jobs (guide §2.6: actions are only
       // sequential because the driver calls them sequentially; the
