@@ -210,7 +210,16 @@ object SpanScrub {
         col("doc_id") < (i + 1) * shardSize && col("doc_id") < maxId)
       val (scrubbed, novel) = scrubShard(shard, store, k)
       outs = outs :+ scrubbed
-      store = store.unionByName(novel).localCheckpoint()
+      // LAZY store accumulation (r17): `novel` is a cheap filter over
+      // the shard's PINNED `marked` frame, and the store is consumed
+      // exactly once per later shard (the membership join), so a
+      // per-shard union-checkpoint was a pure materialization barrier
+      // — the loop is job-latency-bound, not data-bound. The union
+      // plan grows with the loop's CONSTANT shard count (these query
+      // loops are doc_id-bounded); the unbounded-shard production form
+      // is the disk-backed store ([[graft.streaming.ScrubIngest]]),
+      // which reads a compacted table, not a union chain.
+      store = store.unionByName(novel)
     }
     outs.reduce(_ unionByName _)
   }

@@ -186,7 +186,13 @@ object CurateIngest {
       // instead of at the terminal await (r17, ADVICE).
       outs = outs :+ Future(keptThunk().withColumn("shard_id", lit(i.toLong)))
       if (outs.size >= 2) Await.result(outs(outs.size - 2), Duration.Inf)
-      store = store.unionByName(fps).distinct().localCheckpoint()
+      // LAZY store accumulation (r17): `fps` is a shard-sized distinct
+      // over the PINNED gated frame, and the store's one consumer per
+      // shard is a duplicate-immune anti-join — the global
+      // distinct+checkpoint bought nothing but a barrier in a
+      // job-latency-bound loop (union depth = the loop's constant
+      // shard count; the unbounded form is the disk-backed store).
+      store = store.unionByName(fps)
     }
     outs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
       .select(col("doc_id"), col("shard_id"), col("lang_pred"),
@@ -227,13 +233,15 @@ object CurateIngest {
       // store-bound stages — the stores below never read it (§2.6)
       outs = outs :+ Future(keptThunk().withColumn("shard_id", lit(i.toLong)))
       if (outs.size >= 2) Await.result(outs(outs.size - 2), Duration.Inf)
-      // independent store updates as concurrent jobs (guide §2.6; same
-      // rationale as [[incrCurateFullStrict]])
-      val fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
-      val fSig = Future((if (sigStore == null) sigs
-        else sigStore.unionByName(sigs)).localCheckpoint())
-      fpStore = Await.result(fFp, Duration.Inf)
-      sigStore = Await.result(fSig, Duration.Inf)
+      // LAZY store accumulation (r17): fps/sigs are cheap projections
+      // over the shard's PINNED gated/fresh frames, each store has one
+      // duplicate-immune consumer per shard (fp: anti-join; sig:
+      // banded collision probe), and the loop is job-latency-bound —
+      // the per-shard union-checkpoints were pure barriers (union
+      // depth = the constant shard count; unbounded form = the
+      // disk-backed stores).
+      fpStore = fpStore.unionByName(fps)
+      sigStore = if (sigStore == null) sigs else sigStore.unionByName(sigs)
     }
     outs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
       .select(col("doc_id"), col("shard_id"), col("lang_pred"),
@@ -285,15 +293,20 @@ object CurateIngest {
     import scala.concurrent.duration.Duration
     // dedicated pool + bounded in-flight tails — see [[incrCurate]]
     implicit val ec: scala.concurrent.ExecutionContext = graft.Engine.blockingPool
+    // LAZY store accumulation (r17, replacing the r16 cross-iteration
+    // store futures): every store row is a cheap projection over a
+    // frame the shard already PINS (novel ← the scrub's `marked`
+    // checkpoint, fps ← the gated checkpoint, sigs ← the fresh
+    // checkpoint), and each store has exactly one duplicate-immune
+    // consumer per shard (gram: membership left join; fp: anti-join;
+    // sig: banded collision probe). In a loop measured job-latency-
+    // bound (~50 jobs/shard), the per-shard union-checkpoints were
+    // pure barriers — dropping them removes 3 jobs + 1 await per
+    // shard. Union depth = the loop's constant shard count; the
+    // unbounded-shard production form is the disk-backed store.
     var gramStore = Seq.empty[Long].toDF("gram")
-    // fp/sig stores as FUTURES across iterations: shard i+1's HEAD
-    // (scrub vs the gram store, gate) does not read them, so their
-    // materialization from shard i overlaps the next scrub+gate; the
-    // await sits exactly where the first consumer (the exact-dedup
-    // anti-join / the sig collision probe) needs the frame (§2.6)
-    var fFp: Future[DataFrame] =
-      Future.successful(Seq.empty[String].toDF("fingerprint"))
-    var fSig: Future[DataFrame] = null
+    var fpStore = Seq.empty[String].toDF("fingerprint")
+    var sigStore: DataFrame = null
     var outs = List.empty[Future[DataFrame]]
     for (i <- 0 until nShards) {
       val shard0 = docs.filter(col("doc_id") >= i * shardSize &&
@@ -316,11 +329,6 @@ object CurateIngest {
       val gated = if (gopherGate)
         gateShardGopher(scrubbed, minQualityPm, langs)
       else gateShard(scrubbed, minQualityPm, langs)
-      // first consumers of the fp/sig stores sit in the deferred head
-      // below — await here, AFTER the scrub+gate work the stores'
-      // in-flight materialization was overlapping
-      val fpStore = Await.result(fFp, Duration.Inf)
-      val sigStore = if (fSig == null) null else Await.result(fSig, Duration.Inf)
       val store = if (sigStore == null)
         sigBands(docs.limit(0).select(col("doc_id"), col("text"))) else sigStore
       val (keptThunk, fps, sigs) = ingestShardStrictGatedDeferred(
@@ -336,19 +344,9 @@ object CurateIngest {
           Seq("doc_id"), "left_anti")
       }
       if (outs.size >= 2) Await.result(outs(outs.size - 2), Duration.Inf)
-      // the three store updates are mutually independent — materialize
-      // them as CONCURRENT jobs (guide §2.6: actions are only
-      // sequential because the driver calls them sequentially; the
-      // scheduler happily back-fills). Each checkpoint's result is
-      // identical to the sequential form. Only the GRAM store blocks
-      // the next iteration (its scrub reads it first); the fp/sig
-      // futures stay in flight into the next shard's scrub+gate, and
-      // are awaited right before their first consumers there.
-      val fGram = Future(gramStore.unionByName(novel).localCheckpoint())
-      fFp = Future(fpStore.unionByName(fps).distinct().localCheckpoint())
-      fSig = Future((if (sigStore == null) sigs
-        else sigStore.unionByName(sigs)).localCheckpoint())
-      gramStore = Await.result(fGram, Duration.Inf)
+      gramStore = gramStore.unionByName(novel)
+      fpStore = fpStore.unionByName(fps)
+      sigStore = if (sigStore == null) sigs else sigStore.unionByName(sigs)
     }
     outs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
       .select(col("doc_id"), col("lang_pred"), col("quality_pm"),
