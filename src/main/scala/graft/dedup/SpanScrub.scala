@@ -115,13 +115,20 @@ object SpanScrub {
     // in the result DAG, the novel grams in the store-update
     // checkpoint), re-executed the whole gram window per shard —
     // measured r16: the per-shard store join + window ran 2× in every
-    // incremental loop. `__in` marks store membership via a left join
-    // (precondition: the store is gram-distinct, which every
-    // incremental loop maintains — novel grams are emitted rn=1-deduped
-    // and a stored gram can never be novel again); rn is the
-    // within-shard occurrence rank. Store-hit occurrences are all
-    // cuts; novel occurrences cut from rn>1 (identical to ranking the
-    // novel subset alone, since store membership is per-gram).
+    // incremental loop. `__in` marks store membership via a left join;
+    // rn is the within-shard occurrence rank. Store-hit occurrences are
+    // all cuts; novel occurrences cut from rn>1 (identical to ranking
+    // the novel subset alone, since store membership is per-gram).
+    // Duplicate store rows (the compaction/replay window) fan out ONLY
+    // store-hit rows, whose every copy is a cut regardless of rn, and
+    // duplicate cut ranges merge into one island; novel partitions
+    // never fan out, so exactly one rn=1 row emits per novel gram —
+    // both outputs are value-identical under a duplicated store
+    // (pinned in SpanScrubSpec, r17), at the price of a proportionally
+    // larger `marked` materialization. The loops here keep the store
+    // distinct by construction (novel grams are rn=1-deduped and a
+    // stored gram can never be novel again); the split-store streaming
+    // form dedupes hits on (doc_id, i) explicitly.
     val wS = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("i"))
     val marked = grams
       .join(gramStore.withColumn("__in", lit(1)), Seq("gram"), "left")

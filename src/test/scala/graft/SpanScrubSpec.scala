@@ -63,4 +63,31 @@ class SpanScrubSpec extends AnyFunSuite {
       (4L, 0, 0L, "0123456789ABCDEF")  // untouched passthrough
     ), out.toString)
   }
+
+  // r17 (ADVICE): scrubShard's one-probe '__in' left join fans out when
+  // the gram store carries duplicate rows (the compaction/replay
+  // window). Pin that BOTH outputs are value-identical anyway: store-hit
+  // partitions are all-cut regardless of rn, duplicate cut ranges merge
+  // into the same island, novel partitions never fan out, and exactly
+  // one rn=1 row survives per gram — so a duplicated store costs
+  // materialization bytes, never correctness.
+  test("scrubShard outputs are identical under a duplicated gram store") {
+    import org.apache.spark.sql.functions.col
+    val store0 = Seq((10L, "abcdefgh")).toDF("doc_id", "text")
+    val shard = Seq(
+      (20L, "xxabcdefghyy"), // store-hit grams → cut
+      (21L, "qqqqqqqqqq"),   // novel self-repeat → within-shard cuts
+      (22L, "hello-world")   // novel unique
+    ).toDF("doc_id", "text")
+    val distinctStore = SpanScrub
+      .scrubShard(store0, store0.limit(0).select(col("doc_id"))
+        .select(col("doc_id").cast("long").as("gram")), k = 5)._2
+      .localCheckpoint()
+    val dupStore = distinctStore.unionByName(distinctStore)
+      .unionByName(distinctStore)
+    val (sA, nA) = SpanScrub.scrubShard(shard, distinctStore, k = 5)
+    val (sB, nB) = SpanScrub.scrubShard(shard, dupStore, k = 5)
+    assert(sA.exceptAll(sB).isEmpty && sB.exceptAll(sA).isEmpty)
+    assert(nA.exceptAll(nB).isEmpty && nB.exceptAll(nA).isEmpty)
+  }
 }
