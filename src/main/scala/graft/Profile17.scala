@@ -121,6 +121,35 @@ object Profile17 {
           noop(SparkEntry.queries("q_hybrid_incr")(spark, sfDir))
         }
       }
+      if (what == "md5ab") {
+        val docs = Tables.documents(spark, sfDir)
+        val scrub = graft.dedup.SpanScrub.spanScrubFp(docs)
+          .select(col("doc_id"), col("text_clean").as("text"),
+            length(col("text_clean")).cast("long").as("n_chars"))
+        def scored = Tables.spread(scrub)
+          .withColumn("quality_pm", graft.text.TextAnalysis.qualityExpr)
+          .withColumn("lang_pred", graft.text.TextAnalysis.langPred)
+          .filter(col("quality_pm") >= 600 &&
+            col("lang_pred").isin("en", "de"))
+        var a: org.apache.spark.sql.DataFrame = null
+        var b: org.apache.spark.sql.DataFrame = null
+        t("md5A.window rn=1 -> ckpt") {
+          val wMd5 = org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+          a = scored.withColumn("__rn", row_number().over(wMd5))
+            .filter(col("__rn") === 1).drop("__rn").localCheckpoint()
+        }
+        t("md5B.gate-ckpt + winners semi-join -> ckpt") {
+          val gatedCkpt = scored.localCheckpoint()
+          val winners = gatedCkpt
+            .groupBy(md5(col("text")).as("__h"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"))
+          b = gatedCkpt.join(winners, Seq("doc_id"), "left_semi")
+            .localCheckpoint()
+        }
+        println(s"[p17] md5 equal: ${a.exceptAll(b).count()} ${b.exceptAll(a).count()}")
+      }
       if (what == "all" || what == "curatef") {
         val docs = Tables.documents(spark, sfDir)
         var scrub: org.apache.spark.sql.DataFrame = null
