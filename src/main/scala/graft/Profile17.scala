@@ -148,7 +148,19 @@ object Profile17 {
           b = gatedCkpt.join(winners, Seq("doc_id"), "left_semi")
             .localCheckpoint()
         }
+        var c: org.apache.spark.sql.DataFrame = null
+        t("md5C.min-struct hash agg -> ckpt") {
+          c = scored
+            .groupBy(md5(col("text")).as("__h"))
+            .agg(min(struct(col("doc_id"), col("text"), col("n_chars"),
+              col("quality_pm"), col("lang_pred"))).as("r"))
+            .select(col("r.doc_id"), col("r.text"), col("r.n_chars"),
+              col("r.quality_pm"), col("r.lang_pred"))
+            .localCheckpoint()
+        }
         println(s"[p17] md5 equal: ${a.exceptAll(b).count()} ${b.exceptAll(a).count()}")
+        val aN = a.select(c.columns.map(col).toIndexedSeq: _*)
+        println(s"[p17] md5C equal: ${aN.exceptAll(c).count()} ${c.exceptAll(aN).count()}")
       }
       if (what == "all" || what == "curatef") {
         val docs = Tables.documents(spark, sfDir)

@@ -44,32 +44,29 @@ object Curate {
     val gated = scored
       .filter(col("quality_pm") >= minQualityPm &&
         col("lang_pred").isin(langs: _*))
-      // stage boundary (see below), moved UP to the gate so the exact-
-      // dedup stage reads a checkpoint: the winners aggregate and the
-      // semi-join are two consumers of the gated corpus, and unpinned
-      // they would each re-run the 7 gating regexes (+ the scrub, in
-      // the composed funnels)
-      .localCheckpoint()
-    // exact dedup as keep-min-doc_id per md5 — a NARROW winners
-    // aggregate + a doc_id semi-join instead of the previous
-    // row_number window partitioned by md5(text): the window's one
-    // exchange carried (and sorted) the full TEXT payload by content
-    // hash, while this shape shuffles only (16-byte md5, doc_id) with
-    // map-side partial aggregation, and the semi-join exchanges only
-    // the winner ids — the scrub-fed funnels arrive doc_id-partitioned
-    // from the rebuild join, so the corpus text never re-shuffles at
-    // all (guide §2.3 "shuffle keys instead of payloads"/§8; r17 A/B:
-    // 1.75 -> 1.62 s warmed at sf0.1 including the pins, outputs
-    // bit-equal by exceptAll both ways).
-    val winners = gated
+    // exact dedup as keep-min-doc_id per md5 via a min-struct HASH
+    // AGGREGATE instead of the previous row_number window partitioned
+    // by md5(text): same single exchange, but no sort of the text
+    // rows, and map-side partial aggregation collapses exact
+    // duplicates BEFORE the exchange (the window shuffled every copy;
+    // guide §2.3 aggregate-before-you-shuffle). doc_id leads the
+    // struct, so min() picks exactly the window's rn=1 row. A
+    // winners-aggregate + doc_id-semi-join form (shuffle keys, not
+    // payloads — guide §8) A/B'd faster in isolation but needs a
+    // SECOND corpus-text pin at the gate boundary, which regressed
+    // every composed funnel in the full bench (dated in
+    // OPTIMIZATION_r17.md); this form keeps the single stage-boundary
+    // checkpoint — the near-dedup stage consumes the exact survivors
+    // several times (shingles, quality join, final anti-join), the
+    // standard curation-pipeline shape. A/B at sf0.1 (Profile17
+    // md5ab, warmed): window 1.85 s, semi-join 1.68, this 1.56 —
+    // outputs bit-equal by exceptAll both ways.
+    val cols = scored.columns
+    val exact = gated
       .groupBy(md5(col("text")).as("__h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    // second stage boundary: the near-dedup stage consumes the exact
-    // survivors several times (shingles, quality join, final
-    // anti-join) — the standard curation-pipeline shape (each FineWeb
-    // stage persists its survivors); measured 3.7 s → 2.4 s at sf0.1
-    val exact = gated.join(winners, Seq("doc_id"), "left_semi")
+      .agg(min(struct((col("doc_id") +:
+        cols.filter(_ != "doc_id").map(col)).toIndexedSeq: _*)).as("r"))
+      .select(cols.map(c => col("r." + c)).toIndexedSeq: _*)
       .localCheckpoint()
     // one anti-join against the tiny drop list, carrying every output
     // column — survivorsBest + a re-join of `exact` would pay a second
