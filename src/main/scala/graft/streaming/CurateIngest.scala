@@ -78,18 +78,21 @@ object CurateIngest {
     * touched; the batch funnel twin is
     * [[graft.text.Curate.curateGopherAudit]] (verdict `repetitious`). */
   def gateShardGopher(shard: DataFrame, minQualityPm: Long = 600,
-                      langs: Seq[String] = Seq("en", "de")): DataFrame = {
-    // gate first, signals over the SURVIVORS only: the exploded-gram
-    // shuffle never pays for docs the quality/language gate already
-    // rejected (the intersection is unchanged — gopher only removes
-    // docs from the gated set); pinned because both the output and
-    // the repetition leg read the 7-regex scoring pass
-    val gated = gateShard(shard, minQualityPm, langs).localCheckpoint()
-    gated.join(graft.text.Repetition.repetitionSignals(
-        gated.select(col("doc_id"), col("text")))
-      .filter(col("gopher_pass") === 1).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-  }
+                      langs: Seq[String] = Seq("en", "de")): DataFrame =
+    // signals straight over the INPUT shard, not over a pinned gated
+    // frame: the repetition signals are a narrow per-doc fold (zero
+    // shuffle since r13) and gopher_pass is per-doc, so intersecting
+    // with the gate gives the same set whether signals are computed
+    // for rejected docs or not — while the r16 shape paid a
+    // localCheckpoint barrier per shard just to score survivors only
+    // (the loops are measured job-latency-bound, and every production
+    // caller hands this a checkpointed scrubbed shard, so the two
+    // branches below re-read a pin, not a pipeline; r17).
+    gateShard(shard, minQualityPm, langs)
+      .join(graft.text.Repetition.repetitionSignals(
+          shard.select(col("doc_id"), col("text")))
+        .filter(col("gopher_pass") === 1).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
 
   /** [[gateShard]] over PRECOMPUTED signals
     * ([[graft.text.TextAnalysis.docSignals]] — quality_pm and
