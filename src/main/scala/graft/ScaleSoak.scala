@@ -898,6 +898,41 @@ object ScaleSoak {
     organic.unpersist(); boiler.unpersist()
   }
 
+  /** r17 (the r16 standing soak item): the rebuildFromCuts HOF path
+    * under PATHOLOGICAL cut density. Corpus = one identical ~2.4 KB
+    * text on every doc, so every gram of every doc after the first is
+    * a repeat: the cut table is ~|positions| rows and each doc's
+    * collect_list cut array is ~(len − k + 1) structs — the spill
+    * surface of the r16 one-aggregate rebuild, maximized (organic
+    * corpora cut a few spans per doc; this cuts ALL of them, merging
+    * to one island per doc). The organic arm at the same doc count is
+    * the control. */
+  def rebuildSpill(spark: SparkSession, nDocs: Long = 1000000L): Unit = {
+    import graft.dedup.SpanScrub
+    val ident = spark.range(nDocs)
+      .select(col("id").as("doc_id"), expr(
+        """concat_ws(' ', transform(sequence(0, 59), p ->
+          |  concat(element_at(array('the','and','a','over','the','with'),
+          |           CAST(p % 6 AS INT) + 1),
+          |    ' w', substr(md5(concat('c:', CAST(p AS STRING))), 1, 8))))"""
+          .stripMargin).as("text"))
+      .localCheckpoint()
+    val organic = docCorpus(spark, nDocs)
+    locally {
+      val d = docCorpus(spark, 2000L)
+      sink(SpanScrub.spanScrubFp(d)); d.unpersist()
+    }
+    timedSpill(spark, "rebuildsp", s"docs=$nDocs", "organic")(
+      sink(SpanScrub.spanScrubFp(organic)))
+    timedSpill(spark, "rebuildsp", s"docs=$nDocs", "identical")(
+      sink(SpanScrub.spanScrubFp(ident)))
+    timedSpill(spark, "rebuildsp", s"docs=$nDocs", "organic2")(
+      sink(SpanScrub.spanScrubFp(organic)))
+    timedSpill(spark, "rebuildsp", s"docs=$nDocs", "identical2")(
+      sink(SpanScrub.spanScrubFp(ident)))
+    organic.unpersist(); ident.unpersist()
+  }
+
   /** r15: what GopherQuality's per-element HOFs (the char-sum
     * `aggregate` fold + three regex `filter`s) actually cost on a
     * pinned positional frame — the measure-before-native gate
@@ -1223,6 +1258,9 @@ object ScaleSoak {
       case s if s.startsWith("tfdeep:") =>
         tfDeep(spark, s.drop(7).split(",").toSeq.map(_.toLong))
       case "scrubskew" => scrubSkew(spark)
+      case "rebuildspill" => rebuildSpill(spark)
+      case s if s.startsWith("rebuildspill:") =>
+        rebuildSpill(spark, s.drop(13).toLong)
       case s if s.startsWith("scrubskew:") =>
         scrubSkew(spark, s.drop(10).toLong)
       case "gophercost" => gopherCost(spark)
